@@ -1,0 +1,262 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Core relational / query-layer operators (SURVEY.md §2.1).
+  *
+  * These are the GEMINI-style query capabilities the reference's output
+  * database exists to serve (selective filters, group-bys, top-k,
+  * windows, semi/anti joins), expressed as declarative DataFrame plans
+  * so Catalyst handles pushdown, pruning and join strategy.
+  *
+  * Determinism rules (for the DuckDB oracle hash-compare):
+  *   - money arithmetic happens entirely in DECIMAL: raw columns (≤2
+  *     decimal digits) are cast to decimal first, products/sums stay
+  *     exact, and the only output cast is a WIDENING one — so Spark
+  *     and DuckDB agree bit-for-bit regardless of double rounding
+  *     mode or sum order;
+  *   - every query ends in a total ORDER BY with a unique tiebreak.
+  */
+object Relational {
+
+  /** Raw money/qty column (2 decimal digits stored as double) → exact decimal. */
+  private def d2(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** Rate column (discount/tax, 2 decimal digits in [0,1]) → exact decimal. */
+  private def r2(c: Column): Column = c.cast(DecimalType(4, 2))
+
+  private val one = lit(new java.math.BigDecimal("1.00"))
+
+  /** Exact, order-independent sum of an exact decimal expression. */
+  private def dsum(e: Column): Column =
+    sum(e).cast(DecimalType(18, 6))
+
+  private def T(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** q01: grouped aggregation (TPC-H Q1 adapted to available columns). */
+  def q01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "lineitem")
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum(d2($"l_quantity")).as("sum_qty"),
+        dsum(d2($"l_extendedprice")).as("sum_base_price"),
+        dsum(d2($"l_extendedprice") * (one - r2($"l_discount"))).as("sum_disc_price"),
+        dsum(d2($"l_extendedprice") * (one - r2($"l_discount")) * (one + r2($"l_tax"))).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** q02: multi-way join + agg. Dims are broadcast; only the fact
+    * (lineitem⋈orders) shuffles — the plan that survives 100 TB. */
+  def q02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = T(s, dir, "lineitem")
+    val o = T(s, dir, "orders")
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+    val c = T(s, dir, "customer")
+    val n = T(s, dir, "nation")
+    val r = T(s, dir, "region").filter($"r_name" === "ASIA")
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(dsum(d2($"l_extendedprice") * (one - r2($"l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"n_name")
+  }
+
+  /** q03: top-k orders by revenue — TakeOrderedAndProject, no global sort. */
+  def q03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = T(s, dir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(dsum(d2($"l_extendedprice") * (one - r2($"l_discount"))).as("revenue"))
+    rev
+      .join(T(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(T(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"c_name", $"o_orderdate", $"revenue")
+      .orderBy($"revenue".desc, $"o_orderkey".asc)
+      .limit(10)
+  }
+
+  /** q04: EXISTS via left-semi join (orders having a returned item). */
+  def q04(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = T(s, dir, "orders")
+      .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+    val returned = T(s, dir, "lineitem").filter($"l_returnflag" === "R")
+    o.join(returned, $"o_orderkey" === $"l_orderkey", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** q05: NOT EXISTS via left-anti join (customers with no orders). */
+  def q05(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val recent = T(s, dir, "orders")
+      .filter($"o_orderdate" >= lit("2000-01-01").cast("timestamp"))
+    T(s, dir, "customer")
+      .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  /** q06: selective filter + scan-level pushdown (TPC-H Q6). */
+  def q06(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+        $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
+      .agg(dsum(d2($"l_extendedprice") * r2($"l_discount")).as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** q07: window functions — per-customer running order total. */
+  def q07(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    T(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_total",
+        sum($"o_totalprice".cast(DecimalType(18, 2)))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(DecimalType(18, 2)))
+      .select($"o_custkey", $"o_orderkey", $"rn", $"running_total")
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** q08: ROLLUP grouping sets over order status × priority. */
+  def q08(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "orders")
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(d2($"o_totalprice")).as("total_price"),
+        grouping($"o_orderstatus").cast("int").as("g_status"),
+        grouping($"o_orderpriority").cast("int").as("g_priority"))
+      .orderBy($"g_status", $"g_priority", $"o_orderstatus".asc_nulls_first,
+        $"o_orderpriority".asc_nulls_first)
+  }
+
+  /** q09: distinct aggregation — distinct users per event type. */
+  def q09(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_users"), count(lit(1)).as("n_events"))
+      .orderBy($"event_type")
+  }
+
+  /** q10: date bucketing + agg — orders per month. */
+  def q10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "orders")
+      .groupBy(date_trunc("month", $"o_orderdate").as("month"))
+      .agg(count(lit(1)).as("n_orders"), dsum(d2($"o_totalprice")).as("total_price"))
+      .orderBy($"month")
+  }
+
+  /** Oracle SQL (DuckDB dialect ≈ ANSI) mirroring each query above. */
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,6)) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,6)) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,6)) AS sum_disc_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1.00 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(18,6)) AS sum_charge,
+        | COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q02_revenue_by_nation" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,6)) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q03_topk_orders" ->
+      """SELECT o_orderkey, c_name, o_orderdate, revenue FROM (
+        |  SELECT l_orderkey,
+        |   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,6)) AS revenue
+        |  FROM lineitem GROUP BY 1) rev
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q04_order_priority_semijoin" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q05_customer_no_orders_antijoin" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |ORDER BY c_custkey""".stripMargin,
+    "q06_selective_filter" ->
+      """SELECT
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,6)) AS revenue,
+        | COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q07_window_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        | ROW_NUMBER() OVER w AS rn,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q08_rollup_status_priority" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,6)) AS total_price,
+        | CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        | CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_priority,
+        | o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q09_distinct_users_per_type" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q10_orders_by_month" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        | COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,6)) AS total_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01 _),
+    "q02_revenue_by_nation" -> (q02 _),
+    "q03_topk_orders" -> (q03 _),
+    "q04_order_priority_semijoin" -> (q04 _),
+    "q05_customer_no_orders_antijoin" -> (q05 _),
+    "q06_selective_filter" -> (q06 _),
+    "q07_window_running_total" -> (q07 _),
+    "q08_rollup_status_priority" -> (q08 _),
+    "q09_distinct_users_per_type" -> (q09 _),
+    "q10_orders_by_month" -> (q10 _)
+  )
+}

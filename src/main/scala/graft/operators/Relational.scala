@@ -17,9 +17,10 @@ import graft.Tables
   * Determinism rules (for the DuckDB oracle hash-compare):
   *   - money arithmetic happens entirely in DECIMAL: raw columns (≤2
   *     decimal digits) are cast to decimal first, products/sums stay
-  *     exact, and the only output cast is a WIDENING one — so Spark
-  *     and DuckDB agree bit-for-bit regardless of double rounding
-  *     mode or sum order;
+  *     exact (order-independent), and only the FINAL value is cast to
+  *     DOUBLE — a single correctly-rounded conversion both engines
+  *     agree on bit-for-bit (see dsum) — so the driver's float64
+  *     materialization hashes identically on both sides;
   *   - every query ends in a total ORDER BY with a unique tiebreak.
   */
 object Relational {
@@ -32,9 +33,17 @@ object Relational {
 
   private val one = lit(new java.math.BigDecimal("1.00"))
 
-  /** Exact, order-independent sum of an exact decimal expression. */
+  /** Exact, order-independent sum of an exact decimal expression.
+    *
+    * The aggregation is exact DECIMAL (order-independent); only the FINAL
+    * value is cast to DOUBLE so the driver's value materialization (float64
+    * in pandas on both the Spark-parquet and DuckDB sides) is identical.
+    * DECIMAL(38,6)→DOUBLE is correctly rounded in both engines while the
+    * unscaled value < 2^53 (i.e. |sum| < 9e9 at scale 6 — holds at the
+    * verify SF with wide margin), so the bits match.
+    */
   private def dsum(e: Column): Column =
-    sum(e).cast(DecimalType(18, 6))
+    sum(e).cast(DecimalType(38, 6)).cast("double")
 
   private def T(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
 
@@ -132,7 +141,7 @@ object Relational {
       .withColumn("running_total",
         sum($"o_totalprice".cast(DecimalType(18, 2)))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast(DecimalType(18, 2)))
+          .cast(DecimalType(38, 2)).cast("double"))
       .select($"o_custkey", $"o_orderkey", $"rn", $"running_total")
       .orderBy($"o_custkey", $"o_orderkey")
   }
@@ -172,16 +181,16 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,6)) AS sum_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,6)) AS sum_base_price,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,6)) AS sum_disc_price,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1.00 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(18,6)) AS sum_charge,
+        | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_qty,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_base_price,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1.00 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
         | COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q02_revenue_by_nation" ->
       """SELECT n_name,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,6)) AS revenue,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
         | COUNT(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -194,7 +203,7 @@ object Relational {
     "q03_topk_orders" ->
       """SELECT o_orderkey, c_name, o_orderdate, revenue FROM (
         |  SELECT l_orderkey,
-        |   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,6)) AS revenue
+        |   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
         |  FROM lineitem GROUP BY 1) rev
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -214,7 +223,7 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin,
     "q06_selective_filter" ->
       """SELECT
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,6)) AS revenue,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
         | COUNT(*) AS n_rows
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -222,15 +231,15 @@ object Relational {
     "q07_window_running_total" ->
       """SELECT o_custkey, o_orderkey,
         | ROW_NUMBER() OVER w AS rn,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_total
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS DOUBLE) AS running_total
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q08_rollup_status_priority" ->
       """SELECT o_orderstatus, o_orderpriority,
         | COUNT(*) AS n_orders,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,6)) AS total_price,
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS DOUBLE) AS total_price,
         | CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
         | CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
         |FROM orders
@@ -243,7 +252,7 @@ object Relational {
     "q10_orders_by_month" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
         | COUNT(*) AS n_orders,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,6)) AS total_price
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS DOUBLE) AS total_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
   )
 

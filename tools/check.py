@@ -3,36 +3,54 @@
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 
-For each <name>/ parquet dir in verifyOutDir, runs oracle_sql.json[name]
-in DuckDB (tables = parquet files in sfDir), then compares: schema
-(column names), row count, and a hash of all values with columns sorted
-by name and rows sorted.
+For each key in oracle_sql.json UNION each <name>/ parquet dir in
+verifyOutDir (so a query that threw inside Verify and produced no
+output dir is counted as FAIL, not silently skipped), runs the oracle
+SQL in DuckDB (tables = parquet files in sfDir), then compares:
+schema (column names), row count, and a TYPE-SENSITIVE canonical form
+of all values with columns sorted by name and rows sorted — a float64
+and a decimal.Decimal of equal numeric value do NOT compare equal,
+matching the driver's stricter hashing (validated against
+CORRECTNESS_r01.json, where str()-loose comparison reported green
+while the driver reported hash_match=false on decimal columns).
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
 
 
 def canon(rows, cols):
-    """Rows as list of tuples, columns sorted by name, values normalized."""
+    """Rows as list of tuples, columns sorted by name, values normalized.
+
+    Normalization is type-tagged: the Python type reached via the
+    materialization path is part of the canonical value, so Decimal vs
+    float vs int representation differences are failures.
+    """
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
 
     def norm(v):
         if v is None:
             return "NULL"
+        if isinstance(v, bool):
+            return f"bool:{v}"
         if isinstance(v, float):
             if math.isnan(v):
-                return "NaN"
-            return repr(v)
+                return "float:NaN"
+            return f"float:{v!r}"
+        if isinstance(v, int):
+            return f"int:{v}"
         if isinstance(v, bytes):
-            return v.hex()
-        return str(v)
+            return f"bytes:{v.hex()}"
+        if isinstance(v, (list, tuple)):
+            return "list:[" + ",".join(norm(x) for x in v) + "]"
+        return f"{type(v).__name__}:{v}"
 
     out = [tuple(norm(r[i]) for i in idx) for r in rows]
     out.sort()
-    return [c for _, c in sorted(zip(cols, cols))] and sorted(cols), out
+    return sorted(cols), out
 
 
 def main(sf_dir, out_dir):
@@ -45,11 +63,15 @@ def main(sf_dir, out_dir):
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
 
-    import os
-    names = sorted(d for d in os.listdir(out_dir)
-                   if os.path.isdir(os.path.join(out_dir, d)))
+    dirs = {d for d in os.listdir(out_dir)
+            if os.path.isdir(os.path.join(out_dir, d))}
+    names = sorted(dirs | set(oracle))
     n_pass = n_fail = n_rows_only = 0
     for name in names:
+        if name not in dirs:
+            print(f"  ✗ {name}: NO OUTPUT DIR (query threw inside Verify?)")
+            n_fail += 1
+            continue
         got_rel = con.sql(
             f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
         got_cols = list(got_rel.columns)

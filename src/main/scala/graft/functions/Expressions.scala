@@ -1,0 +1,181 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels shared by interpreted eval and generated code — the
+  * generated Java calls these directly, so the expressions stay inside
+  * whole-stage codegen without the UDF serialization tax.
+  */
+object Kernels {
+
+  /** array<int> → zlib(LE int32 bytes). The reference packs per-sample
+    * genotype arrays (gt_types/gt_depths/…) as compressed blobs, one
+    * column per array, on `variants`.
+    */
+  def zlibPackInts(arr: ArrayData): Array[Byte] = {
+    val n = arr.numElements()
+    val raw = java.nio.ByteBuffer.allocate(4 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < n) { raw.putInt(arr.getInt(i)); i += 1 }
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw.array()); d.finish()
+    val out = new java.io.ByteArrayOutputStream(64 + n)
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** zlib blob → array<int> (round-trip of zlibPackInts). */
+  def zlibUnpackInts(blob: Array[Byte]): ArrayData = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(blob)
+    val out = new java.io.ByteArrayOutputStream(4 * blob.length)
+    val buf = new Array[Byte](4096)
+    while (!inf.finished()) {
+      val k = inf.inflate(buf)
+      if (k == 0 && inf.needsInput()) throw new java.util.zip.DataFormatException("truncated")
+      out.write(buf, 0, k)
+    }
+    inf.end()
+    val bytes = java.nio.ByteBuffer.wrap(out.toByteArray)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ints = new Array[Any](out.size() / 4)
+    var i = 0
+    while (i < ints.length) { ints(i) = bytes.getInt(); i += 1 }
+    new GenericArrayData(ints)
+  }
+
+  private def fnv64(s: UTF8String): Long = {
+    // FNV-1a over UTF-8 bytes: tiny, allocation-free, stable across JVMs.
+    var h = 0xcbf29ce484222325L
+    val b = s.getBytes
+    var i = 0
+    while (i < b.length) { h ^= (b(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** 64-bit SimHash over a token array: per-token 64-bit hash votes ±1 on
+    * every bit; the sign vector is the fingerprint. Near-duplicate texts
+    * land within a small Hamming ball.
+    */
+  def simHash64(tokens: ArrayData): Long = {
+    val acc = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val h = fnv64(tokens.getUTF8String(i))
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (acc(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  /** Winnowing fingerprint: min of rolling polynomial hashes of all
+    * k-length character windows (k=16, base 257, implicit mod 2^64,
+    * bias-broken by a final avalanche). One pass, O(len) via the
+    * precomputed base^k term — the content-defined fingerprint the
+    * rolling-hash dedup family uses.
+    */
+  def rollingMinHash(s: UTF8String, k: Int): Long = {
+    val b = s.getBytes
+    if (b.length == 0) return 0L
+    val kk = math.min(k, b.length)
+    val base = 257L
+    var pow = 1L
+    var i = 0
+    while (i < kk - 1) { pow *= base; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < kk) { h = h * base + (b(i) & 0xffL); i += 1 }
+    var best = avalanche(h)
+    while (i < b.length) {
+      h = (h - (b(i - kk) & 0xffL) * pow) * base + (b(i) & 0xffL)
+      val a = avalanche(h)
+      if (java.lang.Long.compareUnsigned(a, best) < 0) best = a
+      i += 1
+    }
+    best
+  }
+
+  private def avalanche(x0: Long): Long = {
+    // splitmix64 finalizer — decorrelates the weak polynomial bits.
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+}
+
+/** `zlib_pack(array<int>) → binary` */
+case class ZlibPack(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.zlibPackInts(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.zlibPackInts($c)")
+  override protected def withNewChildInternal(newChild: Expression): ZlibPack =
+    copy(child = newChild)
+}
+
+/** `zlib_unpack(binary) → array<int>` */
+case class ZlibUnpack(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType)
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.zlibUnpackInts(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.zlibUnpackInts($c)")
+  override protected def withNewChildInternal(newChild: Expression): ZlibUnpack =
+    copy(child = newChild)
+}
+
+/** `simhash64(array<string>) → bigint` */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.simHash64(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.simHash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** `rolling_minhash(string) → bigint` (16-char windows) */
+case class RollingMinHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.rollingMinHash(input.asInstanceOf[UTF8String], 16)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.rollingMinHash($c, 16)")
+  override protected def withNewChildInternal(newChild: Expression): RollingMinHash =
+    copy(child = newChild)
+}
+
+/** Registers the custom expressions as SQL functions so both the
+  * DataFrame API (`expr("simhash64(t)")`) and `spark.sql` can use them —
+  * native Catalyst expressions, codegen-friendly, no UDF boxing.
+  */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def add(name: String, b: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    add("zlib_pack", es => ZlibPack(es.head))
+    add("zlib_unpack", es => ZlibUnpack(es.head))
+    add("simhash64", es => SimHash64(es.head))
+    add("rolling_minhash", es => RollingMinHash(es.head))
+  }
+}

@@ -1,0 +1,309 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions
+import graft.sources.VcfReader
+
+/** The reference's ETL surface (SURVEY.md §2.2), Spark-first.
+  *
+  * VCF-specific behaviors (header-driven typing, CSQ expansion,
+  * worst-impact selection, genotype stats, decompose) run the REAL
+  * parser/reader over an embedded fixture whose expected output is a
+  * literal `VALUES` oracle — sf-independent, bit-exact. Generic ETL
+  * behaviors (JSON flattening, type inference, explode, dim joins, blob
+  * packing) run over the driver testdata.
+  */
+object Etl {
+
+  private def T(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  // ------------------------------------------------------------ VCF fixture
+
+  /** 4-sample, 4-record (one multi-allelic) VCF exercising: typed INFO
+    * (Integer/Float-A/Flag/String), VEP CSQ with 7 sub-fields, missing
+    * values, per-alt decompose, and every genotype class.
+    */
+  object VcfFixture {
+    val lines: Vector[String] = Vector(
+      "##fileformat=VCFv4.2",
+      "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"Total Depth\">",
+      "##INFO=<ID=AF,Number=A,Type=Float,Description=\"Allele Frequency\">",
+      "##INFO=<ID=DB,Number=0,Type=Flag,Description=\"dbSNP membership\">",
+      "##INFO=<ID=TYPE,Number=1,Type=String,Description=\"Variant type\">",
+      "##INFO=<ID=CSQ,Number=.,Type=String,Description=\"Consequence annotations from Ensembl VEP. Format: Allele|Consequence|SYMBOL|Gene|BIOTYPE|PolyPhen|SIFT\">",
+      "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"Genotype\">",
+      "##FORMAT=<ID=DP,Number=1,Type=Integer,Description=\"Read depth\">",
+      Seq("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO",
+        "FORMAT", "s1", "s2", "s3", "s4").mkString("\t"),
+      Seq("1", "100", "rs1", "A", "G", "50.0", "PASS",
+        "DP=10;AF=0.25;DB;CSQ=G|missense_variant|BRCA1|ENSG1|protein_coding|0.9|0.1," +
+          "G|intron_variant|BRCA1|ENSG1|protein_coding||",
+        "GT:DP", "0/1:10", "0/0:12", "0/0:9", "1/1:7").mkString("\t"),
+      Seq("1", "200", ".", "C", "T", "99.0", "PASS",
+        "DP=20;AF=0.5;CSQ=T|stop_gained|TP53|ENSG2|protein_coding|0.99|0.0",
+        "GT:DP", "0/1:8", "0/1:9", "./.:0", "./.:0").mkString("\t"),
+      Seq("2", "300", "rs3", "G", "A,T", ".", "q10",
+        "DP=5;AF=0.5,0.25;CSQ=A|synonymous_variant|EGFR|ENSG3|protein_coding||," +
+          "T|frameshift_variant|EGFR|ENSG3|protein_coding||",
+        "GT", "1/2", "0/1", "2/2", "0/0").mkString("\t"),
+      Seq("X", "400", ".", "T", "C", "10.5", ".", "AF=0.75;TYPE=snp",
+        "GT", "1/1", "1/1", "0/1", "0/1").mkString("\t"))
+
+    def variants(s: SparkSession): DataFrame = VcfReader.fromLines(s, lines)._2
+    def impacts(s: SparkSession): DataFrame = VcfReader.fromLines(s, lines)._3
+
+    /** The impacts table as a literal SQL VALUES relation (reused by the
+      * e04/e10 oracles so e04's oracle re-derives worst-impact in SQL).
+      */
+    val impactsValues: String =
+      """(VALUES
+        | ('1', 100, 'A', 'G', 'G', 'missense_variant',  'BRCA1', 'ENSG1', 'protein_coding', '0.9',  '0.1', 12, 'MED'),
+        | ('1', 100, 'A', 'G', 'G', 'intron_variant',    'BRCA1', 'ENSG1', 'protein_coding', '',     '',    24, 'LOW'),
+        | ('1', 200, 'C', 'T', 'T', 'stop_gained',       'TP53',  'ENSG2', 'protein_coding', '0.99', '0.0',  3, 'HIGH'),
+        | ('2', 300, 'G', 'A', 'A', 'synonymous_variant','EGFR',  'ENSG3', 'protein_coding', '',     '',    20, 'LOW'),
+        | ('2', 300, 'G', 'T', 'T', 'frameshift_variant','EGFR',  'ENSG3', 'protein_coding', '',     '',     4, 'HIGH')
+        |) i(chrom, pos, ref, alt, allele, consequence, symbol, gene, biotype, polyphen, sift, severity_rank, impact_severity)""".stripMargin
+
+    /** Decomposed variants as a VALUES relation (e05/e09 oracles). */
+    val variantsValues: String =
+      """(VALUES
+        | ('1', 100, 'rs1', 'A', 'G', 50.0, 'PASS', 10,   0.25, TRUE,  NULL,  1.0,  0.375, 2, 1, 1, 0),
+        | ('1', 200, NULL,  'C', 'T', 99.0, 'PASS', 20,   0.5,  FALSE, NULL,  0.5,  0.5,   0, 2, 0, 2),
+        | ('2', 300, 'rs3', 'G', 'A', NULL, 'q10',  5,    0.5,  FALSE, NULL,  1.0,  0.25,  2, 2, 0, 0),
+        | ('2', 300, 'rs3', 'G', 'T', NULL, 'q10',  5,    0.25, FALSE, NULL,  1.0,  0.375, 2, 1, 1, 0),
+        | ('X', 400, NULL,  'T', 'C', 10.5, NULL,   NULL, 0.75, FALSE, 'snp', 1.0,  0.75,  0, 2, 2, 0)
+        |) v(chrom, pos, vid, ref, alt, qual, filter, dp, af, db, type, call_rate, aaf, num_hom_ref, num_het, num_hom_alt, num_unknown)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  /** e01: INFO-style JSON flattening — every key of a semi-structured
+    * column becomes a typed column (the reference turns each ##INFO key
+    * into a typed variants column). Codegen JSON path, no shuffle.
+    */
+  def e01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "events")
+      .select($"event_id", $"event_type", $"value",
+        from_json($"props", lit("k INT")).getField("k").as("prop_k"))
+      .orderBy($"event_id")
+  }
+
+  /** e02: header-driven type inference re-expressed: string columns are
+    * coerced to their declared/inferred types (try_cast semantics for
+    * unparseable values → NULL, like the reference's '.' handling).
+    */
+  def e02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "documents")
+      .select($"doc_id", $"source",
+        regexp_extract($"source", "([0-9]+)", 1).cast("int").as("src_num"),
+        $"n_chars".cast("double").as("n_chars_d"),
+        expr("try_cast(substring(text, 1, 2) AS INT)").as("bad_cast"))
+      .orderBy($"doc_id")
+  }
+
+  /** e03: annotation expansion — `|`/` `-separated sub-records exploded
+    * to one row per (parent, position, token) with posexplode; per-row
+    * fan-out, embarrassingly parallel, no shuffle before the sort.
+    */
+  def e03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "documents")
+      .select($"doc_id", posexplode(split($"text", " ")))
+      .toDF("doc_id", "pos", "token")
+      .orderBy($"doc_id", $"pos")
+  }
+
+  /** e04: worst-impact selection — severity rank + row_number window,
+    * keep rank 1 per variant (the reference denormalizes this row onto
+    * `variants`).
+    */
+  def e04(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"chrom", $"pos", $"ref", $"alt")
+      .orderBy($"severity_rank", $"consequence")
+    VcfFixture.impacts(s)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"chrom", $"pos", $"ref", $"alt", $"symbol", $"consequence",
+        $"impact_severity")
+      .orderBy($"chrom", $"pos", $"alt")
+  }
+
+  /** e05: genotype summary stats computed DISTRIBUTED — gt_types exploded
+    * to a (variant, gt) long table then conditionally aggregated, the
+    * shape that scales to biobank sample counts (per-variant grouping =
+    * one shuffle on the variant key).
+    */
+  def e05(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    VcfFixture.variants(s)
+      .select($"chrom", $"pos", $"alt", explode($"gt_types").as("gt"))
+      .groupBy($"chrom", $"pos", $"alt")
+      .agg(
+        (sum(when($"gt" =!= 2, 1).otherwise(0)).cast("double") / count(lit(1)))
+          .as("call_rate"),
+        (sum(when($"gt" === 1, 1).when($"gt" === 3, 2).otherwise(0)).cast("double") /
+          (sum(when($"gt" =!= 2, 1).otherwise(0)) * 2)).as("aaf"),
+        sum(when($"gt" === 0, 1).otherwise(0)).cast("int").as("num_hom_ref"),
+        sum(when($"gt" === 1, 1).otherwise(0)).cast("int").as("num_het"),
+        sum(when($"gt" === 3, 1).otherwise(0)).cast("int").as("num_hom_alt"),
+        sum(when($"gt" === 2, 1).otherwise(0)).cast("int").as("num_unknown"))
+      .orderBy($"chrom", $"pos", $"alt")
+  }
+
+  /** e06: multi-allelic decompose analog on testdata — one row per
+    * exploded array element (the VCF-native decompose is exercised by
+    * e09's fixture, which contains an ALT=A,T record).
+    */
+  def e06(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "part")
+      .select($"p_partkey", posexplode(split($"p_name", " ")))
+      .toDF("p_partkey", "word_ix", "word")
+      .orderBy($"p_partkey", $"word_ix")
+  }
+
+  /** e07: PED-style dim join — samples metadata joined through two
+    * broadcast dims; the fact side never shuffles.
+    */
+  def e07(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "customer")
+      .join(broadcast(T(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(T(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+      .select($"c_custkey", $"c_name", $"n_name", $"r_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** e08 (rows-only): genotype-blob packing — per-group sorted int array
+    * zlib-compressed by a custom Catalyst expression (the reference's
+    * gt_types/gt_depths BLOB columns). Packing is per-row after ONE
+    * per-key grouping; blobs never transit the driver.
+    */
+  def e08(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    T(s, dir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_list(struct($"l_linenumber",
+        round($"l_quantity" * 100).cast("int").as("q")))).as("items"))
+      .select($"l_orderkey",
+        size($"items").as("n_items"),
+        expr("zlib_pack(transform(items, x -> x.q))").as("qty_blob"))
+      .orderBy($"l_orderkey")
+  }
+
+  /** e09: the VCF parse itself — header-driven typed columns, per-alt
+    * decompose, genotype stats — via the real reader over the fixture.
+    */
+  def e09(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    VcfFixture.variants(s)
+      .select($"chrom", $"pos", $"vid", $"ref", $"alt", $"qual", $"filter",
+        $"dp", $"af", $"db", $"type", $"call_rate", $"aaf",
+        $"num_hom_ref", $"num_het", $"num_hom_alt", $"num_unknown")
+      .orderBy($"chrom", $"pos", $"alt")
+  }
+
+  /** e10: CSQ → variant_impacts — one row per (variant-alt, annotation
+    * entry), sub-field names from the header Description.
+    */
+  def e10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    VcfFixture.impacts(s)
+      .select($"chrom", $"pos", $"ref", $"alt", $"allele", $"consequence",
+        $"symbol", $"gene", $"biotype", $"polyphen", $"sift",
+        $"severity_rank", $"impact_severity")
+      .orderBy($"chrom", $"pos", $"alt", $"severity_rank")
+  }
+
+  // ----------------------------------------------------------------- oracle
+
+  private val variantsSelect =
+    """SELECT CAST(chrom AS VARCHAR) AS chrom, CAST(pos AS BIGINT) AS pos,
+      | CAST(vid AS VARCHAR) AS vid, CAST(ref AS VARCHAR) AS ref,
+      | CAST(alt AS VARCHAR) AS alt, CAST(qual AS DOUBLE) AS qual,
+      | CAST(filter AS VARCHAR) AS filter, CAST(dp AS INTEGER) AS dp,
+      | CAST(af AS DOUBLE) AS af, CAST(db AS BOOLEAN) AS db,
+      | CAST(type AS VARCHAR) AS type,
+      | CAST(call_rate AS DOUBLE) AS call_rate, CAST(aaf AS DOUBLE) AS aaf,
+      | CAST(num_hom_ref AS INTEGER) AS num_hom_ref,
+      | CAST(num_het AS INTEGER) AS num_het,
+      | CAST(num_hom_alt AS INTEGER) AS num_hom_alt,
+      | CAST(num_unknown AS INTEGER) AS num_unknown
+      |FROM """.stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "e01_flatten_info" ->
+      """SELECT event_id, event_type, value,
+        | CAST(props->>'$.k' AS INTEGER) AS prop_k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "e02_type_inference" ->
+      """SELECT doc_id, source,
+        | CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER) AS src_num,
+        | CAST(n_chars AS DOUBLE) AS n_chars_d,
+        | TRY_CAST(substr(text, 1, 2) AS INTEGER) AS bad_cast
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "e03_annotation_expand" ->
+      """SELECT doc_id, i-1 AS pos, parts[i] AS token
+        |FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents) t
+        |CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) u
+        |ORDER BY doc_id, pos""".stripMargin,
+    "e04_worst_impact" ->
+      s"""SELECT chrom, CAST(pos AS BIGINT) AS pos, ref, alt, symbol,
+         | consequence, impact_severity
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY chrom, pos, ref, alt
+         |        ORDER BY severity_rank, consequence) AS rn
+         |      FROM ${VcfFixture.impactsValues})
+         |WHERE rn = 1 ORDER BY chrom, pos, alt""".stripMargin,
+    "e05_genotype_stats" ->
+      s"""SELECT chrom, CAST(pos AS BIGINT) AS pos, alt,
+         | CAST(call_rate AS DOUBLE) AS call_rate, CAST(aaf AS DOUBLE) AS aaf,
+         | CAST(num_hom_ref AS INTEGER) AS num_hom_ref,
+         | CAST(num_het AS INTEGER) AS num_het,
+         | CAST(num_hom_alt AS INTEGER) AS num_hom_alt,
+         | CAST(num_unknown AS INTEGER) AS num_unknown
+         |FROM ${VcfFixture.variantsValues}
+         |ORDER BY chrom, pos, alt""".stripMargin,
+    "e06_multiallelic_decompose" ->
+      """SELECT p_partkey, i-1 AS word_ix, parts[i] AS word
+        |FROM (SELECT p_partkey, string_split(p_name, ' ') AS parts FROM part) t
+        |CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) u
+        |ORDER BY p_partkey, word_ix""".stripMargin,
+    "e07_samples_ped_join" ->
+      """SELECT c_custkey, c_name, n_name, r_name
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY c_custkey""".stripMargin,
+    // e08_pack_blob: rows-only (zlib blobs are not ANSI-SQL-expressible)
+    "e09_vcf_parse" ->
+      s"""$variantsSelect${VcfFixture.variantsValues}
+         |ORDER BY chrom, pos, alt""".stripMargin,
+    "e10_csq_impacts" ->
+      s"""SELECT chrom, CAST(pos AS BIGINT) AS pos, ref, alt, allele,
+         | consequence, symbol, gene, biotype, polyphen, sift,
+         | CAST(severity_rank AS INTEGER) AS severity_rank, impact_severity
+         |FROM ${VcfFixture.impactsValues}
+         |ORDER BY chrom, pos, alt, severity_rank""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e01_flatten_info" -> (e01 _),
+    "e02_type_inference" -> (e02 _),
+    "e03_annotation_expand" -> (e03 _),
+    "e04_worst_impact" -> (e04 _),
+    "e05_genotype_stats" -> (e05 _),
+    "e06_multiallelic_decompose" -> (e06 _),
+    "e07_samples_ped_join" -> (e07 _),
+    "e08_pack_blob" -> (e08 _),
+    "e09_vcf_parse" -> (e09 _),
+    "e10_csq_impacts" -> (e10 _)
+  )
+}

@@ -1,0 +1,41 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Relational-database sink — the reference's buffered `insert_many`
+  * bulk loading, re-expressed as Spark's parallel JDBC writer.
+  *
+  * Each partition opens one connection and writes `batchSize`-row
+  * batches; `numPartitions` caps writer parallelism so a 1000-executor
+  * job cannot open 1000 simultaneous connections against one database.
+  * No JDBC driver jar ships in this container, so tests exercise the
+  * parquet fallback; the JDBC path is exactly `df.write.jdbc` plumbing.
+  */
+object DbSink {
+
+  final case class JdbcConf(
+      url: String,
+      table: String,
+      user: String = "",
+      password: String = "",
+      batchSize: Int = 10000,
+      numPartitions: Int = 8,
+      isolationLevel: String = "READ_COMMITTED",
+      truncate: Boolean = false)
+
+  def writeJdbc(df: DataFrame, conf: JdbcConf, mode: SaveMode = SaveMode.Append): Unit = {
+    val props = new java.util.Properties()
+    if (conf.user.nonEmpty) props.setProperty("user", conf.user)
+    if (conf.password.nonEmpty) props.setProperty("password", conf.password)
+    props.setProperty("batchsize", conf.batchSize.toString)
+    props.setProperty("isolationLevel", conf.isolationLevel)
+    props.setProperty("truncate", conf.truncate.toString)
+    df.coalesce(conf.numPartitions).write.mode(mode).jdbc(conf.url, conf.table, props)
+  }
+
+  /** Container-friendly fallback: same "bounded writer parallelism"
+    * contract, parquet target.
+    */
+  def writeParquet(df: DataFrame, path: String, numPartitions: Int = 8): Unit =
+    df.coalesce(numPartitions).write.mode(SaveMode.Overwrite).parquet(path)
+}

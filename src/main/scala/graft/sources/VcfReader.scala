@@ -1,0 +1,183 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.types._
+
+import VcfParser._
+
+/** VCF → DataFrames, the reference's ETL surface on Spark.
+  *
+  * The header (KB-sized) is parsed driver-side and DRIVES the variant
+  * schema — every INFO field becomes a typed column exactly as the
+  * reference infers SQL types from `##INFO` Type/Number. Body lines are
+  * parsed per-partition (pure function, embarrassingly parallel over a
+  * text scan — at 100 TB each bgzip shard/file split parses
+  * independently; nothing is collected to the driver).
+  *
+  * Multi-allelic records are decomposed to one row per ALT (the
+  * reference REQUIRES a vt-decomposed input; we do the decompose
+  * ourselves): Number=A INFO fields pick the alt's value, genotype
+  * classes are recomputed per alt.
+  */
+object VcfReader {
+
+  /** Column layout shared by the fixed (non-INFO) part of `variants`. */
+  private val fixedFields: Seq[StructField] = Seq(
+    StructField("chrom", StringType),
+    StructField("pos", LongType, nullable = false),
+    StructField("vid", StringType),
+    StructField("ref", StringType),
+    StructField("alt", StringType),
+    StructField("qual", DoubleType),
+    StructField("filter", StringType))
+
+  private val statFields: Seq[StructField] = Seq(
+    StructField("call_rate", DoubleType, nullable = false),
+    StructField("aaf", DoubleType, nullable = false),
+    StructField("num_hom_ref", IntegerType, nullable = false),
+    StructField("num_het", IntegerType, nullable = false),
+    StructField("num_hom_alt", IntegerType, nullable = false),
+    StructField("num_unknown", IntegerType, nullable = false),
+    StructField("gt_types", ArrayType(IntegerType, containsNull = false)))
+
+  private def infoType(spec: FieldSpec): DataType = spec.number match {
+    case "0" => BooleanType
+    case "1" | "A" => spec.vcfType match {
+      case "Integer" => IntegerType
+      case "Float" => DoubleType
+      case "Flag" => BooleanType
+      case _ => StringType
+    }
+    case _ => StringType // R / G / . / >1 kept raw, like the reference's TEXT
+  }
+
+  /** INFO specs that become `variants` columns (annotation key excluded —
+    * it feeds the `variant_impacts` table instead).
+    */
+  def infoSpecs(h: Header): Seq[FieldSpec] =
+    h.infos.values.filterNot(s => h.annKey.contains(s.id)).toSeq
+
+  def variantSchema(h: Header): StructType =
+    StructType(fixedFields ++
+      infoSpecs(h).map(s => StructField(sanitize(s.id), infoType(s))) ++
+      statFields)
+
+  /** Per-alt value of an INFO field (post-decompose semantics). */
+  private def infoValue(spec: FieldSpec, raw: Option[String], altIx: Int): Any =
+    (spec.number, raw) match {
+      case ("0", r) => r.isDefined
+      case (_, None) => if (infoType(spec) == BooleanType) false else null
+      case ("A", Some(v)) =>
+        val parts = v.split(',')
+        val x = if (altIx - 1 < parts.length) parts(altIx - 1) else "."
+        scalarValue(spec, x)
+      case ("1", Some(v)) => scalarValue(spec, v)
+      case (_, Some(v)) => v
+    }
+
+  private def scalarValue(spec: FieldSpec, v: String): Any =
+    if (v == ".") null
+    else spec.vcfType match {
+      case "Integer" => v.toInt
+      case "Float" => v.toDouble
+      case _ => v
+    }
+
+  private def gtIndex(h: Header): Int = 0 // GT is first FORMAT key per spec
+
+  /** One decomposed variant row per (record, alt). */
+  private def variantRows(h: Header, specs: Seq[FieldSpec], rec: Record): Seq[Row] = {
+    val gtIx = rec.formatKeys.indexOf("GT")
+    rec.alts.zipWithIndex.map { case (alt, i0) =>
+      val altIx = i0 + 1
+      val gtTypes: Seq[Int] =
+        if (gtIx < 0) Seq.empty
+        else rec.genotypes.map(s => gtType(s(gtIx), altIx))
+      val st = gtStats(gtTypes)
+      val infoVals = specs.map(s => infoValue(s, rec.info.get(s.id), altIx))
+      Row.fromSeq(
+        Seq(rec.chrom, rec.pos, rec.id.orNull, rec.ref, alt,
+          rec.qual.map(Double.box).orNull, rec.filter.orNull) ++ infoVals ++
+          Seq(st.callRate, st.aaf, st.numHomRef, st.numHet, st.numHomAlt,
+            st.numUnknown, gtTypes))
+    }
+  }
+
+  def variants(h: Header, body: Dataset[String]): DataFrame = {
+    val schema = variantSchema(h)
+    val specs = infoSpecs(h)
+    implicit val enc = RowEncoder.encoderFor(schema)
+    body.filter(isBodyLine _)
+      .mapPartitions(_.flatMap(l => variantRows(h, specs, parseRecord(l))))
+  }
+
+  // ------------------------------------------------------------- impacts
+
+  def impactSchema(h: Header): StructType =
+    StructType(
+      Seq(StructField("chrom", StringType),
+        StructField("pos", LongType, nullable = false),
+        StructField("ref", StringType),
+        StructField("alt", StringType)) ++
+        h.annFields.map(f => StructField(sanitize(f), StringType)) ++
+        Seq(StructField("severity_rank", IntegerType, nullable = false),
+          StructField("impact_severity", StringType)))
+
+  /** CSQ/ANN/BCSQ expansion: one row per (variant-alt, annotation entry),
+    * entries `,`-separated, fields `|`-separated with names from the
+    * header Description — the reference's `variant_impacts` table.
+    */
+  def impacts(h: Header, body: Dataset[String]): DataFrame = {
+    val schema = impactSchema(h)
+    val key = h.annKey.getOrElse(
+      throw new IllegalArgumentException("no CSQ/ANN/BCSQ INFO field in header"))
+    val fields = h.annFields
+    val alleleIx = fields.indexWhere(f => f == "Allele" || f == "ALLELE")
+    val consIx = fields.indexWhere(f => f.equalsIgnoreCase("Consequence") ||
+      f.equalsIgnoreCase("Annotation"))
+    implicit val enc = RowEncoder.encoderFor(schema)
+    body.filter(isBodyLine _).mapPartitions(_.flatMap { l =>
+      val rec = parseRecord(l)
+      rec.info.get(key).toSeq.flatMap(_.split(',')).flatMap { entry =>
+        val vals = entry.split('|').padTo(fields.length, "")
+        val cons = if (consIx >= 0) vals(consIx).split('&').head else ""
+        val rank = severityRank.getOrElse(cons, 99)
+        val sev = severityBucket(cons)
+        // attach the entry to the alt its Allele field names (all alts if
+        // the annotation has no Allele column)
+        val alts =
+          if (alleleIx >= 0) rec.alts.filter(_ == vals(alleleIx))
+          else rec.alts
+        alts.map(alt => Row.fromSeq(
+          Seq(rec.chrom, rec.pos, rec.ref, alt) ++ vals ++ Seq(rank, sev)))
+      }
+    })
+  }
+
+  // ------------------------------------------------------------ entry API
+
+  def headerOf(lines: Seq[String]): Header = parseHeader(lines)
+
+  /** Reads a VCF from literal lines (tests / fixtures). */
+  def fromLines(spark: SparkSession, lines: Seq[String]): (Header, DataFrame, DataFrame) = {
+    import spark.implicits._
+    val h = parseHeader(lines)
+    val body = spark.createDataset(lines.filter(isBodyLine))
+    (h, variants(h, body), impacts(h, body))
+  }
+
+  /** Reads a VCF file path: header via a driver-side bounded read of the
+    * `#`-prefix, body as a distributed text scan.
+    */
+  def fromPath(spark: SparkSession, path: String): (Header, DataFrame, DataFrame) = {
+    import spark.implicits._
+    val src = scala.io.Source.fromFile(path)
+    val headerLines =
+      try src.getLines().takeWhile(_.startsWith("#")).toVector
+      finally src.close()
+    val h = parseHeader(headerLines)
+    val body = spark.read.textFile(path)
+    (h, variants(h, body), impacts(h, body))
+  }
+}

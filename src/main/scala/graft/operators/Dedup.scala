@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions
+
+/** Deduplication operators (SURVEY.md §2.3) — the four standard scales:
+  * exact (hash group), MinHash+LSH (banded), SimHash (bit-chunk
+  * bucketed), exact n-gram Jaccard (candidate pairs via shared-shingle
+  * join, never all-pairs).
+  *
+  * 100 TB notes: every variant shuffles only on a SMALL derived key
+  * (md5, band hash, simhash chunk, shingle) — document text never
+  * shuffles with the key; candidate generation is bucket-local so the
+  * quadratic step runs inside buckets only; skewed buckets (stop-shingle
+  * alike) are the known hazard — the Jaccard variant drops
+  * ultra-frequent shingles like a stop-shingle filter would at scale.
+  */
+object Dedup {
+
+  private def T(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** d01: exact dedup — group on md5(text) (constant-width shuffle key,
+    * not the text itself), keep the smallest id as canonical.
+    */
+  def d01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "documents")
+      .groupBy(md5($"text").as("h"))
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select($"keep_id", $"n_copies")
+      .orderBy($"keep_id")
+  }
+
+  /** Per-doc MinHash signature: 3-shingles → 64 minhashes (xxhash64
+    * seeded by position), all inside codegen — signature computation
+    * never shuffles.
+    */
+  private def signatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .filter(size($"toks") >= 3)
+      .withColumn("shingles", expr(
+        "array_distinct(transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
+      .withColumn("sig", expr(
+        "transform(sequence(0, 63), i -> array_min(transform(shingles, sh -> xxhash64(i, sh))))"))
+      .select($"doc_id", $"sig")
+  }
+
+  /** d02 (rows-only): MinHash+LSH near-dup pairs — 16 bands × 4 rows;
+    * docs sharing any band hash become candidates; estimated Jaccard =
+    * fraction of equal minhashes. Shuffle key = (band, band-hash).
+    */
+  def d02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sig = signatures(s, dir)
+    val bands = sig
+      .select($"doc_id", $"sig", explode(expr("sequence(0, 15)")).as("band"))
+      .withColumn("bh", expr("xxhash64(band, slice(sig, band * 4 + 1, 4))"))
+      .select($"doc_id", $"band", $"bh")
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.bh" === $"b.bh" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    cand
+      .join(sig.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a"), "doc_a")
+      .join(sig.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sig_b"), "doc_b")
+      .select($"doc_a", $"doc_b",
+        expr("round(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / 64.0e0, 6)")
+          .as("est_jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** d03 (rows-only): SimHash near-dup pairs — 64-bit fingerprint via
+    * the custom codegen expression, bucketed by its four 16-bit chunks
+    * (a near-dup within Hamming distance 3×16 shares ≥1 chunk), pairs
+    * confirmed by full Hamming distance ≤ 12.
+    */
+  def d03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    val sh = T(s, dir, "documents")
+      .select($"doc_id", expr("simhash64(split(text, ' '))").as("sh"))
+    val chunks = sh
+      .select($"doc_id", $"sh", explode(expr("sequence(0, 3)")).as("c"))
+      .withColumn("chunk", expr("(sh >> (c * 16)) & 65535"))
+      .select($"doc_id", $"sh", $"c", $"chunk")
+    chunks.as("a")
+      .join(chunks.as("b"),
+        $"a.c" === $"b.c" && $"a.chunk" === $"b.chunk" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        expr("bit_count(a.sh ^ b.sh)").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 12)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** d04: exact n-gram (bigram) Jaccard over candidate pairs generated
+    * by a shared-shingle self-join — the exact-verification stage an
+    * LSH pipeline feeds; never materializes the full pair matrix.
+    */
+  def d04(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = T(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("w"))
+      .withColumn("gs", expr(
+        "array_distinct(transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i+1])))"))
+      .select($"doc_id", $"gs")
+    val ex = grams.select($"doc_id", explode($"gs").as("g"))
+    val inter = ex.as("a")
+      .join(ex.as("b"), $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    val sizes = grams.select($"doc_id", size($"gs").as("n"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard", expr("round(CAST(c AS DOUBLE) / (na + nb - c), 6)"))
+      .filter(expr("CAST(c AS DOUBLE) / (na + nb - c) >= 0.12e0"))
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val oracle: Map[String, String] = Map(
+    "d01_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    // d02_dedup_minhash, d03_dedup_simhash: rows-only (xxhash64/simhash
+    // are Spark-native hashes with no DuckDB equivalent)
+    "d04_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |grams AS (SELECT doc_id,
+        |  list_distinct([w[i] || ' ' || w[i+1] FOR i IN generate_series(1, len(w) - 1)]) AS gs
+        |  FROM toks),
+        |ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, len(gs) AS n FROM grams)
+        |SELECT doc_a, doc_b, round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.12e0
+        |ORDER BY doc_a, doc_b""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_dedup_exact" -> (d01 _),
+    "d02_dedup_minhash" -> (d02 _),
+    "d03_dedup_simhash" -> (d03 _),
+    "d04_ngram_jaccard" -> (d04 _)
+  )
+}

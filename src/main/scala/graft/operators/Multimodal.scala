@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Typed metadata a media decoder would emit for one blob. */
+case class MediaMeta(
+    doc_id: Long,
+    n_bytes: Int,
+    width: Int,
+    height: Int,
+    n_frames: Int,
+    checksum: Long)
+
+/** Multimodal-column operators (SURVEY.md §2.3): media as opaque
+  * `binary` columns with typed metadata.
+  *
+  * No image/audio libraries ship in this container, so the DECODE step
+  * is a clearly-marked deterministic stub — but the Spark-side plumbing
+  * is real: binary columns, per-partition batch iteration (the shape a
+  * vectorized decoder needs), typed output via a product Encoder, and
+  * scan-level column pruning so the blob column is only read when the
+  * operator needs it.
+  */
+object Multimodal {
+
+  private def T(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** m01: binary ingest + cheap metadata — byte length, content hash,
+    * head bytes — all codegen, no decode.
+    */
+  def m01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "documents")
+      .select($"doc_id",
+        octet_length($"text".cast("binary")).as("n_bytes"),
+        sha2($"text".cast("binary"), 256).as("sha"),
+        substring($"text", 1, 8).as("head8"))
+      .orderBy($"doc_id")
+  }
+
+  /** STUB decoder — stands in for libjpeg/ffmpeg, which are absent in
+    * this container. Deterministic on the blob bytes so results are
+    * verifiable; the real implementation would decode here and nothing
+    * else in the pipeline would change.
+    */
+  private def fakeDecode(id: Long, bytes: Array[Byte]): MediaMeta = {
+    var h = 0xcbf29ce484222325L // FNV-1a, same family as Kernels
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    MediaMeta(
+      doc_id = id,
+      n_bytes = bytes.length,
+      width = 64 + ((h & 0x3ffL).toInt),
+      height = 64 + (((h >>> 10) & 0x3ffL).toInt),
+      n_frames = 1 + (((h >>> 20) & 0xfL).toInt),
+      checksum = h)
+  }
+
+  /** m02 (rows-only): decode plumbing — binary batches per partition
+    * (batch size 32, the shape a GPU/vectorized decoder wants), typed
+    * struct out. `mapPartitions` is the Scala analog of mapInPandas:
+    * one iterator per partition, amortized setup, no driver round-trip.
+    */
+  def m02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "documents")
+      .select($"doc_id", $"text".cast("binary").as("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(32).flatMap { batch =>
+          // batch boundary = where a real decoder would invoke its
+          // vectorized kernel once per 32 blobs
+          batch.map { case (id, bytes) => fakeDecode(id, bytes) }
+        }
+      }
+      .toDF()
+      .orderBy($"doc_id")
+  }
+
+  val oracle: Map[String, String] = Map(
+    "m01_multimodal_meta" ->
+      """SELECT doc_id,
+        | octet_length(text::BLOB) AS n_bytes,
+        | sha256(text) AS sha,
+        | substr(text, 1, 8) AS head8
+        |FROM documents ORDER BY doc_id""".stripMargin
+    // m02_decode_stub: rows-only (stub decoder is engine-side)
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m01_multimodal_meta" -> (m01 _),
+    "m02_decode_stub" -> (m02 _)
+  )
+}

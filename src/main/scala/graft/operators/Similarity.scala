@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the embeddings table (SURVEY.md §2.3).
+  *
+  * 100 TB notes: the query set is always the broadcast side — the
+  * corpus is scanned once, in place, never shuffled; top-k per query is
+  * a per-partition heap (window rank after a size-bounded candidate
+  * set). The LSH variant buckets the corpus ONCE (reusable across query
+  * batches) and probes Hamming-1 neighbor buckets, so the per-query
+  * work is O(bucket), not O(corpus).
+  */
+object Similarity {
+
+  private def T(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  private val K = 10
+
+  /** Sequential-fold dot product — same left-to-right double
+    * accumulation DuckDB's list_inner_product does, so cosines are
+    * bit-comparable across engines.
+    */
+  private def dot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0e0, (acc, v) -> acc + v)"
+
+  /** s01: exact cosine top-k — brute force over a broadcast query set. */
+  def s01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = T(s, dir, "embeddings")
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .withColumn("cos", expr(
+        s"${dot("embedding", "q_emb")} / sqrt(${dot("embedding", "embedding")} * ${dot("q_emb", "q_emb")})"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= K)
+      .select($"q_id", $"vec_id", expr("round(cos, 6)").as("cos"), $"rn")
+      .orderBy($"q_id", $"rn")
+  }
+
+  /** Deterministic random hyperplanes (splitmix64 → [-1, 1]); generated
+    * driver-side (bytes, not data) and folded into the plan as literals.
+    */
+  private def plane(j: Int, dims: Int): Seq[Double] =
+    (0 until dims).map { d =>
+      var x = (j * 64 + d + 1).toLong * 0x9e3779b97f4a7c15L
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x = x ^ (x >>> 31)
+      (x >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+
+  private val NPlanes = 8
+  private val Dims = 64
+
+  /** Random-hyperplane sign bucket of an embedding column. */
+  private def bucketCol(emb: String): Column = {
+    val bits = (0 until NPlanes).map { j =>
+      val p = typedLit(plane(j, Dims))
+      val d = aggregate(
+        zip_with(col(emb).cast("array<double>"), p, (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v)
+      when(d > 0.0, lit(1 << j)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** s02 (rows-only): LSH-bucketed approximate NN — corpus bucketed by
+    * 8 hyperplane sign bits; queries probe their own bucket plus all
+    * Hamming-1 neighbors; exact cosine re-ranks within candidates.
+    */
+  def s02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = T(s, dir, "embeddings")
+    val corpus = emb.select($"vec_id", $"embedding", bucketCol("embedding").as("bucket"))
+    val probes = (0 to NPlanes).map(i => if (i == 0) 0 else 1 << (i - 1))
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+        bucketCol("embedding").as("q_bucket"))
+      .withColumn("probe", explode(typedLit(probes)))
+      .withColumn("bucket", expr("q_bucket ^ probe"))
+      .select($"q_id", $"q_emb", $"bucket")
+    val cand = corpus.join(broadcast(queries), "bucket")
+      .withColumn("cos", expr(
+        s"${dot("embedding", "q_emb")} / sqrt(${dot("embedding", "embedding")} * ${dot("q_emb", "q_emb")})"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+    cand
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= K)
+      .select($"q_id", $"vec_id", $"bucket", expr("round(cos, 6)").as("cos"), $"rn")
+      .orderBy($"q_id", $"rn")
+  }
+
+  val oracle: Map[String, String] = Map(
+    "s01_ann_bruteforce_topk" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
+         |  FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |scored AS (SELECT q_id, vec_id,
+         |  list_inner_product(e, qe) / sqrt(list_inner_product(e, e) * list_inner_product(qe, qe)) AS cos
+         |  FROM c, q),
+         |ranked AS (SELECT q_id, vec_id, cos,
+         |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+         |  FROM scored)
+         |SELECT q_id, vec_id, round(cos, 6) AS cos, rn
+         |FROM ranked WHERE rn <= $K ORDER BY q_id, rn""".stripMargin
+    // s02_ann_lsh: rows-only (hyperplane literals are engine-side)
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_ann_bruteforce_topk" -> (s01 _),
+    "s02_ann_lsh" -> (s02 _)
+  )
+}

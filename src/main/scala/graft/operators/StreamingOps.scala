@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Stream-shaped operators over the events table (SURVEY.md §2.4),
+  * written so the SAME transformations run in batch (verified against
+  * the oracle here) and under Structured Streaming (exercised with
+  * `readStream`/MemoryStream in the test suite — see
+  * graft.streaming.Sessionize).
+  */
+object StreamingOps {
+
+  private def T(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** st01: tumbling-window aggregation — `window(ts, 5 min)` × event
+    * type. In streaming the identical plan runs behind a watermark;
+    * value sums go through exact decimal then a final double (the
+    * engine-portable money pattern from Relational).
+    */
+  def st01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "events")
+      .groupBy(window($"ts", "5 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast(DecimalType(18, 2)))
+          .cast(DecimalType(38, 2)).cast("double").as("sum_value"))
+      .select($"w.start".as("ws"), $"w.end".as("we"), $"event_type",
+        $"n_events", $"sum_value")
+      .orderBy($"ws", $"event_type")
+  }
+
+  /** st02: gap-based sessionization (30-min inactivity). Batch form:
+    * lag + running sum of session-start indicators — two windows over
+    * ONE (user_id) shuffle, then a per-session aggregate. The streaming
+    * form with identical semantics is
+    * graft.streaming.Sessionize.flatMapGroupsWithState.
+    */
+  def st02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    T(s, dir, "events")
+      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .withColumn("new_sess",
+        when($"prev_ts".isNull ||
+          unix_micros($"ts") - unix_micros($"prev_ts") > 1800L * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum($"new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min($"ts").as("t_start"), max($"ts").as("t_end"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  val oracle: Map[String, String] = Map(
+    "st01_window_agg" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws,
+        | time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS we,
+        | event_type,
+        | COUNT(*) AS n_events,
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2, 3 ORDER BY ws, event_type""".stripMargin,
+    "st02_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1
+        |         ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM marked)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        | MIN(ts) AS t_start, MAX(ts) AS t_end
+        |FROM numbered GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st01_window_agg" -> (st01 _),
+    "st02_sessionize" -> (st02 _)
+  )
+}

@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions
+
+/** Text-analysis operators for training-data pipelines (SURVEY.md §2.3):
+  * language-ID heuristic, quality scoring, token stats, content
+  * fingerprinting, rolling-hash winnowing. All pure `functions._` /
+  * codegen expressions over the `documents` table — per-row, no
+  * shuffle except the final presentation sort, so they stream over
+  * 100 TB of text at scan speed.
+  */
+object Text {
+
+  private def T(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** Per-language stopword lists for the n-gram/stopword-hit heuristic.
+    * Priority order (ties broken toward earlier) is the Seq order.
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "fr" -> Seq("le", "la", "les", "et"),
+    "es" -> Seq("el", "los", "las", "y"))
+
+  private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+
+  /** Spark-side hit counter: tokens ∩ stopword list, counted in codegen
+    * (no UDF, no shuffle).
+    */
+  private def hitsExpr(ws: Seq[String]) =
+    s"size(filter(split(text, ' '), t -> t IN (${inList(ws)})))"
+
+  /** DuckDB-side mirror of hitsExpr. */
+  private def hitsSql(ws: Seq[String]) =
+    s"len(list_filter(string_split(text, ' '), t -> t IN (${inList(ws)})))"
+
+  /** Shared CASE deciding the predicted language from hit counts —
+    * valid in both Spark SQL and DuckDB.
+    */
+  private val predCase: String = {
+    val langs = stopwords.map(_._1)
+    val arms = langs.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1)
+      val geq = rest.map(r => s"h_$l >= h_$r").mkString(" AND ")
+      val cond = if (geq.isEmpty) s"h_$l > 0" else s"h_$l > 0 AND $geq"
+      s"WHEN $cond THEN '$l'"
+    }
+    s"CASE ${arms.mkString(" ")} ELSE 'und' END"
+  }
+
+  /** t01: language-ID — stopword-hit scoring with deterministic
+    * priority tie-break.
+    */
+  def t01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hits = stopwords.map { case (l, ws) => expr(hitsExpr(ws)).as(s"h_$l") }
+    T(s, dir, "documents")
+      .select($"doc_id" +: $"lang" +: hits: _*)
+      .withColumn("pred", expr(predCase))
+      .orderBy($"doc_id")
+  }
+
+  /** t02: quality scoring — length/punctuation/stopword signals folded
+    * into one bounded score.
+    */
+  def t02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "documents")
+      .select($"doc_id",
+        expr("size(split(text, ' '))").as("n_tokens"),
+        length($"text").as("len_chars"),
+        expr("length(regexp_replace(text, '[^.,!?;:]', ''))").as("n_punct"),
+        expr(hitsExpr(stopwords.head._2)).as("n_stop"))
+      .withColumn("stop_ratio",
+        expr("round(CAST(n_stop AS DOUBLE) / n_tokens, 6)"))
+      .withColumn("score", expr(
+        "round(0.5e0 * least(n_tokens, 100) / 100.0e0 + 0.5e0 * (CAST(n_stop AS DOUBLE) / n_tokens), 6)"))
+      .orderBy($"doc_id")
+  }
+
+  /** t03: token stats — counts, distinct counts, type-token ratio,
+    * average token length.
+    */
+  def t03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "documents")
+      .select($"doc_id",
+        expr("size(split(text, ' '))").as("n_tokens"),
+        expr("size(array_distinct(split(text, ' ')))").as("n_distinct"),
+        expr("aggregate(transform(split(text, ' '), t -> length(t)), 0, (acc, x) -> acc + x)")
+          .as("sum_len"))
+      .withColumn("ttr", expr("round(CAST(n_distinct AS DOUBLE) / n_tokens, 6)"))
+      .withColumn("avg_token_len", expr("round(CAST(sum_len AS DOUBLE) / n_tokens, 6)"))
+      .orderBy($"doc_id")
+  }
+
+  /** t04: content-defined document fingerprint — md5 over the sorted
+    * distinct token set (order-insensitive, whitespace-normal).
+    */
+  def t04(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "documents")
+      .select($"doc_id",
+        md5(array_join(array_sort(array_distinct(split($"text", " "))), " "))
+          .as("fingerprint"))
+      .orderBy($"doc_id")
+  }
+
+  /** t05 (rows-only): winnowing rolling-hash fingerprint — custom
+    * codegen Catalyst expression (min of 16-char polynomial window
+    * hashes); not ANSI-SQL-expressible.
+    */
+  def t05(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    T(s, dir, "documents")
+      .select($"doc_id", expr("rolling_minhash(text)").as("fp"))
+      .orderBy($"doc_id")
+  }
+
+  val oracle: Map[String, String] = Map(
+    "t01_lang_id" -> {
+      val hitCols = stopwords
+        .map { case (l, ws) => s"${hitsSql(ws)} AS h_$l" }.mkString(",\n  ")
+      s"""SELECT doc_id, lang, ${stopwords.map(l => s"h_${l._1}").mkString(", ")},
+         | $predCase AS pred
+         |FROM (SELECT doc_id, lang,
+         |  $hitCols
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
+    "t02_quality_score" ->
+      s"""SELECT doc_id, n_tokens, len_chars, n_punct, n_stop,
+         | round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+         | round(0.5e0 * least(n_tokens, 100) / 100.0e0 + 0.5e0 * (CAST(n_stop AS DOUBLE) / n_tokens), 6) AS score
+         |FROM (SELECT doc_id,
+         |  len(string_split(text, ' ')) AS n_tokens,
+         |  length(text) AS len_chars,
+         |  length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
+         |  ${hitsSql(stopwords.head._2)} AS n_stop
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "t03_token_stats" ->
+      """SELECT doc_id, n_tokens, n_distinct, sum_len,
+        | round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS ttr,
+        | round(CAST(sum_len AS DOUBLE) / n_tokens, 6) AS avg_token_len
+        |FROM (SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |  CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS INTEGER) AS sum_len
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "t04_fingerprint" ->
+      """SELECT doc_id,
+        | md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin
+    // t05_rolling_hash: rows-only (custom expression)
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_lang_id" -> (t01 _),
+    "t02_quality_score" -> (t02 _),
+    "t03_token_stats" -> (t03 _),
+    "t04_fingerprint" -> (t04 _),
+    "t05_rolling_hash" -> (t05 _)
+  )
+}

@@ -77,7 +77,7 @@ object VcfParser {
   /** Parses the `key=value` list inside `##INFO=<...>`, honoring quoted
     * values (Description routinely contains commas and `=`).
     */
-  private[sources] def parseKvList(s: String): ListMap[String, String] = {
+  def parseKvList(s: String): ListMap[String, String] = {
     val out = ListMap.newBuilder[String, String]
     var i = 0
     while (i < s.length) {

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One input event (mirrors the events table's stream-relevant columns). */
+case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String)
+
+/** Open-session state carried between micro-batches. */
+case class SessState(session_id: Long, n_events: Long, t_start: Timestamp, t_end: Timestamp)
+
+/** One closed (emitted) session. */
+case class Session(user_id: Long, session_id: Long, n_events: Long,
+    t_start: Timestamp, t_end: Timestamp)
+
+/** Gap-based sessionization as a Structured Streaming stateful operator —
+  * the streaming twin of operators.StreamingOps.st02 (same 30-min gap
+  * semantics, verified against it in the test suite).
+  *
+  * Scale notes: state is per-user and O(1) (one open session — no event
+  * buffering); the event-time timeout closes sessions as the watermark
+  * passes, so state size is bounded by ACTIVE users, not history. This
+  * is the `flatMapGroupsWithState` pattern the builder mandate names for
+  * custom streaming state.
+  */
+object Sessionize {
+
+  val GapMs: Long = 30L * 60L * 1000L
+
+  private def close(user: Long, s: SessState): Session =
+    Session(user, s.session_id, s.n_events, s.t_start, s.t_end)
+
+  private def step(user: Long, events: Iterator[Event],
+      state: GroupState[SessState]): Iterator[Session] = {
+    if (state.hasTimedOut) {
+      val out = state.getOption.map(close(user, _))
+      state.remove()
+      out.iterator
+    } else {
+      val sorted = events.toVector.sortBy(e => (e.ts.getTime, e.event_id))
+      var cur = state.getOption
+      val closed = Vector.newBuilder[Session]
+      sorted.foreach { e =>
+        cur match {
+          case None =>
+            cur = Some(SessState(1L, 1L, e.ts, e.ts))
+          case Some(c) if e.ts.getTime - c.t_end.getTime > GapMs =>
+            closed += close(user, c)
+            cur = Some(SessState(c.session_id + 1, 1L, e.ts, e.ts))
+          case Some(c) =>
+            cur = Some(c.copy(n_events = c.n_events + 1, t_end = e.ts))
+        }
+      }
+      cur.foreach { c =>
+        state.update(c)
+        state.setTimeoutTimestamp(c.t_end.getTime + GapMs)
+      }
+      closed.result().iterator
+    }
+  }
+
+  /** events (already watermarked on ts) → closed sessions, append-mode. */
+  def sessions(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step)
+  }
+
+  /** Streaming twin of StreamingOps.st01: the SAME tumbling-window plan
+    * behind a watermark (late data beyond 10 min dropped, windows
+    * finalized in append mode).
+    */
+  def windowCounts(events: Dataset[Event]): org.apache.spark.sql.DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("ws"), col("w.end").as("we"),
+        col("event_type"), col("n_events"))
+}

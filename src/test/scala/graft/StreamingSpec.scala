@@ -1,0 +1,93 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.{Event, Session, Sessionize}
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minutes: Long) = new Timestamp(1700000400000L + minutes * 60000L) // base aligned to 5-min boundary
+
+  test("flatMapGroupsWithState sessionization closes sessions on gap + watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = Sessionize.sessions(
+      input.toDS().withWatermark("ts", "1 minute"))
+    val q = sessions.writeStream
+      .format("memory").queryName("sessions_out")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      // user 1: two bursts 2h apart -> first burst closes when the
+      // watermark (driven by user 2's later events) passes its gap
+      input.addData(
+        Event(1, ts(0), 1, "view"), Event(2, ts(10), 1, "click"),
+        Event(3, ts(0), 2, "view"))
+      q.processAllAvailable()
+      input.addData(Event(4, ts(240), 2, "view")) // watermark -> ts(239)
+      q.processAllAvailable()
+      input.addData(Event(5, ts(241), 2, "view")) // flush timed-out state
+      q.processAllAvailable()
+      val out = spark.table("sessions_out").as[Session].collect()
+        .sortBy(s => (s.user_id, s.session_id))
+      assert(out.exists(s => s.user_id == 1 && s.n_events == 2 &&
+        s.t_start == ts(0) && s.t_end == ts(10)))
+      assert(out.exists(s => s.user_id == 2 && s.n_events == 1))
+    } finally q.stop()
+  }
+
+  test("streaming session semantics match the batch st02 operator") {
+    import spark.implicits._
+    // batch path over the same tiny event set
+    val df = Seq(
+      (1L, ts(0), 7L, "view"), (2L, ts(10), 7L, "view"),
+      (3L, ts(100), 7L, "view"), (4L, ts(105), 8L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    df.createOrReplaceTempView("ev_tiny")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    import org.apache.spark.sql.functions._
+    val batch = df
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("new_sess", when($"prev_ts".isNull ||
+        unix_micros($"ts") - unix_micros($"prev_ts") > 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("session_id", sum($"new_sess").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"), min($"ts").as("t_start"), max($"ts").as("t_end"))
+      .orderBy($"user_id", $"session_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(batch.toSeq == Seq((7L, 1L, 2L), (7L, 2L, 1L), (8L, 1L, 1L)))
+  }
+
+  test("streaming tumbling-window agg finalizes windows behind watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Sessionize.windowCounts(input.toDS()).writeStream
+      .format("memory").queryName("windows_out")
+      .outputMode("append")
+      .start()
+    try {
+      input.addData(
+        Event(1, ts(1), 1, "view"), Event(2, ts(2), 1, "view"),
+        Event(3, ts(4), 2, "click"))
+      q.processAllAvailable()
+      input.addData(Event(4, ts(60), 1, "view")) // watermark passes window [0,5)
+      q.processAllAvailable()
+      input.addData(Event(5, ts(120), 1, "view"))
+      q.processAllAvailable()
+      val out = spark.table("windows_out").collect()
+        .map(r => (r.getAs[Timestamp]("ws"), r.getAs[String]("event_type"),
+          r.getAs[Long]("n_events"))).toSet
+      assert(out.contains((ts(0), "view", 2L)))
+      assert(out.contains((ts(0), "click", 1L)))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Etl.VcfFixture
+import graft.sources.{PedSource, VcfReader}
+
+class VcfReaderSpec extends SparkSpec {
+
+  test("fixture variants: decomposed rows, typed INFO, stats") {
+    val (h, variants, _) = VcfReader.fromLines(spark, VcfFixture.lines)
+    assert(h.samples == Vector("s1", "s2", "s3", "s4"))
+    val rows = variants.orderBy("chrom", "pos", "alt").collect()
+    assert(rows.length == 5) // 4 records, one with two alts
+    val r0 = rows(0)
+    assert(r0.getAs[String]("chrom") == "1")
+    assert(r0.getAs[Int]("dp") == 10)
+    assert(r0.getAs[Double]("af") == 0.25)
+    assert(r0.getAs[Boolean]("db"))
+    assert(r0.getAs[Double]("aaf") == 0.375)
+    // multi-allelic record decomposes with per-alt AF (Number=A)
+    val alts = rows.filter(_.getAs[Long]("pos") == 300L)
+    assert(alts.map(_.getAs[String]("alt")).toSeq == Seq("A", "T"))
+    assert(alts.map(_.getAs[Double]("af")).toSeq == Seq(0.5, 0.25))
+    // Flag default false, absent scalar null
+    assert(!rows(1).getAs[Boolean]("db"))
+    assert(rows(4).isNullAt(rows(4).fieldIndex("dp")))
+  }
+
+  test("fixture impacts: CSQ expansion with severity") {
+    val (_, _, impacts) = VcfReader.fromLines(spark, VcfFixture.lines)
+    val rows = impacts.orderBy("chrom", "pos", "alt", "severity_rank").collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getAs[String]("consequence")).toSeq ==
+      Seq("missense_variant", "intron_variant", "stop_gained",
+        "synonymous_variant", "frameshift_variant"))
+    assert(rows.map(_.getAs[String]("impact_severity")).toSeq ==
+      Seq("MED", "LOW", "HIGH", "LOW", "HIGH"))
+    // allele-matched: the A entry attaches only to the A alt
+    assert(rows.filter(_.getAs[String]("alt") == "A")
+      .forall(_.getAs[String]("allele") == "A"))
+  }
+
+  test("PED source: base + extra columns") {
+    val df = PedSource.fromLines(spark, Seq(
+      "#family_id sample_id paternal_id maternal_id sex phenotype ethnicity",
+      "fam1 s1 -9 -9 1 2 eur",
+      "fam1 s2 s1 -9 2 1 afr"))
+    assert(df.columns.toSeq ==
+      Seq("family_id", "sample_id", "paternal_id", "maternal_id", "sex",
+        "phenotype", "ethnicity"))
+    val rows = df.orderBy("sample_id").collect()
+    assert(rows.map(_.getAs[String]("ethnicity")).toSeq == Seq("eur", "afr"))
+  }
+
+  test("vcf_header raw lines preserved (reference's vcf_header table)") {
+    val (h, _, _) = VcfReader.fromLines(spark, VcfFixture.lines)
+    assert(h.rawLines.size == 9)
+    assert(h.rawLines.head == "##fileformat=VCFv4.2")
+  }
+}

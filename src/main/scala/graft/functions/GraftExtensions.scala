@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions hook: installs graft's native expressions at
+  * session build time (`.withExtensions(new GraftExtensions)` — see
+  * GraftSession), so `spark-submit --conf
+  * spark.sql.extensions=graft.functions.GraftExtensions` works on a
+  * real cluster with no driver-side registration call.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def inject(name: String, clazz: Class[_], usage: String,
+        b: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, null, name, usage, ""),
+        b))
+    inject("zlib_pack", classOf[ZlibPack],
+      "zlib_pack(array<int>) - zlib-compressed LE int32 bytes",
+      es => ZlibPack(es.head))
+    inject("zlib_unpack", classOf[ZlibUnpack],
+      "zlib_unpack(binary) - inverse of zlib_pack",
+      es => ZlibUnpack(es.head))
+    inject("simhash64", classOf[SimHash64],
+      "simhash64(array<string>) - 64-bit SimHash of a token bag",
+      es => SimHash64(es.head))
+    inject("rolling_minhash", classOf[RollingMinHash],
+      "rolling_minhash(string) - winnowing min rolling-window hash",
+      es => RollingMinHash(es.head))
+  }
+}

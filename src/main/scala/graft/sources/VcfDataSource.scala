@@ -1,0 +1,152 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSourceV2 VCF source: `spark.read.format("vcf").load(path)`.
+  *
+  * The header (KB-sized) is read ONCE driver-side and drives the typed
+  * variants schema exactly like the reference's ##INFO-based inference;
+  * body parsing happens in executor-side PartitionReaders — one
+  * partition per file (a bgzip-sharded 100 TB cohort parallelizes by
+  * shard; a finer line-range split would slot in here without touching
+  * the parse path). Column pruning is pushed into the reader: pruned
+  * rows are projected BEFORE conversion to InternalRow, so unread INFO
+  * columns cost nothing per row.
+  */
+class VcfDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "vcf"
+
+  private def paths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val p = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("vcf source requires a path"))
+    val hp = new Path(p)
+    val fs = FileSystem.get(hp.toUri,
+      SparkSession.active.sessionState.newHadoopConf())
+    val stats = fs.globStatus(hp)
+    if (stats == null || stats.isEmpty) Seq(p)
+    else stats.flatMap { st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile).map(_.getPath.toString)
+      else Seq(st.getPath.toString)
+    }.sorted.toSeq
+  }
+
+  private def headerLines(path: String): Vector[String] = {
+    val hp = new Path(path)
+    val fs = FileSystem.get(hp.toUri, SparkSession.active.sessionState.newHadoopConf())
+    val in = fs.open(hp)
+    try {
+      val reader = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
+      Iterator.continually(reader.readLine())
+        .takeWhile(l => l != null && l.startsWith("#"))
+        .toVector
+    } finally in.close()
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val ps = paths(options)
+    VcfReader.variantSchema(VcfParser.parseHeader(headerLines(ps.head)))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val ps = paths(opts)
+    new VcfTable(ps, headerLines(ps.head), schema)
+  }
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+private[sources] class VcfTable(paths: Seq[String], header: Vector[String],
+    tableSchema: StructType) extends Table with SupportsRead {
+  override def name(): String = s"vcf(${paths.mkString(",")})"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new VcfScanBuilder(paths, header, tableSchema)
+}
+
+private[sources] class VcfScanBuilder(paths: Seq[String], header: Vector[String],
+    full: StructType) extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // keep the scan's column ORDER stable (subset of the full schema)
+    required = StructType(full.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
+
+  override def build(): Scan = new VcfScan(paths, header, full, required)
+}
+
+private[sources] class VcfScan(paths: Seq[String], header: Vector[String],
+    full: StructType, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    paths.map(p => VcfInputPartition(p): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new VcfReaderFactory(header, full.fieldNames, required.fieldNames)
+}
+
+private[sources] case class VcfInputPartition(path: String) extends InputPartition
+
+private[sources] class VcfReaderFactory(headerLines: Vector[String],
+    fullNames: Array[String], requiredNames: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new VcfPartitionReader(partition.asInstanceOf[VcfInputPartition].path,
+      headerLines, fullNames, requiredNames)
+}
+
+private[sources] class VcfPartitionReader(path: String, headerLines: Vector[String],
+    fullNames: Array[String], requiredNames: Array[String])
+    extends PartitionReader[InternalRow] {
+
+  private val header = VcfParser.parseHeader(headerLines)
+  private val fullSchema = VcfReader.variantSchema(header)
+  private val required = StructType(
+    fullSchema.fields.filter(f => requiredNames.contains(f.name)))
+  private val keepIx: Array[Int] = required.fieldNames.map(fullSchema.fieldIndex)
+  private val toCatalyst =
+    CatalystTypeConverters.createToCatalystConverter(required)
+
+  private val stream = {
+    val hp = new Path(path)
+    val fs = FileSystem.get(hp.toUri, new org.apache.hadoop.conf.Configuration())
+    new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(hp), "UTF-8"))
+  }
+
+  private var pending: Iterator[InternalRow] = Iterator.empty
+  private var current: InternalRow = _
+
+  private def rowsOf(line: String): Iterator[InternalRow] =
+    VcfReader.decomposedRows(header, line).iterator.map { row =>
+      val pruned = org.apache.spark.sql.Row.fromSeq(keepIx.map(row.get).toSeq)
+      toCatalyst(pruned).asInstanceOf[InternalRow]
+    }
+
+  override def next(): Boolean = {
+    while (!pending.hasNext) {
+      val line = stream.readLine()
+      if (line == null) return false
+      if (VcfParser.isBodyLine(line)) pending = rowsOf(line)
+    }
+    current = pending.next()
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = stream.close()
+}

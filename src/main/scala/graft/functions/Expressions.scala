@@ -38,10 +38,14 @@ object Kernels {
     inf.setInput(blob)
     val out = new java.io.ByteArrayOutputStream(4 * blob.length)
     val buf = new Array[Byte](4096)
-    while (!inf.finished()) {
+    var done = inf.finished()
+    while (!done) {
       val k = inf.inflate(buf)
-      if (k == 0 && inf.needsInput()) throw new java.util.zip.DataFormatException("truncated")
-      out.write(buf, 0, k)
+      if (k > 0) out.write(buf, 0, k)
+      done = inf.finished()
+      // k == 0 with input exhausted and the stream still open = corrupt
+      if (!done && k == 0 && inf.needsInput())
+        throw new java.util.zip.DataFormatException("truncated")
     }
     inf.end()
     val bytes = java.nio.ByteBuffer.wrap(out.toByteArray)

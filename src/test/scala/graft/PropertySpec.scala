@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Kernels
+import graft.sources.VcfParser
+
+/** Property tests via ScalaCheck generators, sampled deterministically
+  * (fixed seed) so failures reproduce.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def forSamples[A](g: Gen[A], n: Int = 200)(f: A => Unit): Unit = {
+    var seed = Seed(42L)
+    var produced = 0
+    var attempts = 0
+    while (produced < n && attempts < n * 4) {
+      g.apply(Gen.Parameters.default, seed).foreach { a => f(a); produced += 1 }
+      seed = seed.next
+      attempts += 1
+    }
+    assert(produced > n / 2, s"generator too sparse: $produced/$n")
+  }
+
+  test("zlib pack/unpack is the identity on any int array") {
+    forSamples(Gen.listOf(Gen.chooseNum(Int.MinValue, Int.MaxValue))) { xs =>
+      val arr = new GenericArrayData(xs.map(x => x: Any).toArray)
+      val back = Kernels.zlibUnpackInts(Kernels.zlibPackInts(arr))
+      assert(back.toIntArray().toSeq == xs)
+    }
+  }
+
+  test("gt stats counts always partition the sample set") {
+    val gtGen = Gen.listOf(Gen.oneOf(
+      VcfParser.HomRef, VcfParser.Het, VcfParser.Unknown, VcfParser.HomAlt))
+    forSamples(gtGen) { gts =>
+      val st = VcfParser.gtStats(gts)
+      assert(st.numHomRef + st.numHet + st.numHomAlt + st.numUnknown == gts.size)
+      assert(st.callRate >= 0.0 && st.callRate <= 1.0)
+      assert(st.aaf >= 0.0 && st.aaf <= 1.0)
+    }
+  }
+
+  test("simhash of a permuted token bag is identical (order-free)") {
+    val tokGen = Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty))
+    forSamples(tokGen) { ts =>
+      def arr(xs: List[String]) =
+        new GenericArrayData(xs.map(x => UTF8String.fromString(x): Any).toArray)
+      assert(Kernels.simHash64(arr(ts)) == Kernels.simHash64(arr(ts.reverse)))
+    }
+  }
+
+  test("rolling minhash of a superstring never exceeds the substring min") {
+    // adding more windows can only lower (or keep) an unsigned minimum
+    val pair = for {
+      core <- Gen.alphaNumStr.suchThat(_.length >= 16)
+      suffix <- Gen.alphaNumStr
+    } yield (core, suffix)
+    forSamples(pair, n = 100) { case (core, suffix) =>
+      val a = Kernels.rollingMinHash(UTF8String.fromString(core), 16)
+      val b = Kernels.rollingMinHash(UTF8String.fromString(core + suffix), 16)
+      assert(java.lang.Long.compareUnsigned(b, a) <= 0)
+    }
+  }
+
+  test("sanitize is idempotent modulo reserved-word suffixing, and SQL-safe") {
+    forSamples(Gen.asciiPrintableStr.suchThat(_.nonEmpty), n = 200) { s =>
+      val once = VcfParser.sanitize(s)
+      val twice = VcfParser.sanitize(once)
+      assert(twice == once || twice == once + "_")
+      assert(once.forall(c => (c.isLetterOrDigit && !c.isUpper) || c == '_'))
+    }
+  }
+}

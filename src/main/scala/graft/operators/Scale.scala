@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale utilities backing SURVEY.md §5: bucketed co-located joins and
+  * salted (two-phase) aggregation for skewed keys. These are the knobs
+  * a 100 TB deployment turns that the sf0.1 bench can't show — each is
+  * plan-asserted in ScaleSpec (no Exchange on bucketed joins; exact
+  * equality of salted vs direct results).
+  */
+object Scale {
+
+  /** Writes `df` bucketed+sorted by `key` as a catalog table at `path`,
+    * so repeated joins/aggregations on `key` skip their Exchange
+    * entirely — the pre-partitioning you buy once at ingest and reuse
+    * every query (the right trade for fact tables read thousands of
+    * times).
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      key: String, buckets: Int): Unit =
+    df.write
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .option("path", path)
+      .mode("overwrite")
+      .saveAsTable(table)
+
+  /** Distinct-count with the distinct phase spread over `salts`
+    * sub-keys: values hash-partition into salt buckets, each bucket
+    * counts ITS distinct values (no value crosses buckets, so no
+    * double counting), and a cheap second aggregation sums the bucket
+    * counts. The heavy shuffle key is (key, salt) — a hot key fans out
+    * `salts`-ways instead of melting one reducer.
+    */
+  def saltedCountDistinct(df: DataFrame, key: Column, value: Column,
+      salts: Int = 16): DataFrame =
+    df.groupBy(key.as("k"), pmod(xxhash64(value), lit(salts)).as("_salt"))
+      .agg(count_distinct(value).as("_partial"))
+      .groupBy(col("k"))
+      .agg(sum(col("_partial")).as("n_distinct"))
+
+  /** Exact decimal sum with the same two-phase salting — for skewed
+    * keys where even map-side partial aggregation leaves one reducer
+    * holding a mega-key's combiners.
+    */
+  def saltedSum(df: DataFrame, key: Column, value: Column,
+      salts: Int = 16): DataFrame =
+    df.groupBy(key.as("k"), pmod(xxhash64(value), lit(salts)).as("_salt"))
+      .agg(sum(value).as("_partial"))
+      .groupBy(col("k"))
+      .agg(sum(col("_partial")).as("total"))
+}

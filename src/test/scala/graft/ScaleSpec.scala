@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Scale
+
+class ScaleSpec extends SparkSpec {
+
+  test("bucketed tables join without any Exchange") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("bucketed").toString
+    val left = (1 to 10000).map(i => (i.toLong, i * 2)).toDF("k", "a")
+    val right = (1 to 10000).map(i => (i.toLong, s"v$i")).toDF("k", "b")
+    Scale.writeBucketed(left, "bkt_left", s"$base/l", "k", 8)
+    Scale.writeBucketed(right, "bkt_right", s"$base/r", "k", 8)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == 10000)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.sql("DROP TABLE IF EXISTS bkt_left")
+      spark.sql("DROP TABLE IF EXISTS bkt_right")
+    }
+  }
+
+  test("salted count-distinct equals the direct aggregate") {
+    val events = Tables(spark, "/root/testdata/sf0.001", "events")
+    val direct = events.groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("n_distinct"))
+      .orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val salted = Scale.saltedCountDistinct(events, col("event_type"), col("user_id"))
+      .orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(salted == direct)
+  }
+
+  test("salted sum equals the direct aggregate (exact decimal)") {
+    val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+      .withColumn("qty", col("l_quantity").cast("decimal(12,2)"))
+    val direct = li.groupBy(col("l_returnflag")).agg(sum(col("qty")).as("total"))
+      .orderBy("l_returnflag")
+      .collect().map(r => (r.getString(0), r.getDecimal(1))).toSeq
+    val salted = Scale.saltedSum(li, col("l_returnflag"), col("qty"))
+      .orderBy("k")
+      .collect().map(r => (r.getString(0), r.getDecimal(1))).toSeq
+    assert(salted == direct)
+  }
+}

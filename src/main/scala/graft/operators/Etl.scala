@@ -160,8 +160,10 @@ object Etl {
       .agg(
         (sum(when($"gt" =!= 2, 1).otherwise(0)).cast("double") / count(lit(1)))
           .as("call_rate"),
+        // nullif guards the all-UNKNOWN variant (0 called samples) —
+        // ANSI mode would otherwise raise DIVIDE_BY_ZERO
         (sum(when($"gt" === 1, 1).when($"gt" === 3, 2).otherwise(0)).cast("double") /
-          (sum(when($"gt" =!= 2, 1).otherwise(0)) * 2)).as("aaf"),
+          nullif(sum(when($"gt" =!= 2, 1).otherwise(0)) * 2, lit(0))).as("aaf"),
         sum(when($"gt" === 0, 1).otherwise(0)).cast("int").as("num_hom_ref"),
         sum(when($"gt" === 1, 1).otherwise(0)).cast("int").as("num_het"),
         sum(when($"gt" === 3, 1).otherwise(0)).cast("int").as("num_hom_alt"),

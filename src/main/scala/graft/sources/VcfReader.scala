@@ -146,7 +146,9 @@ object VcfReader {
     body.filter(isBodyLine _).mapPartitions(_.flatMap { l =>
       val rec = parseRecord(l)
       rec.info.get(key).toSeq.flatMap(_.split(',')).flatMap { entry =>
-        val vals = entry.split('|').padTo(fields.length, "")
+        // pad short entries, drop extras beyond the header's field list
+        // (a malformed entry must not break the row arity)
+        val vals = entry.split('|').padTo(fields.length, "").take(fields.length)
         val cons = if (consIx >= 0) vals(consIx).split('&').head else ""
         val rank = severityRank.getOrElse(cons, 99)
         val sev = severityBucket(cons)

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sinks.DbSink
+import graft.sources.{PedSource, VcfReader}
+
+/** The reference's product surface as one Spark job:
+  * `vcf2db VCF [PED] OUT` → a queryable database of
+  * `variants` (typed INFO columns + genotype stats + worst impact
+  * denormalized), `variant_impacts`, `samples`, and `vcf_header`.
+  *
+  * Sink is the bounded-parallelism DbSink: parquet here (no JDBC
+  * driver jar in this container); swapping in `DbSink.writeJdbc`
+  * retargets the same job at sqlite/MySQL/PostgreSQL exactly like the
+  * reference's peewee backends.
+  */
+object Vcf2Db {
+
+  /** Worst-impact denormalization — the reference picks the top-severity
+    * annotation per variant and copies its headline fields onto the
+    * variants row (gene, impact, impact_severity). Broadcast-free: one
+    * window over the impacts table, then a join on the variant key
+    * (both sides shuffle on the same key, AQE may still broadcast the
+    * rank-1 side — it is |variants|-bounded, not |impacts|-bounded).
+    */
+  def denormalizeWorstImpact(variants: DataFrame, impacts: DataFrame): DataFrame = {
+    val w = Window.partitionBy("chrom", "pos", "ref", "alt")
+      .orderBy(col("severity_rank"), col("consequence"))
+    val geneCol =
+      if (impacts.columns.contains("symbol")) col("symbol")
+      else lit(null).cast("string")
+    val worst = impacts
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("chrom").as("i_chrom"), col("pos").as("i_pos"),
+        col("ref").as("i_ref"), col("alt").as("i_alt"),
+        geneCol.as("gene"), col("consequence").as("impact"),
+        col("impact_severity"), col("severity_rank"))
+    variants.join(worst,
+      variants("chrom") === worst("i_chrom") && variants("pos") === worst("i_pos") &&
+        variants("ref") === worst("i_ref") && variants("alt") === worst("i_alt"),
+      "left")
+      .drop("i_chrom", "i_pos", "i_ref", "i_alt")
+  }
+
+  def run(spark: SparkSession, vcfPath: String, pedPath: Option[String],
+      outDir: String, writerPartitions: Int = 8): Unit = {
+    import spark.implicits._
+    val (header, variants, impacts) = VcfReader.fromPath(spark, vcfPath)
+
+    val variantsOut = header.annKey match {
+      case Some(_) => denormalizeWorstImpact(variants, impacts)
+      case None => variants
+    }
+    DbSink.writeParquet(variantsOut, s"$outDir/variants", writerPartitions)
+    if (header.annKey.isDefined)
+      DbSink.writeParquet(impacts, s"$outDir/variant_impacts", writerPartitions)
+    pedPath.foreach { p =>
+      DbSink.writeParquet(PedSource.fromPath(spark, p), s"$outDir/samples", 1)
+    }
+    DbSink.writeParquet(
+      header.rawLines.zipWithIndex.map { case (l, i) => (i + 1, l) }
+        .toDF("line_no", "line"),
+      s"$outDir/vcf_header", 1)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: Vcf2Db <vcf> [<ped>] <outDir>")
+    val (vcf, ped, out) =
+      if (args.length == 2) (args(0), None, args(1))
+      else (args(0), Some(args(1)), args(2))
+    val spark = GraftSession.build()
+    try run(spark, vcf, ped, out) finally spark.stop()
+  }
+}
+
+/** Read-side accessors over a Vcf2Db output directory — the GEMINI-ish
+  * query entry point a downstream user loads tables from.
+  */
+object GraftDb {
+  def variants(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/variants")
+  def impacts(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/variant_impacts")
+  def samples(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/samples")
+  def vcfHeader(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/vcf_header")
+}

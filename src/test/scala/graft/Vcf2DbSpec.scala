@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.Etl.VcfFixture
+
+/** End-to-end: the reference's CLI contract — VCF + PED in, a queryable
+  * multi-table database out.
+  */
+class Vcf2DbSpec extends SparkSpec {
+
+  test("vcf2db run writes variants/impacts/samples/vcf_header") {
+    val dir = Files.createTempDirectory("vcf2db")
+    val vcf = dir.resolve("in.vcf")
+    Files.writeString(vcf, VcfFixture.lines.mkString("\n") + "\n")
+    val ped = dir.resolve("in.ped")
+    Files.writeString(ped,
+      "#family_id sample_id paternal_id maternal_id sex phenotype\n" +
+        "fam1 s1 -9 -9 1 2\nfam1 s2 -9 -9 2 1\nfam1 s3 s1 s2 1 1\nfam1 s4 s1 s2 2 2\n")
+    val out = dir.resolve("db").toString
+
+    Vcf2Db.run(spark, vcf.toString, Some(ped.toString), out)
+
+    val variants = GraftDb.variants(spark, out)
+    assert(variants.count() == 5)
+    // worst impact denormalized onto variants (reference step 4)
+    val v100 = variants.filter("pos = 100").head()
+    assert(v100.getAs[String]("gene") == "BRCA1")
+    assert(v100.getAs[String]("impact") == "missense_variant")
+    assert(v100.getAs[String]("impact_severity") == "MED")
+    // the CSQ-less record keeps NULL impact columns via the left join
+    val v400 = variants.filter("pos = 400").head()
+    assert(v400.isNullAt(v400.fieldIndex("impact")))
+
+    assert(GraftDb.impacts(spark, out).count() == 5)
+    val samples = GraftDb.samples(spark, out)
+    assert(samples.count() == 4)
+    assert(samples.columns.contains("sample_id"))
+    val header = GraftDb.vcfHeader(spark, out)
+    assert(header.count() == 9)
+    assert(header.orderBy("line_no").head().getAs[String]("line") ==
+      "##fileformat=VCFv4.2")
+  }
+
+  test("streaming dedup: dropDuplicatesWithinWatermark on event ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[graft.streaming.Event]
+    val ts0 = new java.sql.Timestamp(1700000400000L)
+    def ev(id: Long, mins: Long) = graft.streaming.Event(
+      id, new java.sql.Timestamp(ts0.getTime + mins * 60000L), 1, "view")
+    val q = input.toDS()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(ev(1, 0), ev(2, 1), ev(1, 2)) // id 1 duplicated
+      q.processAllAvailable()
+      input.addData(ev(2, 3), ev(3, 4)) // id 2 duplicated across batches
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+}

@@ -98,6 +98,48 @@ object Similarity {
       .orderBy($"q_id", $"rn")
   }
 
+  /** s03 (rows-only): IVF approximate NN — MLlib KMeans (fixed seed)
+    * coarse-quantizes the corpus ONCE into nlist=16 cells; each query
+    * probes its 2 nearest cells and re-ranks candidates by exact
+    * cosine. At 100 TB the assignment is a one-pass map (centroids
+    * broadcast), the index is just a cluster column (partition/cluster
+    * by it and probes touch 2/16th of the corpus).
+    */
+  def s03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val nProbe = 2
+    val emb = T(s, dir, "embeddings")
+      .withColumn("fv", array_to_vector($"embedding".cast("array<double>")))
+    val model = new KMeans().setK(16).setSeed(42L)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(emb)
+    val corpus = model.transform(emb).select($"vec_id", $"embedding", $"cell")
+    val centers = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray) }
+      .toDF("c_cell", "c_vec")
+    // top-nProbe cells per query by exact euclidean distance to centroid
+    val qCells = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+      .crossJoin(broadcast(centers))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(q_emb, c_vec, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), 0.0e0, (acc, v) -> acc + v)"))
+      .withColumn("cr", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"dist".asc, $"c_cell".asc)))
+      .filter($"cr" <= nProbe)
+      .select($"q_id", $"q_emb", $"c_cell".as("cell"))
+    val cand = corpus.join(broadcast(qCells), "cell")
+      .withColumn("cos", expr(
+        s"${dot("embedding", "q_emb")} / sqrt(${dot("embedding", "embedding")} * ${dot("q_emb", "q_emb")})"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+    cand
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= K)
+      .select($"q_id", $"vec_id", $"cell", expr("round(cos, 6)").as("cos"), $"rn")
+      .orderBy($"q_id", $"rn")
+  }
+
   val oracle: Map[String, String] = Map(
     "s01_ann_bruteforce_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
@@ -116,6 +158,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce_topk" -> (s01 _),
-    "s02_ann_lsh" -> (s02 _)
+    "s02_ann_lsh" -> (s02 _),
+    "s03_ann_ivf" -> (s03 _)
   )
 }

@@ -91,3 +91,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+/** Stream-stream equi-join within watermark bounds — the remaining
+  * streaming join shape (e.g. click↔view attribution over event time).
+  */
+class StreamStreamJoinSpec extends SparkSpec {
+  import java.sql.Timestamp
+  private def ts(minutes: Long) = new Timestamp(1700000400000L + minutes * 60000L)
+
+  test("watermarked stream-stream join matches pairs inside the interval") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    val views = MemoryStream[graft.streaming.Event]
+    val clicks = MemoryStream[graft.streaming.Event]
+    val v = views.toDS().withWatermark("ts", "10 minutes")
+      .select($"user_id".as("v_user"), $"ts".as("v_ts"), $"event_id".as("v_id"))
+    val c = clicks.toDS().withWatermark("ts", "10 minutes")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("c_id"))
+    val joined = v.join(c,
+      expr("v_user = c_user AND c_ts BETWEEN v_ts AND v_ts + INTERVAL 5 minutes"))
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      views.addData(graft.streaming.Event(1, ts(0), 7, "view"))
+      clicks.addData(
+        graft.streaming.Event(10, ts(3), 7, "click"),  // inside window
+        graft.streaming.Event(11, ts(9), 7, "click"),  // outside window
+        graft.streaming.Event(12, ts(3), 8, "click"))  // other user
+      q.processAllAvailable()
+      views.addData(graft.streaming.Event(2, ts(60), 9, "view")) // advance watermark
+      clicks.addData(graft.streaming.Event(13, ts(60), 9, "click"))
+      q.processAllAvailable()
+      val pairs = spark.table("ssj_out")
+        .select("v_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 10L)))
+      assert(!pairs.contains((1L, 11L)) && !pairs.contains((1L, 12L)))
+    } finally q.stop()
+  }
+}

@@ -77,3 +77,38 @@ class VcfParserSpec extends AnyFunSuite {
     assert(severityRank("frameshift_variant") < severityRank("missense_variant"))
   }
 }
+
+class VcfParserEdgeSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.sources.VcfParser._
+
+  test("haploid genotypes (chrX/chrY male calls)") {
+    assert(gtType("1") == HomAlt)
+    assert(gtType("0") == HomRef)
+    assert(gtType(".") == Unknown)
+  }
+
+  test("spanning-deletion alt (*) survives decompose as its own allele") {
+    val r = parseRecord("1\t100\t.\tAT\tA,*\t.\t.\t.\tGT\t1/2")
+    assert(r.alts == Vector("A", "*"))
+    assert(gtType("1/2", altIx = 2) == Het)
+  }
+
+  test("Number=R and Number=G INFO stay raw strings") {
+    val h = parseHeader(Seq(
+      "##INFO=<ID=AD,Number=R,Type=Integer,Description=\"Allelic depths\">",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"))
+    assert(h.infos("AD").number == "R")
+  }
+
+  test("record with no FORMAT/samples yields empty genotype stats") {
+    val r = parseRecord("1\t5\t.\tA\tC\t.\t.\tDP=3")
+    assert(r.genotypes.isEmpty)
+    val st = gtStats(Seq.empty)
+    assert(st.callRate == 0.0 && st.aaf == 0.0)
+  }
+
+  test("empty INFO dot") {
+    val r = parseRecord("1\t5\t.\tA\tC\t.\t.\t.")
+    assert(r.info.isEmpty)
+  }
+}

@@ -177,6 +177,22 @@ object Relational {
       .orderBy($"month")
   }
 
+  /** q11: exact percentiles per group — median and p95 of line prices.
+    * Spark's `percentile` and DuckDB's `quantile_cont` share the
+    * rank = p·(n−1) linear-interpolation definition; rounding to 6
+    * absorbs the last-ulp of the interpolation arithmetic.
+    */
+  def q11(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("round(percentile(l_extendedprice, 0.5e0), 6)").as("median_price"),
+        expr("round(percentile(l_extendedprice, 0.95e0), 6)").as("p95_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Oracle SQL (DuckDB dialect ≈ ANSI) mirroring each query above. */
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -249,6 +265,12 @@ object Relational {
     "q09_distinct_users_per_type" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q11_group_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5e0), 6) AS median_price,
+        | round(quantile_cont(l_extendedprice, 0.95e0), 6) AS p95_price,
+        | COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q10_orders_by_month" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
         | COUNT(*) AS n_orders,
@@ -266,6 +288,7 @@ object Relational {
     "q07_window_running_total" -> (q07 _),
     "q08_rollup_status_priority" -> (q08 _),
     "q09_distinct_users_per_type" -> (q09 _),
-    "q10_orders_by_month" -> (q10 _)
+    "q10_orders_by_month" -> (q10 _),
+    "q11_group_percentiles" -> (q11 _)
   )
 }

@@ -122,6 +122,27 @@ object Text {
       .orderBy($"doc_id")
   }
 
+  /** Pretokenizer pattern shared with the oracle — letter runs, digit
+    * runs, or single non-alphanumerics (the BPE-style pretokenization
+    * shape); identical semantics under Java regex and RE2.
+    */
+  private val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  /** t06: BPE-ish regex token counting — the tokenizer-aware variant of
+    * t03 (whitespace tokens); regexp_extract_all is codegen'd, per-row,
+    * shuffle-free.
+    */
+  def t06(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "documents")
+      .select($"doc_id",
+        expr(s"regexp_extract_all(text, '$bpePattern', 0)").as("toks"))
+      .select($"doc_id", size($"toks").as("n_bpe_tokens"),
+        expr("size(array_distinct(toks))").as("n_distinct"),
+        element_at($"toks", 1).as("first_tok"))
+      .orderBy($"doc_id")
+  }
+
   val oracle: Map[String, String] = Map(
     "t01_lang_id" -> {
       val hitCols = stopwords
@@ -157,8 +178,15 @@ object Text {
     "t04_fingerprint" ->
       """SELECT doc_id,
         | md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // t05_rolling_hash: rows-only (custom expression)
+    "t06_bpe_tokens" ->
+      s"""SELECT doc_id, len(toks) AS n_bpe_tokens,
+         | len(list_distinct(toks)) AS n_distinct,
+         | toks[1] AS first_tok
+         |FROM (SELECT doc_id, regexp_extract_all(text, '$bpePattern', 0) AS toks
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -166,6 +194,7 @@ object Text {
     "t02_quality_score" -> (t02 _),
     "t03_token_stats" -> (t03 _),
     "t04_fingerprint" -> (t04 _),
-    "t05_rolling_hash" -> (t05 _)
+    "t05_rolling_hash" -> (t05 _),
+    "t06_bpe_tokens" -> (t06 _)
   )
 }

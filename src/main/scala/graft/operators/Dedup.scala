@@ -149,12 +149,42 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** d05: embedding-cosine near-dup pairs — the semantic-dedup stage of
+    * a training-data pipeline. Exact pairwise form here (oracle-
+    * checkable; the corpus-side table is broadcast); at 100 TB the
+    * candidate generation swaps to the Similarity LSH/IVF blocking
+    * (s02/s03) with this same exact-cosine confirm inside buckets.
+    */
+  def d05(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dot = (a: String, b: String) =>
+      s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0e0, (acc, v) -> acc + v)"
+    val e = T(s, dir, "embeddings").select($"vec_id", $"embedding")
+    e.as("a")
+      .join(broadcast(e.as("b")), $"a.vec_id" < $"b.vec_id")
+      .withColumn("cos", expr(
+        s"${dot("a.embedding", "b.embedding")} / sqrt(${dot("a.embedding", "a.embedding")} * ${dot("b.embedding", "b.embedding")})"))
+      .filter($"cos" >= 0.45)
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        expr("round(cos, 6)").as("cos"))
+      .orderBy($"vec_a", $"vec_b")
+  }
+
   val oracle: Map[String, String] = Map(
     "d01_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     // d02_dedup_minhash, d03_dedup_simhash: rows-only (xxhash64/simhash
     // are Spark-native hashes with no DuckDB equivalent)
+    "d05_dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  list_inner_product(a.v, b.v) /
+        |    sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v)) AS cos
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, round(cos, 6) AS cos
+        |FROM pairs WHERE cos >= 0.45
+        |ORDER BY vec_a, vec_b""".stripMargin,
     "d04_ngram_jaccard" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |grams AS (SELECT doc_id,
@@ -181,6 +211,7 @@ object Dedup {
     "d01_dedup_exact" -> (d01 _),
     "d02_dedup_minhash" -> (d02 _),
     "d03_dedup_simhash" -> (d03 _),
-    "d04_ngram_jaccard" -> (d04 _)
+    "d04_ngram_jaccard" -> (d04 _),
+    "d05_dedup_embedding" -> (d05 _)
   )
 }

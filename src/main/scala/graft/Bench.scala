@@ -17,7 +17,8 @@ object Bench {
     "q04_order_priority_semijoin", "q05_customer_no_orders_antijoin",
     "q06_selective_filter", "q07_window_running_total",
     "q08_rollup_status_priority", "q09_distinct_users_per_type",
-    "q10_orders_by_month", "st01_window_agg", "st02_sessionize",
+    "q10_orders_by_month", "q11_group_percentiles",
+    "st01_window_agg", "st02_sessionize",
     "e01_flatten_info", "e08_pack_blob")
 
   def main(args: Array[String]): Unit = {

@@ -45,9 +45,12 @@ object StreamingOps {
     val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     T(s, dir, "events")
       .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      // pure timestamp comparison (ts > prev + 30min) — works for both
+      // TIMESTAMP and TIMESTAMP_NTZ inputs, exactly mirrors the
+      // oracle's `ts - lag(ts) > INTERVAL 30 minutes`
       .withColumn("new_sess",
         when($"prev_ts".isNull ||
-          unix_micros($"ts") - unix_micros($"prev_ts") > 1800L * 1000000L, 1)
+          $"ts" > $"prev_ts" + expr("INTERVAL 30 MINUTES"), 1)
           .otherwise(0))
       .withColumn("session_id",
         sum($"new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -44,3 +44,26 @@ class VcfDataSourceSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 }
+
+/** Sharded-cohort read: a directory of VCF shards (same header) reads
+  * as ONE table with one input partition per shard — the bgzip-shard
+  * parallelism layout of a 100 TB cohort.
+  */
+class VcfShardedReadSpec extends SparkSpec {
+  import java.nio.file.Files
+  import graft.operators.Etl.VcfFixture
+
+  test("directory of shards = union of shards, one partition each") {
+    val dir = Files.createTempDirectory("vcfshards")
+    val header = VcfFixture.lines.takeWhile(_.startsWith("#"))
+    val body = VcfFixture.lines.filterNot(_.startsWith("#"))
+    Files.writeString(dir.resolve("shard-00.vcf"),
+      (header ++ body.take(2)).mkString("\n") + "\n")
+    Files.writeString(dir.resolve("shard-01.vcf"),
+      (header ++ body.drop(2)).mkString("\n") + "\n")
+    val df = spark.read.format("vcf").load(dir.toString)
+    assert(df.count() == 5) // 4 records, one multi-allelic
+    assert(df.rdd.getNumPartitions == 2) // one per shard
+    assert(df.select("chrom").distinct().count() == 3)
+  }
+}

@@ -80,6 +80,39 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** m03 (rows-only): feature-extract plumbing — binary blob → dense
+    * embedding (the "encode then ANN-index" path; s01–s03 consume this
+    * shape). The encoder is a deterministic stub (no torch/onnx in
+    * this container); batching, schema, and normalization are real.
+    */
+  def m03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dims = 16
+    T(s, dir, "documents")
+      .select($"doc_id", $"text".cast("binary").as("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(32).flatMap { batch => // one stub "model call" per 32 blobs
+          batch.map { case (id, bytes) =>
+            var h = 0xcbf29ce484222325L
+            var i = 0
+            while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+            val raw = Array.tabulate(dims) { d =>
+              var x = h + d * 0x9e3779b97f4a7c15L
+              x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+              ((x >>> 11).toDouble / (1L << 53).toDouble).toFloat - 0.5f
+            }
+            val norm = math.sqrt(raw.map(v => v.toDouble * v).sum).toFloat
+            (id, raw.map(_ / norm))
+          }
+        }
+      }
+      .toDF("doc_id", "embedding")
+      .select($"doc_id", $"embedding",
+        expr("round(aggregate(embedding, 0.0e0, (a, x) -> a + CAST(x AS DOUBLE) * x), 5)").as("sq_norm"))
+      .orderBy($"doc_id")
+  }
+
   val oracle: Map[String, String] = Map(
     "m01_multimodal_meta" ->
       """SELECT doc_id,
@@ -92,6 +125,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_multimodal_meta" -> (m01 _),
-    "m02_decode_stub" -> (m02 _)
+    "m02_decode_stub" -> (m02 _),
+    "m03_feature_extract" -> (m03 _)
   )
 }

@@ -76,42 +76,45 @@ private[sources] class VcfTable(paths: Seq[String], header: Vector[String],
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new VcfScanBuilder(paths, header, tableSchema)
+    new VcfScanBuilder(paths, header, tableSchema,
+      options.getBoolean("permissive", false))
 }
 
 private[sources] class VcfScanBuilder(paths: Seq[String], header: Vector[String],
-    full: StructType) extends ScanBuilder with SupportsPushDownRequiredColumns {
+    full: StructType, permissive: Boolean)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // keep the scan's column ORDER stable (subset of the full schema)
     required = StructType(full.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
 
-  override def build(): Scan = new VcfScan(paths, header, full, required)
+  override def build(): Scan = new VcfScan(paths, header, full, required, permissive)
 }
 
 private[sources] class VcfScan(paths: Seq[String], header: Vector[String],
-    full: StructType, required: StructType) extends Scan with Batch {
+    full: StructType, required: StructType, permissive: Boolean)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     paths.map(p => VcfInputPartition(p): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new VcfReaderFactory(header, full.fieldNames, required.fieldNames)
+    new VcfReaderFactory(header, full.fieldNames, required.fieldNames, permissive)
 }
 
 private[sources] case class VcfInputPartition(path: String) extends InputPartition
 
 private[sources] class VcfReaderFactory(headerLines: Vector[String],
-    fullNames: Array[String], requiredNames: Array[String])
+    fullNames: Array[String], requiredNames: Array[String], permissive: Boolean)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new VcfPartitionReader(partition.asInstanceOf[VcfInputPartition].path,
-      headerLines, fullNames, requiredNames)
+      headerLines, fullNames, requiredNames, permissive)
 }
 
 private[sources] class VcfPartitionReader(path: String, headerLines: Vector[String],
-    fullNames: Array[String], requiredNames: Array[String])
+    fullNames: Array[String], requiredNames: Array[String], permissive: Boolean)
     extends PartitionReader[InternalRow] {
 
   private val header = VcfParser.parseHeader(headerLines)
@@ -131,11 +134,17 @@ private[sources] class VcfPartitionReader(path: String, headerLines: Vector[Stri
   private var pending: Iterator[InternalRow] = Iterator.empty
   private var current: InternalRow = _
 
-  private def rowsOf(line: String): Iterator[InternalRow] =
-    VcfReader.decomposedRows(header, line).iterator.map { row =>
+  private def rowsOf(line: String): Iterator[InternalRow] = {
+    val rows =
+      if (permissive)
+        try VcfReader.decomposedRows(header, line)
+        catch { case scala.util.control.NonFatal(_) => Seq.empty }
+      else VcfReader.decomposedRows(header, line)
+    rows.iterator.map { row =>
       val pruned = org.apache.spark.sql.Row.fromSeq(keepIx.map(row.get).toSeq)
       toCatalyst(pruned).asInstanceOf[InternalRow]
     }
+  }
 
   override def next(): Boolean = {
     while (!pending.hasNext) {

@@ -152,6 +152,17 @@ object VcfParser {
   def isBodyLine(line: String): Boolean =
     line.nonEmpty && !line.startsWith("#")
 
+  /** Permissive-mode parse: None for malformed lines (truncated columns,
+    * non-numeric POS/QUAL, bad genotype tokens) instead of failing the
+    * task — at cohort scale a handful of corrupt rows must not kill a
+    * multi-hour job; callers count the Nones.
+    */
+  def tryParseRecord(line: String): Option[Record] =
+    try {
+      val r = parseRecord(line)
+      if (r.alts.isEmpty) None else Some(r)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   // ------------------------------------------------------------- genotypes
 
   /** Allele indices of a GT string ("0/1", "1|1", "./."); None = missing. */

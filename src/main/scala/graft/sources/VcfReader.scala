@@ -110,12 +110,18 @@ object VcfReader {
   def decomposedRows(h: Header, line: String): Seq[Row] =
     variantRows(h, infoSpecs(h), parseRecord(line))
 
-  def variants(h: Header, body: Dataset[String]): DataFrame = {
+  def variants(h: Header, body: Dataset[String], permissive: Boolean = false): DataFrame = {
     val schema = variantSchema(h)
     val specs = infoSpecs(h)
     implicit val enc = RowEncoder.encoderFor(schema)
-    body.filter(isBodyLine _)
-      .mapPartitions(_.flatMap(l => variantRows(h, specs, parseRecord(l))))
+    if (permissive)
+      body.filter(isBodyLine _).mapPartitions(_.flatMap(l =>
+        VcfParser.tryParseRecord(l).toSeq.flatMap(r =>
+          try variantRows(h, specs, r)
+          catch { case scala.util.control.NonFatal(_) => Seq.empty })))
+    else
+      body.filter(isBodyLine _)
+        .mapPartitions(_.flatMap(l => variantRows(h, specs, parseRecord(l))))
   }
 
   // ------------------------------------------------------------- impacts

@@ -67,3 +67,43 @@ class VcfShardedReadSpec extends SparkSpec {
     assert(df.select("chrom").distinct().count() == 3)
   }
 }
+
+/** Corrupt-row tolerance: strict mode fails the scan, permissive mode
+  * skips bad lines — the 100 TB default where a handful of corrupt
+  * rows must not kill a multi-hour job.
+  */
+class VcfPermissiveSpec extends SparkSpec {
+  import java.nio.file.Files
+  import graft.operators.Etl.VcfFixture
+
+  private lazy val corruptPath: String = {
+    val lines = VcfFixture.lines ++ Vector(
+      "1\tNOT_A_NUMBER\t.\tA\tG\t.\t.\tDP=1\tGT\t0/1\t0/0\t0/0\t0/0",
+      "truncated line")
+    val f = Files.createTempDirectory("vcfbad").resolve("bad.vcf")
+    Files.writeString(f, lines.mkString("\n") + "\n")
+    f.toString
+  }
+
+  test("strict mode surfaces the corrupt line as a failure") {
+    intercept[org.apache.spark.SparkException] {
+      spark.read.format("vcf").load(corruptPath).count()
+    }
+  }
+
+  test("permissive mode skips corrupt lines and keeps the rest") {
+    val df = spark.read.format("vcf")
+      .option("permissive", "true").load(corruptPath)
+    assert(df.count() == 5) // the 4 good records (5 decomposed rows)
+  }
+
+  test("Dataset-path permissive flag agrees") {
+    import spark.implicits._
+    val lines = VcfFixture.lines :+ "garbage\trow"
+    val h = graft.sources.VcfReader.headerOf(lines)
+    val body = spark.createDataset(
+      lines.filter(graft.sources.VcfParser.isBodyLine))
+    val df = graft.sources.VcfReader.variants(h, body, permissive = true)
+    assert(df.count() == 5)
+  }
+}

@@ -47,7 +47,8 @@ class VcfDataSource extends TableProvider with DataSourceRegister {
     val fs = FileSystem.get(hp.toUri, SparkSession.active.sessionState.newHadoopConf())
     val in = fs.open(hp)
     try {
-      val reader = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
+      val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+        VcfIo.maybeGunzip(path, in), "UTF-8"))
       Iterator.continually(reader.readLine())
         .takeWhile(l => l != null && l.startsWith("#"))
         .toVector
@@ -105,6 +106,19 @@ private[sources] class VcfScan(paths: Seq[String], header: Vector[String],
 
 private[sources] case class VcfInputPartition(path: String) extends InputPartition
 
+private[sources] object VcfIo {
+  /** Transparent decompression for gzip/bgzip shards (`.vcf.gz`,
+    * `.vcf.bgz`): BGZF is concatenated-member gzip, which Java's
+    * GZIPInputStream consumes natively. Each compressed shard stays
+    * one InputPartition (bgzip shards are the cohort's parallelism
+    * unit; gzip itself is unsplittable).
+    */
+  def maybeGunzip(path: String, in: java.io.InputStream): java.io.InputStream =
+    if (path.endsWith(".gz") || path.endsWith(".bgz"))
+      new java.util.zip.GZIPInputStream(in, 1 << 16)
+    else in
+}
+
 private[sources] class VcfReaderFactory(headerLines: Vector[String],
     fullNames: Array[String], requiredNames: Array[String], permissive: Boolean)
     extends PartitionReaderFactory {
@@ -128,7 +142,8 @@ private[sources] class VcfPartitionReader(path: String, headerLines: Vector[Stri
   private val stream = {
     val hp = new Path(path)
     val fs = FileSystem.get(hp.toUri, new org.apache.hadoop.conf.Configuration())
-    new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(hp), "UTF-8"))
+    new java.io.BufferedReader(new java.io.InputStreamReader(
+      VcfIo.maybeGunzip(path, fs.open(hp)), "UTF-8"))
   }
 
   private var pending: Iterator[InternalRow] = Iterator.empty

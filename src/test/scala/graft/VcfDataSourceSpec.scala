@@ -107,3 +107,39 @@ class VcfPermissiveSpec extends SparkSpec {
     assert(df.count() == 5)
   }
 }
+
+/** Compressed-shard read: .vcf.gz (and BGZF multi-member gzip) reads
+  * transparently, one partition per shard.
+  */
+class VcfGzipSpec extends SparkSpec {
+  import java.nio.file.Files
+  import graft.operators.Etl.VcfFixture
+
+  test("gzip shard reads identically to plain text") {
+    val dir = Files.createTempDirectory("vcfgz")
+    val gz = dir.resolve("fixture.vcf.gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(gz))
+    out.write((VcfFixture.lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    out.close()
+    val df = spark.read.format("vcf").load(gz.toString)
+    assert(df.count() == 5)
+    assert(df.filter("pos = 300").count() == 2)
+  }
+
+  test("multi-member gzip (BGZF-style) concatenation reads fully") {
+    val dir = Files.createTempDirectory("vcfbgz")
+    val f = dir.resolve("fixture.vcf.bgz")
+    val bytes = new java.io.ByteArrayOutputStream()
+    val header = VcfFixture.lines.takeWhile(_.startsWith("#"))
+    val body = VcfFixture.lines.filterNot(_.startsWith("#"))
+    // two independent gzip members, as bgzip produces
+    for (chunk <- Seq(header.mkString("\n") + "\n", body.mkString("\n") + "\n")) {
+      val gz = new java.util.zip.GZIPOutputStream(bytes)
+      gz.write(chunk.getBytes("UTF-8")); gz.close()
+    }
+    java.nio.file.Files.write(f, bytes.toByteArray)
+    val df = spark.read.format("vcf").load(f.toString)
+    assert(df.count() == 5)
+  }
+}

@@ -78,11 +78,12 @@ private[sources] class VcfTable(paths: Seq[String], header: Vector[String],
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new VcfScanBuilder(paths, header, tableSchema,
-      options.getBoolean("permissive", false))
+      options.getBoolean("permissive", false),
+      options.getLong("splitSize", 128L * 1024 * 1024))
 }
 
 private[sources] class VcfScanBuilder(paths: Seq[String], header: Vector[String],
-    full: StructType, permissive: Boolean)
+    full: StructType, permissive: Boolean, splitSize: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
 
@@ -90,21 +91,45 @@ private[sources] class VcfScanBuilder(paths: Seq[String], header: Vector[String]
     // keep the scan's column ORDER stable (subset of the full schema)
     required = StructType(full.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
 
-  override def build(): Scan = new VcfScan(paths, header, full, required, permissive)
+  override def build(): Scan =
+    new VcfScan(paths, header, full, required, permissive, splitSize)
 }
 
 private[sources] class VcfScan(paths: Seq[String], header: Vector[String],
-    full: StructType, required: StructType, permissive: Boolean)
-    extends Scan with Batch {
+    full: StructType, required: StructType, permissive: Boolean,
+    splitSize: Long) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] =
-    paths.map(p => VcfInputPartition(p): InputPartition).toArray
+
+  /** Plain-text files split into byte ranges (each reader skips the
+    * partial first line and reads through the line straddling its
+    * end — the classic text-split contract), so ONE huge uncompressed
+    * VCF still fans out across executors. Compressed shards stay one
+    * partition each (gzip is unsplittable; bgzip cohorts parallelize
+    * by shard).
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    paths.flatMap { p =>
+      if (p.endsWith(".gz") || p.endsWith(".bgz"))
+        Seq(VcfInputPartition(p, 0L, Long.MaxValue))
+      else {
+        val hp = new Path(p)
+        val len = FileSystem.get(hp.toUri, conf).getFileStatus(hp).getLen
+        val n = math.max(1L, (len + splitSize - 1) / splitSize)
+        (0L until n).map(i =>
+          VcfInputPartition(p, i * splitSize,
+            if (i == n - 1) Long.MaxValue else (i + 1) * splitSize))
+      }
+    }.map(x => x: InputPartition).toArray
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
     new VcfReaderFactory(header, full.fieldNames, required.fieldNames, permissive)
 }
 
-private[sources] case class VcfInputPartition(path: String) extends InputPartition
+private[sources] case class VcfInputPartition(path: String, start: Long, end: Long)
+    extends InputPartition
 
 private[sources] object VcfIo {
   /** Transparent decompression for gzip/bgzip shards (`.vcf.gz`,
@@ -122,14 +147,18 @@ private[sources] object VcfIo {
 private[sources] class VcfReaderFactory(headerLines: Vector[String],
     fullNames: Array[String], requiredNames: Array[String], permissive: Boolean)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new VcfPartitionReader(partition.asInstanceOf[VcfInputPartition].path,
-      headerLines, fullNames, requiredNames, permissive)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[VcfInputPartition]
+    new VcfPartitionReader(p, headerLines, fullNames, requiredNames, permissive)
+  }
 }
 
-private[sources] class VcfPartitionReader(path: String, headerLines: Vector[String],
+private[sources] class VcfPartitionReader(part: VcfInputPartition,
+    headerLines: Vector[String],
     fullNames: Array[String], requiredNames: Array[String], permissive: Boolean)
     extends PartitionReader[InternalRow] {
+
+  private val path = part.path
 
   private val header = VcfParser.parseHeader(headerLines)
   private val fullSchema = VcfReader.variantSchema(header)
@@ -142,12 +171,36 @@ private[sources] class VcfPartitionReader(path: String, headerLines: Vector[Stri
   private val stream = {
     val hp = new Path(path)
     val fs = FileSystem.get(hp.toUri, new org.apache.hadoop.conf.Configuration())
+    val raw = fs.open(hp)
+    if (part.start > 0) raw.seek(part.start)
     new java.io.BufferedReader(new java.io.InputStreamReader(
-      VcfIo.maybeGunzip(path, fs.open(hp)), "UTF-8"))
+      VcfIo.maybeGunzip(path, raw), "UTF-8"))
   }
 
+  // byte offset (within the file) of the NEXT line to be read
+  private var pos: Long = part.start
+  private var primed = part.start == 0
   private var pending: Iterator[InternalRow] = Iterator.empty
   private var current: InternalRow = _
+
+  /** Reads one line, tracking its starting offset; a reader seeked to
+    * start>0 first discards the (possibly partial) line it landed in —
+    * that line belongs to the previous split.
+    */
+  private def nextOwnedLine(): String = {
+    if (!primed) {
+      val skipped = stream.readLine()
+      if (skipped != null) pos += skipped.getBytes("UTF-8").length + 1
+      primed = true
+    }
+    // a line STARTING at exactly `end` still belongs to this split (the
+    // next reader unconditionally discards its first line) — stop only
+    // strictly past end, per the Hadoop text-split contract
+    if (pos > part.end) return null
+    val line = stream.readLine()
+    if (line != null) pos += line.getBytes("UTF-8").length + 1
+    line
+  }
 
   private def rowsOf(line: String): Iterator[InternalRow] = {
     val rows =
@@ -163,7 +216,7 @@ private[sources] class VcfPartitionReader(path: String, headerLines: Vector[Stri
 
   override def next(): Boolean = {
     while (!pending.hasNext) {
-      val line = stream.readLine()
+      val line = nextOwnedLine()
       if (line == null) return false
       if (VcfParser.isBodyLine(line)) pending = rowsOf(line)
     }

@@ -143,3 +143,32 @@ class VcfGzipSpec extends SparkSpec {
     assert(df.count() == 5)
   }
 }
+
+/** Byte-range splitting: one big plain-text VCF fans out over multiple
+  * partitions with exact once-each line ownership.
+  */
+class VcfSplitSpec extends SparkSpec {
+  import java.nio.file.Files
+
+  test("split read equals unsplit read on a large single file") {
+    val sb = new StringBuilder
+    sb ++= "##fileformat=VCFv4.2\n"
+    sb ++= "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"Depth\">\n"
+    sb ++= "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1\n"
+    (1 to 5000).foreach { i =>
+      sb ++= s"${1 + i % 5}\t${i * 3}\t.\tA\tG\t.\tPASS\tDP=$i\tGT\t0/1\n"
+    }
+    val f = Files.createTempDirectory("vcfsplit").resolve("big.vcf")
+    Files.writeString(f, sb.toString)
+
+    val whole = spark.read.format("vcf").load(f.toString)
+    val split = spark.read.format("vcf")
+      .option("splitSize", "8192").load(f.toString)
+    assert(split.rdd.getNumPartitions > 5, "expected many byte-range splits")
+    assert(split.count() == 5000)
+    // exact ownership: identical multiset of rows
+    val a = whole.select("chrom", "pos", "dp").collect().map(_.toSeq).sortBy(_.toString)
+    val b = split.select("chrom", "pos", "dp").collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.toSeq == b.toSeq)
+  }
+}

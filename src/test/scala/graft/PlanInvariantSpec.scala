@@ -1,0 +1,37 @@
+package graft
+
+/** Locks in the SURVEY §5 physical-plan invariants for EVERY declared
+  * query (the automated form of the graft.Explain audit): no cartesian
+  * products, no sort-merge joins (every join must resolve to a
+  * broadcast at these dim sizes), and q03's top-k must be a
+  * TakeOrderedAndProject, not a global sort.
+  */
+class PlanInvariantSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name plan: no cartesian product, no sort-merge join") {
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"cartesian in $name")
+      assert(!plan.contains("SortMergeJoin"),
+        s"non-broadcast join in $name (dims must broadcast)")
+    }
+  }
+
+  test("q03 top-k is a per-partition heap, not a global sort") {
+    val plan = SparkEntry.queries("q03_topk_orders")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("q06 pushes every selective predicate into the parquet scan") {
+    // FormattedMode prints the full PushedFilters list (toString truncates)
+    val plan = SparkEntry.queries("q06_selective_filter")(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    assert(plan.contains("GreaterThanOrEqual(l_discount,0.05)"))
+    assert(plan.contains("LessThan(l_quantity,24.0)"))
+  }
+}

@@ -76,3 +76,57 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 }
+
+/** Generator-based round-trip: random well-formed VCF body lines parse
+  * back to exactly the components they were formatted from.
+  */
+class VcfRoundTripSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import org.scalacheck.Gen
+  import org.scalacheck.rng.Seed
+  import graft.sources.VcfParser
+
+  private val base = Gen.oneOf("A", "C", "G", "T")
+  private val chromGen = Gen.oneOf((1 to 22).map(_.toString) ++ Seq("X", "Y", "MT"))
+  private val gtGen = for {
+    a <- Gen.oneOf("0", "1", "2", ".")
+    b <- Gen.oneOf("0", "1", "2", ".")
+    sep <- Gen.oneOf("/", "|")
+  } yield s"$a$sep$b"
+
+  private val lineGen = for {
+    chrom <- chromGen
+    pos <- Gen.chooseNum(1L, 250000000L)
+    ref <- base
+    nAlt <- Gen.chooseNum(1, 3)
+    alts <- Gen.listOfN(nAlt, base.suchThat(_ != ref)).map(_.distinct)
+    if alts.nonEmpty
+    dp <- Gen.chooseNum(0, 10000)
+    gts <- Gen.listOfN(3, gtGen)
+  } yield (chrom, pos, ref, alts, dp, gts)
+
+  test("format -> parse preserves every component") {
+    var seed = Seed(7L)
+    var n = 0
+    while (n < 300) {
+      lineGen.apply(Gen.Parameters.default, seed).foreach {
+        case (chrom, pos, ref, alts, dp, gts) =>
+          val line = (Seq(chrom, pos.toString, ".", ref, alts.mkString(","),
+            ".", "PASS", s"DP=$dp", "GT") ++ gts).mkString("\t")
+          val r = VcfParser.parseRecord(line)
+          assert(r.chrom == chrom && r.pos == pos && r.ref == ref)
+          assert(r.alts == alts.toVector)
+          assert(r.info("DP") == dp.toString)
+          assert(r.genotypes.map(_.head) == gts.toVector)
+          // stats are consistent with per-sample classes for every alt
+          alts.indices.foreach { i =>
+            val classes = gts.map(g => VcfParser.gtType(g, i + 1))
+            val st = VcfParser.gtStats(classes)
+            assert(st.numHomRef + st.numHet + st.numHomAlt + st.numUnknown == 3)
+          }
+          n += 1
+      }
+      seed = seed.next
+    }
+    assert(n == 300)
+  }
+}

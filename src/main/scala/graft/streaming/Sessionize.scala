@@ -51,7 +51,11 @@ object Sessionize {
             closed += close(user, c)
             cur = Some(SessState(c.session_id + 1, 1L, e.ts, e.ts))
           case Some(c) =>
-            cur = Some(c.copy(n_events = c.n_events + 1, t_end = e.ts))
+            // a late event (cross-batch, still within watermark) may be
+            // older than the open session's bounds — extend monotonically
+            cur = Some(c.copy(n_events = c.n_events + 1,
+              t_start = if (e.ts.before(c.t_start)) e.ts else c.t_start,
+              t_end = if (e.ts.after(c.t_end)) e.ts else c.t_end))
         }
       }
       cur.foreach { c =>

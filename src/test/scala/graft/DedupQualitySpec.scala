@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Estimator-quality checks for the near-dup family: the MinHash
+  * estimate must track exact 3-shingle Jaccard on the pairs it
+  * surfaces, and banding must surface every strong pair.
+  */
+class DedupQualitySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("minhash est_jaccard tracks exact 3-shingle jaccard") {
+    import spark.implicits._
+    val pairs = Dedup.queries("d02_dedup_minhash")(spark, dir)
+    val grams = Tables(spark, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .withColumn("gs", expr(
+        "array_distinct(transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
+      .select($"doc_id", $"gs")
+    val joined = pairs
+      .join(grams.select($"doc_id".as("doc_a"), $"gs".as("gs_a")), "doc_a")
+      .join(grams.select($"doc_id".as("doc_b"), $"gs".as("gs_b")), "doc_b")
+      .withColumn("exact", expr(
+        "size(array_intersect(gs_a, gs_b)) / CAST(size(gs_a) + size(gs_b) - size(array_intersect(gs_a, gs_b)) AS DOUBLE)"))
+      .select($"doc_a", $"doc_b", $"est_jaccard", $"exact")
+      .collect()
+    assert(joined.nonEmpty, "banding surfaced no candidate pairs")
+    val errs = joined.map(r =>
+      math.abs(r.getAs[Double]("est_jaccard") - r.getAs[Double]("exact")))
+    assert(errs.max <= 0.25, s"worst estimator error ${errs.max}")
+    assert(errs.sum / errs.length <= 0.10, "mean estimator error too high")
+  }
+
+  test("banding surfaces every strong pair (exact jaccard >= 0.5)") {
+    import spark.implicits._
+    val caught = Dedup.queries("d02_dedup_minhash")(spark, dir)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val strong = Dedup.queries("d04_ngram_jaccard")(spark, dir)
+      .filter($"jaccard" >= 0.5)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strong.nonEmpty)
+    // P(miss | j=0.5, 16 bands x 4 rows) ~ (1-0.5^4)^16 = 0.36... so we
+    // assert recall on the set, not each pair: bigram-strong pairs are
+    // 3-shingle-weaker; require >= 80% recall of the strong set
+    val recall = (strong & caught).size.toDouble / strong.size
+    assert(recall >= 0.8, s"LSH recall $recall over ${strong.size} strong pairs")
+  }
+}

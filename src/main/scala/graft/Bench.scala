@@ -2,11 +2,16 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Per-round benchmark: headline sf-scaling queries, timed after one
-  * warmup pass (JIT + codegen + broadcast build amortized out, the
-  * steady-state a long-lived cluster job actually runs at), fully
-  * materialized through the noop sink (every column computed — `count()`
-  * would let Spark skip work).
+/** Per-round benchmark: headline sf-scaling queries, one warmup pass
+  * (JIT + codegen + broadcast build amortized out, the steady-state a
+  * long-lived cluster job actually runs at) then MULTIPLE timed passes,
+  * fully materialized through the noop sink (every column computed —
+  * `count()` would let Spark skip work).
+  *
+  * Every pass (warmup included) is reported in the JSON so environment
+  * contention is distinguishable from a real plan regression: `queries`
+  * carries the per-query MIN across timed passes (the reproducible
+  * cost), `passes` carries each pass verbatim, `warmup` the first run.
   */
 object Bench {
   /** Queries whose input grows with sf (document/embedding suites are
@@ -44,12 +49,18 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    headline.foreach(run) // warmup: JIT, codegen cache, file listing
-    val results = headline.map(n => n -> run(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jsonMap(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    val warmup = headline.map(n => n -> run(n)) // JIT, codegen cache, file listing
+    val passes = (1 to nPasses).map(_ => headline.map(n => n -> run(n)))
+    // min across timed passes = the reproducible cost of the plan; the
+    // per-pass spread (visible in `passes`) is the environment's noise.
+    val best = headline.map(n => n -> passes.map(_.toMap.apply(n)).min)
+    val total = best.map(_._2).sum
+    val passesJson = passes.map(jsonMap).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(best)},"passes":$passesJson,"warmup":${jsonMap(warmup)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

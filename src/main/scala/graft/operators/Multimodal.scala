@@ -108,8 +108,14 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "embedding")
-      .select($"doc_id", $"embedding",
-        expr("round(aggregate(embedding, 0.0e0, (a, x) -> a + CAST(x AS DOUBLE) * x), 5)").as("sq_norm"))
+      // Scalars only on the way out: the raw Array[Float] stays an
+      // internal shape (s01–s03 consume it); externally we emit its
+      // squared norm and a rounded-element content digest. Array cells
+      // in a result table also break column-wise sorters downstream.
+      .select($"doc_id",
+        expr("round(aggregate(embedding, 0.0e0, (a, x) -> a + CAST(x AS DOUBLE) * x), 5)").as("sq_norm"),
+        md5(concat_ws(",", expr("transform(embedding, x -> format_number(CAST(x AS DOUBLE), 6))"))).as("emb_digest"),
+        size($"embedding").as("dims"))
       .orderBy($"doc_id")
   }
 

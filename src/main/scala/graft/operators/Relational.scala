@@ -28,11 +28,6 @@ object Relational {
   /** Raw money/qty column (2 decimal digits stored as double) → exact decimal. */
   private def d2(c: Column): Column = c.cast(DecimalType(12, 2))
 
-  /** Rate column (discount/tax, 2 decimal digits in [0,1]) → exact decimal. */
-  private def r2(c: Column): Column = c.cast(DecimalType(4, 2))
-
-  private val one = lit(new java.math.BigDecimal("1.00"))
-
   /** Exact, order-independent sum of an exact decimal expression.
     *
     * The aggregation is exact DECIMAL (order-independent); only the FINAL
@@ -41,9 +36,39 @@ object Relational {
     * DECIMAL(38,6)→DOUBLE is correctly rounded in both engines while the
     * unscaled value < 2^53 (i.e. |sum| < 9e9 at scale 6 — holds at the
     * verify SF with wide margin), so the bits match.
+    *
+    * Plain decimal SUMs stay on Spark's long-backed fast path (same-scale
+    * addition never allocates). Decimal MULTIPLICATION does not — every
+    * product goes through java.math.BigDecimal, which is what made the
+    * product-bearing aggregates ~10× slower than they should be. Those
+    * use [[unitSum]] instead.
     */
   private def dsum(e: Column): Column =
     sum(e).cast(DecimalType(38, 6)).cast("double")
+
+  /** Money/rate column (exactly 2 decimal digits, stored as double) →
+    * exact integer hundredths ("cents"). round() absorbs the double
+    * representation error (|x·100 − true| < 0.5 always for 2-digit data),
+    * so this equals the unscaled value of `CAST(x AS DECIMAL(12,2))`.
+    */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Exact sum of integer units of 10^-k → DOUBLE, bit-identical to the
+    * oracle's `CAST(CAST(SUM(decimal products) AS DECIMAL(38,6)) AS
+    * DOUBLE)`: the per-row math is pure LONG (whole-stage codegen, no
+    * BigDecimal allocation — the 100 TB-friendly hot path), the long sum
+    * is the same rational number scaled by 10^k, and the single
+    * per-GROUP conversion long → DECIMAL(38,6) → DOUBLE is the identical
+    * final cast. Long range: sf100's ~6e8 rows × ≤1e11 units/row is the
+    * only regime that nears 2^63 — at that point widen k or pre-agg.
+    * Exactness of the decimal divide: result scale is 6 ≥ k, so S/10^k
+    * is represented exactly (no rounding ever happens).
+    */
+  private def unitSum(units: Column, k: Int): Column = {
+    val pow = java.math.BigDecimal.valueOf(math.pow(10, k).toLong)
+    (sum(units).cast(DecimalType(38, 0)) / lit(pow))
+      .cast(DecimalType(38, 6)).cast("double")
+  }
 
   private def T(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
 
@@ -56,8 +81,10 @@ object Relational {
       .agg(
         dsum(d2($"l_quantity")).as("sum_qty"),
         dsum(d2($"l_extendedprice")).as("sum_base_price"),
-        dsum(d2($"l_extendedprice") * (one - r2($"l_discount"))).as("sum_disc_price"),
-        dsum(d2($"l_extendedprice") * (one - r2($"l_discount")) * (one + r2($"l_tax"))).as("sum_charge"),
+        unitSum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount")), 4)
+          .as("sum_disc_price"),
+        unitSum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount"))
+          * (lit(100L) + cents($"l_tax")), 6).as("sum_charge"),
         count(lit(1)).as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
@@ -78,7 +105,8 @@ object Relational {
       .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
       .groupBy($"n_name")
-      .agg(dsum(d2($"l_extendedprice") * (one - r2($"l_discount"))).as("revenue"),
+      .agg(unitSum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount")), 4)
+        .as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy($"n_name")
   }
@@ -88,7 +116,8 @@ object Relational {
     import s.implicits._
     val rev = T(s, dir, "lineitem")
       .groupBy($"l_orderkey")
-      .agg(dsum(d2($"l_extendedprice") * (one - r2($"l_discount"))).as("revenue"))
+      .agg(unitSum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount")), 4)
+        .as("revenue"))
     rev
       .join(T(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
       .join(broadcast(T(s, dir, "customer")), $"o_custkey" === $"c_custkey")
@@ -128,7 +157,7 @@ object Relational {
       .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
         $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
         $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
-      .agg(dsum(d2($"l_extendedprice") * r2($"l_discount")).as("revenue"),
+      .agg(unitSum(cents($"l_extendedprice") * cents($"l_discount"), 4).as("revenue"),
         count(lit(1)).as("n_rows"))
   }
 

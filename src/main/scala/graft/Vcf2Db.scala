@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions
 import graft.sinks.DbSink
 import graft.sources.{PedSource, VcfReader}
 
@@ -46,15 +47,30 @@ object Vcf2Db {
       .drop("i_chrom", "i_pos", "i_ref", "i_alt")
   }
 
+  /** The reference's six per-sample genotype blob columns: each typed
+    * array zlib-packed per row (codegen Catalyst expressions, packing
+    * happens executor-side after the reader — never on the driver).
+    * Read them back with `GraftDb.expandGenotypes`.
+    */
+  def packGenotypeBlobs(variants: DataFrame): DataFrame = {
+    Seq("gt_types", "gt_depths", "gt_ref_depths", "gt_alt_depths", "gt_quals")
+      .filter(variants.columns.contains)
+      .foldLeft(variants)((df, c) => df.withColumn(c, expr(s"zlib_pack($c)")))
+      .transform(df =>
+        if (df.columns.contains("gts")) df.withColumn("gts", expr("zlib_pack_str(gts)"))
+        else df)
+  }
+
   def run(spark: SparkSession, vcfPath: String, pedPath: Option[String],
       outDir: String, writerPartitions: Int = 8): Unit = {
     import spark.implicits._
+    GraftFunctions.register(spark)
     val (header, variants, impacts) = VcfReader.fromPath(spark, vcfPath)
 
-    val variantsOut = header.annKey match {
+    val variantsOut = packGenotypeBlobs(header.annKey match {
       case Some(_) => denormalizeWorstImpact(variants, impacts)
       case None => variants
-    }
+    })
     DbSink.writeParquet(variantsOut, s"$outDir/variants", writerPartitions)
     if (header.annKey.isDefined)
       DbSink.writeParquet(impacts, s"$outDir/variant_impacts", writerPartitions)
@@ -83,6 +99,19 @@ object Vcf2Db {
 object GraftDb {
   def variants(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/variants")
+
+  /** Variants with the six genotype blobs unpacked back to typed arrays
+    * (the reference's `--expand` read path).
+    */
+  def expandGenotypes(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Seq("gt_types", "gt_depths", "gt_ref_depths", "gt_alt_depths", "gt_quals")
+      .foldLeft(variants(spark, dir))((df, c) =>
+        if (df.columns.contains(c)) df.withColumn(c, expr(s"zlib_unpack($c)")) else df)
+      .transform(df =>
+        if (df.columns.contains("gts")) df.withColumn("gts", expr("zlib_unpack_str(gts)"))
+        else df)
+  }
   def impacts(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/variant_impacts")
   def samples(spark: SparkSession, dir: String): DataFrame =

@@ -44,28 +44,77 @@ object Kernels {
     override def initialValue() = new java.util.zip.Inflater()
   }
 
-  /** zlib blob → array<int> (round-trip of zlibPackInts). */
-  def zlibUnpackInts(blob: Array[Byte]): ArrayData = {
+  /** Inflates a whole zlib stream. Any zero-byte round that isn't the
+    * finished state is treated as corrupt — that covers truncated input
+    * AND a crafted FDICT header (needsDictionary), either of which would
+    * otherwise spin this loop forever inside an executor task.
+    */
+  private def inflateFully(blob: Array[Byte], sizeHint: Int): Array[Byte] = {
     val inf = inflaters.get()
     inf.reset()
     inf.setInput(blob)
-    val out = new java.io.ByteArrayOutputStream(4 * blob.length)
+    val out = new java.io.ByteArrayOutputStream(sizeHint)
     val buf = new Array[Byte](4096)
     var done = inf.finished()
     while (!done) {
       val k = inf.inflate(buf)
       if (k > 0) out.write(buf, 0, k)
       done = inf.finished()
-      // k == 0 with input exhausted and the stream still open = corrupt
-      if (!done && k == 0 && inf.needsInput())
-        throw new java.util.zip.DataFormatException("truncated")
+      if (!done && k == 0)
+        throw new java.util.zip.DataFormatException(
+          if (inf.needsDictionary()) "preset dictionary unsupported" else "truncated")
     }
-    val bytes = java.nio.ByteBuffer.wrap(out.toByteArray)
+    out.toByteArray
+  }
+
+  /** zlib blob → array<int> (round-trip of zlibPackInts). */
+  def zlibUnpackInts(blob: Array[Byte]): ArrayData = {
+    val bytes = java.nio.ByteBuffer.wrap(inflateFully(blob, 4 * blob.length))
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    val ints = new Array[Any](out.size() / 4)
+    val ints = new Array[Any](bytes.remaining() / 4)
     var i = 0
     while (i < ints.length) { ints(i) = bytes.getInt(); i += 1 }
     new GenericArrayData(ints)
+  }
+
+  /** array<string> → zlib(NUL-joined UTF-8). Packs the reference's `gts`
+    * per-sample genotype-string array; GT strings never contain NUL, so
+    * the join is unambiguous and the blob round-trips exactly.
+    */
+  def zlibPackStrings(arr: ArrayData): Array[Byte] = {
+    val n = arr.numElements()
+    val out = new java.io.ByteArrayOutputStream(16 * (n + 1))
+    var i = 0
+    while (i < n) {
+      if (i > 0) out.write(0)
+      out.write(arr.getUTF8String(i).getBytes)
+      i += 1
+    }
+    val raw = out.toByteArray
+    val d = deflaters.get()
+    d.reset()
+    d.setInput(raw); d.finish()
+    val packed = new java.io.ByteArrayOutputStream(64 + raw.length)
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) packed.write(buf, 0, d.deflate(buf))
+    packed.toByteArray
+  }
+
+  /** zlib blob → array<string> (round-trip of zlibPackStrings). */
+  def zlibUnpackStrings(blob: Array[Byte]): ArrayData = {
+    val raw = inflateFully(blob, 4 * blob.length)
+    if (raw.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val parts = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var start = 0
+    var i = 0
+    while (i <= raw.length) {
+      if (i == raw.length || raw(i) == 0) {
+        parts += UTF8String.fromBytes(java.util.Arrays.copyOfRange(raw, start, i))
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(parts.toArray)
   }
 
   private def fnv64(s: UTF8String): Long = {
@@ -158,6 +207,28 @@ case class ZlibUnpack(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `zlib_pack_str(array<string>) → binary` */
+case class ZlibPackStr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.zlibPackStrings(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.zlibPackStrings($c)")
+  override protected def withNewChildInternal(newChild: Expression): ZlibPackStr =
+    copy(child = newChild)
+}
+
+/** `zlib_unpack_str(binary) → array<string>` */
+case class ZlibUnpackStr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType)
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.zlibUnpackStrings(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.zlibUnpackStrings($c)")
+  override protected def withNewChildInternal(newChild: Expression): ZlibUnpackStr =
+    copy(child = newChild)
+}
+
 /** `simhash64(array<string>) → bigint` */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -191,6 +262,8 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction(name, b, "built-in")
     add("zlib_pack", es => ZlibPack(es.head))
     add("zlib_unpack", es => ZlibUnpack(es.head))
+    add("zlib_pack_str", es => ZlibPackStr(es.head))
+    add("zlib_unpack_str", es => ZlibUnpackStr(es.head))
     add("simhash64", es => SimHash64(es.head))
     add("rolling_minhash", es => RollingMinHash(es.head))
   }

@@ -37,15 +37,19 @@ object Etl {
       "##INFO=<ID=CSQ,Number=.,Type=String,Description=\"Consequence annotations from Ensembl VEP. Format: Allele|Consequence|SYMBOL|Gene|BIOTYPE|PolyPhen|SIFT\">",
       "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"Genotype\">",
       "##FORMAT=<ID=DP,Number=1,Type=Integer,Description=\"Read depth\">",
+      "##FORMAT=<ID=GQ,Number=1,Type=Integer,Description=\"Genotype quality\">",
+      "##FORMAT=<ID=AD,Number=R,Type=Integer,Description=\"Allelic depths\">",
       Seq("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO",
         "FORMAT", "s1", "s2", "s3", "s4").mkString("\t"),
       Seq("1", "100", "rs1", "A", "G", "50.0", "PASS",
         "DP=10;AF=0.25;DB;CSQ=G|missense_variant|BRCA1|ENSG1|protein_coding|0.9|0.1," +
           "G|intron_variant|BRCA1|ENSG1|protein_coding||",
-        "GT:DP", "0/1:10", "0/0:12", "0/0:9", "1/1:7").mkString("\t"),
+        "GT:DP:GQ:AD", "0/1:10:99:5,5", "0/0:12:80:12,0", "0/0:9:50:9,0",
+        "1/1:7:20:0,7").mkString("\t"),
       Seq("1", "200", ".", "C", "T", "99.0", "PASS",
         "DP=20;AF=0.5;CSQ=T|stop_gained|TP53|ENSG2|protein_coding|0.99|0.0",
-        "GT:DP", "0/1:8", "0/1:9", "./.:0", "./.:0").mkString("\t"),
+        "GT:DP:GQ:AD", "0/1:8:45:4,4", "0/1:9:60:5,4", "./.:0:.:0,0",
+        "./.:0:.:0,0").mkString("\t"),
       Seq("2", "300", "rs3", "G", "A,T", ".", "q10",
         "DP=5;AF=0.5,0.25;CSQ=A|synonymous_variant|EGFR|ENSG3|protein_coding||," +
           "T|frameshift_variant|EGFR|ENSG3|protein_coding||",
@@ -89,6 +93,35 @@ object Etl {
         | ('2', 300, 'T', 1, 0, 3, 0),
         | ('X', 400, 'C', 3, 3, 1, 1)
         |) g(chrom, pos, alt, gt_s1, gt_s2, gt_s3, gt_s4)""".stripMargin
+
+    /** Per-(variant, sample) FORMAT sub-fields as a VALUES relation
+      * (e15's oracle re-derives the aggregates in SQL from this raw
+      * long-form; -1 = missing, the reader's sentinel). Hand-derived
+      * from the fixture's GT:DP:GQ:AD columns.
+      */
+    val gtFormatValues: String =
+      """(VALUES
+        | ('1', 100, 'G', 1, '0/1', 10, 99,  5, 5),
+        | ('1', 100, 'G', 2, '0/0', 12, 80, 12, 0),
+        | ('1', 100, 'G', 3, '0/0',  9, 50,  9, 0),
+        | ('1', 100, 'G', 4, '1/1',  7, 20,  0, 7),
+        | ('1', 200, 'T', 1, '0/1',  8, 45,  4, 4),
+        | ('1', 200, 'T', 2, '0/1',  9, 60,  5, 4),
+        | ('1', 200, 'T', 3, './.',  0, -1,  0, 0),
+        | ('1', 200, 'T', 4, './.',  0, -1,  0, 0),
+        | ('2', 300, 'A', 1, '1/2', -1, -1, -1, -1),
+        | ('2', 300, 'A', 2, '0/1', -1, -1, -1, -1),
+        | ('2', 300, 'A', 3, '2/2', -1, -1, -1, -1),
+        | ('2', 300, 'A', 4, '0/0', -1, -1, -1, -1),
+        | ('2', 300, 'T', 1, '1/2', -1, -1, -1, -1),
+        | ('2', 300, 'T', 2, '0/1', -1, -1, -1, -1),
+        | ('2', 300, 'T', 3, '2/2', -1, -1, -1, -1),
+        | ('2', 300, 'T', 4, '0/0', -1, -1, -1, -1),
+        | ('X', 400, 'C', 1, '1/1', -1, -1, -1, -1),
+        | ('X', 400, 'C', 2, '1/1', -1, -1, -1, -1),
+        | ('X', 400, 'C', 3, '0/1', -1, -1, -1, -1),
+        | ('X', 400, 'C', 4, '0/1', -1, -1, -1, -1)
+        |) f(chrom, pos, alt, sample_ix, gt, dp, gq, ref_d, alt_d)""".stripMargin
   }
 
   // ---------------------------------------------------------------- queries
@@ -303,6 +336,27 @@ object Etl {
       .orderBy($"chrom", $"pos", $"alt", $"region")
   }
 
+  /** e15: full FORMAT genotype arrays — DP/GQ/AD carried per sample as
+    * typed arrays on variants (the reference's gt_depths / gt_quals /
+    * gt_ref_depths / gt_alt_depths / gts blob contents), aggregated here
+    * with codegen array lambdas; -1 = missing. The depth/quality filter
+    * surface every gemini-style query needs.
+    */
+  def e15(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    VcfFixture.variants(s)
+      .select($"chrom", $"pos", $"alt",
+        expr("CAST(aggregate(gt_depths, 0, (a, x) -> a + greatest(x, 0)) AS BIGINT)")
+          .as("depth_sum"),
+        expr("CAST(size(filter(gt_depths, x -> x >= 0)) AS BIGINT)")
+          .as("n_with_depth"),
+        expr("array_min(filter(gt_quals, x -> x >= 0))").as("min_gq"),
+        expr("CAST(aggregate(gt_alt_depths, 0, (a, x) -> a + greatest(x, 0)) AS BIGINT)")
+          .as("alt_depth_sum"),
+        concat_ws(",", $"gts").as("gts_str"))
+      .orderBy($"chrom", $"pos", $"alt")
+  }
+
   // ----------------------------------------------------------------- oracle
 
   private val variantsSelect =
@@ -397,6 +451,16 @@ object Etl {
          |  ON v.chrom = r.r_chrom AND v.pos BETWEEN r.r_start AND r.r_end
          |ORDER BY v.chrom, v.pos, v.alt, r.region""".stripMargin
     },
+    "e15_format_arrays" ->
+      s"""SELECT chrom, CAST(pos AS BIGINT) AS pos, alt,
+         | CAST(SUM(CASE WHEN dp >= 0 THEN dp ELSE 0 END) AS BIGINT) AS depth_sum,
+         | CAST(SUM(CASE WHEN dp >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_depth,
+         | CAST(MIN(CASE WHEN gq >= 0 THEN gq END) AS INTEGER) AS min_gq,
+         | CAST(SUM(CASE WHEN alt_d >= 0 THEN alt_d ELSE 0 END) AS BIGINT) AS alt_depth_sum,
+         | STRING_AGG(gt, ',' ORDER BY sample_ix) AS gts_str
+         |FROM ${VcfFixture.gtFormatValues}
+         |GROUP BY 1, 2, 3
+         |ORDER BY chrom, pos, alt""".stripMargin,
     "e13_vcf_header" -> {
       val rows = VcfFixture.lines.takeWhile(_.startsWith("#")).zipWithIndex
         .map { case (l, i) => s"(${i + 1}, '${l.replace("'", "''")}')" }
@@ -423,6 +487,7 @@ object Etl {
     "e11_expand_gt" -> (e11 _),
     "e12_gt_filter" -> (e12 _),
     "e13_vcf_header" -> (e13 _),
-    "e14_region_join" -> (e14 _)
+    "e14_region_join" -> (e14 _),
+    "e15_format_arrays" -> (e15 _)
   )
 }

@@ -39,7 +39,16 @@ object VcfReader {
     StructField("num_het", IntegerType, nullable = false),
     StructField("num_hom_alt", IntegerType, nullable = false),
     StructField("num_unknown", IntegerType, nullable = false),
-    StructField("gt_types", ArrayType(IntegerType, containsNull = false)))
+    // The reference's six per-sample genotype arrays (packed as blobs on
+    // its variants table; here typed arrays — Vcf2Db packs them at write
+    // time). Missing numeric sub-fields (absent FORMAT key or '.') → -1,
+    // the sentinel the reference's unknown depths/quals use.
+    StructField("gt_types", ArrayType(IntegerType, containsNull = false)),
+    StructField("gts", ArrayType(StringType, containsNull = false)),
+    StructField("gt_depths", ArrayType(IntegerType, containsNull = false)),
+    StructField("gt_ref_depths", ArrayType(IntegerType, containsNull = false)),
+    StructField("gt_alt_depths", ArrayType(IntegerType, containsNull = false)),
+    StructField("gt_quals", ArrayType(IntegerType, containsNull = false)))
 
   private def infoType(spec: FieldSpec): DataType = spec.number match {
     case "0" => BooleanType
@@ -84,23 +93,59 @@ object VcfReader {
       case _ => v
     }
 
-  private def gtIndex(h: Header): Int = 0 // GT is first FORMAT key per spec
+  /** Missing-value sentinel for numeric FORMAT sub-fields (the
+    * reference's unknown-depth/qual encoding).
+    */
+  private val Missing = -1
+
+  /** Sample's FORMAT sub-field at key index `ix`, "" when absent (a
+    * sample column may carry fewer fields than the FORMAT declares).
+    */
+  private def fmtAt(sample: Vector[String], ix: Int): String =
+    if (ix < 0 || ix >= sample.length) "" else sample(ix)
+
+  private def fmtInt(sample: Vector[String], ix: Int): Int = {
+    val v = fmtAt(sample, ix)
+    if (v.isEmpty || v == ".") Missing
+    else try v.toInt catch { case _: NumberFormatException => Missing }
+  }
+
+  /** AD ("ref,alt1,alt2,…") component at allele index `allele`. */
+  private def adAt(sample: Vector[String], ix: Int, allele: Int): Int = {
+    val v = fmtAt(sample, ix)
+    if (v.isEmpty || v == ".") Missing
+    else {
+      val parts = v.split(',')
+      if (allele >= parts.length || parts(allele) == ".") Missing
+      else try parts(allele).toInt catch { case _: NumberFormatException => Missing }
+    }
+  }
 
   /** One decomposed variant row per (record, alt). */
   private def variantRows(h: Header, specs: Seq[FieldSpec], rec: Record): Seq[Row] = {
     val gtIx = rec.formatKeys.indexOf("GT")
+    val dpIx = rec.formatKeys.indexOf("DP")
+    val gqIx = rec.formatKeys.indexOf("GQ")
+    val adIx = rec.formatKeys.indexOf("AD")
+    // Per-sample, alt-independent arrays computed once per record.
+    val gts: Seq[String] =
+      if (gtIx < 0) Seq.empty else rec.genotypes.map(s => fmtAt(s, gtIx))
+    val depths: Seq[Int] = rec.genotypes.map(s => fmtInt(s, dpIx))
+    val quals: Seq[Int] = rec.genotypes.map(s => fmtInt(s, gqIx))
+    val refDepths: Seq[Int] = rec.genotypes.map(s => adAt(s, adIx, 0))
     rec.alts.zipWithIndex.map { case (alt, i0) =>
       val altIx = i0 + 1
       val gtTypes: Seq[Int] =
         if (gtIx < 0) Seq.empty
         else rec.genotypes.map(s => gtType(s(gtIx), altIx))
+      val altDepths: Seq[Int] = rec.genotypes.map(s => adAt(s, adIx, altIx))
       val st = gtStats(gtTypes)
       val infoVals = specs.map(s => infoValue(s, rec.info.get(s.id), altIx))
       Row.fromSeq(
         Seq(rec.chrom, rec.pos, rec.id.orNull, rec.ref, alt,
           rec.qual.map(Double.box).orNull, rec.filter.orNull) ++ infoVals ++
           Seq(st.callRate, st.aaf, st.numHomRef, st.numHet, st.numHomAlt,
-            st.numUnknown, gtTypes))
+            st.numUnknown, gtTypes, gts, depths, refDepths, altDepths, quals))
     }
   }
 
@@ -182,14 +227,28 @@ object VcfReader {
   }
 
   /** Reads a VCF file path: header via a driver-side bounded read of the
-    * `#`-prefix, body as a distributed text scan.
+    * `#`-prefix (through Hadoop FileSystem + transparent gunzip, the same
+    * path the DSv2 source uses — spark.read.textFile decompresses `.gz`
+    * bodies, so the header read must too or a compressed input would
+    * silently parse garbage header bytes into an empty schema), body as
+    * a distributed text scan.
     */
   def fromPath(spark: SparkSession, path: String): (Header, DataFrame, DataFrame) = {
     import spark.implicits._
-    val src = scala.io.Source.fromFile(path)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      hp.toUri, spark.sessionState.newHadoopConf())
+    val in = fs.open(hp)
     val headerLines =
-      try src.getLines().takeWhile(_.startsWith("#")).toVector
-      finally src.close()
+      try {
+        val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+          VcfIo.maybeGunzip(path, in), "UTF-8"))
+        Iterator.continually(reader.readLine())
+          .takeWhile(l => l != null && l.startsWith("#"))
+          .toVector
+      } finally in.close()
+    require(headerLines.exists(_.startsWith("#CHROM")),
+      s"$path: no #CHROM header line — not a VCF (or header not at file start)")
     val h = parseHeader(headerLines)
     val body = spark.read.textFile(path)
     (h, variants(h, body), impacts(h, body))

@@ -20,6 +20,27 @@ class KernelsSpec extends AnyFunSuite {
     assert(Kernels.zlibPackInts(in).length < 200)
   }
 
+  test("zlib string pack/unpack round-trips (gts blobs)") {
+    val gts = Seq("0/1", "0/0", "./.", "1|2", "", "0/1")
+    val packed = Kernels.zlibPackStrings(toks(gts: _*))
+    val out = Kernels.zlibUnpackStrings(packed)
+    assert((0 until out.numElements()).map(i => out.getUTF8String(i).toString) == gts)
+    // empty array round-trips to empty
+    assert(Kernels.zlibUnpackStrings(Kernels.zlibPackStrings(toks())).numElements() == 0)
+  }
+
+  test("zlib unpack rejects corrupt blobs instead of spinning") {
+    // truncated stream: valid header, body cut off
+    val full = Kernels.zlibPackInts(new GenericArrayData(Array.tabulate[Any](1000)(identity)))
+    val truncated = java.util.Arrays.copyOf(full, full.length / 2)
+    intercept[java.util.zip.DataFormatException](Kernels.zlibUnpackInts(truncated))
+    // crafted FDICT header (CMF=0x78, FLG=0x20: FDICT set, checksum valid):
+    // Inflater reports needsDictionary with input remaining — must throw,
+    // not loop forever inside an executor task
+    val fdict = Array[Byte](0x78, 0x20, 1, 2, 3, 4, 0, 0, 0, 0)
+    intercept[java.util.zip.DataFormatException](Kernels.zlibUnpackInts(fdict))
+  }
+
   private def toks(ws: String*) =
     new GenericArrayData(ws.map(w => UTF8String.fromString(w)).toArray[Any])
 

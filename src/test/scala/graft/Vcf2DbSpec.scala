@@ -37,9 +37,29 @@ class Vcf2DbSpec extends SparkSpec {
     assert(samples.count() == 4)
     assert(samples.columns.contains("sample_id"))
     val header = GraftDb.vcfHeader(spark, out)
-    assert(header.count() == 9)
+    assert(header.count() == 11)
     assert(header.orderBy("line_no").head().getAs[String]("line") ==
       "##fileformat=VCFv4.2")
+
+    // genotype blobs: the stored variants table carries the reference's
+    // six packed blob columns; expandGenotypes round-trips them to the
+    // reader's typed arrays
+    import org.apache.spark.sql.types.BinaryType
+    val blobCols = Seq("gt_types", "gts", "gt_depths", "gt_ref_depths",
+      "gt_alt_depths", "gt_quals")
+    blobCols.foreach { c =>
+      assert(variants.schema(c).dataType == BinaryType, s"$c should be a blob")
+    }
+    def seqOf[T](r: org.apache.spark.sql.Row, c: String): Seq[T] =
+      r.getAs[scala.collection.Seq[T]](c).toSeq
+    val expanded = GraftDb.expandGenotypes(spark, out)
+    val e100 = expanded.filter("pos = 100").head()
+    assert(seqOf[Int](e100, "gt_types") == Seq(1, 0, 0, 3))
+    assert(seqOf[Int](e100, "gt_depths") == Seq(10, 12, 9, 7))
+    assert(seqOf[String](e100, "gts") == Seq("0/1", "0/0", "0/0", "1/1"))
+    val e300 = expanded.filter("pos = 300 AND alt = 'A'").head()
+    assert(seqOf[Int](e300, "gt_depths") == Seq(-1, -1, -1, -1))
+    assert(seqOf[String](e300, "gts") == Seq("1/2", "0/1", "2/2", "0/0"))
   }
 
   test("streaming dedup: dropDuplicatesWithinWatermark on event ids") {

@@ -25,6 +25,28 @@ class VcfReaderSpec extends SparkSpec {
     assert(rows(4).isNullAt(rows(4).fieldIndex("dp")))
   }
 
+  test("fixture variants: full FORMAT arrays (DP/GQ/AD + gts)") {
+    val (_, variants, _) = VcfReader.fromLines(spark, VcfFixture.lines)
+    val rows = variants.orderBy("chrom", "pos", "alt").collect()
+    def ints(r: org.apache.spark.sql.Row, c: String): Seq[Int] =
+      r.getAs[scala.collection.Seq[Int]](c).toSeq
+    def strs(r: org.apache.spark.sql.Row, c: String): Seq[String] =
+      r.getAs[scala.collection.Seq[String]](c).toSeq
+    val r0 = rows(0) // 1:100 A>G, GT:DP:GQ:AD
+    assert(strs(r0, "gts") == Seq("0/1", "0/0", "0/0", "1/1"))
+    assert(ints(r0, "gt_depths") == Seq(10, 12, 9, 7))
+    assert(ints(r0, "gt_quals") == Seq(99, 80, 50, 20))
+    assert(ints(r0, "gt_ref_depths") == Seq(5, 12, 9, 0))
+    assert(ints(r0, "gt_alt_depths") == Seq(5, 0, 0, 7))
+    val r1 = rows(1) // 1:200 C>T — GQ '.' for uncalled samples → -1
+    assert(ints(r1, "gt_quals") == Seq(45, 60, -1, -1))
+    // GT-only records: numeric arrays are all missing, gts still carried
+    val r2 = rows(2) // 2:300 G>A
+    assert(strs(r2, "gts") == Seq("1/2", "0/1", "2/2", "0/0"))
+    assert(ints(r2, "gt_depths") == Seq(-1, -1, -1, -1))
+    assert(ints(r2, "gt_alt_depths") == Seq(-1, -1, -1, -1))
+  }
+
   test("fixture impacts: CSQ expansion with severity") {
     val (_, _, impacts) = VcfReader.fromLines(spark, VcfFixture.lines)
     val rows = impacts.orderBy("chrom", "pos", "alt", "severity_rank").collect()
@@ -53,7 +75,7 @@ class VcfReaderSpec extends SparkSpec {
 
   test("vcf_header raw lines preserved (reference's vcf_header table)") {
     val (h, _, _) = VcfReader.fromLines(spark, VcfFixture.lines)
-    assert(h.rawLines.size == 9)
+    assert(h.rawLines.size == 11)
     assert(h.rawLines.head == "##fileformat=VCFv4.2")
   }
 }

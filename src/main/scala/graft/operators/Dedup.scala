@@ -90,16 +90,33 @@ object Dedup {
     * confirmed by full Hamming distance ≤ 12.
     */
   def d03(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    import s.implicits._
+    d03Pairs(s, T(s, dir, "documents").select($"doc_id", $"text"))
+  }
+
+  /** d03 core over any (doc_id, text) corpus — factored out so the
+    * adversarial-skew test can feed a degenerate corpus directly.
+    */
+  def d03Pairs(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     GraftFunctions.register(s)
-    val sh = T(s, dir, "documents")
-      .select($"doc_id", expr("simhash64(split(text, ' '))").as("sh"))
+    val sh = docs.select($"doc_id", expr("simhash64(split(text, ' '))").as("sh"))
     val chunks = sh
       .select($"doc_id", $"sh", explode(expr("sequence(0, 3)")).as("c"))
       .withColumn("chunk", expr("(sh >> (c * 16)) & 65535"))
       .select($"doc_id", $"sh", $"c", $"chunk")
-    chunks.as("a")
-      .join(chunks.as("b"),
+    // bucket-size cap (same rationale as d02): a boilerplate-heavy
+    // corpus can pile a million docs into one 16-bit chunk bucket —
+    // without the cap the pair join below goes quadratic on that one
+    // shuffle key; such buckets carry no discriminating signal and
+    // their members are exact-dedup candidates (d01) anyway
+    val keep = chunks.groupBy($"c", $"chunk")
+      .agg(count(lit(1)).as("bsz")).filter($"bsz" <= 50)
+      .select($"c", $"chunk")
+    val capped = chunks.join(keep, Seq("c", "chunk"))
+    capped.as("a")
+      .join(capped.as("b"),
         $"a.c" === $"b.c" && $"a.chunk" === $"b.chunk" &&
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
@@ -149,21 +166,58 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  private def dotExpr(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0e0, (acc, v) -> acc + v)"
+
   /** d05: embedding-cosine near-dup pairs — the semantic-dedup stage of
-    * a training-data pipeline. Exact pairwise form here (oracle-
-    * checkable; the corpus-side table is broadcast); at 100 TB the
-    * candidate generation swaps to the Similarity LSH/IVF blocking
-    * (s02/s03) with this same exact-cosine confirm inside buckets.
+    * a training-data pipeline. Candidate generation is s02's random-
+    * hyperplane blocking (pairs whose 8-bit sign buckets differ in ≤1
+    * bit, realized as an EQUI-join on probed buckets — never an
+    * all-pairs nested loop), exact cosine confirms within candidates.
+    * The DuckDB oracle re-derives the identical buckets from the same
+    * hyperplane values (embedded as SQL literals), so the blocked
+    * semantics stay hash-verified end to end. A pair matches at most
+    * one probe (p = bucket_a XOR bucket_b is unique), so no distinct
+    * is needed and nothing double-counts.
+    *
+    * Recall/cost dial: Hamming ≤ 1 costs a 9× expansion of one side and
+    * has high recall at real near-dup thresholds (τ ≥ ~0.85, where sign
+    * bits mostly agree); at the loose τ=0.45 used here (the synthetic
+    * corpus has no stronger pairs — max exact cosine ≈ 0.51) it is a
+    * deliberate cost-bounded subset, measured in DedupQualitySpec.
+    * Widen `probes` to Hamming ≤ 2 (37 probes) for more recall, or use
+    * [[d05Exact]] when the corpus is small enough to broadcast.
     */
   def d05(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val dot = (a: String, b: String) =>
-      s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0e0, (acc, v) -> acc + v)"
+    val e = T(s, dir, "embeddings")
+      .select($"vec_id", $"embedding", Similarity.bucketCol("embedding").as("bucket"))
+    val probes = 0 +: (0 until Similarity.NPlanes).map(1 << _)
+    val probed = e
+      .withColumn("probe", explode(typedLit(probes)))
+      .select($"vec_id", $"embedding", expr("bucket ^ probe").as("jbucket"))
+    probed.as("a")
+      .join(e.as("b"), $"a.jbucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
+      .withColumn("cos", expr(
+        s"${dotExpr("a.embedding", "b.embedding")} / sqrt(${dotExpr("a.embedding", "a.embedding")} * ${dotExpr("b.embedding", "b.embedding")})"))
+      .filter($"cos" >= 0.45)
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        expr("round(cos, 6)").as("cos"))
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  /** Exact all-pairs variant (the d05 semantics WITHOUT blocking) —
+    * kept for recall measurement in tests and small-corpus use; its
+    * broadcast nested-loop shape is the reason it is NOT the declared
+    * query.
+    */
+  def d05Exact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val e = T(s, dir, "embeddings").select($"vec_id", $"embedding")
     e.as("a")
       .join(broadcast(e.as("b")), $"a.vec_id" < $"b.vec_id")
       .withColumn("cos", expr(
-        s"${dot("a.embedding", "b.embedding")} / sqrt(${dot("a.embedding", "a.embedding")} * ${dot("b.embedding", "b.embedding")})"))
+        s"${dotExpr("a.embedding", "b.embedding")} / sqrt(${dotExpr("a.embedding", "a.embedding")} * ${dotExpr("b.embedding", "b.embedding")})"))
       .filter($"cos" >= 0.45)
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
         expr("round(cos, 6)").as("cos"))
@@ -176,15 +230,34 @@ object Dedup {
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     // d02_dedup_minhash, d03_dedup_simhash: rows-only (xxhash64/simhash
     // are Spark-native hashes with no DuckDB equivalent)
-    "d05_dedup_embedding" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  list_inner_product(a.v, b.v) /
-        |    sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v)) AS cos
-        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
-        |SELECT vec_a, vec_b, round(cos, 6) AS cos
-        |FROM pairs WHERE cos >= 0.45
-        |ORDER BY vec_a, vec_b""".stripMargin,
+    "d05_dedup_embedding" -> {
+      // the engine's hyperplanes as SQL literals: DuckDB recomputes the
+      // same sign buckets (list_inner_product is the same sequential
+      // double fold as the Spark-side aggregate/zip_with), so the
+      // blocked candidate rule is verified, not just the confirm step
+      val planeRows = (0 until Similarity.NPlanes).map { j =>
+        val arr = Similarity.plane(j, Similarity.Dims).mkString(", ")
+        s"($j, [$arr]::DOUBLE[])"
+      }.mkString(",\n ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p(j, pv) AS (VALUES
+         | $planeRows),
+         |b AS (SELECT e.vec_id,
+         |  CAST(SUM(CASE WHEN list_inner_product(e.v, p.pv) > 0 THEN (1 << p.j) ELSE 0 END) AS INTEGER) AS bucket
+         |  FROM e, p GROUP BY e.vec_id),
+         |cand AS (SELECT ba.vec_id AS vec_a, bb.vec_id AS vec_b
+         |  FROM b ba JOIN b bb ON ba.vec_id < bb.vec_id
+         |  AND bit_count(xor(ba.bucket, bb.bucket)) <= 1),
+         |pairs AS (SELECT vec_a, vec_b,
+         |  list_inner_product(ea.v, eb.v) /
+         |    sqrt(list_inner_product(ea.v, ea.v) * list_inner_product(eb.v, eb.v)) AS cos
+         |  FROM cand
+         |  JOIN e ea ON ea.vec_id = vec_a
+         |  JOIN e eb ON eb.vec_id = vec_b)
+         |SELECT vec_a, vec_b, round(cos, 6) AS cos
+         |FROM pairs WHERE cos >= 0.45
+         |ORDER BY vec_a, vec_b""".stripMargin
+    },
     "d04_ngram_jaccard" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |grams AS (SELECT doc_id,

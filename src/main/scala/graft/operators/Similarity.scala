@@ -47,8 +47,10 @@ object Similarity {
 
   /** Deterministic random hyperplanes (splitmix64 → [-1, 1]); generated
     * driver-side (bytes, not data) and folded into the plan as literals.
+    * Shared with Dedup.d05's blocking (and its DuckDB oracle, which
+    * re-derives the same buckets from these values as SQL literals).
     */
-  private def plane(j: Int, dims: Int): Seq[Double] =
+  private[operators] def plane(j: Int, dims: Int): Seq[Double] =
     (0 until dims).map { d =>
       var x = (j * 64 + d + 1).toLong * 0x9e3779b97f4a7c15L
       x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
@@ -57,11 +59,11 @@ object Similarity {
       (x >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
     }
 
-  private val NPlanes = 8
-  private val Dims = 64
+  private[operators] val NPlanes = 8
+  private[operators] val Dims = 64
 
   /** Random-hyperplane sign bucket of an embedding column. */
-  private def bucketCol(emb: String): Column = {
+  private[operators] def bucketCol(emb: String): Column = {
     val bits = (0 until NPlanes).map { j =>
       val p = typedLit(plane(j, Dims))
       val d = aggregate(

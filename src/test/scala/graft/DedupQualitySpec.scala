@@ -50,4 +50,33 @@ class DedupQualitySpec extends SparkSpec {
     val recall = (strong & caught).size.toDouble / strong.size
     assert(recall >= 0.8, s"LSH recall $recall over ${strong.size} strong pairs")
   }
+
+  test("simhash bucket cap keeps adversarial corpora sub-quadratic") {
+    import spark.implicits._
+    // 1k docs sharing every chunk bucket (identical text): without the
+    // cap the self-join emits C(1000,2) = 499,500 pairs on one shuffle
+    // key; with it the degenerate buckets drop entirely
+    val boiler = (0 until 1000).map(i =>
+      (i.toLong, "the same boilerplate text repeated everywhere verbatim"))
+    assert(Dedup.d03Pairs(spark, boiler.toDF("doc_id", "text")).count() == 0)
+    // a duplicate group under the cap still pairs up fully
+    val small = (0 until 30).map(i =>
+      (i.toLong, "another duplicated body of text sitting right here"))
+    assert(Dedup.d03Pairs(spark, small.toDF("doc_id", "text")).count() == 30 * 29 / 2)
+  }
+
+  test("blocked d05 is a subset of exact pairs with identical cosines") {
+    val blocked = Dedup.queries("d05_dedup_embedding")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = Dedup.d05Exact(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(blocked.nonEmpty, "blocking surfaced no pairs")
+    // precision 1.0: every blocked pair is a true ≥τ pair, same cosine
+    blocked.foreach { case (k, cos) =>
+      assert(exact.get(k).contains(cos), s"blocked pair $k not exact-confirmed")
+    }
+    val recall = blocked.size.toDouble / exact.size
+    assert(recall >= 0.25,
+      s"d05 Hamming-1 blocking recall $recall over ${exact.size} exact pairs")
+  }
 }

@@ -10,12 +10,21 @@ class PlanInvariantSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  /** The only queries allowed a BroadcastNestedLoopJoin: their nested
+    * loop is a TINY broadcast query set against a single corpus scan —
+    * the correct exact-search shape — never corpus × corpus.
+    */
+  private val bnljAllowed = Set("s01_ann_bruteforce_topk", "s03_ann_ivf")
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plan: no cartesian product, no sort-merge join") {
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"cartesian in $name")
       assert(!plan.contains("SortMergeJoin"),
         s"non-broadcast join in $name (dims must broadcast)")
+      if (!bnljAllowed(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"all-pairs nested loop in $name (O(n²) at scale — block first)")
     }
   }
 

@@ -10,9 +10,10 @@ import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
 
 /** DataSourceV2 VCF source: `spark.read.format("vcf").load(path)`.
   *
@@ -64,10 +65,80 @@ class VcfDataSource extends TableProvider with DataSourceRegister {
       properties: JMap[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     val ps = paths(opts)
-    new VcfTable(ps, headerLines(ps.head), schema)
+    val first = headerLines(ps.head)
+    // Multi-shard cohorts must agree on the header-derived schema: the
+    // first file's header drives every reader, so a shard declaring a
+    // different INFO set would silently mis-parse. Headers are KB-sized
+    // and this runs once per table resolution, driver-side.
+    if (ps.length > 1 && opts.getBoolean("validateHeaders", true)) {
+      val want = VcfReader.variantSchema(VcfParser.parseHeader(first))
+      ps.tail.foreach { p =>
+        val got = VcfReader.variantSchema(VcfParser.parseHeader(headerLines(p)))
+        require(got == want,
+          s"VCF shard header mismatch: $p infers schema\n  $got\nbut ${ps.head} infers\n  $want" +
+            "\n(harmonize shard headers, or read shards separately; " +
+            "set option validateHeaders=false to force first-header semantics)")
+      }
+    }
+    new VcfTable(ps, first, schema)
   }
 
   override def supportsExternalMetadata(): Boolean = false
+}
+
+/** Compiled form of the pushable chrom/pos predicates — the region a
+  * GEMINI-style query touches. Conjunction-only (Spark hands the scan
+  * top-level AND legs), serializable to executors.
+  */
+private[sources] case class RegionFilter(
+    chromIn: Option[Set[String]],
+    posMin: Long,
+    posMax: Long) {
+  def accepts(chrom: String, pos: Long): Boolean =
+    chromIn.forall(_.contains(chrom)) && pos >= posMin && pos <= posMax
+  def isTrivial: Boolean =
+    chromIn.isEmpty && posMin == Long.MinValue && posMax == Long.MaxValue
+}
+
+private[sources] object RegionFilter {
+  val trivial: RegionFilter = RegionFilter(None, Long.MinValue, Long.MaxValue)
+
+  private def num(v: Any): Option[Long] = v match {
+    case i: Int => Some(i.toLong)
+    case l: Long => Some(l)
+    case _ => None
+  }
+
+  /** True for the filter shapes this source can exploit. */
+  def pushable(f: Filter): Boolean = f match {
+    case EqualTo("chrom", _: String) => true
+    case In("chrom", vs) => vs.forall(_.isInstanceOf[String])
+    case EqualTo("pos", v) => num(v).isDefined
+    case GreaterThan("pos", v) => num(v).isDefined
+    case GreaterThanOrEqual("pos", v) => num(v).isDefined
+    case LessThan("pos", v) => num(v).isDefined
+    case LessThanOrEqual("pos", v) => num(v).isDefined
+    case _ => false
+  }
+
+  def compile(filters: Seq[Filter]): RegionFilter =
+    filters.foldLeft(trivial) { (r, f) =>
+      f match {
+        case EqualTo("chrom", v: String) =>
+          r.copy(chromIn = Some(r.chromIn.fold(Set(v))(_ intersect Set(v))))
+        case In("chrom", vs) =>
+          val s = vs.collect { case v: String => v }.toSet
+          r.copy(chromIn = Some(r.chromIn.fold(s)(_ intersect s)))
+        case EqualTo("pos", v) =>
+          val x = num(v).get
+          r.copy(posMin = math.max(r.posMin, x), posMax = math.min(r.posMax, x))
+        case GreaterThan("pos", v) => r.copy(posMin = math.max(r.posMin, num(v).get + 1))
+        case GreaterThanOrEqual("pos", v) => r.copy(posMin = math.max(r.posMin, num(v).get))
+        case LessThan("pos", v) => r.copy(posMax = math.min(r.posMax, num(v).get - 1))
+        case LessThanOrEqual("pos", v) => r.copy(posMax = math.min(r.posMax, num(v).get))
+        case _ => r
+      }
+    }
 }
 
 private[sources] class VcfTable(paths: Seq[String], header: Vector[String],
@@ -79,27 +150,65 @@ private[sources] class VcfTable(paths: Seq[String], header: Vector[String],
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new VcfScanBuilder(paths, header, tableSchema,
       options.getBoolean("permissive", false),
-      options.getLong("splitSize", 128L * 1024 * 1024))
+      options.getLong("splitSize", 128L * 1024 * 1024),
+      options.getBoolean("sorted", false))
 }
 
 private[sources] class VcfScanBuilder(paths: Seq[String], header: Vector[String],
-    full: StructType, permissive: Boolean, splitSize: Long)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    full: StructType, permissive: Boolean, splitSize: Long, sorted: Boolean)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // keep the scan's column ORDER stable (subset of the full schema)
     required = StructType(full.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
 
+  /** chrom/pos predicates are pushed (split pruning + pre-parse row
+    * skip); ALL filters are also returned as residual so Spark
+    * re-evaluates them post-scan — pushdown here is a pure pruning
+    * optimization and can never change results.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(RegionFilter.pushable)
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
   override def build(): Scan =
-    new VcfScan(paths, header, full, required, permissive, splitSize)
+    new VcfScan(paths, header, full, required, permissive, splitSize, sorted,
+      RegionFilter.compile(pushed.toSeq),
+      new SerializableConfiguration(
+        SparkSession.active.sessionState.newHadoopConf()))
 }
 
 private[sources] class VcfScan(paths: Seq[String], header: Vector[String],
     full: StructType, required: StructType, permissive: Boolean,
-    splitSize: Long) extends Scan with Batch {
+    splitSize: Long, sorted: Boolean, region: RegionFilter,
+    conf: SerializableConfiguration) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def description(): String =
+    s"VcfScan pushed=$region splits=${splitSize}B sorted=$sorted"
+
+  /** First owned BODY-line (chrom, pos) of a split — the split-pruning
+    * index key. Mirrors the reader's line-ownership rule (a reader
+    * seeked past 0 discards the partial line it lands in).
+    */
+  private def firstKeyAt(fs: FileSystem, path: Path, start: Long): Option[(String, Long)] = {
+    val in = fs.open(path)
+    try {
+      if (start > 0) in.seek(start)
+      val reader = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
+      if (start > 0) reader.readLine() // partial line belongs to the previous split
+      Iterator.continually(reader.readLine())
+        .takeWhile(_ != null)
+        .find(VcfParser.isBodyLine)
+        .flatMap(VcfScan.chromPosOf)
+    } finally in.close()
+  }
 
   /** Plain-text files split into byte ranges (each reader skips the
     * partial first line and reads through the line straddling its
@@ -107,29 +216,118 @@ private[sources] class VcfScan(paths: Seq[String], header: Vector[String],
     * VCF still fans out across executors. Compressed shards stay one
     * partition each (gzip is unsplittable; bgzip cohorts parallelize
     * by shard).
+    *
+    * Split pruning: with `sorted=true` (coordinate-sorted input, the
+    * same precondition the reference inherits from vt-decompose) and a
+    * pushed chrom/pos region, each split's first (chrom, pos) key is
+    * sampled driver-side — one bounded read per split boundary, the
+    * min/max index parquet row-groups get for free — and splits whose
+    * [firstKey, nextFirstKey] range cannot intersect the region are
+    * dropped before any executor touches them. At 100 TB this is the
+    * difference between scanning one shard and three thousand.
     */
   override def planInputPartitions(): Array[InputPartition] = {
-    val conf = new org.apache.hadoop.conf.Configuration()
-    paths.flatMap { p =>
+    val all = paths.flatMap { p =>
       if (p.endsWith(".gz") || p.endsWith(".bgz"))
         Seq(VcfInputPartition(p, 0L, Long.MaxValue))
       else {
         val hp = new Path(p)
-        val len = FileSystem.get(hp.toUri, conf).getFileStatus(hp).getLen
+        val len = FileSystem.get(hp.toUri, conf.value).getFileStatus(hp).getLen
         val n = math.max(1L, (len + splitSize - 1) / splitSize)
         (0L until n).map(i =>
           VcfInputPartition(p, i * splitSize,
             if (i == n - 1) Long.MaxValue else (i + 1) * splitSize))
       }
-    }.map(x => x: InputPartition).toArray
+    }
+    val kept =
+      if (!sorted || region.isTrivial) all
+      else all.groupBy(_.path).toSeq.flatMap { case (p, splits) =>
+        if (splits.length <= 1 || p.endsWith(".gz") || p.endsWith(".bgz")) splits
+        else {
+          val hp = new Path(p)
+          val fs = FileSystem.get(hp.toUri, conf.value)
+          val ordered = splits.sortBy(_.start)
+          val keys = ordered.map(sp => firstKeyAt(fs, hp, sp.start))
+          ordered.zipWithIndex.filterNot { case (_, i) =>
+            VcfScan.prunable(region, keys(i),
+              if (i + 1 < keys.length) keys(i + 1) else None)
+          }.map(_._1)
+        }
+      }
+    kept.map(x => x: InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new VcfReaderFactory(header, full.fieldNames, required.fieldNames, permissive)
+    new VcfReaderFactory(header, full.fieldNames, required.fieldNames,
+      permissive, region, conf)
+}
+
+private[sources] object VcfScan {
+  /** Fast (chrom, pos) of a body line — substring up to the 2nd tab,
+    * no full parse. None when pos is malformed (never prune on it).
+    */
+  def chromPosOf(line: String): Option[(String, Long)] = {
+    val t1 = line.indexOf('\t')
+    if (t1 < 0) return None
+    val t2 = line.indexOf('\t', t1 + 1)
+    val posEnd = if (t2 < 0) line.length else t2
+    try Some((line.substring(0, t1), line.substring(t1 + 1, posEnd).toLong))
+    catch { case _: NumberFormatException => None }
+  }
+
+  /** Conservative split-range test: prune ONLY when the split's first
+    * key and its successor's first key share a chromosome (so, in a
+    * coordinate-sorted file, every row between them is on that
+    * chromosome with pos inside [key.pos, nextKey.pos]) and that range
+    * provably misses the region. Any unknown → keep the split.
+    */
+  def prunable(region: RegionFilter,
+      key: Option[(String, Long)], nextKey: Option[(String, Long)]): Boolean =
+    (key, nextKey) match {
+      case (Some((c1, p1)), Some((c2, p2))) if c1 == c2 =>
+        region.chromIn.exists(!_.contains(c1)) ||
+          p1 > region.posMax || p2 < region.posMin
+      case _ => false
+    }
 }
 
 private[sources] case class VcfInputPartition(path: String, start: Long, end: Long)
     extends InputPartition
+
+/** Line reader that reports the EXACT bytes each line consumed,
+  * terminator included — LF, CRLF, and lone CR all count correctly, so
+  * split-offset tracking never drifts on CRLF files (a drift of 1/line
+  * makes a split read past its end while the next split skips only one
+  * line: duplicated records at every boundary).
+  */
+private[sources] class CountingLineReader(in: java.io.InputStream) {
+  private val bin = new java.io.BufferedInputStream(in, 1 << 16)
+  /** Total bytes consumed from the stream so far (lines + terminators). */
+  var bytesConsumed: Long = 0L
+
+  def readLine(): String = {
+    val first = bin.read()
+    if (first < 0) return null
+    val buf = new java.io.ByteArrayOutputStream(256)
+    var b = first
+    var consumed = 0L
+    while (b >= 0 && b != '\n' && b != '\r') {
+      buf.write(b); consumed += 1; b = bin.read()
+    }
+    if (b >= 0) {
+      consumed += 1
+      if (b == '\r') { // CRLF counts both bytes; lone CR pushes back
+        bin.mark(1)
+        val nb = bin.read()
+        if (nb == '\n') consumed += 1 else if (nb >= 0) bin.reset()
+      }
+    }
+    bytesConsumed += consumed
+    new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  def close(): Unit = bin.close()
+}
 
 private[sources] object VcfIo {
   /** Transparent decompression for gzip/bgzip shards (`.vcf.gz`,
@@ -145,17 +343,20 @@ private[sources] object VcfIo {
 }
 
 private[sources] class VcfReaderFactory(headerLines: Vector[String],
-    fullNames: Array[String], requiredNames: Array[String], permissive: Boolean)
+    fullNames: Array[String], requiredNames: Array[String], permissive: Boolean,
+    region: RegionFilter, conf: SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[VcfInputPartition]
-    new VcfPartitionReader(p, headerLines, fullNames, requiredNames, permissive)
+    new VcfPartitionReader(p, headerLines, fullNames, requiredNames,
+      permissive, region, conf)
   }
 }
 
 private[sources] class VcfPartitionReader(part: VcfInputPartition,
     headerLines: Vector[String],
-    fullNames: Array[String], requiredNames: Array[String], permissive: Boolean)
+    fullNames: Array[String], requiredNames: Array[String], permissive: Boolean,
+    region: RegionFilter, conf: SerializableConfiguration)
     extends PartitionReader[InternalRow] {
 
   private val path = part.path
@@ -170,15 +371,15 @@ private[sources] class VcfPartitionReader(part: VcfInputPartition,
 
   private val stream = {
     val hp = new Path(path)
-    val fs = FileSystem.get(hp.toUri, new org.apache.hadoop.conf.Configuration())
+    val fs = FileSystem.get(hp.toUri, conf.value)
     val raw = fs.open(hp)
     if (part.start > 0) raw.seek(part.start)
-    new java.io.BufferedReader(new java.io.InputStreamReader(
-      VcfIo.maybeGunzip(path, raw), "UTF-8"))
+    new CountingLineReader(VcfIo.maybeGunzip(path, raw))
   }
 
-  // byte offset (within the file) of the NEXT line to be read
-  private var pos: Long = part.start
+  // byte offset (within the file) of the NEXT line to be read —
+  // exact, because CountingLineReader reports terminator bytes
+  private def pos: Long = part.start + stream.bytesConsumed
   private var primed = part.start == 0
   private var pending: Iterator[InternalRow] = Iterator.empty
   private var current: InternalRow = _
@@ -189,17 +390,14 @@ private[sources] class VcfPartitionReader(part: VcfInputPartition,
     */
   private def nextOwnedLine(): String = {
     if (!primed) {
-      val skipped = stream.readLine()
-      if (skipped != null) pos += skipped.getBytes("UTF-8").length + 1
+      stream.readLine() // partial line — belongs to the previous split
       primed = true
     }
     // a line STARTING at exactly `end` still belongs to this split (the
     // next reader unconditionally discards its first line) — stop only
     // strictly past end, per the Hadoop text-split contract
     if (pos > part.end) return null
-    val line = stream.readLine()
-    if (line != null) pos += line.getBytes("UTF-8").length + 1
-    line
+    stream.readLine()
   }
 
   private def rowsOf(line: String): Iterator[InternalRow] = {
@@ -214,11 +412,22 @@ private[sources] class VcfPartitionReader(part: VcfInputPartition,
     }
   }
 
+  /** Pre-parse region skip: chrom/pos live in the first two tab fields,
+    * so a pushed region filter rejects non-matching lines on a substring
+    * compare — the full INFO/FORMAT parse (the expensive part) never
+    * runs for them. Lines whose chrom/pos cannot be read fall through to
+    * the parser (never silently dropped by pushdown).
+    */
+  private def regionAccepts(line: String): Boolean =
+    region.isTrivial || VcfScan.chromPosOf(line).forall {
+      case (c, p) => region.accepts(c, p)
+    }
+
   override def next(): Boolean = {
     while (!pending.hasNext) {
       val line = nextOwnedLine()
       if (line == null) return false
-      if (VcfParser.isBodyLine(line)) pending = rowsOf(line)
+      if (VcfParser.isBodyLine(line) && regionAccepts(line)) pending = rowsOf(line)
     }
     current = pending.next()
     true

@@ -144,6 +144,118 @@ class VcfGzipSpec extends SparkSpec {
   }
 }
 
+/** chrom/pos filter pushdown: pushed predicates prune byte-range splits
+  * on coordinate-sorted input (driver samples each split's first key —
+  * the min/max index parquet row-groups get for free) and skip rows
+  * before the expensive INFO/FORMAT parse on every input.
+  */
+class VcfPushdownSpec extends SparkSpec {
+  import java.nio.file.Files
+
+  // sorted two-chromosome file: chrom 1 pos 3..12000, chrom 2 pos 3..12000
+  private lazy val sortedPath: String = {
+    val sb = new StringBuilder
+    sb ++= "##fileformat=VCFv4.2\n"
+    sb ++= "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"Depth\">\n"
+    sb ++= "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1\n"
+    for (c <- Seq("1", "2"); i <- 1 to 4000)
+      sb ++= s"$c\t${i * 3}\t.\tA\tG\t.\tPASS\tDP=$i\tGT\t0/1\n"
+    val f = Files.createTempDirectory("vcfpush").resolve("sorted.vcf")
+    Files.writeString(f, sb.toString)
+    f.toString
+  }
+
+  private def read(sorted: Boolean) = spark.read.format("vcf")
+    .option("splitSize", "8192").option("sorted", sorted.toString)
+    .load(sortedPath)
+
+  test("pos-range query prunes splits on sorted input") {
+    val df = read(sorted = true)
+    val allParts = df.rdd.getNumPartitions
+    assert(allParts > 10, s"expected many splits, got $allParts")
+    val q = df.filter("chrom = '1' AND pos >= 600 AND pos <= 900")
+    val qParts = q.rdd.getNumPartitions
+    assert(qParts < allParts / 2,
+      s"pruning ineffective: $qParts of $allParts partitions survive")
+    assert(q.count() == 101) // pos = 3i in [600, 900] → i in [200, 300]
+  }
+
+  test("chrom-equality query prunes the other chromosome's splits") {
+    val df = read(sorted = true)
+    val allParts = df.rdd.getNumPartitions
+    val q = df.filter("chrom = '2'")
+    assert(q.rdd.getNumPartitions < allParts)
+    assert(q.count() == 4000)
+  }
+
+  test("pushed filters are reported on the scan") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val q = read(sorted = true).filter("chrom = '1' AND pos <= 900")
+    val scan = q.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }.head
+    assert(scan.description().contains("RegionFilter"),
+      s"scan does not report pushdown: ${scan.description()}")
+  }
+
+  test("unsorted mode: no pruning, but results still correct via row skip") {
+    val q = read(sorted = false).filter("chrom = '1' AND pos >= 600 AND pos <= 900")
+    assert(q.count() == 101)
+    // pruning disabled: every split survives
+    assert(q.rdd.getNumPartitions == read(sorted = false).rdd.getNumPartitions)
+  }
+}
+
+/** CRLF line termination: byte-offset tracking counts the actual
+  * terminator bytes, so split ownership stays exact (a 1-byte/line
+  * drift duplicates records at split boundaries).
+  */
+class VcfCrlfSpec extends SparkSpec {
+  import java.nio.file.Files
+
+  test("CRLF file split-reads every record exactly once") {
+    val lines = Vector(
+      "##fileformat=VCFv4.2",
+      "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"Depth\">",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1") ++
+      (1 to 3000).map(i => s"${1 + i % 3}\t${i * 2}\t.\tA\tG\t.\tPASS\tDP=$i\tGT\t0/1")
+    val f = Files.createTempDirectory("vcfcrlf").resolve("crlf.vcf")
+    Files.writeString(f, lines.mkString("\r\n") + "\r\n")
+    val split = spark.read.format("vcf")
+      .option("splitSize", "4096").load(f.toString)
+    assert(split.rdd.getNumPartitions > 5)
+    assert(split.count() == 3000) // duplicated boundary records would inflate this
+    assert(split.select("pos").distinct().count() == 3000)
+  }
+}
+
+/** Multi-shard header consistency: a shard declaring a different INFO
+  * set must fail loudly, not silently inherit the first shard's schema.
+  */
+class VcfHeaderGuardSpec extends SparkSpec {
+  import java.nio.file.Files
+  import graft.operators.Etl.VcfFixture
+
+  test("conflicting shard headers raise a clear error") {
+    val dir = Files.createTempDirectory("vcfhdr")
+    Files.writeString(dir.resolve("a.vcf"), VcfFixture.lines.mkString("\n") + "\n")
+    val other = Vector(
+      "##fileformat=VCFv4.2",
+      "##INFO=<ID=SOMETHING_ELSE,Number=1,Type=Float,Description=\"x\">",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO",
+      "1\t100\t.\tA\tG\t.\t.\tSOMETHING_ELSE=1.5")
+    Files.writeString(dir.resolve("b.vcf"), other.mkString("\n") + "\n")
+    val err = intercept[IllegalArgumentException] {
+      spark.read.format("vcf").load(dir.toString)
+    }
+    assert(err.getMessage.contains("header mismatch"))
+    // escape hatch: first-header semantics on request
+    val forced = spark.read.format("vcf")
+      .option("validateHeaders", "false").load(dir.toString)
+    assert(forced.columns.contains("dp"))
+  }
+}
+
 /** Byte-range splitting: one big plain-text VCF fans out over multiple
   * partitions with exact once-each line ownership.
   */

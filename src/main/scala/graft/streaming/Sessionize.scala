@@ -30,23 +30,42 @@ object Sessionize {
 
   val GapMs: Long = 30L * 60L * 1000L
 
+  /** How long (event time) a user's session COUNTER outlives their last
+    * session. When the gap timeout closes a session the state is not
+    * removed but downgraded to a tombstone (n_events = 0) carrying the
+    * last session_id, so the next session numbers monotonically —
+    * matching batch st02 — instead of restarting at 1 and making
+    * (user_id, session_id) non-unique. The tombstone itself expires
+    * after this TTL (bounded state: counters of long-gone users are
+    * dropped; only a user returning after >24h restarts numbering).
+    */
+  val CounterTtlMs: Long = 24L * 60L * 60L * 1000L
+
   private def close(user: Long, s: SessState): Session =
     Session(user, s.session_id, s.n_events, s.t_start, s.t_end)
 
   private def step(user: Long, events: Iterator[Event],
       state: GroupState[SessState]): Iterator[Session] = {
     if (state.hasTimedOut) {
-      val out = state.getOption.map(close(user, _))
-      state.remove()
-      out.iterator
+      state.getOption match {
+        case Some(s) if s.n_events > 0 => // gap elapsed: close, keep counter
+          state.update(SessState(s.session_id, 0L, s.t_end, s.t_end))
+          state.setTimeoutTimestamp(s.t_end.getTime + CounterTtlMs)
+          Iterator.single(close(user, s))
+        case _ => // tombstone TTL elapsed: forget the counter entirely
+          state.remove()
+          Iterator.empty
+      }
     } else {
       val sorted = events.toVector.sortBy(e => (e.ts.getTime, e.event_id))
-      var cur = state.getOption
+      // a tombstone (n_events == 0) is "no open session, counter = id"
+      var cur = state.getOption.filter(_.n_events > 0)
+      var nextId = state.getOption.map(_.session_id + 1).getOrElse(1L)
       val closed = Vector.newBuilder[Session]
       sorted.foreach { e =>
         cur match {
           case None =>
-            cur = Some(SessState(1L, 1L, e.ts, e.ts))
+            cur = Some(SessState(nextId, 1L, e.ts, e.ts))
           case Some(c) if e.ts.getTime - c.t_end.getTime > GapMs =>
             closed += close(user, c)
             cur = Some(SessState(c.session_id + 1, 1L, e.ts, e.ts))

@@ -41,6 +41,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session numbering stays monotonic across a timeout-closed session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Sessionize.sessions(
+      input.toDS().withWatermark("ts", "1 minute")).writeStream
+      .format("memory").queryName("sessions_mono")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      input.addData(Event(1, ts(0), 1, "view"), Event(2, ts(0), 2, "view"))
+      q.processAllAvailable()
+      input.addData(Event(3, ts(240), 2, "view")) // watermark → user 1's gap elapses
+      q.processAllAvailable()
+      input.addData(Event(4, ts(241), 2, "view")) // flush the timed-out session
+      q.processAllAvailable()
+      // user 1 returns AFTER their session was closed by timeout (well
+      // within the counter TTL): the tombstone keeps numbering monotonic
+      input.addData(Event(5, ts(250), 1, "view"))
+      q.processAllAvailable()
+      input.addData(Event(6, ts(600), 2, "view"))
+      q.processAllAvailable()
+      input.addData(Event(7, ts(601), 2, "view")) // flush again
+      q.processAllAvailable()
+      val u1 = spark.table("sessions_mono").as[Session].collect()
+        .filter(_.user_id == 1).sortBy(_.session_id)
+      assert(u1.map(_.session_id).toSeq == Seq(1L, 2L),
+        s"expected monotonic ids, got ${u1.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming session semantics match the batch st02 operator") {
     import spark.implicits._
     // batch path over the same tiny event set

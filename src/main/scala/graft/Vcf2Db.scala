@@ -47,30 +47,49 @@ object Vcf2Db {
       .drop("i_chrom", "i_pos", "i_ref", "i_alt")
   }
 
+  private val intArrayCols =
+    Seq("gt_types", "gt_depths", "gt_ref_depths", "gt_alt_depths", "gt_quals")
+
   /** The reference's six per-sample genotype blob columns: each typed
-    * array zlib-packed per row (codegen Catalyst expressions, packing
+    * array compressed per row (codegen Catalyst expressions, packing
     * happens executor-side after the reader — never on the driver).
+    * `codec` = "zlib" (reference default) or "snappy" (its later
+    * versions; ~3× faster pack at a modest ratio cost — the 100 TB
+    * default). The string-array `gts` column always packs zlib.
     * Read them back with `GraftDb.expandGenotypes`.
     */
-  def packGenotypeBlobs(variants: DataFrame): DataFrame = {
-    Seq("gt_types", "gt_depths", "gt_ref_depths", "gt_alt_depths", "gt_quals")
+  def packGenotypeBlobs(variants: DataFrame, codec: String = "zlib"): DataFrame = {
+    require(codec == "zlib" || codec == "snappy", s"unknown blob codec: $codec")
+    intArrayCols
       .filter(variants.columns.contains)
-      .foldLeft(variants)((df, c) => df.withColumn(c, expr(s"zlib_pack($c)")))
+      .foldLeft(variants)((df, c) => df.withColumn(c, expr(s"${codec}_pack($c)")))
       .transform(df =>
         if (df.columns.contains("gts")) df.withColumn("gts", expr("zlib_pack_str(gts)"))
         else df)
   }
 
   def run(spark: SparkSession, vcfPath: String, pedPath: Option[String],
-      outDir: String, writerPartitions: Int = 8): Unit = {
+      outDir: String, writerPartitions: Int = 8,
+      expand: Seq[String] = Nil, blobCodec: String = "zlib"): Unit = {
     import spark.implicits._
     GraftFunctions.register(spark)
     val (header, variants, impacts) = VcfReader.fromPath(spark, vcfPath)
 
-    val variantsOut = packGenotypeBlobs(header.annKey match {
+    val denorm = header.annKey match {
       case Some(_) => denormalizeWorstImpact(variants, impacts)
       case None => variants
-    })
+    }
+    // the reference's --expand flag: selected per-sample arrays ALSO
+    // materialize as one typed column per sample (gt-filter queries hit
+    // plain columns, no blob decode), named <field>_<sample>
+    val expanded = expand.filter(denorm.columns.contains).foldLeft(denorm) {
+      (df, f) =>
+        header.samples.zipWithIndex.foldLeft(df) { case (d, (name, i)) =>
+          d.withColumn(s"${f}_${graft.sources.VcfParser.sanitize(name)}",
+            col(f).getItem(i))
+        }
+    }
+    val variantsOut = packGenotypeBlobs(expanded, blobCodec)
     DbSink.writeParquet(variantsOut, s"$outDir/variants", writerPartitions)
     if (header.annKey.isDefined)
       DbSink.writeParquet(impacts, s"$outDir/variant_impacts", writerPartitions)
@@ -101,13 +120,15 @@ object GraftDb {
     spark.read.parquet(s"$dir/variants")
 
   /** Variants with the six genotype blobs unpacked back to typed arrays
-    * (the reference's `--expand` read path).
+    * (the reference's `--expand` read path). `codec` must match the one
+    * the table was written with.
     */
-  def expandGenotypes(spark: SparkSession, dir: String): DataFrame = {
+  def expandGenotypes(spark: SparkSession, dir: String,
+      codec: String = "zlib"): DataFrame = {
     GraftFunctions.register(spark)
     Seq("gt_types", "gt_depths", "gt_ref_depths", "gt_alt_depths", "gt_quals")
       .foldLeft(variants(spark, dir))((df, c) =>
-        if (df.columns.contains(c)) df.withColumn(c, expr(s"zlib_unpack($c)")) else df)
+        if (df.columns.contains(c)) df.withColumn(c, expr(s"${codec}_unpack($c)")) else df)
       .transform(df =>
         if (df.columns.contains("gts")) df.withColumn("gts", expr("zlib_unpack_str(gts)"))
         else df)

@@ -117,6 +117,30 @@ object Kernels {
     new GenericArrayData(parts.toArray)
   }
 
+  /** array<int> → snappy(LE int32 bytes) — the codec later reference
+    * versions use; ~3× faster than zlib at a modest ratio cost, the
+    * right default for hot genotype blobs.
+    */
+  def snappyPackInts(arr: ArrayData): Array[Byte] = {
+    val n = arr.numElements()
+    val raw = java.nio.ByteBuffer.allocate(4 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < n) { raw.putInt(arr.getInt(i)); i += 1 }
+    org.xerial.snappy.Snappy.compress(raw.array())
+  }
+
+  /** snappy blob → array<int> (round-trip of snappyPackInts). */
+  def snappyUnpackInts(blob: Array[Byte]): ArrayData = {
+    val bytes = java.nio.ByteBuffer
+      .wrap(org.xerial.snappy.Snappy.uncompress(blob))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ints = new Array[Any](bytes.remaining() / 4)
+    var i = 0
+    while (i < ints.length) { ints(i) = bytes.getInt(); i += 1 }
+    new GenericArrayData(ints)
+  }
+
   private def fnv64(s: UTF8String): Long = {
     // FNV-1a over UTF-8 bytes: tiny, allocation-free, stable across JVMs.
     var h = 0xcbf29ce484222325L
@@ -229,6 +253,28 @@ case class ZlibUnpackStr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `snappy_pack(array<int>) → binary` */
+case class SnappyPack(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.snappyPackInts(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.snappyPackInts($c)")
+  override protected def withNewChildInternal(newChild: Expression): SnappyPack =
+    copy(child = newChild)
+}
+
+/** `snappy_unpack(binary) → array<int>` */
+case class SnappyUnpack(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType)
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.snappyUnpackInts(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.snappyUnpackInts($c)")
+  override protected def withNewChildInternal(newChild: Expression): SnappyUnpack =
+    copy(child = newChild)
+}
+
 /** `simhash64(array<string>) → bigint` */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -264,6 +310,8 @@ object GraftFunctions {
     add("zlib_unpack", es => ZlibUnpack(es.head))
     add("zlib_pack_str", es => ZlibPackStr(es.head))
     add("zlib_unpack_str", es => ZlibUnpackStr(es.head))
+    add("snappy_pack", es => SnappyPack(es.head))
+    add("snappy_unpack", es => SnappyUnpack(es.head))
     add("simhash64", es => SimHash64(es.head))
     add("rolling_minhash", es => RollingMinHash(es.head))
   }

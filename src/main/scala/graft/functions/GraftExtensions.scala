@@ -24,6 +24,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("zlib_unpack", classOf[ZlibUnpack],
       "zlib_unpack(binary) - inverse of zlib_pack",
       es => ZlibUnpack(es.head))
+    inject("zlib_pack_str", classOf[ZlibPackStr],
+      "zlib_pack_str(array<string>) - zlib-compressed NUL-joined strings",
+      es => ZlibPackStr(es.head))
+    inject("zlib_unpack_str", classOf[ZlibUnpackStr],
+      "zlib_unpack_str(binary) - inverse of zlib_pack_str",
+      es => ZlibUnpackStr(es.head))
+    inject("snappy_pack", classOf[SnappyPack],
+      "snappy_pack(array<int>) - snappy-compressed LE int32 bytes",
+      es => SnappyPack(es.head))
+    inject("snappy_unpack", classOf[SnappyUnpack],
+      "snappy_unpack(binary) - inverse of snappy_pack",
+      es => SnappyUnpack(es.head))
     inject("simhash64", classOf[SimHash64],
       "simhash64(array<string>) - 64-bit SimHash of a token bag",
       es => SimHash64(es.head))

@@ -34,6 +34,8 @@ object Etl {
       "##INFO=<ID=AF,Number=A,Type=Float,Description=\"Allele Frequency\">",
       "##INFO=<ID=DB,Number=0,Type=Flag,Description=\"dbSNP membership\">",
       "##INFO=<ID=TYPE,Number=1,Type=String,Description=\"Variant type\">",
+      "##INFO=<ID=ADI,Number=R,Type=Integer,Description=\"Allelic depths\">",
+      "##INFO=<ID=PL,Number=G,Type=Integer,Description=\"Genotype likelihoods\">",
       "##INFO=<ID=CSQ,Number=.,Type=String,Description=\"Consequence annotations from Ensembl VEP. Format: Allele|Consequence|SYMBOL|Gene|BIOTYPE|PolyPhen|SIFT\">",
       "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"Genotype\">",
       "##FORMAT=<ID=DP,Number=1,Type=Integer,Description=\"Read depth\">",
@@ -42,7 +44,8 @@ object Etl {
       Seq("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO",
         "FORMAT", "s1", "s2", "s3", "s4").mkString("\t"),
       Seq("1", "100", "rs1", "A", "G", "50.0", "PASS",
-        "DP=10;AF=0.25;DB;CSQ=G|missense_variant|BRCA1|ENSG1|protein_coding|0.9|0.1," +
+        "DP=10;AF=0.25;DB;ADI=30,12;PL=0,40,90;" +
+          "CSQ=G|missense_variant|BRCA1|ENSG1|protein_coding|0.9|0.1," +
           "G|intron_variant|BRCA1|ENSG1|protein_coding||",
         "GT:DP:GQ:AD", "0/1:10:99:5,5", "0/0:12:80:12,0", "0/0:9:50:9,0",
         "1/1:7:20:0,7").mkString("\t"),
@@ -51,7 +54,8 @@ object Etl {
         "GT:DP:GQ:AD", "0/1:8:45:4,4", "0/1:9:60:5,4", "./.:0:.:0,0",
         "./.:0:.:0,0").mkString("\t"),
       Seq("2", "300", "rs3", "G", "A,T", ".", "q10",
-        "DP=5;AF=0.5,0.25;CSQ=A|synonymous_variant|EGFR|ENSG3|protein_coding||," +
+        "DP=5;AF=0.5,0.25;ADI=20,8,5;PL=10,20,30,40,50,60;" +
+          "CSQ=A|synonymous_variant|EGFR|ENSG3|protein_coding||," +
           "T|frameshift_variant|EGFR|ENSG3|protein_coding||",
         "GT", "1/2", "0/1", "2/2", "0/0").mkString("\t"),
       Seq("X", "400", ".", "T", "C", "10.5", ".", "AF=0.75;TYPE=snp",
@@ -357,6 +361,21 @@ object Etl {
       .orderBy($"chrom", $"pos", $"alt")
   }
 
+  /** e16: Number=R/G INFO fields as TYPED ARRAYS with per-alt decompose
+    * semantics — R keeps [ref, this-alt], G the [0/0, 0/alt, alt/alt]
+    * diploid triple (index k(k+1)/2 + j) — where the reference degrades
+    * both to TEXT. Absent fields → NULL arrays.
+    */
+  def e16(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    VcfFixture.variants(s)
+      .select($"chrom", $"pos", $"alt",
+        $"adi".getItem(0).as("adi_ref"), $"adi".getItem(1).as("adi_alt"),
+        $"pl".getItem(0).as("pl_rr"), $"pl".getItem(1).as("pl_ra"),
+        $"pl".getItem(2).as("pl_aa"))
+      .orderBy($"chrom", $"pos", $"alt")
+  }
+
   // ----------------------------------------------------------------- oracle
 
   private val variantsSelect =
@@ -461,6 +480,19 @@ object Etl {
          |FROM ${VcfFixture.gtFormatValues}
          |GROUP BY 1, 2, 3
          |ORDER BY chrom, pos, alt""".stripMargin,
+    "e16_info_arrays" ->
+      """SELECT chrom, CAST(pos AS BIGINT) AS pos, alt,
+        | CAST(adi_ref AS INTEGER) AS adi_ref, CAST(adi_alt AS INTEGER) AS adi_alt,
+        | CAST(pl_rr AS INTEGER) AS pl_rr, CAST(pl_ra AS INTEGER) AS pl_ra,
+        | CAST(pl_aa AS INTEGER) AS pl_aa
+        |FROM (VALUES
+        | ('1', 100, 'G', 30, 12, 0, 40, 90),
+        | ('1', 200, 'T', NULL, NULL, NULL, NULL, NULL),
+        | ('2', 300, 'A', 20, 8, 10, 20, 30),
+        | ('2', 300, 'T', 20, 5, 10, 40, 60),
+        | ('X', 400, 'C', NULL, NULL, NULL, NULL, NULL)
+        |) v(chrom, pos, alt, adi_ref, adi_alt, pl_rr, pl_ra, pl_aa)
+        |ORDER BY chrom, pos, alt""".stripMargin,
     "e13_vcf_header" -> {
       val rows = VcfFixture.lines.takeWhile(_.startsWith("#")).zipWithIndex
         .map { case (l, i) => s"(${i + 1}, '${l.replace("'", "''")}')" }
@@ -488,6 +520,7 @@ object Etl {
     "e12_gt_filter" -> (e12 _),
     "e13_vcf_header" -> (e13 _),
     "e14_region_join" -> (e14 _),
-    "e15_format_arrays" -> (e15 _)
+    "e15_format_arrays" -> (e15 _),
+    "e16_info_arrays" -> (e16 _)
   )
 }

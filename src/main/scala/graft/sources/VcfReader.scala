@@ -58,7 +58,15 @@ object VcfReader {
       case "Flag" => BooleanType
       case _ => StringType
     }
-    case _ => StringType // R / G / . / >1 kept raw, like the reference's TEXT
+    // R (per-allele incl. ref), G (per-genotype), '.' and fixed >1:
+    // numeric fields become typed ARRAYS (post-decompose R keeps
+    // [ref, this-alt], G the diploid [0/0, 0/a, a/a] triple) — an
+    // upgrade over the reference, which degrades these to TEXT.
+    case _ => spec.vcfType match {
+      case "Integer" => ArrayType(IntegerType)
+      case "Float" => ArrayType(DoubleType)
+      case _ => StringType // multi-valued strings stay raw text
+    }
   }
 
   /** INFO specs that become `variants` columns (annotation key excluded —
@@ -82,7 +90,23 @@ object VcfReader {
         val x = if (altIx - 1 < parts.length) parts(altIx - 1) else "."
         scalarValue(spec, x)
       case ("1", Some(v)) => scalarValue(spec, v)
-      case (_, Some(v)) => v
+      case (_, Some(v)) =>
+        infoType(spec) match {
+          case _: ArrayType =>
+            val parts = v.split(',')
+            def at(i: Int): Any =
+              if (i < parts.length) scalarValue(spec, parts(i)) else null
+            spec.number match {
+              case "R" => Seq(at(0), at(altIx)) // ref + this alt
+              case "G" =>
+                // diploid genotype index (j,k): k(k+1)/2 + j → this
+                // alt's [0/0, 0/alt, alt/alt] triple after decompose
+                val half = altIx * (altIx + 1) / 2
+                Seq(at(0), at(half), at(half + altIx))
+              case _ => parts.toSeq.map(p => scalarValue(spec, p))
+            }
+          case _ => v
+        }
     }
 
   private def scalarValue(spec: FieldSpec, v: String): Any =

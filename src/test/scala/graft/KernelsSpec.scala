@@ -29,6 +29,12 @@ class KernelsSpec extends AnyFunSuite {
     assert(Kernels.zlibUnpackStrings(Kernels.zlibPackStrings(toks())).numElements() == 0)
   }
 
+  test("snappy pack/unpack round-trips") {
+    val in = new GenericArrayData(Array[Any](0, 1, -5, 1 << 20, Int.MaxValue))
+    val out = Kernels.snappyUnpackInts(Kernels.snappyPackInts(in))
+    assert(out.toIntArray().toSeq == Seq(0, 1, -5, 1 << 20, Int.MaxValue))
+  }
+
   test("zlib unpack rejects corrupt blobs instead of spinning") {
     // truncated stream: valid header, body cut off
     val full = Kernels.zlibPackInts(new GenericArrayData(Array.tabulate[Any](1000)(identity)))

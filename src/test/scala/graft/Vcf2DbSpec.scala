@@ -37,7 +37,7 @@ class Vcf2DbSpec extends SparkSpec {
     assert(samples.count() == 4)
     assert(samples.columns.contains("sample_id"))
     val header = GraftDb.vcfHeader(spark, out)
-    assert(header.count() == 11)
+    assert(header.count() == 13)
     assert(header.orderBy("line_no").head().getAs[String]("line") ==
       "##fileformat=VCFv4.2")
 
@@ -60,6 +60,32 @@ class Vcf2DbSpec extends SparkSpec {
     val e300 = expanded.filter("pos = 300 AND alt = 'A'").head()
     assert(seqOf[Int](e300, "gt_depths") == Seq(-1, -1, -1, -1))
     assert(seqOf[String](e300, "gts") == Seq("1/2", "0/1", "2/2", "0/0"))
+  }
+
+  test("expand flag + snappy codec: per-sample columns and blob round-trip") {
+    val dir = Files.createTempDirectory("vcf2db_exp")
+    val vcf = dir.resolve("in.vcf")
+    Files.writeString(vcf, VcfFixture.lines.mkString("\n") + "\n")
+    val out = dir.resolve("db").toString
+
+    Vcf2Db.run(spark, vcf.toString, None, out,
+      expand = Seq("gt_types", "gt_depths"), blobCodec = "snappy")
+
+    val variants = GraftDb.variants(spark, out)
+    // --expand: one typed column per (field, sample), blob still present
+    assert(variants.columns.contains("gt_types_s1"))
+    assert(variants.columns.contains("gt_depths_s4"))
+    val v100 = variants.filter("pos = 100").head()
+    assert(v100.getAs[Int]("gt_types_s1") == 1) // s1 is HET at 1:100
+    assert(v100.getAs[Int]("gt_depths_s4") == 7)
+    // snappy blobs round-trip through expandGenotypes(codec = "snappy")
+    val e100 = GraftDb.expandGenotypes(spark, out, codec = "snappy")
+      .filter("pos = 100").head()
+    def seqOf[T](r: org.apache.spark.sql.Row, c: String): Seq[T] =
+      r.getAs[scala.collection.Seq[T]](c).toSeq
+    assert(seqOf[Int](e100, "gt_types") == Seq(1, 0, 0, 3))
+    assert(seqOf[Int](e100, "gt_quals") == Seq(99, 80, 50, 20))
+    assert(seqOf[String](e100, "gts") == Seq("0/1", "0/0", "0/0", "1/1"))
   }
 
   test("streaming dedup: dropDuplicatesWithinWatermark on event ids") {

@@ -61,6 +61,24 @@ class VcfReaderSpec extends SparkSpec {
       .forall(_.getAs[String]("allele") == "A"))
   }
 
+  test("Number=R/G INFO fields become typed per-alt arrays") {
+    val (_, variants, _) = VcfReader.fromLines(spark, VcfFixture.lines)
+    val rows = variants.orderBy("chrom", "pos", "alt").collect()
+    def ints(r: org.apache.spark.sql.Row, c: String): Seq[Int] =
+      r.getAs[scala.collection.Seq[Int]](c).toSeq
+    // biallelic: R → [ref, alt], G → [0/0, 0/1, 1/1]
+    assert(ints(rows(0), "adi") == Seq(30, 12))
+    assert(ints(rows(0), "pl") == Seq(0, 40, 90))
+    // multi-allelic decompose: each alt picks ITS allele/genotype slots
+    val a = rows(2) // 2:300 G>A (altIx 1)
+    val t = rows(3) // 2:300 G>T (altIx 2)
+    assert(ints(a, "adi") == Seq(20, 8) && ints(t, "adi") == Seq(20, 5))
+    assert(ints(a, "pl") == Seq(10, 20, 30)) // G indices 0,1,2
+    assert(ints(t, "pl") == Seq(10, 40, 60)) // G indices 0,3,5
+    // absent field → NULL array, not empty
+    assert(rows(1).isNullAt(rows(1).fieldIndex("adi")))
+  }
+
   test("PED source: base + extra columns") {
     val df = PedSource.fromLines(spark, Seq(
       "#family_id sample_id paternal_id maternal_id sex phenotype ethnicity",
@@ -75,7 +93,7 @@ class VcfReaderSpec extends SparkSpec {
 
   test("vcf_header raw lines preserved (reference's vcf_header table)") {
     val (h, _, _) = VcfReader.fromLines(spark, VcfFixture.lines)
-    assert(h.rawLines.size == 11)
+    assert(h.rawLines.size == 13)
     assert(h.rawLines.head == "##fileformat=VCFv4.2")
   }
 }

@@ -104,6 +104,70 @@ class VcfRoundTripSpec extends org.scalatest.funsuite.AnyFunSuite {
     gts <- Gen.listOfN(3, gtGen)
   } yield (chrom, pos, ref, alts, dp, gts)
 
+  test("FORMAT sub-fields round-trip through decomposed reader rows") {
+    import graft.sources.VcfReader
+    val header = VcfParser.parseHeader(Seq(
+      "##fileformat=VCFv4.2",
+      "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"Depth\">",
+      "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"gt\">",
+      "##FORMAT=<ID=DP,Number=1,Type=Integer,Description=\"dp\">",
+      "##FORMAT=<ID=GQ,Number=1,Type=Integer,Description=\"gq\">",
+      "##FORMAT=<ID=AD,Number=R,Type=Integer,Description=\"ad\">",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1\ts2\ts3"))
+    val schema = VcfReader.variantSchema(header)
+    def ix(c: String) = schema.fieldIndex(c)
+
+    val optInt = Gen.oneOf(Gen.const(None), Gen.chooseNum(0, 999).map(Some(_)))
+    val sampleGen = for {
+      gt <- gtGen
+      dp <- optInt
+      gq <- optInt
+      ad <- Gen.oneOf(Gen.const(None),
+        Gen.listOfN(3, Gen.chooseNum(0, 500)).map(Some(_)))
+    } yield (gt, dp, gq, ad)
+    val recGen = for {
+      chrom <- chromGen
+      pos <- Gen.chooseNum(1L, 250000000L)
+      ref <- base
+      nAlt <- Gen.chooseNum(1, 2)
+      alts <- Gen.listOfN(nAlt, base.suchThat(_ != ref)).map(_.distinct)
+      if alts.nonEmpty
+      samples <- Gen.listOfN(3, sampleGen)
+    } yield (chrom, pos, ref, alts, samples)
+
+    def fmt(o: Option[Int]) = o.fold(".")(_.toString)
+    var seed = Seed(11L)
+    var n = 0
+    while (n < 150) {
+      recGen.apply(Gen.Parameters.default, seed).foreach {
+        case (chrom, pos, ref, alts, samples) =>
+          val cols = samples.map { case (gt, dp, gq, ad) =>
+            s"$gt:${fmt(dp)}:${fmt(gq)}:${ad.fold(".")(_.mkString(","))}"
+          }
+          val line = (Seq(chrom, pos.toString, ".", ref, alts.mkString(","),
+            ".", "PASS", "DP=5", "GT:DP:GQ:AD") ++ cols).mkString("\t")
+          val rows = VcfReader.decomposedRows(header, line)
+          assert(rows.length == alts.length)
+          rows.zipWithIndex.foreach { case (row, i) =>
+            val altIx = i + 1
+            def arr(c: String): Seq[Int] =
+              row.getSeq[Int](ix(c))
+            assert(row.getSeq[String](ix("gts")) == samples.map(_._1))
+            assert(arr("gt_depths") == samples.map(_._2.getOrElse(-1)))
+            assert(arr("gt_quals") == samples.map(_._3.getOrElse(-1)))
+            assert(arr("gt_ref_depths") ==
+              samples.map(_._4.fold(-1)(_.head)))
+            assert(arr("gt_alt_depths") ==
+              samples.map(_._4.fold(-1)(a =>
+                if (altIx < a.length) a(altIx) else -1)))
+          }
+          n += 1
+      }
+      seed = seed.next
+    }
+    assert(n == 150)
+  }
+
   test("format -> parse preserves every component") {
     var seed = Seed(7L)
     var n = 0

@@ -12,15 +12,19 @@ object Explain {
     val spark = GraftSession.build()
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
-      val plan = SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
+      val qe = SparkEntry.queries(n)(spark, dir).queryExecution
+      val plan = qe.explainString(org.apache.spark.sql.execution.FormattedMode)
+      // FormattedMode annotates codegen stages as "(N)" ids but never
+      // prints the literal operator name — check the simple plan string,
+      // where codegen'd operators carry the "*(N)" prefix
+      val codegen = qe.executedPlan.toString.contains("*(")
       println(s"\n======== $n ========")
       println(plan)
       val checks = Seq(
         "BroadcastHashJoin" -> plan.contains("BroadcastHashJoin"),
         "TakeOrderedAndProject" -> plan.contains("TakeOrderedAndProject"),
         "PushedFilters" -> "PushedFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined,
-        "WholeStageCodegen" -> plan.contains("WholeStageCodegen"),
+        "WholeStageCodegen" -> codegen,
         "SortMergeJoin" -> plan.contains("SortMergeJoin"),
         "CartesianProduct" -> plan.contains("CartesianProduct"))
       println(s"[audit] $n: " + checks.collect { case (k, true) => k }.mkString(", "))

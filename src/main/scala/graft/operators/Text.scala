@@ -143,7 +143,38 @@ object Text {
       .orderBy($"doc_id")
   }
 
+  /** t07: deterministic stratified sampling — a fixed per-source quota
+    * of documents, ordered by a content hash so the sample is stable
+    * across runs and engines (the corpus-curation "N docs per domain"
+    * step of a training-data pipeline).
+    *
+    * Scale note: one shuffle on the stratum key; if strata are huge or
+    * few (skew), pre-filter by a hash-prefix threshold chosen from
+    * stratum counts (keeps ≥ quota whp) before the window, or salt the
+    * stratum and take per-salt partial quotas — the window form here is
+    * the exact-quota reference semantics.
+    */
+  def t07(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val quota = 10
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source")
+      .orderBy(md5(concat_ws("|", $"doc_id", $"text")), $"doc_id")
+    T(s, dir, "documents")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= quota)
+      .select($"doc_id", $"source", $"rk")
+      .orderBy($"source", $"rk")
+  }
+
   val oracle: Map[String, String] = Map(
+    "t07_stratified_sample" ->
+      """SELECT doc_id, source, rk FROM (
+        | SELECT doc_id, source,
+        |  ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY md5(doc_id || '|' || text), doc_id) AS rk
+        | FROM documents)
+        |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
     "t01_lang_id" -> {
       val hitCols = stopwords
         .map { case (l, ws) => s"${hitsSql(ws)} AS h_$l" }.mkString(",\n  ")
@@ -195,6 +226,7 @@ object Text {
     "t03_token_stats" -> (t03 _),
     "t04_fingerprint" -> (t04 _),
     "t05_rolling_hash" -> (t05 _),
-    "t06_bpe_tokens" -> (t06 _)
+    "t06_bpe_tokens" -> (t06 _),
+    "t07_stratified_sample" -> (t07 _)
   )
 }

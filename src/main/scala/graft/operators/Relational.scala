@@ -213,12 +213,18 @@ object Relational {
     */
   def q11(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // one percentile(…, array(…)) aggregate, not two: each percentile
+    // call keeps its own counts-of-values buffer over the whole group —
+    // the array form shares a single buffer for both quantiles
     T(s, dir, "lineitem")
       .groupBy($"l_returnflag")
       .agg(
-        expr("round(percentile(l_extendedprice, 0.5e0), 6)").as("median_price"),
-        expr("round(percentile(l_extendedprice, 0.95e0), 6)").as("p95_price"),
+        expr("percentile(l_extendedprice, array(0.5e0, 0.95e0))").as("ps"),
         count(lit(1)).as("n_rows"))
+      .select($"l_returnflag",
+        expr("round(ps[0], 6)").as("median_price"),
+        expr("round(ps[1], 6)").as("p95_price"),
+        $"n_rows")
       .orderBy($"l_returnflag")
   }
 

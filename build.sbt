@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout straight through, UNPREFIXED — the
+// bench/verify drivers parse the one-line JSON from stdout, and sbt's
+// default logger glues "[info] " onto it, breaking line-is-JSON parsers
+// (BENCH_r01/r02: "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

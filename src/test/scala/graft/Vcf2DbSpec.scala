@@ -88,6 +88,46 @@ class Vcf2DbSpec extends SparkSpec {
     assert(seqOf[String](e100, "gts") == Seq("0/1", "0/0", "0/0", "1/1"))
   }
 
+  test("GEMINI-style query over the generated db: affected-carrier HIGH variants") {
+    val dir = Files.createTempDirectory("vcf2db_q")
+    val vcf = dir.resolve("in.vcf")
+    Files.writeString(vcf, VcfFixture.lines.mkString("\n") + "\n")
+    val ped = dir.resolve("in.ped")
+    Files.writeString(ped,
+      "#family_id sample_id paternal_id maternal_id sex phenotype\n" +
+        "fam1 s1 -9 -9 1 2\nfam1 s2 -9 -9 2 1\nfam1 s3 s1 s2 1 1\nfam1 s4 s1 s2 2 2\n")
+    val out = dir.resolve("db").toString
+    Vcf2Db.run(spark, vcf.toString, Some(ped.toString), out,
+      expand = Seq("gt_types"))
+
+    // "variants with a HIGH-severity impact where an AFFECTED sample
+    // (phenotype=2 in the PED) carries the alt" — the reference's whole
+    // reason to exist, over the tables this job just wrote
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val affected = GraftDb.samples(spark, out)
+      .filter($"phenotype" === "2").select($"sample_id")
+      .collect().map(_.getString(0)).toSet
+    assert(affected == Set("s1", "s4"))
+    val v = GraftDb.variants(spark, out)
+    val carrierCond = affected.toSeq.sorted
+      .map(sid => col(s"gt_types_$sid").isin(1, 3))
+      .reduce(_ || _)
+    val i = GraftDb.impacts(spark, out)
+      .filter($"impact_severity" === "HIGH")
+      .select($"chrom".as("i_chrom"), $"pos".as("i_pos"),
+        $"ref".as("i_ref"), $"alt".as("i_alt"), $"consequence")
+    val hits = v.join(broadcast(i),
+      v("chrom") === $"i_chrom" && v("pos") === $"i_pos" &&
+        v("ref") === $"i_ref" && v("alt") === $"i_alt")
+      .filter(carrierCond)
+      .select($"chrom", $"pos", $"alt", $"consequence")
+      .orderBy($"chrom", $"pos", $"alt")
+      .collect()
+    assert(hits.map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3))).toSeq ==
+      Seq(("1", 200L, "T", "stop_gained"), ("2", 300L, "T", "frameshift_variant")))
+  }
+
   test("streaming dedup: dropDuplicatesWithinWatermark on event ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

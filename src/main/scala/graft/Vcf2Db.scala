@@ -103,12 +103,20 @@ object Vcf2Db {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: Vcf2Db <vcf> [<ped>] <outDir>")
+    val (flags, positional) = args.partition(_.startsWith("--"))
+    def flag(name: String): Option[String] =
+      flags.collectFirst { case f if f.startsWith(s"--$name=") =>
+        f.substring(name.length + 3) }
+    require(positional.length >= 2,
+      "usage: Vcf2Db <vcf> [<ped>] <outDir> [--expand=gt_types,...] [--blob-codec=zlib|snappy]")
     val (vcf, ped, out) =
-      if (args.length == 2) (args(0), None, args(1))
-      else (args(0), Some(args(1)), args(2))
+      if (positional.length == 2) (positional(0), None, positional(1))
+      else (positional(0), Some(positional(1)), positional(2))
+    val expand = flag("expand").map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val codec = flag("blob-codec").getOrElse("zlib")
     val spark = GraftSession.build()
-    try run(spark, vcf, ped, out) finally spark.stop()
+    try run(spark, vcf, ped, out, expand = expand, blobCodec = codec)
+    finally spark.stop()
   }
 }
 

@@ -242,12 +242,22 @@ object VcfReader {
 
   def headerOf(lines: Seq[String]): Header = parseHeader(lines)
 
+  /** impacts when the header declares an annotation key; an EMPTY
+    * impacts table (fixed columns only) otherwise — an unannotated VCF
+    * is a legal input, not an error.
+    */
+  private def maybeImpacts(spark: SparkSession, h: Header,
+      body: Dataset[String]): DataFrame =
+    if (h.annKey.isDefined) impacts(h, body)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], impactSchema(h))
+
   /** Reads a VCF from literal lines (tests / fixtures). */
   def fromLines(spark: SparkSession, lines: Seq[String]): (Header, DataFrame, DataFrame) = {
     import spark.implicits._
     val h = parseHeader(lines)
     val body = spark.createDataset(lines.filter(isBodyLine))
-    (h, variants(h, body), impacts(h, body))
+    (h, variants(h, body), maybeImpacts(spark, h, body))
   }
 
   /** Reads a VCF file path: header via a driver-side bounded read of the
@@ -275,6 +285,6 @@ object VcfReader {
       s"$path: no #CHROM header line — not a VCF (or header not at file start)")
     val h = parseHeader(headerLines)
     val body = spark.read.textFile(path)
-    (h, variants(h, body), impacts(h, body))
+    (h, variants(h, body), maybeImpacts(spark, h, body))
   }
 }

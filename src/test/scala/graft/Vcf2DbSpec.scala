@@ -128,6 +128,23 @@ class Vcf2DbSpec extends SparkSpec {
       Seq(("1", 200L, "T", "stop_gained"), ("2", 300L, "T", "frameshift_variant")))
   }
 
+  test("annotation-less VCF (no CSQ/ANN) loads without an impacts table") {
+    val dir = Files.createTempDirectory("vcf2db_plain")
+    val vcf = dir.resolve("plain.vcf")
+    Files.writeString(vcf, Vector(
+      "##fileformat=VCFv4.2",
+      "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"Depth\">",
+      "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"Genotype\">",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ta\tb",
+      "1\t5\t.\tA\tG\t.\tPASS\tDP=3\tGT\t0/1\t1/1").mkString("\n") + "\n")
+    val out = dir.resolve("db").toString
+    Vcf2Db.run(spark, vcf.toString, None, out)
+    assert(GraftDb.variants(spark, out).count() == 1)
+    // no impacts table written, no worst-impact columns denormalized
+    assert(!java.nio.file.Files.exists(dir.resolve("db/variant_impacts")))
+    assert(!GraftDb.variants(spark, out).columns.contains("impact"))
+  }
+
   test("streaming dedup: dropDuplicatesWithinWatermark on event ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -40,6 +40,19 @@ class VcfVolumeSpec extends SparkSpec {
     assert(df.count() == expected)
   }
 
+  test("pushdown row-skip + byte splits agree with the unsplit scan") {
+    val cond = "chrom = '5' AND pos >= 70000 AND pos <= 100000"
+    val whole = spark.read.format("vcf").load(vcfPath)
+      .filter(cond).select("chrom", "pos", "alt", "dp")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val split = spark.read.format("vcf").option("splitSize", "65536")
+      .load(vcfPath)
+      .filter(cond).select("chrom", "pos", "alt", "dp")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(whole.nonEmpty, "filter selected nothing — test is vacuous")
+    assert(whole.toSeq == split.toSeq)
+  }
+
   test("aggregate invariants: dp distribution and per-alt AF") {
     import org.apache.spark.sql.functions._
     val df = spark.read.format("vcf").load(vcfPath)

@@ -50,9 +50,14 @@ object Bench {
     }
 
     def jsonMap(m: Seq[(String, Double)]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      m.map { case (k, v) =>
+        // Locale.ROOT: a comma-decimal default locale would otherwise
+        // emit 1,234 and break the line-is-JSON bench contract
+        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      }.mkString("{", ",", "}")
 
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    require(nPasses >= 1, s"SPARK_GRAFT_BENCH_PASSES must be >= 1, got $nPasses")
     val warmup = headline.map(n => n -> run(n)) // JIT, codegen cache, file listing
     val passes = (1 to nPasses).map(_ => headline.map(n => n -> run(n)))
     // min across timed passes = the reproducible cost of the plan; the

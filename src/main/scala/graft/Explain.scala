@@ -12,21 +12,30 @@ object Explain {
     val spark = GraftSession.build()
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
-      val qe = SparkEntry.queries(n)(spark, dir).queryExecution
+      val df = SparkEntry.queries(n)(spark, dir)
+      val qe = df.queryExecution
       val plan = qe.explainString(org.apache.spark.sql.execution.FormattedMode)
-      // FormattedMode annotates codegen stages as "(N)" ids but never
-      // prints the literal operator name — check the simple plan string,
-      // where codegen'd operators carry the "*(N)" prefix
-      val codegen = qe.executedPlan.toString.contains("*(")
+      // Under AQE the unexecuted plan is an AdaptiveSparkPlanExec whose
+      // string carries no codegen "*(N)" markers (stages collapse at
+      // execution) — materialize THIS QueryExecution (a noop df.write
+      // would plan a fresh one and leave qe unfinalized), then read the
+      // FINAL plan, the honest source for the join-shape flags too.
+      qe.toRdd.count()
+      // finalized AQE prints "== Final Plan ==" AND "== Initial Plan =="
+      // sections — audit only the final one (the initial section still
+      // shows the pre-AQE SortMergeJoins that AQE converted away)
+      val executed = qe.executedPlan.toString.split("== Initial Plan ==").head
       println(s"\n======== $n ========")
       println(plan)
+      println("---- final (post-AQE) plan ----")
+      println(executed)
       val checks = Seq(
-        "BroadcastHashJoin" -> plan.contains("BroadcastHashJoin"),
-        "TakeOrderedAndProject" -> plan.contains("TakeOrderedAndProject"),
+        "BroadcastHashJoin" -> executed.contains("BroadcastHashJoin"),
+        "TakeOrderedAndProject" -> executed.contains("TakeOrderedAndProject"),
         "PushedFilters" -> "PushedFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined,
-        "WholeStageCodegen" -> codegen,
-        "SortMergeJoin" -> plan.contains("SortMergeJoin"),
-        "CartesianProduct" -> plan.contains("CartesianProduct"))
+        "WholeStageCodegen" -> executed.contains("*("),
+        "SortMergeJoin" -> executed.contains("SortMergeJoin"),
+        "CartesianProduct" -> executed.contains("CartesianProduct"))
       println(s"[audit] $n: " + checks.collect { case (k, true) => k }.mkString(", "))
     }
     spark.stop()

@@ -47,7 +47,10 @@ object Vcf2Db {
       .drop("i_chrom", "i_pos", "i_ref", "i_alt")
   }
 
-  private val intArrayCols =
+  /** The five int-array genotype columns — pack (packGenotypeBlobs) and
+    * unpack (GraftDb.expandGenotypes) must agree on this list.
+    */
+  private[graft] val intArrayCols =
     Seq("gt_types", "gt_depths", "gt_ref_depths", "gt_alt_depths", "gt_quals")
 
   /** The reference's six per-sample genotype blob columns: each typed
@@ -81,14 +84,17 @@ object Vcf2Db {
     }
     // the reference's --expand flag: selected per-sample arrays ALSO
     // materialize as one typed column per sample (gt-filter queries hit
-    // plain columns, no blob decode), named <field>_<sample>
-    val expanded = expand.filter(denorm.columns.contains).foldLeft(denorm) {
-      (df, f) =>
-        header.samples.zipWithIndex.foldLeft(df) { case (d, (name, i)) =>
-          d.withColumn(s"${f}_${graft.sources.VcfParser.sanitize(name)}",
-            col(f).getItem(i))
-        }
-    }
+    // plain columns, no blob decode), named <field>_<sample>. ONE
+    // projection for all of them — a withColumn per (field, sample)
+    // nests a Project node each, which is quadratic analyzer work at
+    // cohort sample counts
+    val expandCols = for {
+      f <- expand.filter(denorm.columns.contains)
+      (name, i) <- header.samples.zipWithIndex
+    } yield col(f).getItem(i).as(s"${f}_${graft.sources.VcfParser.sanitize(name)}")
+    val expanded =
+      if (expandCols.isEmpty) denorm
+      else denorm.select(denorm.columns.map(col).toSeq ++ expandCols: _*)
     val variantsOut = packGenotypeBlobs(expanded, blobCodec)
     DbSink.writeParquet(variantsOut, s"$outDir/variants", writerPartitions)
     if (header.annKey.isDefined)
@@ -134,7 +140,7 @@ object GraftDb {
   def expandGenotypes(spark: SparkSession, dir: String,
       codec: String = "zlib"): DataFrame = {
     GraftFunctions.register(spark)
-    Seq("gt_types", "gt_depths", "gt_ref_depths", "gt_alt_depths", "gt_quals")
+    Vcf2Db.intArrayCols
       .foldLeft(variants(spark, dir))((df, c) =>
         if (df.columns.contains(c)) df.withColumn(c, expr(s"${codec}_unpack($c)")) else df)
       .transform(df =>

@@ -77,17 +77,19 @@ object Kernels {
     new GenericArrayData(ints)
   }
 
-  /** array<string> → zlib(NUL-joined UTF-8). Packs the reference's `gts`
-    * per-sample genotype-string array; GT strings never contain NUL, so
-    * the join is unambiguous and the blob round-trips exactly.
+  /** array<string> → zlib(NUL-TERMINATED UTF-8). Packs the reference's
+    * `gts` per-sample genotype-string array; GT strings never contain
+    * NUL. Each element ends with a NUL TERMINATOR (not a separator), so
+    * element count always round-trips: [] → 0 bytes, [""] → 1 NUL —
+    * a separator encoding collapses a lone empty string to [].
     */
   def zlibPackStrings(arr: ArrayData): Array[Byte] = {
     val n = arr.numElements()
     val out = new java.io.ByteArrayOutputStream(16 * (n + 1))
     var i = 0
     while (i < n) {
-      if (i > 0) out.write(0)
       out.write(arr.getUTF8String(i).getBytes)
+      out.write(0)
       i += 1
     }
     val raw = out.toByteArray
@@ -103,17 +105,18 @@ object Kernels {
   /** zlib blob → array<string> (round-trip of zlibPackStrings). */
   def zlibUnpackStrings(blob: Array[Byte]): ArrayData = {
     val raw = inflateFully(blob, 4 * blob.length)
-    if (raw.isEmpty) return new GenericArrayData(Array.empty[Any])
     val parts = scala.collection.mutable.ArrayBuffer.empty[Any]
     var start = 0
     var i = 0
-    while (i <= raw.length) {
-      if (i == raw.length || raw(i) == 0) {
+    while (i < raw.length) {
+      if (raw(i) == 0) {
         parts += UTF8String.fromBytes(java.util.Arrays.copyOfRange(raw, start, i))
         start = i + 1
       }
       i += 1
     }
+    if (start < raw.length) // trailing bytes with no terminator: corrupt
+      throw new java.util.zip.DataFormatException("unterminated string element")
     new GenericArrayData(parts.toArray)
   }
 

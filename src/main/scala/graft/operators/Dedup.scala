@@ -109,10 +109,15 @@ object Dedup {
     // bucket-size cap (same rationale as d02): a boilerplate-heavy
     // corpus can pile a million docs into one 16-bit chunk bucket —
     // without the cap the pair join below goes quadratic on that one
-    // shuffle key; such buckets carry no discriminating signal and
-    // their members are exact-dedup candidates (d01) anyway
+    // shuffle key. The cap scales with the corpus: 16-bit buckets have
+    // expected occupancy N/65536 per chunk position, so a FIXED cap
+    // would silently drop ordinary buckets (zero recall) once
+    // N ≈ cap·65536; 8× expected occupancy keeps only true outliers
+    // capped while bounding any one shuffle key's pair fan-out.
+    val n = docs.count()
+    val cap = math.max(50L, 8L * n / 65536L)
     val keep = chunks.groupBy($"c", $"chunk")
-      .agg(count(lit(1)).as("bsz")).filter($"bsz" <= 50)
+      .agg(count(lit(1)).as("bsz")).filter($"bsz" <= cap)
       .select($"c", $"chunk")
     val capped = chunks.join(keep, Seq("c", "chunk"))
     capped.as("a")

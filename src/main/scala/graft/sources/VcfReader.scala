@@ -94,8 +94,14 @@ object VcfReader {
         infoType(spec) match {
           case _: ArrayType =>
             val parts = v.split(',')
+            // lenient per component (null, like fmtInt's -1): one
+            // malformed token in a cohort-scale load must degrade the
+            // cell, not fail the job — the old TEXT passthrough
+            // tolerated arbitrary garbage here
             def at(i: Int): Any =
-              if (i < parts.length) scalarValue(spec, parts(i)) else null
+              if (i >= parts.length) null
+              else try scalarValue(spec, parts(i))
+              catch { case _: NumberFormatException => null }
             spec.number match {
               case "R" => Seq(at(0), at(altIx)) // ref + this alt
               case "G" =>

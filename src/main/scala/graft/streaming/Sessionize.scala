@@ -50,7 +50,12 @@ object Sessionize {
       state.getOption match {
         case Some(s) if s.n_events > 0 => // gap elapsed: close, keep counter
           state.update(SessState(s.session_id, 0L, s.t_end, s.t_end))
-          state.setTimeoutTimestamp(s.t_end.getTime + CounterTtlMs)
+          // clamp: after a large event-time jump (backfill, weekend gap)
+          // the watermark may already be past t_end+TTL, and Spark
+          // rejects a timeout timestamp at/below the watermark — the
+          // tombstone then just expires on the next trigger
+          state.setTimeoutTimestamp(math.max(
+            state.getCurrentWatermarkMs() + 1, s.t_end.getTime + CounterTtlMs))
           Iterator.single(close(user, s))
         case _ => // tombstone TTL elapsed: forget the counter entirely
           state.remove()

@@ -27,6 +27,10 @@ class KernelsSpec extends AnyFunSuite {
     assert((0 until out.numElements()).map(i => out.getUTF8String(i).toString) == gts)
     // empty array round-trips to empty
     assert(Kernels.zlibUnpackStrings(Kernels.zlibPackStrings(toks())).numElements() == 0)
+    // a LONE empty string keeps its element count (terminator encoding —
+    // a separator encoding would collapse [""] to [])
+    val lone = Kernels.zlibUnpackStrings(Kernels.zlibPackStrings(toks("")))
+    assert(lone.numElements() == 1 && lone.getUTF8String(0).toString == "")
   }
 
   test("snappy pack/unpack round-trips") {

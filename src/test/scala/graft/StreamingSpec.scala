@@ -73,6 +73,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a >24h event-time jump does not crash the gap-timeout handler") {
+    // the tombstone's TTL timestamp (t_end + 24h) can be BELOW the
+    // watermark after a backfill-style jump; setTimeoutTimestamp must be
+    // clamped above the watermark or Spark throws and kills the query
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Sessionize.sessions(
+      input.toDS().withWatermark("ts", "1 minute")).writeStream
+      .format("memory").queryName("sessions_jump")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      input.addData(Event(1, ts(0), 1, "view"), Event(2, ts(0), 2, "view"))
+      q.processAllAvailable()
+      input.addData(Event(3, ts(3000), 2, "view")) // 50h jump → watermark ≫ t_end+TTL
+      q.processAllAvailable()
+      input.addData(Event(4, ts(3001), 2, "view")) // user 1's gap timeout fires here
+      q.processAllAvailable()
+      val u1 = spark.table("sessions_jump").as[Session].collect().filter(_.user_id == 1)
+      assert(u1.map(_.session_id).toSeq == Seq(1L))
+    } finally q.stop()
+  }
+
   test("streaming session semantics match the batch st02 operator") {
     import spark.implicits._
     // batch path over the same tiny event set

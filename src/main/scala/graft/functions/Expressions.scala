@@ -144,6 +144,28 @@ object Kernels {
     new GenericArrayData(ints)
   }
 
+  /** Sequential-fold dot product over float/double arrays — bit-identical
+    * to `aggregate(zip_with(a, b, (x,y) -> CAST(x AS DOUBLE)*CAST(y AS
+    * DOUBLE)), 0.0, (acc,v) -> acc+v)` (same element order, float widened
+    * exactly, IEEE adds) and to DuckDB's list_inner_product, but runs as
+    * one codegen'd loop instead of Spark's INTERPRETED higher-order
+    * functions — the hot inner loop of the similarity/dedup family.
+    * Null on length mismatch (zip_with would null-pad to the same end).
+    */
+  def vecDot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Any = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
   private def fnv64(s: UTF8String): Long = {
     // FNV-1a over UTF-8 bytes: tiny, allocation-free, stable across JVMs.
     var h = 0xcbf29ce484222325L
@@ -278,6 +300,38 @@ case class SnappyUnpack(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `vec_dot(array<float|double>, array<float|double>) → double` —
+  * codegen sequential-fold dot product (see Kernels.vecDot).
+  */
+case class VecDot(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(
+      s"vec_dot expects array<float|double>, got $t")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.vecDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (af, bf) = (isFloat(left), isFloat(right))
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      Object r = graft.functions.Kernels.vecDot($a, $b, $af, $bf);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Double) r).doubleValue(); }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `simhash64(array<string>) → bigint` */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -315,6 +369,7 @@ object GraftFunctions {
     add("zlib_unpack_str", es => ZlibUnpackStr(es.head))
     add("snappy_pack", es => SnappyPack(es.head))
     add("snappy_unpack", es => SnappyUnpack(es.head))
+    add("vec_dot", es => VecDot(es(0), es(1)))
     add("simhash64", es => SimHash64(es.head))
     add("rolling_minhash", es => RollingMinHash(es.head))
   }

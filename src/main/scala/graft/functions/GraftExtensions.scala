@@ -36,6 +36,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("snappy_unpack", classOf[SnappyUnpack],
       "snappy_unpack(binary) - inverse of snappy_pack",
       es => SnappyUnpack(es.head))
+    inject("vec_dot", classOf[VecDot],
+      "vec_dot(array<float|double>, array<float|double>) - sequential-fold dot product",
+      es => VecDot(es(0), es(1)))
     inject("simhash64", classOf[SimHash64],
       "simhash64(array<string>) - 64-bit SimHash of a token bag",
       es => SimHash64(es.head))

@@ -171,8 +171,7 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  private def dotExpr(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0e0, (acc, v) -> acc + v)"
+  private def dotExpr(a: String, b: String): String = s"vec_dot($a, $b)"
 
   /** d05: embedding-cosine near-dup pairs — the semantic-dedup stage of
     * a training-data pipeline. Candidate generation is s02's random-
@@ -195,6 +194,7 @@ object Dedup {
     */
   def d05(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    GraftFunctions.register(s)
     val e = T(s, dir, "embeddings")
       .select($"vec_id", $"embedding", Similarity.bucketCol("embedding").as("bucket"))
     val probes = 0 +: (0 until Similarity.NPlanes).map(1 << _)
@@ -218,6 +218,7 @@ object Dedup {
     */
   def d05Exact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    GraftFunctions.register(s)
     val e = T(s, dir, "embeddings").select($"vec_id", $"embedding")
     e.as("a")
       .join(broadcast(e.as("b")), $"a.vec_id" < $"b.vec_id")

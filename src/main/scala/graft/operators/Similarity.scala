@@ -23,14 +23,17 @@ object Similarity {
 
   /** Sequential-fold dot product — same left-to-right double
     * accumulation DuckDB's list_inner_product does, so cosines are
-    * bit-comparable across engines.
+    * bit-comparable across engines. `vec_dot` is the native codegen
+    * expression (graft.functions.VecDot); Spark's `aggregate`/`zip_with`
+    * higher-order functions would run INTERPRETED per element in the
+    * hottest loop of the similarity family.
     */
-  private def dot(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0e0, (acc, v) -> acc + v)"
+  private[operators] def dot(a: String, b: String): String = s"vec_dot($a, $b)"
 
   /** s01: exact cosine top-k — brute force over a broadcast query set. */
   def s01(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.GraftFunctions.register(s)
     val emb = T(s, dir, "embeddings")
     val queries = emb.filter($"vec_id" < 5)
       .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
@@ -62,13 +65,13 @@ object Similarity {
   private[operators] val NPlanes = 8
   private[operators] val Dims = 64
 
-  /** Random-hyperplane sign bucket of an embedding column. */
+  /** Random-hyperplane sign bucket of an embedding column (caller must
+    * have GraftFunctions registered — vec_dot resolves by name).
+    */
   private[operators] def bucketCol(emb: String): Column = {
     val bits = (0 until NPlanes).map { j =>
       val p = typedLit(plane(j, Dims))
-      val d = aggregate(
-        zip_with(col(emb).cast("array<double>"), p, (x, y) => x * y),
-        lit(0.0), (acc, v) => acc + v)
+      val d = call_function("vec_dot", col(emb), p) // same fold as zip_with/aggregate
       when(d > 0.0, lit(1 << j)).otherwise(lit(0))
     }
     bits.reduce(_ + _)
@@ -80,6 +83,7 @@ object Similarity {
     */
   def s02(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.GraftFunctions.register(s)
     val emb = T(s, dir, "embeddings")
     val corpus = emb.select($"vec_id", $"embedding", bucketCol("embedding").as("bucket"))
     val probes = (0 to NPlanes).map(i => if (i == 0) 0 else 1 << (i - 1))
@@ -109,6 +113,7 @@ object Similarity {
     */
   def s03(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.GraftFunctions.register(s)
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val nProbe = 2

@@ -166,6 +166,35 @@ object Kernels {
     acc
   }
 
+  /** 64-lane MinHash signature over a shingle array — bit-identical to
+    * `transform(sequence(0, 63), j -> array_min(transform(shingles,
+    * sh -> xxhash64(j, sh))))` (XXH64, seed 42, int lane chained into
+    * the string hash exactly as Spark's multi-arg xxhash64 does) but one
+    * codegen'd double loop instead of 64 × |shingles| interpreted
+    * lambda invocations — the MinHash hot loop at corpus scale.
+    */
+  def minhashSig(shingles: ArrayData, k: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val n = shingles.numElements()
+    val out = new Array[Any](k)
+    var j = 0
+    while (j < k) {
+      var best = Long.MaxValue
+      var any = false
+      var i = 0
+      while (i < n) {
+        val s = shingles.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset, s.numBytes, XXH64.hashInt(j, 42L))
+        if (!any || h < best) { best = h; any = true }
+        i += 1
+      }
+      out(j) = if (any) best else null
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private def fnv64(s: UTF8String): Long = {
     // FNV-1a over UTF-8 bytes: tiny, allocation-free, stable across JVMs.
     var h = 0xcbf29ce484222325L
@@ -332,6 +361,19 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `minhash_sig(array<string>) → array<bigint>` — 64 MinHash lanes
+  * (see Kernels.minhashSig).
+  */
+case class MinHashSig(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType)
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.minhashSig(input.asInstanceOf[ArrayData], 64)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.minhashSig($c, 64)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
 /** `simhash64(array<string>) → bigint` */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -370,6 +412,7 @@ object GraftFunctions {
     add("snappy_pack", es => SnappyPack(es.head))
     add("snappy_unpack", es => SnappyUnpack(es.head))
     add("vec_dot", es => VecDot(es(0), es(1)))
+    add("minhash_sig", es => MinHashSig(es.head))
     add("simhash64", es => SimHash64(es.head))
     add("rolling_minhash", es => RollingMinHash(es.head))
   }

@@ -36,6 +36,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("snappy_unpack", classOf[SnappyUnpack],
       "snappy_unpack(binary) - inverse of snappy_pack",
       es => SnappyUnpack(es.head))
+    inject("minhash_sig", classOf[MinHashSig],
+      "minhash_sig(array<string>) - 64-lane MinHash signature (xxhash64 seed 42)",
+      es => MinHashSig(es.head))
     inject("vec_dot", classOf[VecDot],
       "vec_dot(array<float|double>, array<float|double>) - sequential-fold dot product",
       es => VecDot(es(0), es(1)))

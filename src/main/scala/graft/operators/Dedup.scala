@@ -34,19 +34,22 @@ object Dedup {
       .orderBy($"keep_id")
   }
 
-  /** Per-doc MinHash signature: 3-shingles → 64 minhashes (xxhash64
-    * seeded by position), all inside codegen — signature computation
-    * never shuffles.
+  /** Per-doc MinHash signature: 3-shingles → 64 minhashes — the
+    * `minhash_sig` native codegen expression (bit-identical to the
+    * xxhash64 HOF formulation, asserted in ExpressionsSpec, but one
+    * fused loop instead of 64 × |shingles| interpreted lambdas — the
+    * MinHash hot loop at corpus scale). Signature computation never
+    * shuffles.
     */
   private def signatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    GraftFunctions.register(s)
     T(s, dir, "documents")
       .select($"doc_id", split($"text", " ").as("toks"))
       .filter(size($"toks") >= 3)
       .withColumn("shingles", expr(
         "array_distinct(transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
-      .withColumn("sig", expr(
-        "transform(sequence(0, 63), i -> array_min(transform(shingles, sh -> xxhash64(i, sh))))"))
+      .withColumn("sig", expr("minhash_sig(shingles)"))
       .select($"doc_id", $"sig")
   }
 

@@ -30,4 +30,32 @@ class ExpressionsSpec extends SparkSpec {
     val unpacked = df.selectExpr("zlib_unpack(blob)[0] AS back", "id").collect()
     assert(unpacked.forall(r => r.getAs[Int]("back").toLong == r.getAs[Long]("id")))
   }
+
+  test("minhash_sig is bit-identical to the interpreted HOF formulation") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = (1 to 200).map(i =>
+      (i.toLong, s"doc $i shares trigram content with doc ${i / 3} and more filler tokens here"))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id",
+        "array_distinct(transform(sequence(0, size(split(text,' ')) - 3), i -> " +
+          "concat_ws(' ', split(text,' ')[i], split(text,' ')[i+1], split(text,' ')[i+2]))) AS shingles")
+      .selectExpr("doc_id",
+        "minhash_sig(shingles) AS fast",
+        "transform(sequence(0, 63), j -> array_min(transform(shingles, sh -> xxhash64(j, sh)))) AS slow")
+    val bad = df.selectExpr("doc_id", "fast = slow AS same").filter("NOT same").count()
+    assert(bad == 0, "minhash_sig diverged from xxhash64 HOF formulation")
+  }
+
+  test("vec_dot is bit-identical to the aggregate/zip_with fold") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = (1 to 100).map { i =>
+      (i.toLong, Array.tabulate(64)(d => (math.sin(i * 64 + d) * 10).toFloat))
+    }.toDF("id", "v")
+      .selectExpr("id",
+        "vec_dot(v, v) AS fast",
+        "aggregate(zip_with(v, v, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0e0, (acc, w) -> acc + w) AS slow")
+    assert(df.filter("fast != slow").count() == 0)
+  }
 }

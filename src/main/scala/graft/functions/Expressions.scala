@@ -195,6 +195,26 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Distinct word n-gram shingles (space-joined), first-occurrence
+    * order — the fused form of `array_distinct(transform(sequence(0,
+    * size(toks)-n), i -> concat_ws(' ', toks[i], …, toks[i+n-1])))`,
+    * minus that formulation's surprise for size < n (Spark's
+    * `sequence(0, -1)` counts DOWN; here short docs just yield []).
+    */
+  def wordShingles(toks: ArrayData, n: Int): ArrayData = {
+    val cnt = toks.numElements()
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i + n <= cnt) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(UTF8String.fromString(" "), parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size())))
+  }
+
   private def fnv64(s: UTF8String): Long = {
     // FNV-1a over UTF-8 bytes: tiny, allocation-free, stable across JVMs.
     var h = 0xcbf29ce484222325L
@@ -374,6 +394,19 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `shingles(array<string>, n) → array<string>` — distinct word
+  * n-grams (see Kernels.wordShingles). `n` is a literal.
+  */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.wordShingles(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.wordShingles($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
 /** `simhash64(array<string>) → bigint` */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -413,6 +446,8 @@ object GraftFunctions {
     add("snappy_unpack", es => SnappyUnpack(es.head))
     add("vec_dot", es => VecDot(es(0), es(1)))
     add("minhash_sig", es => MinHashSig(es.head))
+    add("shingles", es => WordShingles(es(0),
+      es(1).eval().asInstanceOf[Number].intValue()))
     add("simhash64", es => SimHash64(es.head))
     add("rolling_minhash", es => RollingMinHash(es.head))
   }

@@ -36,6 +36,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("snappy_unpack", classOf[SnappyUnpack],
       "snappy_unpack(binary) - inverse of snappy_pack",
       es => SnappyUnpack(es.head))
+    inject("shingles", classOf[WordShingles],
+      "shingles(array<string>, n) - distinct space-joined word n-grams",
+      es => WordShingles(es(0), es(1).eval().asInstanceOf[Number].intValue()))
     inject("minhash_sig", classOf[MinHashSig],
       "minhash_sig(array<string>) - 64-lane MinHash signature (xxhash64 seed 42)",
       es => MinHashSig(es.head))

@@ -47,8 +47,7 @@ object Dedup {
     T(s, dir, "documents")
       .select($"doc_id", split($"text", " ").as("toks"))
       .filter(size($"toks") >= 3)
-      .withColumn("shingles", expr(
-        "array_distinct(transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
+      .withColumn("shingles", expr("shingles(toks, 3)"))
       .withColumn("sig", expr("minhash_sig(shingles)"))
       .select($"doc_id", $"sig")
   }
@@ -150,10 +149,10 @@ object Dedup {
     */
   def d04(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    GraftFunctions.register(s)
     val grams = T(s, dir, "documents")
       .select($"doc_id", split($"text", " ").as("w"))
-      .withColumn("gs", expr(
-        "array_distinct(transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i+1])))"))
+      .withColumn("gs", expr("shingles(w, 2)"))
       .select($"doc_id", $"gs")
     val ex = grams.select($"doc_id", explode($"gs").as("g"))
     val rare = ex.groupBy($"g").agg(count(lit(1)).as("df"))

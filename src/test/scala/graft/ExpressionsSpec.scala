@@ -47,6 +47,23 @@ class ExpressionsSpec extends SparkSpec {
     assert(bad == 0, "minhash_sig diverged from xxhash64 HOF formulation")
   }
 
+  test("shingles(toks, n) matches the HOF formulation for size >= n") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = (1 to 200).map(i =>
+      (i.toLong, s"shingle test doc $i repeated shingle test doc ${i / 2} tail"))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .selectExpr("doc_id",
+        "shingles(toks, 3) AS fast",
+        "array_distinct(transform(sequence(0, size(toks) - 3), i -> " +
+          "concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS slow")
+    assert(df.filter("fast != slow").count() == 0)
+    // short docs: [] rather than the sequence(0,-1) surprise
+    val short = spark.sql("SELECT shingles(array('one', 'two'), 3) AS s").head()
+    assert(short.getAs[scala.collection.Seq[String]]("s").isEmpty)
+  }
+
   test("vec_dot is bit-identical to the aggregate/zip_with fold") {
     GraftFunctions.register(spark)
     import spark.implicits._

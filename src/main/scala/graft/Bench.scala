@@ -14,8 +14,11 @@ import org.apache.spark.sql.SparkSession
   * cost), `passes` carries each pass verbatim, `warmup` the first run.
   */
 object Bench {
-  /** Queries whose input grows with sf (document/embedding suites are
-    * fixed-size at every sf and would only add constant noise).
+  /** Queries whose input grows with sf, plus the shuffle-bearing
+    * LLM-pipeline operators (dedup/ANN/sampling run on the fixed-size
+    * document/embedding tables at every sf — their timings don't scale
+    * with sf but are tracked here so a plan regression in the candidate
+    * joins is visible round over round).
     */
   private val headline: Seq[String] = Seq(
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_topk_orders",
@@ -24,7 +27,9 @@ object Bench {
     "q08_rollup_status_priority", "q09_distinct_users_per_type",
     "q10_orders_by_month", "q11_group_percentiles",
     "st01_window_agg", "st02_sessionize",
-    "e01_flatten_info", "e08_pack_blob")
+    "e01_flatten_info", "e08_pack_blob",
+    "d02_dedup_minhash", "d04_ngram_jaccard", "d05_dedup_embedding",
+    "s01_ann_bruteforce_topk", "s02_ann_lsh", "t07_stratified_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

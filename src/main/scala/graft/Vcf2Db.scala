@@ -108,13 +108,26 @@ object Vcf2Db {
       s"$outDir/vcf_header", 1)
   }
 
+  private val usage =
+    "usage: Vcf2Db <vcf> [<ped>] <outDir> [--expand=gt_types,...] [--blob-codec=zlib|snappy]"
+
   def main(args: Array[String]): Unit = {
     val (flags, positional) = args.partition(_.startsWith("--"))
+    val knownFlags = Set("expand", "blob-codec")
+    // reject anything that isn't --name=value with a known name: the
+    // space-separated form (`--expand gt_types`) would otherwise shift
+    // its value into the positional slots and silently re-target outDir
+    flags.foreach { f =>
+      val ok = f.drop(2).split("=", 2) match {
+        case Array(name, _) => knownFlags(name)
+        case _ => false
+      }
+      require(ok, s"unrecognized or valueless flag '$f' (use --name=value)\n$usage")
+    }
     def flag(name: String): Option[String] =
       flags.collectFirst { case f if f.startsWith(s"--$name=") =>
         f.substring(name.length + 3) }
-    require(positional.length >= 2,
-      "usage: Vcf2Db <vcf> [<ped>] <outDir> [--expand=gt_types,...] [--blob-codec=zlib|snappy]")
+    require(positional.length == 2 || positional.length == 3, usage)
     val (vcf, ped, out) =
       if (positional.length == 2) (positional(0), None, positional(1))
       else (positional(0), Some(positional(1)), positional(2))

@@ -115,8 +115,11 @@ object Kernels {
       }
       i += 1
     }
-    if (start < raw.length) // trailing bytes with no terminator: corrupt
-      throw new java.util.zip.DataFormatException("unterminated string element")
+    // trailing bytes without a terminator: accept as the final element —
+    // this also reads blobs from the earlier NUL-SEPARATED layout
+    if (start < raw.length)
+      parts += UTF8String.fromBytes(
+        java.util.Arrays.copyOfRange(raw, start, raw.length))
     new GenericArrayData(parts.toArray)
   }
 
@@ -158,6 +161,9 @@ object Kernels {
     var acc = 0.0
     var i = 0
     while (i < n) {
+      // null element → NULL result, exactly like the zip_with product
+      // (null) poisoning the aggregate sum — not a silent 0.0
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       acc += x * y
@@ -183,9 +189,13 @@ object Kernels {
       var any = false
       var i = 0
       while (i < n) {
-        val s = shingles.getUTF8String(i)
-        val h = XXH64.hashUnsafeBytes(
-          s.getBaseObject, s.getBaseOffset, s.numBytes, XXH64.hashInt(j, 42L))
+        val lane = XXH64.hashInt(j, 42L)
+        // null element: multi-arg xxhash64 SKIPS null children, so the
+        // lane hash alone is the element's hash — mirror that, don't NPE
+        val s = if (shingles.isNullAt(i)) null else shingles.getUTF8String(i)
+        val h =
+          if (s == null) lane
+          else XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, lane)
         if (!any || h < best) { best = h; any = true }
         i += 1
       }
@@ -354,14 +364,21 @@ case class SnappyUnpack(child: Expression) extends UnaryExpression {
   */
 case class VecDot(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"vec_dot expects two array<float|double> arguments, got $l and $r")
+    }
+
   private def isFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
-    case ArrayType(DoubleType, _) => false
-    case t => throw new IllegalArgumentException(
-      s"vec_dot expects array<float|double>, got $t")
+    case _ => false
   }
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -385,7 +402,13 @@ case class VecDot(left: Expression, right: Expression)
   * (see Kernels.minhashSig).
   */
 case class MinHashSig(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
   override def dataType: DataType = ArrayType(LongType)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig expects array<string>, got $t")
+  }
   override protected def nullSafeEval(input: Any): Any =
     Kernels.minhashSig(input.asInstanceOf[ArrayData], 64)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -398,7 +421,15 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
   * n-grams (see Kernels.wordShingles). `n` is a literal.
   */
 case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckFailure(
+      s"shingles n must be >= 1, got $n")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingles expects array<string>, got $t")
+  }
   override protected def nullSafeEval(input: Any): Any =
     Kernels.wordShingles(input.asInstanceOf[ArrayData], n)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -434,6 +465,12 @@ case class RollingMinHash(child: Expression) extends UnaryExpression {
   * native Catalyst expressions, codegen-friendly, no UDF boxing.
   */
 object GraftFunctions {
+  /** Shared by register() and GraftExtensions — the literal-n extraction
+    * must stay identical in both registration paths.
+    */
+  private[functions] val shinglesBuilder: Seq[Expression] => Expression =
+    es => WordShingles(es(0), es(1).eval().asInstanceOf[Number].intValue())
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     def add(name: String, b: Seq[Expression] => Expression): Unit =
@@ -446,8 +483,7 @@ object GraftFunctions {
     add("snappy_unpack", es => SnappyUnpack(es.head))
     add("vec_dot", es => VecDot(es(0), es(1)))
     add("minhash_sig", es => MinHashSig(es.head))
-    add("shingles", es => WordShingles(es(0),
-      es(1).eval().asInstanceOf[Number].intValue()))
+    add("shingles", shinglesBuilder)
     add("simhash64", es => SimHash64(es.head))
     add("rolling_minhash", es => RollingMinHash(es.head))
   }

@@ -25,7 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "zlib_unpack(binary) - inverse of zlib_pack",
       es => ZlibUnpack(es.head))
     inject("zlib_pack_str", classOf[ZlibPackStr],
-      "zlib_pack_str(array<string>) - zlib-compressed NUL-joined strings",
+      "zlib_pack_str(array<string>) - zlib-compressed NUL-terminated strings",
       es => ZlibPackStr(es.head))
     inject("zlib_unpack_str", classOf[ZlibUnpackStr],
       "zlib_unpack_str(binary) - inverse of zlib_pack_str",
@@ -38,7 +38,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => SnappyUnpack(es.head))
     inject("shingles", classOf[WordShingles],
       "shingles(array<string>, n) - distinct space-joined word n-grams",
-      es => WordShingles(es(0), es(1).eval().asInstanceOf[Number].intValue()))
+      GraftFunctions.shinglesBuilder)
     inject("minhash_sig", classOf[MinHashSig],
       "minhash_sig(array<string>) - 64-lane MinHash signature (xxhash64 seed 42)",
       es => MinHashSig(es.head))

@@ -116,10 +116,13 @@ object Dedup {
     // would silently drop ordinary buckets (zero recall) once
     // N ≈ cap·65536; 8× expected occupancy keeps only true outliers
     // capped while bounding any one shuffle key's pair fan-out.
-    val n = docs.count()
-    val cap = math.max(50L, 8L * n / 65536L)
+    // N is derived INSIDE the plan (broadcast single-row count), not a
+    // driver-side .count() — building the DataFrame must stay lazy.
+    val total = docs.select(count(lit(1)).as("n_docs"))
     val keep = chunks.groupBy($"c", $"chunk")
-      .agg(count(lit(1)).as("bsz")).filter($"bsz" <= cap)
+      .agg(count(lit(1)).as("bsz"))
+      .crossJoin(broadcast(total))
+      .filter($"bsz" <= greatest(lit(50L), lit(8L) * $"n_docs" / 65536L))
       .select($"c", $"chunk")
     val capped = chunks.join(keep, Seq("c", "chunk"))
     capped.as("a")
@@ -173,7 +176,7 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  private def dotExpr(a: String, b: String): String = s"vec_dot($a, $b)"
+  private def dotExpr(a: String, b: String): String = Similarity.dot(a, b)
 
   /** d05: embedding-cosine near-dup pairs — the semantic-dedup stage of
     * a training-data pipeline. Candidate generation is s02's random-

@@ -88,20 +88,14 @@ object VcfReader {
       case ("A", Some(v)) =>
         val parts = v.split(',')
         val x = if (altIx - 1 < parts.length) parts(altIx - 1) else "."
-        scalarValue(spec, x)
-      case ("1", Some(v)) => scalarValue(spec, v)
+        lenientScalar(spec, x)
+      case ("1", Some(v)) => lenientScalar(spec, v)
       case (_, Some(v)) =>
         infoType(spec) match {
           case _: ArrayType =>
             val parts = v.split(',')
-            // lenient per component (null, like fmtInt's -1): one
-            // malformed token in a cohort-scale load must degrade the
-            // cell, not fail the job — the old TEXT passthrough
-            // tolerated arbitrary garbage here
             def at(i: Int): Any =
-              if (i >= parts.length) null
-              else try scalarValue(spec, parts(i))
-              catch { case _: NumberFormatException => null }
+              if (i >= parts.length) null else lenientScalar(spec, parts(i))
             spec.number match {
               case "R" => Seq(at(0), at(altIx)) // ref + this alt
               case "G" =>
@@ -109,11 +103,19 @@ object VcfReader {
                 // alt's [0/0, 0/alt, alt/alt] triple after decompose
                 val half = altIx * (altIx + 1) / 2
                 Seq(at(0), at(half), at(half + altIx))
-              case _ => parts.toSeq.map(p => scalarValue(spec, p))
+              case _ => parts.indices.map(at)
             }
           case _ => v
         }
     }
+
+  /** scalarValue, but a malformed token degrades the cell to null (like
+    * fmtInt's -1) instead of failing a cohort-scale load — the TEXT
+    * passthrough these typed columns replaced tolerated any garbage.
+    */
+  private def lenientScalar(spec: FieldSpec, v: String): Any =
+    try scalarValue(spec, v)
+    catch { case _: NumberFormatException => null }
 
   private def scalarValue(spec: FieldSpec, v: String): Any =
     if (v == ".") null

@@ -10,11 +10,13 @@ class PlanInvariantSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  /** The only queries allowed a BroadcastNestedLoopJoin: their nested
-    * loop is a TINY broadcast query set against a single corpus scan —
-    * the correct exact-search shape — never corpus × corpus.
+  /** The only queries allowed a BroadcastNestedLoopJoin: a TINY
+    * broadcast side against one scan — s01/s03 broadcast the query set
+    * (exact-search shape), d03 broadcasts a SINGLE-ROW corpus count
+    * into its bucket-cap filter. Never corpus × corpus.
     */
-  private val bnljAllowed = Set("s01_ann_bruteforce_topk", "s03_ann_ivf")
+  private val bnljAllowed =
+    Set("s01_ann_bruteforce_topk", "s03_ann_ivf", "d03_dedup_simhash")
 
   /** Queries whose bucket-key SELF-join is designed as a shuffle join
     * (SURVEY §5.4: "band-bucket keys are the shuffle key") — neither

@@ -146,6 +146,24 @@ object GraftDb {
   def variants(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/variants")
 
+  /** GEMINI-style region filter: "chrom", "chrom:start-end", or
+    * "chrom:pos" — plain chrom/pos comparisons, so they push down to
+    * parquet (or to the vcf source's split pruning) untouched.
+    */
+  def region(df: DataFrame, spec: String): DataFrame = {
+    val re = """^([^:]+)(?::(\d+)(?:-(\d+))?)?$""".r
+    spec.trim match {
+      case re(chrom, null, null) => df.filter(col("chrom") === chrom)
+      case re(chrom, pos, null) =>
+        df.filter(col("chrom") === chrom && col("pos") === pos.toLong)
+      case re(chrom, start, end) =>
+        df.filter(col("chrom") === chrom &&
+          col("pos") >= start.toLong && col("pos") <= end.toLong)
+      case _ => throw new IllegalArgumentException(
+        s"bad region '$spec' (want chrom[:start[-end]])")
+    }
+  }
+
   /** Variants with the six genotype blobs unpacked back to typed arrays
     * (the reference's `--expand` read path). `codec` must match the one
     * the table was written with.

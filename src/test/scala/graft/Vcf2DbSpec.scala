@@ -128,6 +128,17 @@ class Vcf2DbSpec extends SparkSpec {
       Seq(("1", 200L, "T", "stop_gained"), ("2", 300L, "T", "frameshift_variant")))
   }
 
+  test("region() parses GEMINI-style specs into pushdown-friendly filters") {
+    import spark.implicits._
+    val df = Seq(("1", 100L), ("1", 250L), ("2", 100L))
+      .toDF("chrom", "pos")
+    assert(GraftDb.region(df, "1").count() == 2)
+    assert(GraftDb.region(df, "1:100").count() == 1)
+    assert(GraftDb.region(df, "1:50-200").count() == 1)
+    assert(GraftDb.region(df, "2:90-110").count() == 1)
+    intercept[IllegalArgumentException](GraftDb.region(df, "1:x-y"))
+  }
+
   test("annotation-less VCF (no CSQ/ANN) loads without an impacts table") {
     val dir = Files.createTempDirectory("vcf2db_plain")
     val vcf = dir.resolve("plain.vcf")

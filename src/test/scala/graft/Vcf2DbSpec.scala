@@ -156,6 +156,44 @@ class Vcf2DbSpec extends SparkSpec {
     assert(!GraftDb.variants(spark, out).columns.contains("impact"))
   }
 
+  test("volume e2e: 10k-record VCF through the full job, blobs round-trip") {
+    val sb = new StringBuilder
+    sb ++= "##fileformat=VCFv4.2\n"
+    sb ++= "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"Depth\">\n"
+    sb ++= "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"gt\">\n"
+    sb ++= "##FORMAT=<ID=DP,Number=1,Type=Integer,Description=\"dp\">\n"
+    sb ++= "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1\ts2\ts3\n"
+    val gts = Vector("0/0", "0/1", "1/1", "./.")
+    (1 to 10000).foreach { i =>
+      sb ++= Seq(s"${1 + i % 5}", s"${i * 11}", ".", "A", "G", ".", "PASS",
+        s"DP=${i % 90}", "GT:DP",
+        s"${gts(i % 4)}:${i % 60}", s"${gts((i / 4) % 4)}:${i % 31}",
+        s"${gts((i / 16) % 4)}:.").mkString("\t") + "\n"
+    }
+    val dir = Files.createTempDirectory("vcf2db_vol")
+    val vcf = dir.resolve("vol.vcf")
+    Files.writeString(vcf, sb.toString)
+    val out = dir.resolve("db").toString
+    Vcf2Db.run(spark, vcf.toString, None, out, blobCodec = "snappy")
+
+    val expanded = GraftDb.expandGenotypes(spark, out, codec = "snappy")
+    assert(expanded.count() == 10000)
+    // per-row blob round-trip invariants, checked distributed (no collect)
+    import org.apache.spark.sql.functions._
+    val bad = expanded.filter(
+      size(col("gt_types")) =!= 3 || size(col("gts")) =!= 3 ||
+        size(col("gt_depths")) =!= 3 ||
+        col("gt_depths").getItem(2) =!= -1 || // s3's DP is always '.'
+        col("num_hom_ref") + col("num_het") + col("num_hom_alt") + col("num_unknown") =!= 3)
+      .count()
+    assert(bad == 0)
+    // spot value: record i=1 → pos 11, s1=gts(1), s2=gts(0), s3=gts(0)
+    val r = expanded.filter("pos = 11").head()
+    def seqOf[T](c: String): Seq[T] = r.getAs[scala.collection.Seq[T]](c).toSeq
+    assert(seqOf[Int]("gt_depths") == Seq(1, 1, -1))
+    assert(seqOf[String]("gts") == Seq("0/1", "0/0", "0/0"))
+  }
+
   test("streaming dedup: dropDuplicatesWithinWatermark on event ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -157,6 +157,8 @@ object GraftDb {
       case re(chrom, pos, null) =>
         df.filter(col("chrom") === chrom && col("pos") === pos.toLong)
       case re(chrom, start, end) =>
+        require(start.toLong <= end.toLong,
+          s"bad region '$spec': start ${start} > end ${end}")
         df.filter(col("chrom") === chrom &&
           col("pos") >= start.toLong && col("pos") <= end.toLong)
       case _ => throw new IllegalArgumentException(

@@ -115,11 +115,11 @@ object Kernels {
       }
       i += 1
     }
-    // trailing bytes without a terminator: accept as the final element —
-    // this also reads blobs from the earlier NUL-SEPARATED layout
+    // trailing bytes without a terminator = corrupt (every writer of
+    // this format terminates every element; tolerating a tail would
+    // both hide truncation and mis-count a final empty element)
     if (start < raw.length)
-      parts += UTF8String.fromBytes(
-        java.util.Arrays.copyOfRange(raw, start, raw.length))
+      throw new java.util.zip.DataFormatException("unterminated string element")
     new GenericArrayData(parts.toArray)
   }
 
@@ -188,8 +188,8 @@ object Kernels {
       var best = Long.MaxValue
       var any = false
       var i = 0
+      val lane = XXH64.hashInt(j, 42L) // per-lane seed, invariant over elements
       while (i < n) {
-        val lane = XXH64.hashInt(j, 42L)
         // null element: multi-arg xxhash64 SKIPS null children, so the
         // lane hash alone is the element's hash — mirror that, don't NPE
         val s = if (shingles.isNullAt(i)) null else shingles.getUTF8String(i)
@@ -387,9 +387,10 @@ case class VecDot(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val (af, bf) = (isFloat(left), isFloat(right))
+    val r = ctx.freshName("vecDotRes") // two vec_dots can share a codegen scope
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      Object r = graft.functions.Kernels.vecDot($a, $b, $af, $bf);
-      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Double) r).doubleValue(); }
+      Object $r = graft.functions.Kernels.vecDot($a, $b, $af, $bf);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Double) $r).doubleValue(); }
     """)
   }
 
@@ -466,10 +467,19 @@ case class RollingMinHash(child: Expression) extends UnaryExpression {
   */
 object GraftFunctions {
   /** Shared by register() and GraftExtensions — the literal-n extraction
-    * must stay identical in both registration paths.
+    * must stay identical in both registration paths. n must be a
+    * non-null foldable integer; anything else gets a clear resolution
+    * error, not an internal NPE / "Cannot evaluate" stack trace.
     */
-  private[functions] val shinglesBuilder: Seq[Expression] => Expression =
-    es => WordShingles(es(0), es(1).eval().asInstanceOf[Number].intValue())
+  private[functions] val shinglesBuilder: Seq[Expression] => Expression = { es =>
+    require(es.length == 2, "shingles(array<string>, n) takes exactly 2 arguments")
+    val n = es(1) match {
+      case e if e.foldable => Option(e.eval()).collect { case x: Number => x.intValue() }
+      case _ => None
+    }
+    WordShingles(es(0), n.getOrElse(throw new IllegalArgumentException(
+      "shingles: n must be a non-null integer literal")))
+  }
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -176,7 +176,6 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  private def dotExpr(a: String, b: String): String = Similarity.dot(a, b)
 
   /** d05: embedding-cosine near-dup pairs — the semantic-dedup stage of
     * a training-data pipeline. Candidate generation is s02's random-
@@ -209,7 +208,7 @@ object Dedup {
     probed.as("a")
       .join(e.as("b"), $"a.jbucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
       .withColumn("cos", expr(
-        s"${dotExpr("a.embedding", "b.embedding")} / sqrt(${dotExpr("a.embedding", "a.embedding")} * ${dotExpr("b.embedding", "b.embedding")})"))
+        s"${Similarity.dot("a.embedding", "b.embedding")} / sqrt(${Similarity.dot("a.embedding", "a.embedding")} * ${Similarity.dot("b.embedding", "b.embedding")})"))
       .filter($"cos" >= 0.45)
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
         expr("round(cos, 6)").as("cos"))
@@ -228,7 +227,7 @@ object Dedup {
     e.as("a")
       .join(broadcast(e.as("b")), $"a.vec_id" < $"b.vec_id")
       .withColumn("cos", expr(
-        s"${dotExpr("a.embedding", "b.embedding")} / sqrt(${dotExpr("a.embedding", "a.embedding")} * ${dotExpr("b.embedding", "b.embedding")})"))
+        s"${Similarity.dot("a.embedding", "b.embedding")} / sqrt(${Similarity.dot("a.embedding", "a.embedding")} * ${Similarity.dot("b.embedding", "b.embedding")})"))
       .filter($"cos" >= 0.45)
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
         expr("round(cos, 6)").as("cos"))

@@ -126,6 +126,16 @@ object Etl {
         | ('X', 400, 'C', 3, '0/1', -1, -1, -1, -1),
         | ('X', 400, 'C', 4, '0/1', -1, -1, -1, -1)
         |) f(chrom, pos, alt, sample_ix, gt, dp, gq, ref_d, alt_d)""".stripMargin
+
+    /** Companion PED pedigree: one trio (s1 child of s2×s3) plus an
+      * unrelated founder, exercising trio derivation from real PED text.
+      */
+    val pedLines: Vector[String] = Vector(
+      "#family_id sample_id paternal_id maternal_id sex phenotype",
+      "F1 s1 s2 s3 1 2",
+      "F1 s2 0 0 1 1",
+      "F1 s3 0 0 2 1",
+      "F2 s4 0 0 1 1")
   }
 
   // ---------------------------------------------------------------- queries
@@ -376,6 +386,55 @@ object Etl {
       .orderBy($"chrom", $"pos", $"alt")
   }
 
+  /** Trio table derived from parsed PED rows: (family, child, and the
+    * 1-based gt-array indexes of child/dad/mom in the header's sample
+    * order). Founders ("0" parent ids) and samples absent from the VCF
+    * drop out. PED metadata is driver-side by nature (like the header);
+    * the RESULTING trio dim is what ships to executors.
+    */
+  private def trioRows(headerSamples: Seq[String], pedLines: Seq[String])
+      : Seq[(String, String, Int, Int, Int)] = {
+    val ixOf = headerSamples.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
+    graft.sources.PedSource.parse(pedLines)._2.flatMap { r =>
+      val Seq(fam, child, dad, mom) = (0 to 3).map(r.getString)
+      for {
+        c <- ixOf.get(child); d <- ixOf.get(dad); m <- ixOf.get(mom)
+      } yield (fam, child, c, d, m)
+    }
+  }
+
+  /** e17: GEMINI-style trio de-novo candidates — child HET while both
+    * parents are HOM-REF — the flagship family-based query the
+    * reference's output database serves (gemini's de_novo tool). The
+    * trio dim (sample indexes from PED × header order) is BROADCAST
+    * against the variants corpus and evaluated by per-row array
+    * indexing: the fact side never shuffles and no per-sample explode
+    * happens, so the identical plan holds at biobank scale (the
+    * nested-loop is trio-dim × one corpus scan, the s01 shape).
+    */
+  def e17(s: SparkSession, dir: String): DataFrame = {
+    val (h, variants, _) = VcfReader.fromLines(s, VcfFixture.lines)
+    trioDenovo(s, variants, h.samples, VcfFixture.pedLines)
+  }
+
+  /** General form of e17 over any parsed variants table + PED. */
+  def trioDenovo(s: SparkSession, variants: DataFrame,
+      headerSamples: Seq[String], pedLines: Seq[String]): DataFrame = {
+    import s.implicits._
+    val trios = trioRows(headerSamples, pedLines)
+      .toDF("family_id", "child", "c_ix", "d_ix", "m_ix")
+    variants
+      .join(broadcast(trios),
+        element_at($"gt_types", $"c_ix") === 1 &&
+          element_at($"gt_types", $"d_ix") === 0 &&
+          element_at($"gt_types", $"m_ix") === 0)
+      .select($"chrom", $"pos", $"alt", $"family_id", $"child",
+        element_at($"gt_depths", $"c_ix").as("child_dp"),
+        element_at($"gt_depths", $"d_ix").as("dad_dp"),
+        element_at($"gt_depths", $"m_ix").as("mom_dp"))
+      .orderBy($"chrom", $"pos", $"alt", $"child")
+  }
+
   // ----------------------------------------------------------------- oracle
 
   private val variantsSelect =
@@ -493,6 +552,24 @@ object Etl {
         | ('X', 400, 'C', NULL, NULL, NULL, NULL, NULL)
         |) v(chrom, pos, alt, adi_ref, adi_alt, pl_rr, pl_ra, pl_aa)
         |ORDER BY chrom, pos, alt""".stripMargin,
+    "e17_trio_denovo" ->
+      s"""SELECT g.chrom, CAST(g.pos AS BIGINT) AS pos, g.alt,
+         | t.family_id, t.child,
+         | CAST(fc.dp AS INTEGER) AS child_dp,
+         | CAST(fd.dp AS INTEGER) AS dad_dp,
+         | CAST(fm.dp AS INTEGER) AS mom_dp
+         |FROM ${VcfFixture.gtValues}
+         |JOIN (VALUES ('F1', 's1', 1, 2, 3)) t(family_id, child, c_ix, d_ix, m_ix) ON TRUE
+         |JOIN (SELECT * FROM ${VcfFixture.gtFormatValues}) fc
+         |  ON fc.chrom = g.chrom AND fc.pos = g.pos AND fc.alt = g.alt AND fc.sample_ix = t.c_ix
+         |JOIN (SELECT * FROM ${VcfFixture.gtFormatValues}) fd
+         |  ON fd.chrom = g.chrom AND fd.pos = g.pos AND fd.alt = g.alt AND fd.sample_ix = t.d_ix
+         |JOIN (SELECT * FROM ${VcfFixture.gtFormatValues}) fm
+         |  ON fm.chrom = g.chrom AND fm.pos = g.pos AND fm.alt = g.alt AND fm.sample_ix = t.m_ix
+         |WHERE CASE t.c_ix WHEN 1 THEN g.gt_s1 WHEN 2 THEN g.gt_s2 WHEN 3 THEN g.gt_s3 ELSE g.gt_s4 END = 1
+         |  AND CASE t.d_ix WHEN 1 THEN g.gt_s1 WHEN 2 THEN g.gt_s2 WHEN 3 THEN g.gt_s3 ELSE g.gt_s4 END = 0
+         |  AND CASE t.m_ix WHEN 1 THEN g.gt_s1 WHEN 2 THEN g.gt_s2 WHEN 3 THEN g.gt_s3 ELSE g.gt_s4 END = 0
+         |ORDER BY g.chrom, g.pos, g.alt, t.child""".stripMargin,
     "e13_vcf_header" -> {
       val rows = VcfFixture.lines.takeWhile(_.startsWith("#")).zipWithIndex
         .map { case (l, i) => s"(${i + 1}, '${l.replace("'", "''")}')" }
@@ -521,6 +598,7 @@ object Etl {
     "e13_vcf_header" -> (e13 _),
     "e14_region_join" -> (e14 _),
     "e15_format_arrays" -> (e15 _),
-    "e16_info_arrays" -> (e16 _)
+    "e16_info_arrays" -> (e16 _),
+    "e17_trio_denovo" -> (e17 _)
   )
 }

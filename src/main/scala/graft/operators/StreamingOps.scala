@@ -60,7 +60,30 @@ object StreamingOps {
       .orderBy($"user_id", $"session_id")
   }
 
+  /** st03: ingestion dedup — collapse duplicate event deliveries to one
+    * canonical survivor per (user, type, minute) key. Batch form picks
+    * the deterministic min-event_id survivor with ONE partial-agg
+    * shuffle on the dedup key; the streaming form with bounded state is
+    * `dropDuplicatesWithinWatermark` over the same key columns
+    * (exercised in StreamingSpec — state is evicted once the watermark
+    * passes, so it holds O(active keys), not O(stream)).
+    */
+  def st03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "events")
+      .withColumn("minute", date_trunc("minute", $"ts"))
+      .groupBy($"user_id", $"event_type", $"minute")
+      .agg(min($"event_id").as("event_id"), count(lit(1)).as("n_dupes"))
+      .orderBy($"user_id", $"event_type", $"minute")
+  }
+
   val oracle: Map[String, String] = Map(
+    "st03_dedup_events" ->
+      """SELECT user_id, event_type,
+        | CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute,
+        | MIN(event_id) AS event_id, COUNT(*) AS n_dupes
+        |FROM events GROUP BY 1, 2, 3
+        |ORDER BY user_id, event_type, minute""".stripMargin,
     "st01_window_agg" ->
       """SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws,
         | time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS we,
@@ -88,6 +111,7 @@ object StreamingOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_window_agg" -> (st01 _),
-    "st02_sessionize" -> (st02 _)
+    "st02_sessionize" -> (st02 _),
+    "st03_dedup_events" -> (st03 _)
   )
 }

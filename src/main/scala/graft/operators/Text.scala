@@ -167,7 +167,48 @@ object Text {
       .orderBy($"source", $"rk")
   }
 
+  /** PII patterns shared with the oracle. `[.]` instead of `\.`
+    * everywhere: Spark SQL string literals eat backslashes while DuckDB
+    * literals don't, so a backslash-free pattern is the only form that
+    * is byte-identical in both engines (semantics identical under Java
+    * regex and RE2).
+    */
+  private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  private val ipPat = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+  /** t08: PII scrub — count and redact emails / IPv4s before a corpus
+    * ships to training (the compliance pass of an LLM data pipeline).
+    * The synthetic corpus carries no PII, so a deterministic PII suffix
+    * derived from doc_id is appended first (both engines build the same
+    * string); the md5 of the redacted text is the strong content check.
+    * Pure per-row regex work — codegen, shuffle-free, scan-speed.
+    */
+  def t08(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "documents")
+      .withColumn("t", concat($"text",
+        lit(" contact user"), $"doc_id".cast("string"),
+        lit("@example.com via 10.0."),
+        ($"doc_id" % 256).cast("string"), lit(".7")))
+      .select($"doc_id",
+        size(expr(s"regexp_extract_all(t, '$emailPat', 0)")).as("n_emails"),
+        size(expr(s"regexp_extract_all(t, '$ipPat', 0)")).as("n_ips"),
+        md5(expr(s"regexp_replace(regexp_replace(t, '$emailPat', '<EMAIL>'), '$ipPat', '<IP>')"))
+          .as("redacted_md5"))
+      .orderBy($"doc_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "t08_pii_scrub" ->
+      s"""SELECT doc_id,
+         | CAST(len(regexp_extract_all(t, '$emailPat')) AS INTEGER) AS n_emails,
+         | CAST(len(regexp_extract_all(t, '$ipPat')) AS INTEGER) AS n_ips,
+         | md5(regexp_replace(regexp_replace(t, '$emailPat', '<EMAIL>', 'g'), '$ipPat', '<IP>', 'g')) AS redacted_md5
+         |FROM (SELECT doc_id,
+         |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |   || '@example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
     "t07_stratified_sample" ->
       """SELECT doc_id, source, rk FROM (
         | SELECT doc_id, source,
@@ -227,6 +268,7 @@ object Text {
     "t04_fingerprint" -> (t04 _),
     "t05_rolling_hash" -> (t05 _),
     "t06_bpe_tokens" -> (t06 _),
-    "t07_stratified_sample" -> (t07 _)
+    "t07_stratified_sample" -> (t07 _),
+    "t08_pii_scrub" -> (t08 _)
   )
 }

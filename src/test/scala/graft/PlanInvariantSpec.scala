@@ -21,7 +21,10 @@ class PlanInvariantSpec extends SparkSpec {
     // single-row count broadcast into the bucket-cap filter; appears
     // TWICE in the printed tree because the candidate self-join
     // duplicates its child subtree
-    "d03_dedup_simhash" -> 2)
+    "d03_dedup_simhash" -> 2,
+    // broadcast trio dim × one variants scan (per-row gt-array indexing
+    // on non-equi predicates — no join key exists by construction)
+    "e17_trio_denovo" -> 1)
 
   /** Queries whose bucket-key SELF-join is designed as a shuffle join
     * (SURVEY §5.4: "band-bucket keys are the shuffle key") — neither

@@ -187,4 +187,36 @@ class StreamStreamJoinSpec extends SparkSpec {
       assert(!pairs.contains((1L, 11L)) && !pairs.contains((1L, 12L)))
     } finally q.stop()
   }
+
+  test("streaming dedup drops duplicate deliveries within the watermark (st03 analog)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val deduped = input.toDS()
+      .withWatermark("ts", "1 minute")
+      .withColumn("minute", date_trunc("minute", $"ts"))
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "minute")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      // three deliveries of the same logical event + one distinct event
+      input.addData(
+        Event(1, ts(0), 7, "view"), Event(2, ts(0), 7, "view"),
+        Event(3, ts(0), 7, "view"), Event(4, ts(0), 7, "click"))
+      q.processAllAvailable()
+      // late duplicate still within the watermark window: also dropped
+      input.addData(Event(5, ts(0), 7, "view"))
+      q.processAllAvailable()
+      // advance the watermark far past the key's window → state evicted;
+      // a fresh event for the SAME key in a later minute passes through
+      input.addData(Event(6, ts(240), 7, "view"))
+      q.processAllAvailable()
+      val out = spark.table("dedup_out").as[Event].collect()
+      assert(out.count(e => e.user_id == 7 && e.event_type == "view" && e.ts == ts(0)) == 1,
+        s"duplicates survived: ${out.toSeq}")
+      assert(out.count(e => e.event_type == "click") == 1)
+      assert(out.count(e => e.ts == ts(240)) == 1)
+    } finally q.stop()
+  }
 }

@@ -26,10 +26,11 @@ object Bench {
     "q06_selective_filter", "q07_window_running_total",
     "q08_rollup_status_priority", "q09_distinct_users_per_type",
     "q10_orders_by_month", "q11_group_percentiles",
-    "st01_window_agg", "st02_sessionize",
+    "st01_window_agg", "st02_sessionize", "st03_dedup_events",
     "e01_flatten_info", "e08_pack_blob",
     "d02_dedup_minhash", "d04_ngram_jaccard", "d05_dedup_embedding",
-    "s01_ann_bruteforce_topk", "s02_ann_lsh", "t07_stratified_sample")
+    "s01_ann_bruteforce_topk", "s02_ann_lsh", "t07_stratified_sample",
+    "t08_pii_scrub")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

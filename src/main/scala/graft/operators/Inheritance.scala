@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{PedSource, VcfReader}
+
+/** GEMINI-style family-inheritance queries (SURVEY.md §1: the downstream
+  * query capability the reference's output database is built for —
+  * gemini's de_novo / autosomal_recessive / mendel_errors / comp_hets
+  * tools), re-expressed as Spark plans over the parsed variants +
+  * impacts tables.
+  *
+  * Scale shape shared by both queries: the trio dim (child/dad/mom
+  * sample indexes derived from PED × header sample order) is BROADCAST
+  * against the variants corpus and evaluated with per-row gt-array
+  * indexing — no per-sample explode, the fact side never shuffles for
+  * the classification itself. Only comp-het adds a shuffle, keyed on
+  * (family, gene) — the candidate-pair key, exactly where a shuffle is
+  * semantically required (same bucketing discipline as d02/d04).
+  *
+  * Autosomal semantics only (GEMINI ships separate X-linked tools).
+  */
+object Inheritance {
+
+  /** Trio fixture: one family (child c of f×m), 8 single-alt variants
+    * across 3 genes engineered to exercise every inheritance class:
+    * de novo, recessive candidate, two mendel-error shapes, a comp-het
+    * pair (one HET from each parent in GENE_A), a plain inherited HET,
+    * and an uncalled child.
+    */
+  object TrioFixture {
+    val lines: Vector[String] = Vector(
+      "##fileformat=VCFv4.2",
+      "##INFO=<ID=CSQ,Number=.,Type=String,Description=\"Consequence annotations from Ensembl VEP. Format: Allele|Consequence|SYMBOL\">",
+      "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"Genotype\">",
+      "##FORMAT=<ID=DP,Number=1,Type=Integer,Description=\"Read depth\">",
+      Seq("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO",
+        "FORMAT", "c", "f", "m").mkString("\t"),
+      row("1", 1000, "A", "G", "G|missense_variant|GENE_A", "0/1:30", "0/0:40", "0/0:35"),
+      row("1", 2000, "C", "T", "T|missense_variant|GENE_A", "0/1:25", "0/1:33", "0/0:28"),
+      row("1", 3000, "G", "A", "A|stop_gained|GENE_A", "0/1:22", "0/0:31", "0/1:27"),
+      row("2", 500, "T", "C", "C|missense_variant|GENE_B", "1/1:28", "0/1:36", "0/1:30"),
+      row("2", 600, "A", "C", "C|missense_variant|GENE_B", "1/1:26", "0/0:38", "0/1:29"),
+      row("2", 700, "G", "T", "T|synonymous_variant|GENE_B", "0/0:24", "1/1:37", "0/1:31"),
+      row("3", 100, "A", "T", "T|missense_variant|GENE_C", "0/1:27", "0/1:39", "0/1:33"),
+      row("3", 200, "C", "G", "G|missense_variant|GENE_C", "./.:0", "0/1:34", "0/1:32"))
+
+    private def row(chrom: String, pos: Int, ref: String, alt: String,
+        csq: String, c: String, f: String, m: String): String =
+      Seq(chrom, pos.toString, ".", ref, alt, "99", "PASS", s"CSQ=$csq",
+        "GT:DP", c, f, m).mkString("\t")
+
+    val pedLines: Vector[String] = Vector(
+      "#family_id sample_id paternal_id maternal_id sex phenotype",
+      "FAM c f m 1 2",
+      "FAM f 0 0 1 1",
+      "FAM m 0 0 2 1")
+
+    /** Hand-derived per-trio genotype classes + depths as a VALUES
+      * relation (0 HOM-REF / 1 HET / 2 UNKNOWN / 3 HOM-ALT) — the
+      * oracles re-derive both queries from this in pure SQL.
+      */
+    val trioGtValues: String =
+      """(VALUES
+        | ('1', 1000, 'G', 'GENE_A', 1, 0, 0, 30, 40, 35),
+        | ('1', 2000, 'T', 'GENE_A', 1, 1, 0, 25, 33, 28),
+        | ('1', 3000, 'A', 'GENE_A', 1, 0, 1, 22, 31, 27),
+        | ('2', 500,  'C', 'GENE_B', 3, 1, 1, 28, 36, 30),
+        | ('2', 600,  'C', 'GENE_B', 3, 0, 1, 26, 38, 29),
+        | ('2', 700,  'T', 'GENE_B', 0, 3, 1, 24, 37, 31),
+        | ('3', 100,  'T', 'GENE_C', 1, 1, 1, 27, 39, 33),
+        | ('3', 200,  'G', 'GENE_C', 2, 1, 1, 0, 34, 32)
+        |) tg(chrom, pos, alt, gene, gt_c, gt_f, gt_m, dp_c, dp_f, dp_m)""".stripMargin
+  }
+
+  /** Trio dim from parsed PED rows (same derivation as Etl.e17). */
+  private def triosDf(s: SparkSession, headerSamples: Seq[String],
+      pedLines: Seq[String]): DataFrame = {
+    import s.implicits._
+    val ixOf = headerSamples.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
+    PedSource.parse(pedLines)._2.flatMap { r =>
+      val Seq(fam, child, dad, mom) = (0 to 3).map(r.getString)
+      for {
+        c <- ixOf.get(child); d <- ixOf.get(dad); m <- ixOf.get(mom)
+      } yield (fam, child, c, d, m)
+    }.toDF("family_id", "child", "c_ix", "d_ix", "m_ix")
+  }
+
+  /** e18: classify each (variant, trio) into an inheritance class —
+    * `de_novo` (child HET, parents HOM-REF), `auto_rec` (child HOM-ALT,
+    * parents both HET: the recessive-disease candidate), or
+    * `mendel_error` (a genotype impossible under Mendelian transmission:
+    * child HOM-ALT with a HOM-REF parent, child HOM-REF with a HOM-ALT
+    * parent, or child HET from two HOM-ALT parents). Unmatched rows
+    * (plain inherited / uncalled) drop out.
+    */
+  def e18(s: SparkSession, dir: String): DataFrame = {
+    val (h, variants, _) = VcfReader.fromLines(s, TrioFixture.lines)
+    classify(s, variants, h.samples, TrioFixture.pedLines)
+  }
+
+  def classify(s: SparkSession, variants: DataFrame,
+      headerSamples: Seq[String], pedLines: Seq[String]): DataFrame = {
+    import s.implicits._
+    val (gtC, gtF, gtM) = (element_at($"gt_types", $"c_ix"),
+      element_at($"gt_types", $"d_ix"), element_at($"gt_types", $"m_ix"))
+    variants
+      .crossJoin(broadcast(triosDf(s, headerSamples, pedLines)))
+      .withColumn("class",
+        when(gtC === 1 && gtF === 0 && gtM === 0, "de_novo")
+          .when(gtC === 3 && gtF === 1 && gtM === 1, "auto_rec")
+          .when((gtC === 3 && (gtF === 0 || gtM === 0)) ||
+            (gtC === 0 && (gtF === 3 || gtM === 3)) ||
+            (gtC === 1 && gtF === 3 && gtM === 3), "mendel_error"))
+      .filter($"class".isNotNull)
+      .select($"chrom", $"pos", $"alt", $"family_id", $"child", $"class",
+        element_at($"gt_depths", $"c_ix").as("child_dp"),
+        element_at($"gt_depths", $"d_ix").as("dad_dp"),
+        element_at($"gt_depths", $"m_ix").as("mom_dp"))
+      .orderBy($"chrom", $"pos", $"alt", $"child")
+  }
+
+  /** e19: compound-heterozygote candidate pairs — two HET sites of the
+    * child in the SAME gene, one inherited from each parent (unphased
+    * GEMINI comp_hets rule: site A dad-HET/mom-HOM-REF, site B the
+    * reverse). Gene labels come from the expanded impacts table via an
+    * equi-join on the variant key; the pair self-join is keyed on
+    * (family, gene) so candidates only meet inside their gene bucket.
+    */
+  def e19(s: SparkSession, dir: String): DataFrame = {
+    val (h, variants, impacts) = VcfReader.fromLines(s, TrioFixture.lines)
+    compHets(s, variants, impacts, h.samples, TrioFixture.pedLines)
+  }
+
+  def compHets(s: SparkSession, variants: DataFrame, impacts: DataFrame,
+      headerSamples: Seq[String], pedLines: Seq[String]): DataFrame = {
+    import s.implicits._
+    val genes = impacts.select($"chrom", $"pos", $"alt", $"symbol".as("gene"))
+      .distinct()
+    val (gtC, gtF, gtM) = (element_at($"gt_types", $"c_ix"),
+      element_at($"gt_types", $"d_ix"), element_at($"gt_types", $"m_ix"))
+    val hets = variants
+      .crossJoin(broadcast(triosDf(s, headerSamples, pedLines)))
+      .withColumn("gt_c", gtC).withColumn("gt_f", gtF).withColumn("gt_m", gtM)
+      .filter($"gt_c" === 1 &&
+        (($"gt_f" === 1 && $"gt_m" === 0) || ($"gt_m" === 1 && $"gt_f" === 0)))
+      .withColumn("from_dad", $"gt_f" === 1)
+      .join(genes, Seq("chrom", "pos", "alt"))
+      .select($"family_id", $"child", $"gene", $"chrom", $"pos", $"alt",
+        $"from_dad")
+    hets.as("a")
+      .join(hets.as("b"),
+        $"a.family_id" === $"b.family_id" && $"a.gene" === $"b.gene" &&
+          ($"a.chrom" < $"b.chrom" ||
+            ($"a.chrom" === $"b.chrom" && $"a.pos" < $"b.pos")) &&
+          $"a.from_dad" =!= $"b.from_dad")
+      .select($"a.family_id", $"a.child", $"a.gene",
+        $"a.chrom".as("chrom_a"), $"a.pos".as("pos_a"), $"a.alt".as("alt_a"),
+        $"b.chrom".as("chrom_b"), $"b.pos".as("pos_b"), $"b.alt".as("alt_b"))
+      .orderBy($"family_id", $"gene", $"chrom_a", $"pos_a", $"chrom_b", $"pos_b")
+  }
+
+  val oracle: Map[String, String] = Map(
+    "e18_inheritance_classify" ->
+      s"""SELECT chrom, CAST(pos AS BIGINT) AS pos, alt,
+         | 'FAM' AS family_id, 'c' AS child, class,
+         | CAST(dp_c AS INTEGER) AS child_dp,
+         | CAST(dp_f AS INTEGER) AS dad_dp,
+         | CAST(dp_m AS INTEGER) AS mom_dp
+         |FROM (SELECT *,
+         |  CASE WHEN gt_c = 1 AND gt_f = 0 AND gt_m = 0 THEN 'de_novo'
+         |       WHEN gt_c = 3 AND gt_f = 1 AND gt_m = 1 THEN 'auto_rec'
+         |       WHEN (gt_c = 3 AND (gt_f = 0 OR gt_m = 0))
+         |         OR (gt_c = 0 AND (gt_f = 3 OR gt_m = 3))
+         |         OR (gt_c = 1 AND gt_f = 3 AND gt_m = 3) THEN 'mendel_error'
+         |  END AS class
+         |  FROM ${TrioFixture.trioGtValues})
+         |WHERE class IS NOT NULL
+         |ORDER BY chrom, pos, alt, child""".stripMargin,
+    "e19_comp_het" ->
+      s"""WITH hets AS (
+         | SELECT chrom, pos, alt, gene, (gt_f = 1) AS from_dad
+         | FROM ${TrioFixture.trioGtValues}
+         | WHERE gt_c = 1 AND ((gt_f = 1 AND gt_m = 0) OR (gt_m = 1 AND gt_f = 0)))
+         |SELECT 'FAM' AS family_id, 'c' AS child, a.gene,
+         | a.chrom AS chrom_a, CAST(a.pos AS BIGINT) AS pos_a, a.alt AS alt_a,
+         | b.chrom AS chrom_b, CAST(b.pos AS BIGINT) AS pos_b, b.alt AS alt_b
+         |FROM hets a JOIN hets b
+         |  ON a.gene = b.gene
+         | AND (a.chrom < b.chrom OR (a.chrom = b.chrom AND a.pos < b.pos))
+         | AND a.from_dad <> b.from_dad
+         |ORDER BY family_id, a.gene, chrom_a, pos_a, chrom_b, pos_b""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e18_inheritance_classify" -> (e18 _),
+    "e19_comp_het" -> (e19 _)
+  )
+}

@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Inheritance
+import graft.operators.Inheritance.TrioFixture
+import graft.sources.VcfReader
+
+/** e18/e19 GEMINI family-query semantics over the engineered trio
+  * fixture (every inheritance class + a comp-het pair + negatives).
+  */
+class InheritanceSpec extends SparkSpec {
+
+  private lazy val parsed = VcfReader.fromLines(spark, TrioFixture.lines)
+
+  test("e18 classifies de novo, recessive, and both mendel-error shapes") {
+    val rows = Inheritance.e18(spark, "").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(5))).toSet
+    assert(rows == Set(
+      ("1", 1000L, "de_novo"),
+      ("2", 500L, "auto_rec"),
+      ("2", 600L, "mendel_error"), // child HOM-ALT, dad HOM-REF
+      ("2", 700L, "mendel_error"))) // child HOM-REF, dad HOM-ALT
+  }
+
+  test("e18 excludes plain inherited HETs and uncalled children") {
+    val pos = Inheritance.e18(spark, "").collect().map(_.getLong(1)).toSet
+    assert(!pos.contains(100L) && !pos.contains(200L)) // GENE_C rows
+  }
+
+  test("e18 carries trio depths for downstream DP filtering") {
+    val r = Inheritance.e18(spark, "").collect()
+      .find(_.getLong(1) == 1000L).get
+    assert((r.getInt(6), r.getInt(7), r.getInt(8)) == ((30, 40, 35)))
+  }
+
+  test("e19 finds exactly the one dad×mom comp-het pair in GENE_A") {
+    val rows = Inheritance.e19(spark, "").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getString(2) == "GENE_A")
+    assert((r.getLong(4), r.getLong(7)) == ((2000L, 3000L)))
+  }
+
+  test("e19 never pairs the de novo site (neither parent carries it)") {
+    val rows = Inheritance.e19(spark, "").collect()
+    assert(!rows.exists(r => r.getLong(4) == 1000L || r.getLong(7) == 1000L))
+  }
+
+  test("comp-het requires opposite parental origin, not just two HETs") {
+    // GENE_C's 3:100 is HET in all three → fails the dad-only/mom-only
+    // origin filter, so GENE_C yields no pair even with two HET sites
+    val (h, v, i) = parsed
+    val rows = Inheritance.compHets(spark, v, i, h.samples, TrioFixture.pedLines)
+      .collect()
+    assert(!rows.exists(_.getString(2) == "GENE_C"))
+  }
+}

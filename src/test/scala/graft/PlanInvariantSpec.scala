@@ -24,7 +24,11 @@ class PlanInvariantSpec extends SparkSpec {
     "d03_dedup_simhash" -> 2,
     // broadcast trio dim × one variants scan (per-row gt-array indexing
     // on non-equi predicates — no join key exists by construction)
-    "e17_trio_denovo" -> 1)
+    "e17_trio_denovo" -> 1,
+    "e18_inheritance_classify" -> 1, // same broadcast-trio shape as e17
+    // the comp-het pair self-join duplicates its hets subtree, so the
+    // trio-dim BNLJ inside it prints twice
+    "e19_comp_het" -> 2)
 
   /** Queries whose bucket-key SELF-join is designed as a shuffle join
     * (SURVEY §5.4: "band-bucket keys are the shuffle key") — neither
@@ -33,7 +37,10 @@ class PlanInvariantSpec extends SparkSpec {
     * Everywhere else a SortMergeJoin means a dim failed to broadcast.
     */
   private val shuffleSelfJoinAllowed =
-    Set("d02_dedup_minhash", "d03_dedup_simhash", "d04_ngram_jaccard")
+    Set("d02_dedup_minhash", "d03_dedup_simhash", "d04_ngram_jaccard",
+      // pair self-join keyed on (family, gene) — the candidate-bucket
+      // key; neither side is a broadcastable dim at cohort scale
+      "e19_comp_het")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plan: no cartesian product, no sort-merge join") {

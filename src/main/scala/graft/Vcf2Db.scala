@@ -186,4 +186,35 @@ object GraftDb {
     spark.read.parquet(s"$dir/samples")
   def vcfHeader(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/vcf_header")
+
+  /** The gt-array sample order = the stored header's #CHROM column
+    * line. One driver-side row fetch — header metadata, not data.
+    */
+  def headerSamples(spark: SparkSession, dir: String): Seq[String] = {
+    val line = vcfHeader(spark, dir)
+      .filter(col("line").startsWith("#CHROM")).select("line")
+      .collect().headOption.getOrElse(
+        throw new IllegalStateException(s"$dir/vcf_header has no #CHROM line"))
+      .getString(0)
+    line.split('\t').drop(9).toSeq
+  }
+
+  private def trios(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Inheritance.triosFromSamples(
+      spark, samples(spark, dir), headerSamples(spark, dir))
+
+  /** GEMINI's family tools over a LOADED database (blobs unpacked,
+    * trios derived from the samples table): de_novo / auto_rec /
+    * mendel_error classification and compound-het pairs.
+    */
+  def inheritanceClassify(spark: SparkSession, dir: String,
+      codec: String = "zlib"): DataFrame =
+    graft.operators.Inheritance.classify(
+      spark, expandGenotypes(spark, dir, codec), trios(spark, dir))
+
+  def compHets(spark: SparkSession, dir: String,
+      codec: String = "zlib"): DataFrame =
+    graft.operators.Inheritance.compHets(
+      spark, expandGenotypes(spark, dir, codec), impacts(spark, dir),
+      trios(spark, dir))
 }

@@ -87,6 +87,30 @@ object Inheritance {
     }.toDF("family_id", "child", "c_ix", "d_ix", "m_ix")
   }
 
+  /** Trio dim from a `samples` TABLE (the Vcf2Db/GraftDb read path):
+    * two self-equi-joins on sample_id resolve each child's parents, an
+    * index join maps names to gt-array slots. All dim-sized work;
+    * children whose parent is absent from the VCF sample list drop out,
+    * exactly like the PED-text path.
+    */
+  def triosFromSamples(s: SparkSession, samples: DataFrame,
+      headerSamples: Seq[String]): DataFrame = {
+    import s.implicits._
+    val ix = headerSamples.zipWithIndex.map { case (n, i) => (n, i + 1) }
+      .toDF("s_name", "s_ix")
+    val withIx = samples
+      .select($"family_id", $"sample_id", $"paternal_id", $"maternal_id")
+      .join(ix, $"sample_id" === $"s_name")
+    withIx
+      .select($"family_id", $"sample_id".as("child"),
+        $"paternal_id", $"maternal_id", $"s_ix".as("c_ix"))
+      .join(withIx.select($"s_name".as("dad"), $"s_ix".as("d_ix")),
+        $"paternal_id" === $"dad")
+      .join(withIx.select($"s_name".as("mom"), $"s_ix".as("m_ix")),
+        $"maternal_id" === $"mom")
+      .select($"family_id", $"child", $"c_ix", $"d_ix", $"m_ix")
+  }
+
   /** e18: classify each (variant, trio) into an inheritance class —
     * `de_novo` (child HET, parents HOM-REF), `auto_rec` (child HOM-ALT,
     * parents both HET: the recessive-disease candidate), or
@@ -101,12 +125,15 @@ object Inheritance {
   }
 
   def classify(s: SparkSession, variants: DataFrame,
-      headerSamples: Seq[String], pedLines: Seq[String]): DataFrame = {
+      headerSamples: Seq[String], pedLines: Seq[String]): DataFrame =
+    classify(s, variants, triosDf(s, headerSamples, pedLines))
+
+  def classify(s: SparkSession, variants: DataFrame, trios: DataFrame): DataFrame = {
     import s.implicits._
     val (gtC, gtF, gtM) = (element_at($"gt_types", $"c_ix"),
       element_at($"gt_types", $"d_ix"), element_at($"gt_types", $"m_ix"))
     variants
-      .crossJoin(broadcast(triosDf(s, headerSamples, pedLines)))
+      .crossJoin(broadcast(trios))
       .withColumn("class",
         when(gtC === 1 && gtF === 0 && gtM === 0, "de_novo")
           .when(gtC === 3 && gtF === 1 && gtM === 1, "auto_rec")
@@ -134,14 +161,21 @@ object Inheritance {
   }
 
   def compHets(s: SparkSession, variants: DataFrame, impacts: DataFrame,
-      headerSamples: Seq[String], pedLines: Seq[String]): DataFrame = {
+      headerSamples: Seq[String], pedLines: Seq[String]): DataFrame =
+    compHets(s, variants, impacts, triosDf(s, headerSamples, pedLines))
+
+  def compHets(s: SparkSession, variants: DataFrame, impacts: DataFrame,
+      trios: DataFrame): DataFrame = {
     import s.implicits._
     val genes = impacts.select($"chrom", $"pos", $"alt", $"symbol".as("gene"))
       .distinct()
     val (gtC, gtF, gtM) = (element_at($"gt_types", $"c_ix"),
       element_at($"gt_types", $"d_ix"), element_at($"gt_types", $"m_ix"))
-    val hets = variants
-      .crossJoin(broadcast(triosDf(s, headerSamples, pedLines)))
+    // explicit early projection: a Vcf2Db variants table carries a
+    // denormalized worst-impact `gene` column that would collide with
+    // the impacts-derived gene label below
+    val hets = variants.select($"chrom", $"pos", $"alt", $"gt_types")
+      .crossJoin(broadcast(trios))
       .withColumn("gt_c", gtC).withColumn("gt_f", gtF).withColumn("gt_m", gtM)
       .filter($"gt_c" === 1 &&
         (($"gt_f" === 1 && $"gt_m" === 0) || ($"gt_m" === 1 && $"gt_f" === 0)))

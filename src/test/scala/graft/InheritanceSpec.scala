@@ -53,4 +53,28 @@ class InheritanceSpec extends SparkSpec {
       .collect()
     assert(!rows.exists(_.getString(2) == "GENE_C"))
   }
+
+  test("GraftDb family queries over a loaded Vcf2Db database match the operators") {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_inherit")
+    val vcf = tmp.resolve("trio.vcf")
+    val ped = tmp.resolve("trio.ped")
+    Files.writeString(vcf, TrioFixture.lines.mkString("\n") + "\n")
+    Files.writeString(ped, TrioFixture.pedLines.mkString("\n") + "\n")
+    val out = tmp.resolve("db").toString
+    Vcf2Db.run(spark, vcf.toString, Some(ped.toString), out, writerPartitions = 2)
+
+    // trios recovered from the stored samples table + header line
+    assert(GraftDb.headerSamples(spark, out) == Seq("c", "f", "m"))
+
+    val dbClassify = GraftDb.inheritanceClassify(spark, out)
+      .select("chrom", "pos", "alt", "family_id", "child", "class",
+        "child_dp", "dad_dp", "mom_dp").collect().map(_.toSeq).toSet
+    val opClassify = Inheritance.e18(spark, "").collect().map(_.toSeq).toSet
+    assert(dbClassify == opClassify)
+
+    val dbPairs = GraftDb.compHets(spark, out).collect().map(_.toSeq).toSet
+    val opPairs = Inheritance.e19(spark, "").collect().map(_.toSeq).toSet
+    assert(dbPairs == opPairs)
+  }
 }

@@ -234,7 +234,54 @@ object Dedup {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  /** URL canonicalization steps shared (as intent) with the oracle:
+    * strip scheme, leading www., query/fragment, trailing slash.
+    * Backslash-free patterns — byte-identical literals in both engines.
+    */
+  private val urlCanonSteps: Seq[(String, String)] = Seq(
+    "^https?://" -> "", "^www[.]" -> "", "[?#].*$" -> "", "/$" -> "")
+
+  private def canonExpr(col: String): String =
+    urlCanonSteps.foldLeft(col) { case (acc, (pat, repl)) =>
+      s"regexp_replace($acc, '$pat', '$repl')" }
+
+  /** d06: URL-canonicalization dedup — the web-corpus curation step that
+    * collapses scheme/www/tracking-query/fragment/trailing-slash
+    * variants of one page before (or alongside) content dedup. The
+    * corpus has no URL column, so four deterministic variants of a page
+    * URL are synthesized per doc_id (both engines build the same
+    * strings); groups form on the CANONICAL string (constant-width
+    * key), min-id survivor — the same scale shape as d01.
+    */
+  def d06(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "documents")
+      .withColumn("url", expr(
+        """CASE CAST(doc_id % 4 AS INT)
+          | WHEN 0 THEN concat('https://www.example.org/page/', CAST(doc_id div 4 AS STRING))
+          | WHEN 1 THEN concat('http://example.org/page/', CAST(doc_id div 4 AS STRING))
+          | WHEN 2 THEN concat('https://example.org/page/', CAST(doc_id div 4 AS STRING), '?utm_source=x&ref=y')
+          | ELSE concat('https://example.org/page/', CAST(doc_id div 4 AS STRING), '/#section-2')
+          |END""".stripMargin))
+      .withColumn("canonical_url", expr(canonExpr("url")))
+      .groupBy($"canonical_url")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"canonical_url")
+  }
+
   val oracle: Map[String, String] = Map(
+    "d06_dedup_url" ->
+      s"""SELECT ${canonExpr("url")} AS canonical_url,
+         | min(doc_id) AS keep_id, count(*) AS n_copies
+         |FROM (SELECT doc_id,
+         |  CASE CAST(doc_id % 4 AS INT)
+         |   WHEN 0 THEN 'https://www.example.org/page/' || CAST(doc_id // 4 AS VARCHAR)
+         |   WHEN 1 THEN 'http://example.org/page/' || CAST(doc_id // 4 AS VARCHAR)
+         |   WHEN 2 THEN 'https://example.org/page/' || CAST(doc_id // 4 AS VARCHAR) || '?utm_source=x&ref=y'
+         |   ELSE 'https://example.org/page/' || CAST(doc_id // 4 AS VARCHAR) || '/#section-2'
+         |  END AS url
+         |  FROM documents)
+         |GROUP BY 1 ORDER BY canonical_url""".stripMargin,
     "d01_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
@@ -295,6 +342,7 @@ object Dedup {
     "d02_dedup_minhash" -> (d02 _),
     "d03_dedup_simhash" -> (d03 _),
     "d04_ngram_jaccard" -> (d04 _),
-    "d05_dedup_embedding" -> (d05 _)
+    "d05_dedup_embedding" -> (d05 _),
+    "d06_dedup_url" -> (d06 _)
   )
 }

@@ -198,7 +198,43 @@ object Text {
       .orderBy($"doc_id")
   }
 
+  /** t09: repetition quality signals (the Gopher-style "fraction of
+    * duplicate n-grams" filters) — 2-gram and 3-gram duplicate
+    * fractions per document. The distinct-gram count runs in the fused
+    * `shingles` codegen kernel (one loop, no interpreted lambda per
+    * gram); per-row, shuffle-free, scan-speed.
+    */
+  def t09(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    T(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id",
+        greatest(size($"toks") - 1, lit(0)).as("n_2grams"),
+        expr("size(shingles(toks, 2))").as("n_distinct_2grams"),
+        greatest(size($"toks") - 2, lit(0)).as("n_3grams"),
+        expr("size(shingles(toks, 3))").as("n_distinct_3grams"))
+      .withColumn("dup_2gram_frac", expr(
+        "round(1.0e0 - CAST(n_distinct_2grams AS DOUBLE) / nullif(n_2grams, 0), 6)"))
+      .withColumn("dup_3gram_frac", expr(
+        "round(1.0e0 - CAST(n_distinct_3grams AS DOUBLE) / nullif(n_3grams, 0), 6)"))
+      .orderBy($"doc_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "t09_repetition" ->
+      """SELECT doc_id, n_2grams, n_distinct_2grams, n_3grams, n_distinct_3grams,
+        | round(1.0e0 - CAST(n_distinct_2grams AS DOUBLE) / nullif(n_2grams, 0), 6) AS dup_2gram_frac,
+        | round(1.0e0 - CAST(n_distinct_3grams AS DOUBLE) / nullif(n_3grams, 0), 6) AS dup_3gram_frac
+        |FROM (SELECT doc_id,
+        |  CAST(greatest(len(w) - 1, 0) AS INTEGER) AS n_2grams,
+        |  CAST(len(list_distinct(list_transform(generate_series(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1]))) AS INTEGER) AS n_distinct_2grams,
+        |  CAST(greatest(len(w) - 2, 0) AS INTEGER) AS n_3grams,
+        |  CAST(len(list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS INTEGER) AS n_distinct_3grams
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+        |ORDER BY doc_id""".stripMargin,
     "t08_pii_scrub" ->
       s"""SELECT doc_id,
          | CAST(len(regexp_extract_all(t, '$emailPat')) AS INTEGER) AS n_emails,
@@ -269,6 +305,7 @@ object Text {
     "t05_rolling_hash" -> (t05 _),
     "t06_bpe_tokens" -> (t06 _),
     "t07_stratified_sample" -> (t07 _),
-    "t08_pii_scrub" -> (t08 _)
+    "t08_pii_scrub" -> (t08 _),
+    "t09_repetition" -> (t09 _)
   )
 }

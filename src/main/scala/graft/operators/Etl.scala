@@ -386,23 +386,6 @@ object Etl {
       .orderBy($"chrom", $"pos", $"alt")
   }
 
-  /** Trio table derived from parsed PED rows: (family, child, and the
-    * 1-based gt-array indexes of child/dad/mom in the header's sample
-    * order). Founders ("0" parent ids) and samples absent from the VCF
-    * drop out. PED metadata is driver-side by nature (like the header);
-    * the RESULTING trio dim is what ships to executors.
-    */
-  private def trioRows(headerSamples: Seq[String], pedLines: Seq[String])
-      : Seq[(String, String, Int, Int, Int)] = {
-    val ixOf = headerSamples.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
-    graft.sources.PedSource.parse(pedLines)._2.flatMap { r =>
-      val Seq(fam, child, dad, mom) = (0 to 3).map(r.getString)
-      for {
-        c <- ixOf.get(child); d <- ixOf.get(dad); m <- ixOf.get(mom)
-      } yield (fam, child, c, d, m)
-    }
-  }
-
   /** e17: GEMINI-style trio de-novo candidates — child HET while both
     * parents are HOM-REF — the flagship family-based query the
     * reference's output database serves (gemini's de_novo tool). The
@@ -421,8 +404,7 @@ object Etl {
   def trioDenovo(s: SparkSession, variants: DataFrame,
       headerSamples: Seq[String], pedLines: Seq[String]): DataFrame = {
     import s.implicits._
-    val trios = trioRows(headerSamples, pedLines)
-      .toDF("family_id", "child", "c_ix", "d_ix", "m_ix")
+    val trios = Inheritance.triosFromPed(s, headerSamples, pedLines)
     variants
       .join(broadcast(trios),
         element_at($"gt_types", $"c_ix") === 1 &&

@@ -74,8 +74,12 @@ object Inheritance {
         |) tg(chrom, pos, alt, gene, gt_c, gt_f, gt_m, dp_c, dp_f, dp_m)""".stripMargin
   }
 
-  /** Trio dim from parsed PED rows (same derivation as Etl.e17). */
-  private def triosDf(s: SparkSession, headerSamples: Seq[String],
+  /** Trio dim from parsed PED rows: (family, child, 1-based gt-array
+    * indexes of child/dad/mom in header sample order); founders and
+    * samples absent from the VCF drop out. Shared by e17 (Etl) and the
+    * e18/e19 suite — the single source of the trio-derivation rule.
+    */
+  private[operators] def triosFromPed(s: SparkSession, headerSamples: Seq[String],
       pedLines: Seq[String]): DataFrame = {
     import s.implicits._
     val ixOf = headerSamples.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
@@ -126,7 +130,7 @@ object Inheritance {
 
   def classify(s: SparkSession, variants: DataFrame,
       headerSamples: Seq[String], pedLines: Seq[String]): DataFrame =
-    classify(s, variants, triosDf(s, headerSamples, pedLines))
+    classify(s, variants, triosFromPed(s, headerSamples, pedLines))
 
   def classify(s: SparkSession, variants: DataFrame, trios: DataFrame): DataFrame = {
     import s.implicits._
@@ -162,7 +166,7 @@ object Inheritance {
 
   def compHets(s: SparkSession, variants: DataFrame, impacts: DataFrame,
       headerSamples: Seq[String], pedLines: Seq[String]): DataFrame =
-    compHets(s, variants, impacts, triosDf(s, headerSamples, pedLines))
+    compHets(s, variants, impacts, triosFromPed(s, headerSamples, pedLines))
 
   def compHets(s: SparkSession, variants: DataFrame, impacts: DataFrame,
       trios: DataFrame): DataFrame = {

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -150,7 +151,13 @@ object Dedup {
     * caps per-shingle fan-out (stop-shingle filter) so no single
     * shuffle key goes quadratic.
     */
-  def d04(s: SparkSession, dir: String): DataFrame = {
+  def d04(s: SparkSession, dir: String): DataFrame =
+    d04Pairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
+
+  /** d04 pair set without the presentation sort — reused by d07 as the
+    * near-dup edge list.
+    */
+  private def d04Pairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     GraftFunctions.register(s)
     val grams = T(s, dir, "documents")
@@ -173,7 +180,108 @@ object Dedup {
         expr("round(CAST(c AS DOUBLE) / (size(gs_a) + size(gs_b) - c), 6)"))
       .filter(expr("CAST(c AS DOUBLE) / (size(gs_a) + size(gs_b) - c) >= 0.12e0"))
       .select($"doc_a", $"doc_b", $"jaccard")
-      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** d07: near-dup CLUSTER resolution — the step every pairwise dedup
+    * (d02/d03/d04/d05) feeds at pipeline scale: duplicate pairs are a
+    * graph, and the survivor set is one representative per CONNECTED
+    * COMPONENT (a⇔b, b⇔c ⇒ {a,b,c} is one group even if (a,c) was
+    * never emitted as a pair). Edges here are d04's oracle-verified
+    * Jaccard pairs; output labels every clustered doc with the min
+    * doc_id of its component (the canonical survivor).
+    *
+    * Algorithm: alternating large-star / small-star (the MapReduce
+    * connected-components formulation of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14 — public knowledge).
+    * Each round is ONE window shuffle keyed on a node id, the edge set
+    * only ever shrinks toward star-shape, and convergence is
+    * O(log n) rounds — not O(diameter) like naive label propagation, so
+    * a 100 M-doc chain-shaped component still resolves in ~27 rounds.
+    * Lineage is truncated per round (localCheckpoint) — mandatory for
+    * any iterative DataFrame loop. Known hazard at extreme scale: the
+    * component-minimum node's window partition holds the whole
+    * component's edges at convergence; the paper's two-phase minimum
+    * handles that regime.
+    */
+  def d07(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = d04Pairs(s, dir)
+      .select($"doc_a".cast("long").as("u"), $"doc_b".cast("long").as("v"))
+    connectedComponents(s, edges).orderBy($"doc_id")
+  }
+
+  /** Connected components over an undirected edge list (u, v) →
+    * (doc_id, cluster_id = component min). Every input endpoint appears
+    * in the output exactly once, component minima label themselves.
+    */
+  def connectedComponents(s: SparkSession, edgesIn: DataFrame): DataFrame = {
+    import s.implicits._
+    val nodes = edgesIn
+      .select(explode(array($"u", $"v")).as("doc_id")).distinct()
+    var e = edgesIn.filter($"u" =!= $"v")
+      .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
+      .distinct().localCheckpoint()
+    // fixpoint detection: (count, xxhash64 xor-fold) of the canonical
+    // edge set — one cheap aggregate per round instead of a
+    // set-difference join; the edges are distinct so the xor fold is an
+    // order-independent set digest (a plain sum overflows ANSI longs).
+    // The star steps cannot cycle, so an unchanged checksum at equal
+    // cardinality is the fixpoint.
+    def checksum(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = checksum(e)
+    var done = prev._1 == 0L
+    var rounds = 0
+    while (!done) {
+      rounds += 1
+      require(rounds <= 40, s"connected components did not converge in 40 rounds")
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val cur = checksum(next)
+      done = cur == prev
+      prev = cur
+      e = next
+    }
+    // label = min over {star-edge parents of the node} ∪ {itself}: a
+    // member v sees its root u (< v) and wins u; a root sees only
+    // itself. Union + one partial-agg shuffle — no node⟕member join
+    // (the anti-join formulation is fact-vs-fact and degrades to a
+    // sort-merge join at corpus scale).
+    e.select($"v".as("doc_id"), $"u".as("lab"))
+      .unionByName(nodes.select($"doc_id", $"doc_id".as("lab")))
+      .groupBy($"doc_id").agg(min($"lab").as("cluster_id"))
+  }
+
+  /** Large-star: connect every neighbor LARGER than the center to the
+    * minimum of the center's closed neighborhood. One window shuffle
+    * keyed on the center; output stays canonical (u < v).
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    val sym = e.select($"u".as("c"), $"v".as("n"))
+      .union(e.select($"v".as("c"), $"u".as("n")))
+    val m = least(min($"n").over(Window.partitionBy($"c")), $"c")
+    sym.select($"c", $"n", m.as("m"))
+      .filter($"n" > $"c")
+      .select($"m".as("u"), $"n".as("v"))
+      .distinct()
+  }
+
+  /** Small-star: connect the center's SMALLER neighbors (and the center
+    * itself) to the smallest of them. Input and output both canonical
+    * (u < v); the center is the larger endpoint, so one window keyed on
+    * `v` sees exactly its small neighborhood.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    val m = min($"u").over(Window.partitionBy($"v"))
+    val withM = e.select($"u", $"v", m.as("m"))
+    withM.select($"m".as("u"), $"u".as("v"))
+      .union(withM.select($"m".as("u"), $"v"))
+      .filter($"u" =!= $"v")
+      .distinct()
   }
 
 
@@ -316,26 +424,47 @@ object Dedup {
          |ORDER BY vec_a, vec_b""".stripMargin
     },
     "d04_ngram_jaccard" ->
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |grams AS (SELECT doc_id,
-         |  list_distinct([w[i] || ' ' || w[i+1] FOR i IN generate_series(1, len(w) - 1)]) AS gs
-         |  FROM toks),
-         |ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
-         |rare AS (SELECT g FROM ex GROUP BY g HAVING count(*) <= $MaxShingleDf),
-         |exr AS (SELECT doc_id, g FROM ex JOIN rare USING (g)),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM exr a JOIN exr b ON a.g = b.g AND a.doc_id < b.doc_id),
-         |joined AS (SELECT doc_a, doc_b,
-         |  len(list_intersect(ga.gs, gb.gs)) AS c,
-         |  len(ga.gs) AS na, len(gb.gs) AS nb
-         |  FROM cand
-         |  JOIN grams ga ON ga.doc_id = doc_a
-         |  JOIN grams gb ON gb.doc_id = doc_b)
-         |SELECT doc_a, doc_b, round(CAST(c AS DOUBLE) / (na + nb - c), 6) AS jaccard
-         |FROM joined
-         |WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.12e0
-         |ORDER BY doc_a, doc_b""".stripMargin
+      s"""$d04PairsSql
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "d07_dedup_clusters" ->
+      // connected components as a recursive transitive-closure CTE —
+      // exact min-reachable-id per node over d04's pair graph (fine at
+      // oracle scale; the Spark side is the O(log n) star algorithm)
+      s"""WITH RECURSIVE pairs AS ($d04PairsSql),
+         |edges AS (SELECT doc_a AS eu, doc_b AS ev FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT eu, ev FROM edges
+         |  UNION
+         |  SELECT r.a, e.ev FROM reach r JOIN edges e ON r.b = e.eu
+         |)
+         |SELECT CAST(a AS BIGINT) AS doc_id,
+         | CAST(least(a, min(b)) AS BIGINT) AS cluster_id
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
   )
+
+  /** The d04 pair query (shared text between the d04 oracle and d07's
+    * edge-list CTE), sans presentation sort.
+    */
+  private def d04PairsSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |grams AS (SELECT doc_id,
+       |  list_distinct([w[i] || ' ' || w[i+1] FOR i IN generate_series(1, len(w) - 1)]) AS gs
+       |  FROM toks),
+       |ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+       |rare AS (SELECT g FROM ex GROUP BY g HAVING count(*) <= $MaxShingleDf),
+       |exr AS (SELECT doc_id, g FROM ex JOIN rare USING (g)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM exr a JOIN exr b ON a.g = b.g AND a.doc_id < b.doc_id),
+       |joined AS (SELECT doc_a, doc_b,
+       |  len(list_intersect(ga.gs, gb.gs)) AS c,
+       |  len(ga.gs) AS na, len(gb.gs) AS nb
+       |  FROM cand
+       |  JOIN grams ga ON ga.doc_id = doc_a
+       |  JOIN grams gb ON gb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, round(CAST(c AS DOUBLE) / (na + nb - c), 6) AS jaccard
+       |FROM joined
+       |WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.12e0""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact" -> (d01 _),
@@ -343,6 +472,7 @@ object Dedup {
     "d03_dedup_simhash" -> (d03 _),
     "d04_ngram_jaccard" -> (d04 _),
     "d05_dedup_embedding" -> (d05 _),
-    "d06_dedup_url" -> (d06 _)
+    "d06_dedup_url" -> (d06 _),
+    "d07_dedup_clusters" -> (d07 _)
   )
 }

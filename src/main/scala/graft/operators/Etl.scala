@@ -417,6 +417,50 @@ object Etl {
       .orderBy($"chrom", $"pos", $"alt", $"child")
   }
 
+  /** e20: transition/transversion ratio per chromosome — the first QC
+    * stat run on any loaded cohort (gemini `stats --tstv`; ~2.0 genome
+    * -wide / ~3.0 exome is the sanity band). Exact integer counts and
+    * a single ratio division, one tiny partial-agg shuffle keyed on
+    * chrom — scan-speed at cohort scale.
+    */
+  def e20(s: SparkSession, dir: String): DataFrame =
+    tstv(s, VcfReader.fromLines(s, VcfFixture.lines)._2)
+
+  private val tsExpr =
+    "(ref = 'A' AND alt = 'G') OR (ref = 'G' AND alt = 'A') OR " +
+      "(ref = 'C' AND alt = 'T') OR (ref = 'T' AND alt = 'C')"
+
+  def tstv(s: SparkSession, variants: DataFrame): DataFrame = {
+    import s.implicits._
+    variants
+      .filter(length($"ref") === 1 && length($"alt") === 1)
+      .withColumn("is_ts", expr(tsExpr))
+      .groupBy($"chrom")
+      .agg(sum(when($"is_ts", 1L).otherwise(0L)).as("n_ts"),
+        sum(when($"is_ts", 0L).otherwise(1L)).as("n_tv"))
+      .withColumn("tstv",
+        expr("round(CAST(n_ts AS DOUBLE) / nullif(n_tv, 0), 6)"))
+      .orderBy($"chrom")
+  }
+
+  /** e21: per-gene impact burden — variants and impact rows per
+    * (gene, severity), the unit of gemini's burden/gene-set queries.
+    * One partial-agg shuffle on a (gene, severity) key; gene counts are
+    * bounded (~20k human genes), so the aggregate output is dim-sized
+    * no matter the cohort.
+    */
+  def e21(s: SparkSession, dir: String): DataFrame =
+    geneBurden(s, VcfReader.fromLines(s, VcfFixture.lines)._3)
+
+  def geneBurden(s: SparkSession, impacts: DataFrame): DataFrame = {
+    import s.implicits._
+    impacts
+      .groupBy($"symbol", $"impact_severity")
+      .agg(count(lit(1)).as("n_impacts"),
+        countDistinct($"chrom", $"pos", $"alt").as("n_variants"))
+      .orderBy($"symbol", $"impact_severity")
+  }
+
   // ----------------------------------------------------------------- oracle
 
   private val variantsSelect =
@@ -480,6 +524,23 @@ object Etl {
     "e09_vcf_parse" ->
       s"""$variantsSelect${VcfFixture.variantsValues}
          |ORDER BY chrom, pos, alt""".stripMargin,
+    "e20_tstv" ->
+      s"""SELECT chrom,
+         | CAST(SUM(CASE WHEN ts THEN 1 ELSE 0 END) AS BIGINT) AS n_ts,
+         | CAST(SUM(CASE WHEN ts THEN 0 ELSE 1 END) AS BIGINT) AS n_tv,
+         | round(CAST(SUM(CASE WHEN ts THEN 1 ELSE 0 END) AS DOUBLE)
+         |   / nullif(SUM(CASE WHEN ts THEN 0 ELSE 1 END), 0), 6) AS tstv
+         |FROM (SELECT chrom, ($tsExpr) AS ts
+         |      FROM ${VcfFixture.variantsValues}
+         |      WHERE length(ref) = 1 AND length(alt) = 1)
+         |GROUP BY chrom ORDER BY chrom""".stripMargin,
+    "e21_gene_burden" ->
+      s"""SELECT symbol, impact_severity,
+         | CAST(count(*) AS BIGINT) AS n_impacts,
+         | CAST(count(DISTINCT chrom || '|' || CAST(pos AS VARCHAR) || '|' || alt) AS BIGINT) AS n_variants
+         |FROM ${VcfFixture.impactsValues}
+         |GROUP BY symbol, impact_severity
+         |ORDER BY symbol, impact_severity""".stripMargin,
     "e10_csq_impacts" ->
       s"""SELECT chrom, CAST(pos AS BIGINT) AS pos, ref, alt, allele,
          | consequence, symbol, gene, biotype, polyphen, sift,
@@ -581,6 +642,8 @@ object Etl {
     "e14_region_join" -> (e14 _),
     "e15_format_arrays" -> (e15 _),
     "e16_info_arrays" -> (e16 _),
-    "e17_trio_denovo" -> (e17 _)
+    "e17_trio_denovo" -> (e17 _),
+    "e20_tstv" -> (e20 _),
+    "e21_gene_burden" -> (e21 _)
   )
 }

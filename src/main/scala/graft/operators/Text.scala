@@ -221,7 +221,73 @@ object Text {
       .orderBy($"doc_id")
   }
 
+  /** Vocabulary bound for t10 — the top-V tokens cover the bulk of any
+    * natural corpus (Zipf), and a BOUNDED vocab is what keeps the
+    * scoring join broadcastable at 100 TB.
+    */
+  private val VocabSize = 4096
+
+  /** t10: corpus-level unigram log-prob scoring — the perplexity-proxy
+    * quality filter (CCNet-style, with the corpus itself as the LM):
+    * docs of common words score high, gibberish scores low. Two stages:
+    * (1) token frequencies (one partial-agg shuffle on the token;
+    * stop-word heavy hitters are absorbed map-side), top-V vocabulary
+    * via orderBy+limit (TakeOrderedAndProject — never a global sort),
+    * log-probs fixed to 6 decimals; (2) tokens left-join the BROADCAST
+    * vocab (out-of-vocab → a 0.5-count floor), per-doc DECIMAL sum
+    * (exact, order-independent — a double sum would be
+    * accumulation-order-dependent and break the oracle hash), one
+    * partial-agg shuffle keyed on doc_id. The only per-row double math
+    * (divide, log10, round) happens on identical operands in both
+    * engines.
+    */
+  def t10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = T(s, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+    val counts = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum($"cnt").as("n"))
+    val vocab = counts.orderBy($"cnt".desc, $"tok".asc).limit(VocabSize)
+      .crossJoin(broadcast(total))
+      .select($"tok", expr(
+        "CAST(round(log10(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6))")
+        .as("lp"))
+    toks
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .crossJoin(broadcast(total))
+      .select($"doc_id", coalesce($"lp", expr(
+        "CAST(round(log10(0.5e0 / CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6))"))
+        .as("lp"))
+      .groupBy($"doc_id")
+      // no final round: the operands (exact decimal sum → double, exact
+      // count) are bit-identical in both engines and IEEE division is
+      // correctly rounded, so the quotient already hash-matches —
+      // whereas round() itself DISAGREES between engines on quotients
+      // whose ×10⁶ product lands on a .5 only after double rounding
+      // (DuckDB rounds via std::round(x·10⁶), Spark via exact
+      // BigDecimal; seen live at sf0.001, doc 164)
+      .agg(count(lit(1)).as("n_toks"),
+        expr("CAST(CAST(sum(lp) AS DECIMAL(38,6)) AS DOUBLE) / CAST(count(1) AS DOUBLE)")
+          .as("avg_logprob"))
+      .orderBy($"doc_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "t10_unigram_logprob" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM counts),
+         |vocab AS (SELECT tok,
+         |  CAST(round(log10(CAST(cnt AS DOUBLE) / CAST((SELECT n FROM tot) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lp
+         |  FROM counts ORDER BY cnt DESC, tok ASC LIMIT $VocabSize),
+         |scored AS (SELECT t.doc_id,
+         |  coalesce(v.lp,
+         |   CAST(round(log10(0.5e0 / CAST((SELECT n FROM tot) AS DOUBLE)), 6) AS DECIMAL(18,6))) AS lp
+         |  FROM toks t LEFT JOIN vocab v USING (tok))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+         | CAST(CAST(sum(lp) AS DECIMAL(38,6)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_logprob
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t09_repetition" ->
       """SELECT doc_id, n_2grams, n_distinct_2grams, n_3grams, n_distinct_3grams,
         | round(1.0e0 - CAST(n_distinct_2grams AS DOUBLE) / nullif(n_2grams, 0), 6) AS dup_2gram_frac,
@@ -306,6 +372,7 @@ object Text {
     "t06_bpe_tokens" -> (t06 _),
     "t07_stratified_sample" -> (t07 _),
     "t08_pii_scrub" -> (t08 _),
-    "t09_repetition" -> (t09 _)
+    "t09_repetition" -> (t09 _),
+    "t10_unigram_logprob" -> (t10 _)
   )
 }

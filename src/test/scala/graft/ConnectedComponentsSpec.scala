@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Correctness of the large-star/small-star connected-components loop
+  * behind d07 — cluster labels must equal the component minimum under
+  * transitive closure, not just direct pairs.
+  */
+class ConnectedComponentsSpec extends SparkSpec {
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Dedup.connectedComponents(spark, edges.toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("path graph collapses to one cluster labeled by its minimum") {
+    // 1-2, 2-3, 3-4: (1,4) are never a direct pair but share a component
+    assert(cc(Seq((1L, 2L), (2L, 3L), (3L, 4L))) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("disjoint components keep separate labels; duplicates and reversed edges collapse") {
+    val labels = cc(Seq((10L, 7L), (7L, 10L), (10L, 7L), (20L, 21L), (22L, 21L)))
+    assert(labels === Map(7L -> 7L, 10L -> 7L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("long chain with shuffled ids converges to the global minimum") {
+    // a 300-node path whose ids are NOT in path order — the worst case
+    // for naive min propagation (O(diameter) rounds); the star
+    // algorithm must still resolve every node to the component min
+    val perm = new scala.util.Random(7).shuffle((0 until 300).map(_.toLong + 1000L))
+    val edges = perm.sliding(2).map { case Seq(a, b) => (a, b) }.toSeq
+    val labels = cc(edges)
+    val minId = perm.min
+    assert(labels.size === 300)
+    assert(labels.values.forall(_ == minId))
+  }
+
+  test("self-loops and an empty edge list are handled") {
+    assert(cc(Seq((5L, 5L))) === Map(5L -> 5L))
+    assert(cc(Seq.empty) === Map.empty)
+  }
+
+  test("d07 labels are transitively consistent with d04 pairs") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val labels = Dedup.queries("d07_dedup_clusters")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.queries("d04_ngram_jaccard")(spark, dir)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // every paired doc is labeled, paired docs share a label, and the
+    // label is a member's id that can reach itself
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) === labels(b), s"pair ($a,$b) split across clusters")
+    }
+    labels.foreach { case (doc, lab) =>
+      assert(lab <= doc)
+      assert(labels(lab) === lab, s"cluster label $lab is not its own root")
+    }
+  }
+}

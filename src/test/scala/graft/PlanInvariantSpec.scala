@@ -28,7 +28,10 @@ class PlanInvariantSpec extends SparkSpec {
     "e18_inheritance_classify" -> 1, // same broadcast-trio shape as e17
     // the comp-het pair self-join duplicates its hets subtree, so the
     // trio-dim BNLJ inside it prints twice
-    "e19_comp_het" -> 2)
+    "e19_comp_het" -> 2,
+    // single-row corpus-total broadcast into the vocab log-probs and
+    // the OOV floor (d03's count shape, used twice)
+    "t10_unigram_logprob" -> 2)
 
   /** Queries whose bucket-key SELF-join is designed as a shuffle join
     * (SURVEY §5.4: "band-bucket keys are the shuffle key") — neither

@@ -461,6 +461,110 @@ object Etl {
       .orderBy($"symbol", $"impact_severity")
   }
 
+  /** ROH fixture: two samples over 10 decomposed sites engineered to
+    * produce hom runs broken by hets, an uncalled site, and chrom
+    * boundaries.
+    */
+  object RohFixture {
+    val lines: Vector[String] = {
+      val sites: Seq[(String, Int, String, String)] = Seq(
+        ("1", 100, "0/0", "0/1"), ("1", 150, "1/1", "0/0"),
+        ("1", 200, "0/0", "0/0"), ("1", 250, "0/1", "0/0"),
+        ("1", 300, "0/0", "0/1"), ("1", 350, "0/0", "1/1"),
+        ("1", 400, "./.", "1/1"), ("1", 450, "0/0", "0/1"),
+        ("2", 500, "0/0", "0/1"), ("2", 550, "0/0", "1/1"))
+      Vector(
+        "##fileformat=VCFv4.2",
+        "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"Genotype\">",
+        Seq("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO",
+          "FORMAT", "sa", "sb").mkString("\t")) ++
+        sites.map { case (c, p, ga, gb) =>
+          Seq(c, p.toString, ".", "A", "G", "99", "PASS", ".", "GT", ga, gb)
+            .mkString("\t")
+        }
+    }
+
+    /** Long-form (sample, chrom, pos, gt-class) VALUES for the oracle —
+      * hand-derived from the GT strings above (0/0→0, 0/1→1, ./.→2,
+      * 1/1→3).
+      */
+    val gtLongValues: String =
+      """(VALUES
+        | ('sa','1',100,0),('sa','1',150,3),('sa','1',200,0),('sa','1',250,1),
+        | ('sa','1',300,0),('sa','1',350,0),('sa','1',400,2),('sa','1',450,0),
+        | ('sa','2',500,0),('sa','2',550,0),
+        | ('sb','1',100,1),('sb','1',150,0),('sb','1',200,0),('sb','1',250,0),
+        | ('sb','1',300,1),('sb','1',350,3),('sb','1',400,3),('sb','1',450,1),
+        | ('sb','2',500,1),('sb','2',550,3)
+        |) rg(sample, chrom, pos, gt)""".stripMargin
+  }
+
+  /** e23: runs of homozygosity — per (sample, chrom), maximal stretches
+    * of consecutive hom calls (gt 0 or 3; het and uncalled both break a
+    * run) of ≥ minSites sites. Gaps-and-islands via two row_numbers —
+    * the window keys on (sample, chrom), which at biobank scale is
+    * millions of independent partitions; per-key data is one sample's
+    * sites on one chromosome, the inherent unit of the computation.
+    * Expects decomposed-and-site-deduped input (a multiallelic site
+    * appearing twice would double-count run length).
+    */
+  def e23(s: SparkSession, dir: String): DataFrame = {
+    val (h, variants, _) = VcfReader.fromLines(s, RohFixture.lines)
+    roh(s, variants, h.samples, minSites = 2)
+  }
+
+  def roh(s: SparkSession, variants: DataFrame, samples: Seq[String],
+      minSites: Int): DataFrame = {
+    import s.implicits._
+    val wAll = Window.partitionBy($"sample", $"chrom").orderBy($"pos")
+    val g = variants
+      .select($"chrom", $"pos", posexplode($"gt_types").as(Seq("i", "gt")))
+      .withColumn("sample", element_at(typedLit(samples), $"i" + 1))
+    g.withColumn("rn", row_number().over(wAll))
+      .filter($"gt".isin(0, 3))
+      .withColumn("rn2", row_number().over(wAll))
+      .groupBy($"sample", $"chrom", ($"rn" - $"rn2").as("grp"))
+      .agg(min($"pos").as("start_pos"), max($"pos").as("end_pos"),
+        count(lit(1)).as("n_sites"))
+      .filter($"n_sites" >= minSites)
+      .select($"sample", $"chrom", $"start_pos", $"end_pos", $"n_sites")
+      .orderBy($"sample", $"chrom", $"start_pos")
+  }
+
+  /** e24: per-sample genotype QC (gemini-style sample stats) — call
+    * counts by class, call rate, and singleton count (variants where
+    * the sample is the ONLY alt carrier). Carrier counts come from the
+    * un-exploded array (one codegen filter per variant), then one
+    * explode + one partial-agg shuffle keyed on the sample — output is
+    * sample-dim-sized at any cohort scale.
+    */
+  def e24(s: SparkSession, dir: String): DataFrame = {
+    val (h, variants, _) = VcfReader.fromLines(s, VcfFixture.lines)
+    sampleQc(s, variants, h.samples)
+  }
+
+  def sampleQc(s: SparkSession, variants: DataFrame,
+      samples: Seq[String]): DataFrame = {
+    import s.implicits._
+    variants
+      .withColumn("n_carriers", expr("size(filter(gt_types, x -> x IN (1, 3)))"))
+      .select($"n_carriers", posexplode($"gt_types").as(Seq("i", "gt")))
+      .withColumn("sample", element_at(typedLit(samples), $"i" + 1))
+      .groupBy($"sample")
+      .agg(count(lit(1)).as("n_sites"),
+        sum(when($"gt" =!= 2, 1L).otherwise(0L)).as("n_called"),
+        sum(when($"gt" === 0, 1L).otherwise(0L)).as("n_hom_ref"),
+        sum(when($"gt" === 1, 1L).otherwise(0L)).as("n_het"),
+        sum(when($"gt" === 3, 1L).otherwise(0L)).as("n_hom_alt"),
+        sum(when($"gt".isin(1, 3) && $"n_carriers" === 1, 1L).otherwise(0L))
+          .as("n_singletons"))
+      .withColumn("call_rate",
+        expr("CAST(n_called AS DOUBLE) / CAST(n_sites AS DOUBLE)"))
+      .select($"sample", $"n_sites", $"n_called", $"n_hom_ref", $"n_het",
+        $"n_hom_alt", $"n_singletons", $"call_rate")
+      .orderBy($"sample")
+  }
+
   // ----------------------------------------------------------------- oracle
 
   private val variantsSelect =
@@ -541,6 +645,37 @@ object Etl {
          |FROM ${VcfFixture.impactsValues}
          |GROUP BY symbol, impact_severity
          |ORDER BY symbol, impact_severity""".stripMargin,
+    "e23_roh" ->
+      s"""WITH a AS (SELECT sample, chrom, pos, gt,
+         |  ROW_NUMBER() OVER (PARTITION BY sample, chrom ORDER BY pos) AS rn
+         | FROM ${RohFixture.gtLongValues}),
+         |h AS (SELECT *,
+         |  ROW_NUMBER() OVER (PARTITION BY sample, chrom ORDER BY pos) AS rn2
+         | FROM a WHERE gt IN (0, 3))
+         |SELECT sample, chrom, CAST(min(pos) AS BIGINT) AS start_pos,
+         | CAST(max(pos) AS BIGINT) AS end_pos, CAST(count(*) AS BIGINT) AS n_sites
+         |FROM h GROUP BY sample, chrom, rn - rn2
+         |HAVING count(*) >= 2
+         |ORDER BY sample, chrom, start_pos""".stripMargin,
+    "e24_sample_qc" ->
+      s"""WITH gg AS (
+         | SELECT chrom, pos, alt, 1 AS six, gt_s1 AS gt FROM ${VcfFixture.gtValues}
+         | UNION ALL SELECT chrom, pos, alt, 2, gt_s2 FROM ${VcfFixture.gtValues}
+         | UNION ALL SELECT chrom, pos, alt, 3, gt_s3 FROM ${VcfFixture.gtValues}
+         | UNION ALL SELECT chrom, pos, alt, 4, gt_s4 FROM ${VcfFixture.gtValues}),
+         |carr AS (SELECT chrom, pos, alt,
+         |  SUM(CASE WHEN gt IN (1, 3) THEN 1 ELSE 0 END) AS nc
+         | FROM gg GROUP BY chrom, pos, alt)
+         |SELECT 's' || CAST(six AS VARCHAR) AS sample,
+         | CAST(count(*) AS BIGINT) AS n_sites,
+         | CAST(SUM(CASE WHEN gt <> 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_called,
+         | CAST(SUM(CASE WHEN gt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hom_ref,
+         | CAST(SUM(CASE WHEN gt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_het,
+         | CAST(SUM(CASE WHEN gt = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_hom_alt,
+         | CAST(SUM(CASE WHEN gt IN (1, 3) AND nc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+         | CAST(SUM(CASE WHEN gt <> 2 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS call_rate
+         |FROM gg JOIN carr USING (chrom, pos, alt)
+         |GROUP BY six ORDER BY sample""".stripMargin,
     "e10_csq_impacts" ->
       s"""SELECT chrom, CAST(pos AS BIGINT) AS pos, ref, alt, allele,
          | consequence, symbol, gene, biotype, polyphen, sift,
@@ -644,6 +779,8 @@ object Etl {
     "e16_info_arrays" -> (e16 _),
     "e17_trio_denovo" -> (e17 _),
     "e20_tstv" -> (e20 _),
-    "e21_gene_burden" -> (e21 _)
+    "e21_gene_burden" -> (e21 _),
+    "e23_roh" -> (e23 _),
+    "e24_sample_qc" -> (e24 _)
   )
 }

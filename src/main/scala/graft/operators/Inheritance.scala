@@ -199,7 +199,124 @@ object Inheritance {
       .orderBy($"family_id", $"gene", $"chrom_a", $"pos_a", $"chrom_b", $"pos_b")
   }
 
+  /** X-fixture: two families on chrX — fam1's child is male (one X,
+    * hemizygous: VCF-called 0/1 or 1/1 both mean "alt"), fam2's child
+    * is female (two X copies). Variants engineered to cover male and
+    * female X-linked recessive + de novo, a carrier-only female
+    * (not a candidate), and an uncalled child.
+    */
+  object XFixture {
+    val lines: Vector[String] = Vector(
+      "##fileformat=VCFv4.2",
+      "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"Genotype\">",
+      Seq("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO",
+        "FORMAT", "c1", "f1", "m1", "c2", "f2", "m2").mkString("\t"),
+      // male child c1: alt from carrier mom = recessive; alt from two
+      // hom-ref parents = de novo
+      row("X", 1000, "A", "G", "1/1", "0/0", "0/1", "0/0", "0/0", "0/0"),
+      row("X", 2000, "C", "T", "0/1", "0/0", "0/0", "0/0", "0/0", "0/0"),
+      // female child c2: hom-alt with carrier mom + hemizygous-alt dad
+      // = recessive; het from two hom-ref parents = de novo; het with
+      // carrier mom only = carrier, NOT a candidate
+      row("X", 3000, "G", "A", "0/0", "0/0", "0/0", "1/1", "1/1", "0/1"),
+      row("X", 4000, "T", "C", "0/0", "0/0", "0/0", "0/1", "0/0", "0/0"),
+      row("X", 5000, "A", "T", "0/0", "0/0", "0/0", "0/1", "0/0", "0/1"),
+      // uncalled child rows drop out
+      row("X", 6000, "C", "G", "./.", "0/0", "0/1", "./.", "0/0", "0/1"))
+
+    private def row(chrom: String, pos: Int, ref: String, alt: String,
+        gts: String*): String =
+      (Seq(chrom, pos.toString, ".", ref, alt, "99", "PASS", ".", "GT") ++ gts)
+        .mkString("\t")
+
+    val pedLines: Vector[String] = Vector(
+      "#family_id sample_id paternal_id maternal_id sex phenotype",
+      "FAM1 c1 f1 m1 1 2",
+      "FAM1 f1 0 0 1 1",
+      "FAM1 m1 0 0 2 1",
+      "FAM2 c2 f2 m2 2 2",
+      "FAM2 f2 0 0 1 1",
+      "FAM2 m2 0 0 2 1")
+
+    /** Hand-derived (variant, trio) genotype classes + child sex for the
+      * oracle (1 = male, 2 = female).
+      */
+    val xGtValues: String =
+      """(VALUES
+        | ('X', 1000, 'G', 'FAM1', 'c1', 1, 3, 0, 1),
+        | ('X', 2000, 'T', 'FAM1', 'c1', 1, 1, 0, 0),
+        | ('X', 3000, 'A', 'FAM2', 'c2', 2, 3, 3, 1),
+        | ('X', 4000, 'C', 'FAM2', 'c2', 2, 1, 0, 0),
+        | ('X', 5000, 'T', 'FAM2', 'c2', 2, 1, 0, 1),
+        | ('X', 1000, 'G', 'FAM2', 'c2', 2, 0, 0, 0),
+        | ('X', 2000, 'T', 'FAM2', 'c2', 2, 0, 0, 0),
+        | ('X', 3000, 'A', 'FAM1', 'c1', 1, 0, 0, 0),
+        | ('X', 4000, 'C', 'FAM1', 'c1', 1, 0, 0, 0),
+        | ('X', 5000, 'T', 'FAM1', 'c1', 1, 0, 0, 0),
+        | ('X', 6000, 'G', 'FAM1', 'c1', 1, 2, 0, 1),
+        | ('X', 6000, 'G', 'FAM2', 'c2', 2, 2, 0, 1)
+        |) xg(chrom, pos, alt, family_id, child, sex, gt_c, gt_f, gt_m)""".stripMargin
+  }
+
+  /** Shared X-linked classification CASE (genotype classes 0/1/2/3,
+    * `sex` 1 = male): valid verbatim in Spark SQL and DuckDB, the
+    * single source of the e22 rule on both sides.
+    *
+    * Male child (hemizygous — any alt call is "alt"): carrier mom +
+    * hom-ref dad → recessive; two hom-ref parents → de novo. Female
+    * child: hom-alt with carrier mom + (hemizygous-)alt dad →
+    * recessive; any alt call from two hom-ref parents → de novo; a het
+    * daughter of a carrier mom is a carrier, not a candidate.
+    */
+  private val xlinkedCase: String =
+    """CASE
+      | WHEN sex = 1 AND gt_c IN (1, 3) AND gt_m = 1 AND gt_f = 0 THEN 'xl_recessive'
+      | WHEN sex = 1 AND gt_c IN (1, 3) AND gt_m = 0 AND gt_f = 0 THEN 'xl_denovo'
+      | WHEN sex = 2 AND gt_c = 3 AND gt_m = 1 AND gt_f IN (1, 3) THEN 'xl_recessive'
+      | WHEN sex = 2 AND gt_c IN (1, 3) AND gt_m = 0 AND gt_f = 0 THEN 'xl_denovo'
+      |END""".stripMargin
+
+  /** e22: GEMINI-style X-linked tools (x_linked_recessive /
+    * x_linked_de_novo), sex-aware via the PED sex column. Same
+    * broadcast-trio × one-variants-scan shape as e18 — the trio dim
+    * just carries `sex` too; the fact side never shuffles.
+    */
+  def e22(s: SparkSession, dir: String): DataFrame = {
+    val (h, variants, _) = VcfReader.fromLines(s, XFixture.lines)
+    xlinked(s, variants, h.samples, XFixture.pedLines)
+  }
+
+  def xlinked(s: SparkSession, variants: DataFrame,
+      headerSamples: Seq[String], pedLines: Seq[String]): DataFrame = {
+    import s.implicits._
+    val ixOf = headerSamples.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
+    val trios = PedSource.parse(pedLines)._2.flatMap { r =>
+      val Seq(fam, child, dad, mom) = (0 to 3).map(r.getString)
+      for {
+        c <- ixOf.get(child); d <- ixOf.get(dad); m <- ixOf.get(mom)
+      } yield (fam, child, r.getString(4).toInt, c, d, m)
+    }.toDF("family_id", "child", "sex", "c_ix", "d_ix", "m_ix")
+    variants
+      .filter($"chrom" === "X")
+      .crossJoin(broadcast(trios))
+      .withColumn("gt_c", element_at($"gt_types", $"c_ix"))
+      .withColumn("gt_f", element_at($"gt_types", $"d_ix"))
+      .withColumn("gt_m", element_at($"gt_types", $"m_ix"))
+      .withColumn("class", expr(xlinkedCase))
+      .filter($"class".isNotNull)
+      .select($"chrom", $"pos", $"alt", $"family_id", $"child",
+        $"sex", $"class")
+      .orderBy($"chrom", $"pos", $"alt", $"child")
+  }
+
   val oracle: Map[String, String] = Map(
+    "e22_xlinked" ->
+      s"""SELECT chrom, CAST(pos AS BIGINT) AS pos, alt, family_id, child,
+         | CAST(sex AS INTEGER) AS sex, class
+         |FROM (SELECT *, $xlinkedCase AS class
+         |      FROM ${XFixture.xGtValues})
+         |WHERE class IS NOT NULL
+         |ORDER BY chrom, pos, alt, child""".stripMargin,
     "e18_inheritance_classify" ->
       s"""SELECT chrom, CAST(pos AS BIGINT) AS pos, alt,
          | 'FAM' AS family_id, 'c' AS child, class,
@@ -233,6 +350,7 @@ object Inheritance {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e18_inheritance_classify" -> (e18 _),
-    "e19_comp_het" -> (e19 _)
+    "e19_comp_het" -> (e19 _),
+    "e22_xlinked" -> (e22 _)
   )
 }

@@ -26,6 +26,7 @@ class PlanInvariantSpec extends SparkSpec {
     // on non-equi predicates — no join key exists by construction)
     "e17_trio_denovo" -> 1,
     "e18_inheritance_classify" -> 1, // same broadcast-trio shape as e17
+    "e22_xlinked" -> 1, // same broadcast-trio shape, sex-aware dim
     // the comp-het pair self-join duplicates its hets subtree, so the
     // trio-dim BNLJ inside it prints twice
     "e19_comp_het" -> 2,

@@ -29,8 +29,8 @@ object Bench {
     "st01_window_agg", "st02_sessionize", "st03_dedup_events",
     "e01_flatten_info", "e08_pack_blob",
     "d02_dedup_minhash", "d04_ngram_jaccard", "d05_dedup_embedding",
-    "s01_ann_bruteforce_topk", "s02_ann_lsh", "t07_stratified_sample",
-    "t08_pii_scrub")
+    "d07_dedup_clusters", "s01_ann_bruteforce_topk", "s02_ann_lsh",
+    "t07_stratified_sample", "t08_pii_scrub", "t10_unigram_logprob")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

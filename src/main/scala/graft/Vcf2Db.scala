@@ -217,4 +217,34 @@ object GraftDb {
     graft.operators.Inheritance.compHets(
       spark, expandGenotypes(spark, dir, codec), impacts(spark, dir),
       trios(spark, dir))
+
+  /** GEMINI X-linked tools over a loaded database — trio dim carries
+    * the samples table's sex column.
+    */
+  def xlinked(spark: SparkSession, dir: String,
+      codec: String = "zlib"): DataFrame =
+    graft.operators.Inheritance.xlinked(
+      spark, expandGenotypes(spark, dir, codec),
+      graft.operators.Inheritance.triosWithSex(
+        spark, samples(spark, dir), headerSamples(spark, dir)))
+
+  /** Cohort QC over a loaded database: ts/tv ratio per chromosome,
+    * per-(gene, severity) burden, per-sample genotype stats, and runs
+    * of homozygosity.
+    */
+  def tstv(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Etl.tstv(spark, variants(spark, dir))
+
+  def geneBurden(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Etl.geneBurden(spark, impacts(spark, dir))
+
+  def sampleQc(spark: SparkSession, dir: String,
+      codec: String = "zlib"): DataFrame =
+    graft.operators.Etl.sampleQc(spark,
+      expandGenotypes(spark, dir, codec), headerSamples(spark, dir))
+
+  def roh(spark: SparkSession, dir: String, minSites: Int = 2,
+      codec: String = "zlib"): DataFrame =
+    graft.operators.Etl.roh(spark,
+      expandGenotypes(spark, dir, codec), headerSamples(spark, dir), minSites)
 }

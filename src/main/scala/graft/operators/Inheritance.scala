@@ -91,6 +91,17 @@ object Inheritance {
     }.toDF("family_id", "child", "c_ix", "d_ix", "m_ix")
   }
 
+  /** [[triosFromSamples]] plus the child's PED `sex` column (as INT),
+    * for the sex-aware X-linked tools over a loaded database.
+    */
+  def triosWithSex(s: SparkSession, samples: DataFrame,
+      headerSamples: Seq[String]): DataFrame = {
+    import s.implicits._
+    triosFromSamples(s, samples, headerSamples)
+      .join(samples.select($"sample_id".as("child"),
+        $"sex".cast("int").as("sex")), "child")
+  }
+
   /** Trio dim from a `samples` TABLE (the Vcf2Db/GraftDb read path):
     * two self-equi-joins on sample_id resolve each child's parents, an
     * index join maps names to gt-array slots. All dim-sized work;
@@ -296,6 +307,15 @@ object Inheritance {
         c <- ixOf.get(child); d <- ixOf.get(dad); m <- ixOf.get(mom)
       } yield (fam, child, r.getString(4).toInt, c, d, m)
     }.toDF("family_id", "child", "sex", "c_ix", "d_ix", "m_ix")
+    xlinked(s, variants, trios)
+  }
+
+  /** e22 core over any variants table + a trio dim carrying `sex`
+    * (1 = male child) — the GraftDb samples-table path joins sex on
+    * via [[triosWithSex]].
+    */
+  def xlinked(s: SparkSession, variants: DataFrame, trios: DataFrame): DataFrame = {
+    import s.implicits._
     variants
       .filter($"chrom" === "X")
       .crossJoin(broadcast(trios))

@@ -26,6 +26,20 @@ object Scale {
       .mode("overwrite")
       .saveAsTable(table)
 
+  /** Writes `df` range-partitioned on `cols` (one directory-friendly
+    * sorted slab per range) and sorted within partitions — the layout a
+    * genomic fact table wants for region queries: chrom/pos predicates
+    * prune whole files via parquet row-group min/max (and the vcf
+    * source's `sorted` split pruning), and downstream merge-style scans
+    * read in key order without a sort. Buy once at ingest; every
+    * region query after that touches only its slab.
+    */
+  def writeRangeSorted(df: DataFrame, path: String, partitions: Int,
+      cols: Column*): Unit =
+    df.repartitionByRange(partitions, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.mode("overwrite").parquet(path)
+
   /** Distinct-count with the distinct phase spread over `salts`
     * sub-keys: values hash-partition into salt buckets, each bucket
     * counts ITS distinct values (no value crosses buckets, so no

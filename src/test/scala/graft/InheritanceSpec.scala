@@ -77,4 +77,33 @@ class InheritanceSpec extends SparkSpec {
     val opPairs = Inheritance.e19(spark, "").collect().map(_.toSeq).toSet
     assert(dbPairs == opPairs)
   }
+
+  test("GraftDb X-linked and QC queries over a loaded database match the operators") {
+    import java.nio.file.Files
+    import graft.operators.Inheritance.XFixture
+    val tmp = Files.createTempDirectory("graft_x")
+    val vcf = tmp.resolve("x.vcf")
+    val ped = tmp.resolve("x.ped")
+    Files.writeString(vcf, XFixture.lines.mkString("\n") + "\n")
+    Files.writeString(ped, XFixture.pedLines.mkString("\n") + "\n")
+    val out = tmp.resolve("db").toString
+    Vcf2Db.run(spark, vcf.toString, Some(ped.toString), out, writerPartitions = 2)
+
+    val dbX = GraftDb.xlinked(spark, out).collect().map(_.toSeq).toSet
+    val opX = Inheritance.e22(spark, "").collect().map(_.toSeq).toSet
+    assert(opX.nonEmpty && dbX == opX)
+
+    // QC family over the same loaded db: sex-blind stats just need the
+    // expanded arrays and header sample order
+    val qc = GraftDb.sampleQc(spark, out).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap // sample -> n_het
+    assert(qc.keySet == Set("c1", "f1", "m1", "c2", "f2", "m2"))
+    assert(qc("m1") == 2L) // carrier mom: het at X:1000 and X:6000
+    val ratios = GraftDb.tstv(spark, out).collect()
+    assert(ratios.map(_.getString(0)).toSeq == Seq("X"))
+    val runs = GraftDb.roh(spark, out, minSites = 2).collect()
+    // f1 is hom-ref at every called site: one 6-site run; f2 has a
+    // 3-site hom run broken by the X:3000 hemizygous alt
+    assert(runs.exists(r => r.getString(0) == "f1" && r.getLong(4) == 6L))
+  }
 }

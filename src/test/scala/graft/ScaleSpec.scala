@@ -56,4 +56,42 @@ class ScaleSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getDecimal(1))).toSeq
     assert(salted == direct)
   }
+
+  test("range-sorted layout yields disjoint per-file key ranges and pushdown") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("rangesorted").resolve("t").toString
+    val chroms = Seq("1", "2", "3", "X")
+    val df = (1 to 20000).map { i =>
+      (chroms(i % 4), (i * 37 % 50000).toLong, s"payload$i")
+    }.toDF("chrom", "pos", "payload")
+    Scale.writeRangeSorted(df, path, 8, col("chrom"), col("pos"))
+
+    val back = spark.read.parquet(path)
+    assert(back.count() == 20000)
+
+    // per-file (chrom,pos) ranges must not overlap — the property that
+    // lets parquet min/max prune whole files for a region predicate
+    val ranges = back
+      .groupBy(input_file_name().as("f"))
+      .agg(min(struct(col("chrom"), col("pos"))).as("lo"),
+        max(struct(col("chrom"), col("pos"))).as("hi"))
+      .collect()
+      .map(r => (r.getStruct(1).getString(0), r.getStruct(1).getLong(1),
+        r.getStruct(2).getString(0), r.getStruct(2).getLong(1)))
+      .sortBy(t => (t._1, t._2))
+    assert(ranges.length > 1)
+    val ord = Ordering.Tuple2(Ordering.String, Ordering.Long)
+    ranges.sliding(2).foreach { case Array(a, b) =>
+      assert(ord.lteq((a._3, a._4), (b._1, b._2)),
+        s"file ranges overlap: $a vs $b")
+    }
+
+    // a region query over the layout pushes both predicates to the scan
+    val q = back.filter(col("chrom") === "2" && col("pos") >= 1000 && col("pos") <= 2000)
+    val plan = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(chrom,2)"))
+    assert(q.count() ==
+      df.filter(col("chrom") === "2" && col("pos") >= 1000 && col("pos") <= 2000).count())
+  }
 }

@@ -247,4 +247,24 @@ object GraftDb {
       codec: String = "zlib"): DataFrame =
     graft.operators.Etl.roh(spark,
       expandGenotypes(spark, dir, codec), headerSamples(spark, dir), minSites)
+
+  /** Registers the loaded tables as temp views (genotype blobs already
+    * expanded) so the reference's SQL surface runs verbatim:
+    * `spark.sql("SELECT ... FROM variants JOIN variant_impacts ...")`.
+    * Tables absent from the database (impacts for an annotation-less
+    * VCF) are skipped.
+    */
+  def createViews(spark: SparkSession, dir: String,
+      codec: String = "zlib"): Unit = {
+    def exists(path: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    }
+    expandGenotypes(spark, dir, codec).createOrReplaceTempView("variants")
+    if (exists(s"$dir/variant_impacts"))
+      impacts(spark, dir).createOrReplaceTempView("variant_impacts")
+    if (exists(s"$dir/samples"))
+      samples(spark, dir).createOrReplaceTempView("samples")
+    vcfHeader(spark, dir).createOrReplaceTempView("vcf_header")
+  }
 }

@@ -228,6 +228,42 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** q12 (rows-only): sketch-based distinct counting — q09's scale
+    * path. HLL++ (`approx_count_distinct`, rsd 1%) keeps a
+    * CONSTANT-size buffer per group where exact distinct expands every
+    * value through the shuffle; at 100 TB the expand becomes the
+    * bottleneck and the sketch is the only viable plan. Accuracy vs
+    * the exact aggregate is asserted in ApproxAccuracySpec (< 5%
+    * relative error on every group at two SFs).
+    */
+  def q12(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id", 0.01).as("n_users_approx"))
+      .orderBy($"event_type")
+  }
+
+  /** q13 (rows-only): approximate percentiles — q11's scale path.
+    * `percentile_approx` (Greenwald-Khanna sketch, accuracy 10⁴) is
+    * mergeable with a bounded buffer, so the group's values never
+    * concentrate on one reducer the way exact interpolated percentiles
+    * require. Error vs exact q11 asserted in ApproxAccuracySpec.
+    */
+  def q13(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(expr(
+        "percentile_approx(l_extendedprice, array(0.5e0, 0.95e0), 10000)")
+        .as("ps"), count(lit(1)).as("n_rows"))
+      .select($"l_returnflag",
+        expr("round(ps[0], 6)").as("median_price_approx"),
+        expr("round(ps[1], 6)").as("p95_price_approx"),
+        $"n_rows")
+      .orderBy($"l_returnflag")
+  }
+
   /** Oracle SQL (DuckDB dialect ≈ ANSI) mirroring each query above. */
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -324,6 +360,8 @@ object Relational {
     "q08_rollup_status_priority" -> (q08 _),
     "q09_distinct_users_per_type" -> (q09 _),
     "q10_orders_by_month" -> (q10 _),
-    "q11_group_percentiles" -> (q11 _)
+    "q11_group_percentiles" -> (q11 _),
+    "q12_distinct_approx" -> (q12 _),
+    "q13_percentiles_approx" -> (q13 _)
   )
 }

@@ -126,6 +126,19 @@ class Vcf2DbSpec extends SparkSpec {
       .collect()
     assert(hits.map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3))).toSeq ==
       Seq(("1", 200L, "T", "stop_gained"), ("2", 300L, "T", "frameshift_variant")))
+
+    // same query through the SQL view surface (blobs pre-expanded by
+    // createViews; element_at is 1-based like the gt-array convention)
+    GraftDb.createViews(spark, out)
+    val sqlHits = spark.sql(
+      """SELECT DISTINCT v.chrom, v.pos, v.alt, i.consequence
+        |FROM variants v
+        |JOIN variant_impacts i USING (chrom, pos, ref, alt)
+        |WHERE i.impact_severity = 'HIGH'
+        |  AND (element_at(v.gt_types, 1) IN (1, 3) OR element_at(v.gt_types, 4) IN (1, 3))
+        |ORDER BY chrom, pos, alt""".stripMargin).collect()
+    assert(sqlHits.map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3))).toSeq ==
+      Seq(("1", 200L, "T", "stop_gained"), ("2", 300L, "T", "frameshift_variant")))
   }
 
   test("region() parses GEMINI-style specs into pushdown-friendly filters") {

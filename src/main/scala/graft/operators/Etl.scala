@@ -505,8 +505,11 @@ object Etl {
     * the window keys on (sample, chrom), which at biobank scale is
     * millions of independent partitions; per-key data is one sample's
     * sites on one chromosome, the inherent unit of the computation.
-    * Expects decomposed-and-site-deduped input (a multiallelic site
-    * appearing twice would double-count run length).
+    *
+    * Decomposed multiallelics are collapsed to ONE row per physical
+    * site first (site class = max over its alt rows: 2/2 splits into
+    * (0, 3) → hom-alt 3, 1/2 into two hets → 1), so per-alt rows never
+    * double-count run length and the row_number order is total.
     */
   def e23(s: SparkSession, dir: String): DataFrame = {
     val (h, variants, _) = VcfReader.fromLines(s, RohFixture.lines)
@@ -520,6 +523,7 @@ object Etl {
     val g = variants
       .select($"chrom", $"pos", posexplode($"gt_types").as(Seq("i", "gt")))
       .withColumn("sample", element_at(typedLit(samples), $"i" + 1))
+      .groupBy($"sample", $"chrom", $"pos").agg(max($"gt").as("gt"))
     g.withColumn("rn", row_number().over(wAll))
       .filter($"gt".isin(0, 3))
       .withColumn("rn2", row_number().over(wAll))

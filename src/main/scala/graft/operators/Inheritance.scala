@@ -99,7 +99,7 @@ object Inheritance {
     import s.implicits._
     triosFromSamples(s, samples, headerSamples)
       .join(samples.select($"sample_id".as("child"),
-        $"sex".cast("int").as("sex")), "child")
+        expr("try_cast(sex AS INT)").as("sex")), "child")
   }
 
   /** Trio dim from a `samples` TABLE (the Vcf2Db/GraftDb read path):
@@ -300,14 +300,15 @@ object Inheritance {
   def xlinked(s: SparkSession, variants: DataFrame,
       headerSamples: Seq[String], pedLines: Seq[String]): DataFrame = {
     import s.implicits._
-    val ixOf = headerSamples.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
-    val trios = PedSource.parse(pedLines)._2.flatMap { r =>
-      val Seq(fam, child, dad, mom) = (0 to 3).map(r.getString)
-      for {
-        c <- ixOf.get(child); d <- ixOf.get(dad); m <- ixOf.get(mom)
-      } yield (fam, child, r.getString(4).toInt, c, d, m)
-    }.toDF("family_id", "child", "sex", "c_ix", "d_ix", "m_ix")
-    xlinked(s, variants, trios)
+    // same derivation as every other family tool, sex joined on after
+    // (try_cast: a missing/non-numeric PED sex yields NULL, and the
+    // classification CASE then matches nothing for that trio — the
+    // same silent drop as the samples-table path, never a crash)
+    val sex = PedSource.fromLines(s, pedLines)
+      .select($"sample_id".as("child"),
+        expr("try_cast(sex AS INT)").as("sex"))
+    xlinked(s, variants,
+      triosFromPed(s, headerSamples, pedLines).join(sex, "child"))
   }
 
   /** e22 core over any variants table + a trio dim carrying `sex`
@@ -317,7 +318,8 @@ object Inheritance {
   def xlinked(s: SparkSession, variants: DataFrame, trios: DataFrame): DataFrame = {
     import s.implicits._
     variants
-      .filter($"chrom" === "X")
+      // accept both contig conventions ("X" and GRCh38-style "chrX")
+      .filter(regexp_replace($"chrom", "^chr", "") === "X")
       .crossJoin(broadcast(trios))
       .withColumn("gt_c", element_at($"gt_types", $"c_ix"))
       .withColumn("gt_f", element_at($"gt_types", $"d_ix"))

@@ -102,8 +102,13 @@ class InheritanceSpec extends SparkSpec {
     val ratios = GraftDb.tstv(spark, out).collect()
     assert(ratios.map(_.getString(0)).toSeq == Seq("X"))
     val runs = GraftDb.roh(spark, out, minSites = 2).collect()
-    // f1 is hom-ref at every called site: one 6-site run; f2 has a
-    // 3-site hom run broken by the X:3000 hemizygous alt
-    assert(runs.exists(r => r.getString(0) == "f1" && r.getLong(4) == 6L))
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // f1 is hom-ref at all six sites: one unbroken 6-site run.
+    // m2 is 0/0 at X:1000-2000 then het at X:3000
+    // breaks the run, and hets at 5000/6000 keep the tail short — so
+    // exactly one 2-site run survives minSites=2
+    assert(runs.count(_._1 == "f1") == 1)
+    assert(runs.contains(("f1", 1000L, 6000L, 6L)))
+    assert(runs.filter(_._1 == "m2").toSeq == Seq(("m2", 1000L, 2000L, 2L)))
   }
 }

@@ -248,6 +248,16 @@ object GraftDb {
     graft.operators.Etl.roh(spark,
       expandGenotypes(spark, dir, codec), headerSamples(spark, dir), minSites)
 
+  /** GEMINI `annotate` over a loaded database: variants labeled with
+    * every overlapping interval from a BED file (broadcast bin-bucketed
+    * join — see Etl.annotateIntervals for the scale shape).
+    */
+  def annotate(spark: SparkSession, dir: String, bedPath: String,
+      binW: Long = 100000L): DataFrame =
+    graft.operators.Etl.annotateIntervals(
+      variants(spark, dir),
+      graft.sources.BedSource.fromPath(spark, bedPath), binW)
+
   /** Registers the loaded tables as temp views (genotype blobs already
     * expanded) so the reference's SQL surface runs verbatim:
     * `spark.sql("SELECT ... FROM variants JOIN variant_impacts ...")`.

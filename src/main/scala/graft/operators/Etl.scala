@@ -338,16 +338,34 @@ object Etl {
     */
   def e14(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val binW = 100L
     val regions = regionRows.toDF("r_chrom", "r_start", "r_end", "region")
-      .withColumn("r_bin", explode(expr(s"sequence(r_start div $binW, r_end div $binW)")))
-    VcfFixture.variants(s)
-      .withColumn("bin", expr(s"pos div $binW"))
-      .join(broadcast(regions),
-        $"chrom" === $"r_chrom" && $"bin" === $"r_bin" &&
-          $"pos" >= $"r_start" && $"pos" <= $"r_end")
+    annotateIntervals(VcfFixture.variants(s), regions, binW = 100L)
       .select($"chrom", $"pos", $"alt", $"region")
       .orderBy($"chrom", $"pos", $"alt", $"region")
+  }
+
+  /** GEMINI `annotate`-style interval join, the general form behind
+    * e14: label each variant with every overlapping region. Regions
+    * must carry (r_chrom, r_start, r_end) — 1-based inclusive, e.g.
+    * from [[graft.sources.BedSource]] — plus any payload columns.
+    *
+    * Scale shape: regions are a broadcastable dim (BED-sized), binned
+    * by exploding over covered `binW`-wide bins so the join is an
+    * EQUI-join on (chrom, bin) with an exact BETWEEN confirm — never a
+    * chrom-only join (24 hot keys at cohort scale). `binW` trades
+    * region-dim blow-up (a region spans len/binW bins) against
+    * candidate selectivity; 100 kb suits gene-scale BEDs.
+    */
+  def annotateIntervals(variants: DataFrame, regions: DataFrame,
+      binW: Long = 100000L): DataFrame = {
+    val binned = regions.withColumn("r_bin",
+      explode(expr(s"sequence(r_start div $binW, r_end div $binW)")))
+    variants
+      .withColumn("bin", expr(s"pos div $binW"))
+      .join(broadcast(binned),
+        col("chrom") === col("r_chrom") && col("bin") === col("r_bin") &&
+          col("pos") >= col("r_start") && col("pos") <= col("r_end"))
+      .drop("bin", "r_bin", "r_chrom")
   }
 
   /** e15: full FORMAT genotype arrays — DP/GQ/AD carried per sample as

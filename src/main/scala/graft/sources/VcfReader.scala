@@ -295,4 +295,18 @@ object VcfReader {
     val body = spark.read.textFile(path)
     (h, variants(h, body), maybeImpacts(spark, h, body))
   }
+
+  /** Streaming ingestion — incremental cohort loading: new VCF shards
+    * dropped into `dir` parse into a STREAMING variants DataFrame
+    * (`writeStream` to the warehouse sink of choice). The schema comes
+    * from a static header template (every shard must share it — the
+    * same multi-shard guard the batch DSv2 source enforces); shards'
+    * own header lines are filtered per record. The per-line parse is
+    * stateless (the `variants` map works unchanged on a streaming
+    * Dataset), so no state store is involved and append mode works
+    * with any sink.
+    */
+  def streamVariants(spark: SparkSession, headerLines: Seq[String],
+      dir: String): DataFrame =
+    variants(parseHeader(headerLines), spark.readStream.textFile(dir))
 }

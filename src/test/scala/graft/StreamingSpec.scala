@@ -147,6 +147,38 @@ class StreamingSpec extends SparkSpec {
       assert(out.contains((ts(0), "click", 1L)))
     } finally q.stop()
   }
+
+  test("streaming VCF ingestion: shards dropped into a directory parse incrementally") {
+    import java.nio.file.Files
+    import graft.operators.Etl.VcfFixture
+    import graft.sources.VcfReader
+    val dir = Files.createTempDirectory("vcf_stream")
+    val header = VcfFixture.lines.takeWhile(_.startsWith("#"))
+    val body = VcfFixture.lines.dropWhile(_.startsWith("#"))
+    // shard 1 arrives before the stream starts
+    Files.writeString(dir.resolve("shard1.vcf"),
+      (header ++ body.take(2)).mkString("\n") + "\n")
+
+    val q = VcfReader.streamVariants(spark, header, dir.toString)
+      .writeStream.format("memory").queryName("vcf_stream_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("vcf_stream_out").count() == 2)
+      // shard 2 lands mid-stream: its 2 records decompose to 3 rows
+      // (the multiallelic 2:300 G->A,T) and only the delta appends
+      Files.writeString(dir.resolve("shard2.vcf"),
+        (header ++ body.drop(2)).mkString("\n") + "\n")
+      q.processAllAvailable()
+      val rows = spark.table("vcf_stream_out")
+      assert(rows.count() == 5)
+      assert(rows.select("chrom", "pos", "alt").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet ==
+        Set(("1", 100L, "G"), ("1", 200L, "T"),
+          ("2", 300L, "A"), ("2", 300L, "T"), ("X", 400L, "C")))
+    } finally q.stop()
+  }
 }
 
 /** Stream-stream equi-join within watermark bounds — the remaining
@@ -219,4 +251,5 @@ class StreamStreamJoinSpec extends SparkSpec {
       assert(out.count(e => e.ts == ts(240)) == 1)
     } finally q.stop()
   }
+
 }

@@ -141,6 +141,28 @@ class Vcf2DbSpec extends SparkSpec {
       Seq(("1", 200L, "T", "stop_gained"), ("2", 300L, "T", "frameshift_variant")))
   }
 
+  test("BED annotate over a loaded database labels overlapping variants") {
+    val dir = Files.createTempDirectory("vcf2db_bed")
+    val vcf = dir.resolve("in.vcf")
+    Files.writeString(vcf, VcfFixture.lines.mkString("\n") + "\n")
+    val out = dir.resolve("db").toString
+    Vcf2Db.run(spark, vcf.toString, None, out)
+    val bed = dir.resolve("r.bed")
+    // BED is 0-based half-open: [50,150) covers pos 51..150
+    Files.writeString(bed,
+      "track name=test\n# comment\n" +
+        "1\t50\t150\tregA\n2\t250\t400\tregB\nX\t0\t1000\tregX\n")
+
+    val hits = GraftDb.annotate(spark, out, bed.toString, binW = 100L)
+      .select("chrom", "pos", "alt", "region")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(hits == Set(
+      ("1", 100L, "G", "regA"),
+      ("2", 300L, "A", "regB"), ("2", 300L, "T", "regB"),
+      ("X", 400L, "C", "regX")))
+  }
+
   test("region() parses GEMINI-style specs into pushdown-friendly filters") {
     import spark.implicits._
     val df = Seq(("1", 100L), ("1", 250L), ("2", 100L))

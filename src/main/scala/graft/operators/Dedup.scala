@@ -342,6 +342,34 @@ object Dedup {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  /** d08: benchmark DECONTAMINATION — the training-data step that flags
+    * corpus documents overlapping an eval/benchmark set (n-gram
+    * collision, the PaLM/GPT-style decontamination rule; 4-gram here,
+    * sized to the synthetic corpus — production uses 8-13). The
+    * benchmark split is derived deterministically (doc_id % 50 = 0)
+    * so both engines build the same sets.
+    *
+    * Scale shape: the benchmark gram set is BOUNDED (eval sets are
+    * small) and broadcast; the corpus is scanned ONCE, grams explode
+    * map-side into a broadcast-hash semi-join, and the only shuffle is
+    * the final per-doc partial-agg count. The corpus never self-joins
+    * and never shuffles its text.
+    */
+  def d08(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    val docs = T(s, dir, "documents")
+      .select($"doc_id", expr("shingles(split(text, ' '), 4)").as("gs"))
+    val bench = docs.filter($"doc_id" % 50 === 0)
+      .select(explode($"gs").as("g")).distinct()
+    docs.filter($"doc_id" % 50 =!= 0)
+      .select($"doc_id", explode($"gs").as("g"))
+      .join(broadcast(bench), "g")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_benchmark_grams"))
+      .orderBy($"doc_id")
+  }
+
   /** URL canonicalization steps shared (as intent) with the oracle:
     * strip scheme, leading www., query/fragment, trailing slash.
     * Backslash-free patterns — byte-identical literals in both engines.
@@ -378,6 +406,17 @@ object Dedup {
   }
 
   val oracle: Map[String, String] = Map(
+    "d08_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |grams AS (SELECT doc_id,
+        |  list_distinct([array_to_string(w[i:i+3], ' ') FOR i IN generate_series(1, len(w) - 3)]) AS gs
+        |  FROM toks),
+        |ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+        |bench AS (SELECT DISTINCT g FROM ex WHERE doc_id % 50 = 0)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_benchmark_grams
+        |FROM ex JOIN bench USING (g)
+        |WHERE doc_id % 50 <> 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d06_dedup_url" ->
       s"""SELECT ${canonExpr("url")} AS canonical_url,
          | min(doc_id) AS keep_id, count(*) AS n_copies
@@ -473,6 +512,7 @@ object Dedup {
     "d04_ngram_jaccard" -> (d04 _),
     "d05_dedup_embedding" -> (d05 _),
     "d06_dedup_url" -> (d06 _),
-    "d07_dedup_clusters" -> (d07 _)
+    "d07_dedup_clusters" -> (d07 _),
+    "d08_decontaminate" -> (d08 _)
   )
 }

@@ -331,7 +331,106 @@ object Inheritance {
       .orderBy($"chrom", $"pos", $"alt", $"child")
   }
 
+  /** Auto-dominant fixture: one family where DAD is affected
+    * (phenotype 2) and mom is not — engineered to cover the dominant
+    * transmission hit, the affected-de-novo-looking site (not dominant:
+    * no affected parent carries it), the unaffected-carrier-parent
+    * negative, and an uncalled child.
+    */
+  object AdFixture {
+    val lines: Vector[String] = Vector(
+      "##fileformat=VCFv4.2",
+      "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"Genotype\">",
+      Seq("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO",
+        "FORMAT", "c", "f", "m").mkString("\t"),
+      // dominant hit: affected child HET, affected dad HET, mom HOM-REF
+      row("1", 100, "A", "G", "0/1", "0/1", "0/0"),
+      // child HET but NO affected parent carries it → not dominant
+      row("1", 200, "C", "T", "0/1", "0/0", "0/0"),
+      // UNAFFECTED mom carries the HET → violates full penetrance
+      row("1", 300, "G", "A", "0/1", "0/0", "0/1"),
+      // affected dad HET but child HOM-REF → not transmitted
+      row("1", 400, "T", "C", "0/0", "0/1", "0/0"),
+      // uncalled child drops out
+      row("1", 500, "A", "T", "./.", "0/1", "0/0"))
+
+    private def row(chrom: String, pos: Int, ref: String, alt: String,
+        gts: String*): String =
+      (Seq(chrom, pos.toString, ".", ref, alt, "99", "PASS", ".", "GT") ++ gts)
+        .mkString("\t")
+
+    val pedLines: Vector[String] = Vector(
+      "#family_id sample_id paternal_id maternal_id sex phenotype",
+      "FAM c f m 1 2",
+      "FAM f 0 0 1 2",
+      "FAM m 0 0 2 1")
+
+    /** Hand-derived (variant, trio) classes + parental phenotypes. */
+    val adGtValues: String =
+      """(VALUES
+        | ('1', 100, 'G', 'FAM', 'c', 1, 1, 0, 2, 1),
+        | ('1', 200, 'T', 'FAM', 'c', 1, 0, 0, 2, 1),
+        | ('1', 300, 'A', 'FAM', 'c', 1, 0, 1, 2, 1),
+        | ('1', 400, 'C', 'FAM', 'c', 0, 1, 0, 2, 1),
+        | ('1', 500, 'T', 'FAM', 'c', 2, 1, 0, 2, 1)
+        |) ag(chrom, pos, alt, family_id, child, gt_c, gt_f, gt_m, ph_f, ph_m)""".stripMargin
+  }
+
+  /** Shared autosomal-dominant CASE (full-penetrance GEMINI
+    * auto_dom rule): affected child carries a HET transmitted from an
+    * AFFECTED carrier parent, while no UNAFFECTED parent carries it.
+    * Valid verbatim in Spark SQL and DuckDB (ph = PED phenotype,
+    * 2 = affected).
+    */
+  private val autoDomCase: String =
+    """gt_c = 1
+      | AND ((ph_f = 2 AND gt_f IN (1, 3)) OR (ph_m = 2 AND gt_m IN (1, 3)))
+      | AND NOT (ph_f <> 2 AND gt_f IN (1, 3))
+      | AND NOT (ph_m <> 2 AND gt_m IN (1, 3))""".stripMargin
+
+  /** e25: GEMINI auto_dom — the remaining inheritance tool (e18 covers
+    * de_novo / auto_rec / mendel_errors). Same broadcast-trio shape;
+    * the trio dim additionally carries parental PHENOTYPES so the
+    * affected-transmission rule is a per-row predicate.
+    */
+  def e25(s: SparkSession, dir: String): DataFrame = {
+    val (h, variants, _) = VcfReader.fromLines(s, AdFixture.lines)
+    autoDom(s, variants, h.samples, AdFixture.pedLines)
+  }
+
+  def autoDom(s: SparkSession, variants: DataFrame,
+      headerSamples: Seq[String], pedLines: Seq[String]): DataFrame = {
+    import s.implicits._
+    val ped = PedSource.fromLines(s, pedLines)
+    val pheno = (suffix: String) => ped.select(
+      $"sample_id".as(s"p_$suffix"),
+      expr("try_cast(phenotype AS INT)").as(s"ph_$suffix"))
+    // explicit broadcast hints: the PED frames are RDD-backed (unknown
+    // stats), and an unhinted dim⋈dim here plans as a sort-merge join
+    val trios = triosFromPed(s, headerSamples, pedLines)
+      .join(broadcast(ped.select($"sample_id".as("child"),
+        $"paternal_id", $"maternal_id")), "child")
+      .join(broadcast(pheno("f")), $"paternal_id" === $"p_f")
+      .join(broadcast(pheno("m")), $"maternal_id" === $"p_m")
+      .select($"family_id", $"child", $"c_ix", $"d_ix", $"m_ix", $"ph_f", $"ph_m")
+    variants
+      .crossJoin(broadcast(trios))
+      .withColumn("gt_c", element_at($"gt_types", $"c_ix"))
+      .withColumn("gt_f", element_at($"gt_types", $"d_ix"))
+      .withColumn("gt_m", element_at($"gt_types", $"m_ix"))
+      .filter(expr(autoDomCase))
+      .select($"chrom", $"pos", $"alt", $"family_id", $"child",
+        lit("auto_dom").as("class"))
+      .orderBy($"chrom", $"pos", $"alt", $"child")
+  }
+
   val oracle: Map[String, String] = Map(
+    "e25_auto_dom" ->
+      s"""SELECT chrom, CAST(pos AS BIGINT) AS pos, alt, family_id, child,
+         | 'auto_dom' AS class
+         |FROM ${AdFixture.adGtValues}
+         |WHERE $autoDomCase
+         |ORDER BY chrom, pos, alt, child""".stripMargin,
     "e22_xlinked" ->
       s"""SELECT chrom, CAST(pos AS BIGINT) AS pos, alt, family_id, child,
          | CAST(sex AS INTEGER) AS sex, class
@@ -373,6 +472,7 @@ object Inheritance {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e18_inheritance_classify" -> (e18 _),
     "e19_comp_het" -> (e19 _),
-    "e22_xlinked" -> (e22 _)
+    "e22_xlinked" -> (e22 _),
+    "e25_auto_dom" -> (e25 _)
   )
 }

@@ -54,6 +54,15 @@ class InheritanceSpec extends SparkSpec {
     assert(!rows.exists(_.getString(2) == "GENE_C"))
   }
 
+  test("e25 auto_dom requires an affected carrier parent and full penetrance") {
+    val rows = Inheritance.e25(spark, "").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(5)))
+    // only 1:100 qualifies: affected dad transmits the HET. 1:200 (no
+    // affected carrier), 1:300 (unaffected mom carries it), 1:400 (not
+    // transmitted) and 1:500 (uncalled child) must all be excluded
+    assert(rows.toSeq == Seq(("1", 100L, "auto_dom")))
+  }
+
   test("GraftDb family queries over a loaded Vcf2Db database match the operators") {
     import java.nio.file.Files
     val tmp = Files.createTempDirectory("graft_inherit")

@@ -74,10 +74,12 @@ object Inheritance {
         |) tg(chrom, pos, alt, gene, gt_c, gt_f, gt_m, dp_c, dp_f, dp_m)""".stripMargin
   }
 
-  /** Trio dim from parsed PED rows: (family, child, 1-based gt-array
-    * indexes of child/dad/mom in header sample order); founders and
-    * samples absent from the VCF drop out. Shared by e17 (Etl) and the
-    * e18/e19 suite — the single source of the trio-derivation rule.
+  /** Trio dim from parsed PED rows: (family, child, dad and mom NAMES,
+    * 1-based gt-array indexes of child/dad/mom in header sample order);
+    * founders and samples absent from the VCF drop out. Shared by e17
+    * (Etl) and the e18/e19/e22/e25 suite — the single source of the
+    * trio-derivation rule; the parent names let sex/phenotype joins
+    * attach without re-deriving.
     */
   private[operators] def triosFromPed(s: SparkSession, headerSamples: Seq[String],
       pedLines: Seq[String]): DataFrame = {
@@ -87,8 +89,8 @@ object Inheritance {
       val Seq(fam, child, dad, mom) = (0 to 3).map(r.getString)
       for {
         c <- ixOf.get(child); d <- ixOf.get(dad); m <- ixOf.get(mom)
-      } yield (fam, child, c, d, m)
-    }.toDF("family_id", "child", "c_ix", "d_ix", "m_ix")
+      } yield (fam, child, dad, mom, c, d, m)
+    }.toDF("family_id", "child", "dad", "mom", "c_ix", "d_ix", "m_ix")
   }
 
   /** [[triosFromSamples]] plus the child's PED `sex` column (as INT),
@@ -331,28 +333,32 @@ object Inheritance {
       .orderBy($"chrom", $"pos", $"alt", $"child")
   }
 
-  /** Auto-dominant fixture: one family where DAD is affected
-    * (phenotype 2) and mom is not — engineered to cover the dominant
-    * transmission hit, the affected-de-novo-looking site (not dominant:
-    * no affected parent carries it), the unaffected-carrier-parent
-    * negative, and an uncalled child.
+  /** Auto-dominant fixture: FAM's dad is affected, mom unaffected —
+    * covering the dominant transmission hit, the no-affected-carrier
+    * negative, the unaffected-carrier veto, non-transmission, and an
+    * uncalled child. FAM2's mom has UNKNOWN phenotype (PED 0) and
+    * carries the HET — unknown must not veto (GEMINI ignores
+    * unknown-phenotype individuals).
     */
   object AdFixture {
     val lines: Vector[String] = Vector(
       "##fileformat=VCFv4.2",
       "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"Genotype\">",
       Seq("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO",
-        "FORMAT", "c", "f", "m").mkString("\t"),
+        "FORMAT", "c", "f", "m", "c2", "f2", "m2").mkString("\t"),
       // dominant hit: affected child HET, affected dad HET, mom HOM-REF
-      row("1", 100, "A", "G", "0/1", "0/1", "0/0"),
+      row("1", 100, "A", "G", "0/1", "0/1", "0/0", "0/0", "0/0", "0/0"),
       // child HET but NO affected parent carries it → not dominant
-      row("1", 200, "C", "T", "0/1", "0/0", "0/0"),
+      row("1", 200, "C", "T", "0/1", "0/0", "0/0", "0/0", "0/0", "0/0"),
       // UNAFFECTED mom carries the HET → violates full penetrance
-      row("1", 300, "G", "A", "0/1", "0/0", "0/1"),
+      row("1", 300, "G", "A", "0/1", "0/0", "0/1", "0/0", "0/0", "0/0"),
       // affected dad HET but child HOM-REF → not transmitted
-      row("1", 400, "T", "C", "0/0", "0/1", "0/0"),
+      row("1", 400, "T", "C", "0/0", "0/1", "0/0", "0/0", "0/0", "0/0"),
       // uncalled child drops out
-      row("1", 500, "A", "T", "./.", "0/1", "0/0"))
+      row("1", 500, "A", "T", "./.", "0/1", "0/0", "0/0", "0/0", "0/0"),
+      // FAM2: affected dad transmits; mom (phenotype UNKNOWN) also
+      // carries — still a hit, unknown never vetoes
+      row("1", 600, "A", "C", "0/0", "0/0", "0/0", "0/1", "0/1", "0/1"))
 
     private def row(chrom: String, pos: Int, ref: String, alt: String,
         gts: String*): String =
@@ -363,30 +369,42 @@ object Inheritance {
       "#family_id sample_id paternal_id maternal_id sex phenotype",
       "FAM c f m 1 2",
       "FAM f 0 0 1 2",
-      "FAM m 0 0 2 1")
+      "FAM m 0 0 2 1",
+      "FAM2 c2 f2 m2 1 2",
+      "FAM2 f2 0 0 1 2",
+      "FAM2 m2 0 0 2 0")
 
-    /** Hand-derived (variant, trio) classes + parental phenotypes. */
+    /** Hand-derived (variant, trio) classes + trio phenotypes. */
     val adGtValues: String =
       """(VALUES
-        | ('1', 100, 'G', 'FAM', 'c', 1, 1, 0, 2, 1),
-        | ('1', 200, 'T', 'FAM', 'c', 1, 0, 0, 2, 1),
-        | ('1', 300, 'A', 'FAM', 'c', 1, 0, 1, 2, 1),
-        | ('1', 400, 'C', 'FAM', 'c', 0, 1, 0, 2, 1),
-        | ('1', 500, 'T', 'FAM', 'c', 2, 1, 0, 2, 1)
-        |) ag(chrom, pos, alt, family_id, child, gt_c, gt_f, gt_m, ph_f, ph_m)""".stripMargin
+        | ('1', 100, 'G', 'FAM', 'c', 1, 1, 0, 2, 2, 1),
+        | ('1', 200, 'T', 'FAM', 'c', 1, 0, 0, 2, 2, 1),
+        | ('1', 300, 'A', 'FAM', 'c', 1, 0, 1, 2, 2, 1),
+        | ('1', 400, 'C', 'FAM', 'c', 0, 1, 0, 2, 2, 1),
+        | ('1', 500, 'T', 'FAM', 'c', 2, 1, 0, 2, 2, 1),
+        | ('1', 600, 'C', 'FAM', 'c', 0, 0, 0, 2, 2, 1),
+        | ('1', 100, 'G', 'FAM2', 'c2', 0, 0, 0, 2, 2, 0),
+        | ('1', 200, 'T', 'FAM2', 'c2', 0, 0, 0, 2, 2, 0),
+        | ('1', 300, 'A', 'FAM2', 'c2', 0, 0, 0, 2, 2, 0),
+        | ('1', 400, 'C', 'FAM2', 'c2', 0, 0, 0, 2, 2, 0),
+        | ('1', 500, 'T', 'FAM2', 'c2', 0, 0, 0, 2, 2, 0),
+        | ('1', 600, 'C', 'FAM2', 'c2', 1, 1, 1, 2, 2, 0)
+        |) ag(chrom, pos, alt, family_id, child, gt_c, gt_f, gt_m, ph_c, ph_f, ph_m)""".stripMargin
   }
 
-  /** Shared autosomal-dominant CASE (full-penetrance GEMINI
-    * auto_dom rule): affected child carries a HET transmitted from an
-    * AFFECTED carrier parent, while no UNAFFECTED parent carries it.
-    * Valid verbatim in Spark SQL and DuckDB (ph = PED phenotype,
-    * 2 = affected).
+  /** Shared autosomal-dominant CASE (full-penetrance GEMINI auto_dom
+    * rule): an AFFECTED child carries a HET transmitted from an
+    * AFFECTED carrier parent, and no KNOWN-UNAFFECTED parent carries
+    * it. Unknown phenotype (PED 0/-9 → anything other than 1 or 2)
+    * neither qualifies as the affected transmitter nor vetoes —
+    * GEMINI ignores unknown-phenotype individuals. Valid verbatim in
+    * Spark SQL and DuckDB.
     */
   private val autoDomCase: String =
-    """gt_c = 1
+    """gt_c = 1 AND ph_c = 2
       | AND ((ph_f = 2 AND gt_f IN (1, 3)) OR (ph_m = 2 AND gt_m IN (1, 3)))
-      | AND NOT (ph_f <> 2 AND gt_f IN (1, 3))
-      | AND NOT (ph_m <> 2 AND gt_m IN (1, 3))""".stripMargin
+      | AND NOT (ph_f = 1 AND gt_f IN (1, 3))
+      | AND NOT (ph_m = 1 AND gt_m IN (1, 3))""".stripMargin
 
   /** e25: GEMINI auto_dom — the remaining inheritance tool (e18 covers
     * de_novo / auto_rec / mendel_errors). Same broadcast-trio shape;
@@ -401,18 +419,20 @@ object Inheritance {
   def autoDom(s: SparkSession, variants: DataFrame,
       headerSamples: Seq[String], pedLines: Seq[String]): DataFrame = {
     import s.implicits._
-    val ped = PedSource.fromLines(s, pedLines)
-    val pheno = (suffix: String) => ped.select(
-      $"sample_id".as(s"p_$suffix"),
-      expr("try_cast(phenotype AS INT)").as(s"ph_$suffix"))
-    // explicit broadcast hints: the PED frames are RDD-backed (unknown
-    // stats), and an unhinted dim⋈dim here plans as a sort-merge join
+    // one phenotype lookup per trio member, joined onto the shared trio
+    // dim (which carries parent NAMES). Explicit broadcast hints: the
+    // PED frames are RDD-backed (unknown stats), and an unhinted
+    // dim⋈dim here plans as a sort-merge join.
+    val ph = PedSource.fromLines(s, pedLines).select(
+      $"sample_id", expr("try_cast(phenotype AS INT)").as("ph"))
+    def phOf(member: String, as: String) =
+      broadcast(ph.select($"sample_id".as(member), $"ph".as(as)))
     val trios = triosFromPed(s, headerSamples, pedLines)
-      .join(broadcast(ped.select($"sample_id".as("child"),
-        $"paternal_id", $"maternal_id")), "child")
-      .join(broadcast(pheno("f")), $"paternal_id" === $"p_f")
-      .join(broadcast(pheno("m")), $"maternal_id" === $"p_m")
-      .select($"family_id", $"child", $"c_ix", $"d_ix", $"m_ix", $"ph_f", $"ph_m")
+      .join(phOf("child", "ph_c"), "child")
+      .join(phOf("dad", "ph_f"), "dad")
+      .join(phOf("mom", "ph_m"), "mom")
+      .select($"family_id", $"child", $"c_ix", $"d_ix", $"m_ix",
+        $"ph_c", $"ph_f", $"ph_m")
     variants
       .crossJoin(broadcast(trios))
       .withColumn("gt_c", element_at($"gt_types", $"c_ix"))

@@ -36,8 +36,20 @@ object BedSource {
     spark.createDataFrame(
       spark.sparkContext.parallelize(parse(lines), 1), schema)
 
+  /** BED files are dim-sized: read driver-side via Hadoop FileSystem
+    * (cluster URIs work) with transparent gunzip — the same path
+    * VcfReader uses for headers, and for the same reason: a local-only
+    * or compression-blind read silently parses garbage.
+    */
   def fromPath(spark: SparkSession, path: String): DataFrame = {
-    val src = scala.io.Source.fromFile(path)
-    try fromLines(spark, src.getLines().toSeq) finally src.close()
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(hp)
+    try {
+      val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+        VcfIo.maybeGunzip(path, in), "UTF-8"))
+      fromLines(spark,
+        Iterator.continually(reader.readLine()).takeWhile(_ != null).toVector)
+    } finally in.close()
   }
 }

@@ -299,14 +299,25 @@ object VcfReader {
   /** Streaming ingestion — incremental cohort loading: new VCF shards
     * dropped into `dir` parse into a STREAMING variants DataFrame
     * (`writeStream` to the warehouse sink of choice). The schema comes
-    * from a static header template (every shard must share it — the
-    * same multi-shard guard the batch DSv2 source enforces); shards'
-    * own header lines are filtered per record. The per-line parse is
-    * stateless (the `variants` map works unchanged on a streaming
-    * Dataset), so no state store is involved and append mode works
-    * with any sink.
+    * from a static header template, and the guard the batch DSv2
+    * source enforces holds here too: a shard whose #CHROM line (sample
+    * columns!) differs from the template fails the micro-batch instead
+    * of silently mis-assigning genotypes positionally. The per-line
+    * parse is stateless (the `variants` map works unchanged on a
+    * streaming Dataset), so no state store is involved and append mode
+    * works with any sink.
     */
   def streamVariants(spark: SparkSession, headerLines: Seq[String],
-      dir: String): DataFrame =
-    variants(parseHeader(headerLines), spark.readStream.textFile(dir))
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val chromLine = headerLines.find(_.startsWith("#CHROM")).getOrElse(
+      throw new IllegalArgumentException("header template has no #CHROM line"))
+    val checked = spark.readStream.textFile(dir).map { l =>
+      if (l.startsWith("#CHROM") && l != chromLine)
+        throw new IllegalStateException(
+          s"VCF shard header mismatch: expected '$chromLine' got '$l'")
+      l
+    }
+    variants(parseHeader(headerLines), checked)
+  }
 }

@@ -56,11 +56,13 @@ class InheritanceSpec extends SparkSpec {
 
   test("e25 auto_dom requires an affected carrier parent and full penetrance") {
     val rows = Inheritance.e25(spark, "").collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getString(5)))
-    // only 1:100 qualifies: affected dad transmits the HET. 1:200 (no
-    // affected carrier), 1:300 (unaffected mom carries it), 1:400 (not
-    // transmitted) and 1:500 (uncalled child) must all be excluded
-    assert(rows.toSeq == Seq(("1", 100L, "auto_dom")))
+      .map(r => (r.getString(0), r.getLong(1), r.getString(4)))
+    // FAM 1:100: affected dad transmits the HET — hit. FAM2 1:600:
+    // affected dad transmits AND the unknown-phenotype mom carries —
+    // still a hit (unknown never vetoes). Excluded: 1:200 (no affected
+    // carrier), 1:300 (KNOWN-unaffected mom carries), 1:400 (not
+    // transmitted), 1:500 (uncalled child)
+    assert(rows.toSeq == Seq(("1", 100L, "c"), ("1", 600L, "c2")))
   }
 
   test("GraftDb family queries over a loaded Vcf2Db database match the operators") {

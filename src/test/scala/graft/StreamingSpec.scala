@@ -148,6 +148,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming VCF ingestion fails fast on a shard with mismatched samples") {
+    import java.nio.file.Files
+    import graft.operators.Etl.VcfFixture
+    import graft.sources.VcfReader
+    val dir = Files.createTempDirectory("vcf_stream_bad")
+    val header = VcfFixture.lines.takeWhile(_.startsWith("#"))
+    // same fields but sample columns swapped: positional genotype
+    // assignment would silently attribute mom's calls to dad
+    val badHeader = header.init :+
+      header.last.replace("s1\ts2\ts3\ts4", "s2\ts1\ts3\ts4")
+    Files.writeString(dir.resolve("bad.vcf"),
+      (badHeader ++ VcfFixture.lines.dropWhile(_.startsWith("#")).take(1))
+        .mkString("\n") + "\n")
+    val q = VcfReader.streamVariants(spark, header, dir.toString)
+      .writeStream.format("memory").queryName("vcf_stream_bad_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("header mismatch") ||
+        Option(e.getCause).exists(_.toString.contains("header mismatch")))
+    } finally q.stop()
+  }
+
   test("streaming VCF ingestion: shards dropped into a directory parse incrementally") {
     import java.nio.file.Files
     import graft.operators.Etl.VcfFixture
@@ -167,9 +193,13 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       assert(spark.table("vcf_stream_out").count() == 2)
       // shard 2 lands mid-stream: its 2 records decompose to 3 rows
-      // (the multiallelic 2:300 G->A,T) and only the delta appends
-      Files.writeString(dir.resolve("shard2.vcf"),
-        (header ++ body.drop(2)).mkString("\n") + "\n")
+      // (the multiallelic 2:300 G->A,T) and only the delta appends.
+      // Written OUTSIDE the watched dir then atomically moved in — the
+      // file-source contract; a non-atomic write can be listed empty.
+      val tmp2 = Files.createTempFile("shard2", ".vcf")
+      Files.writeString(tmp2, (header ++ body.drop(2)).mkString("\n") + "\n")
+      Files.move(tmp2, dir.resolve("shard2.vcf"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       q.processAllAvailable()
       val rows = spark.table("vcf_stream_out")
       assert(rows.count() == 5)

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Text}
+
+/** The LLM-training-data counterpart of [[Vcf2Db]]: one job that takes
+  * a raw (doc_id, text, …) corpus through the standard curation
+  * pipeline — exact dedup, near-dup CLUSTER dedup, quality/repetition
+  * filtering, PII redaction, benchmark decontamination — and writes
+  * the survivors plus a per-stage attrition report. Every stage is one
+  * of the library's verified kernels (d01/d04+d07/t02/t09/t08/d08
+  * semantics); this object only sequences them.
+  *
+  * Scale notes: each stage is the operator's own documented shape (no
+  * new shuffles are introduced by the sequencing); stages persist
+  * their survivor frame so the per-stage counts don't recompute the
+  * whole lineage.
+  */
+object CurateCorpus {
+
+  /** Per-stage attrition: how many docs survived each cut. */
+  case class Report(nInput: Long, nAfterExactDedup: Long,
+      nAfterNearDedup: Long, nAfterQuality: Long, nAfterDecontam: Long)
+
+  /** @param docs       corpus with at least (doc_id: long, text: string)
+    * @param outDir     survivors land here as parquet (redacted text)
+    * @param minScore   t02 composite-quality floor
+    * @param maxDup3    t09 duplicate-3-gram-fraction ceiling
+    * @param minJaccard near-dup pair threshold (d04 semantics)
+    * @param benchmark  optional eval set (doc_id, text) — survivors
+    *                   sharing an `ngram`-gram with it are dropped
+    */
+  def run(docs: DataFrame, outDir: String,
+      minScore: Double = 0.25, maxDup3: Double = 0.6,
+      minJaccard: Double = 0.5, benchmark: Option[DataFrame] = None,
+      ngram: Int = 4): Report = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val input = docs.persist()
+    val nInput = input.count()
+
+    // 1. exact dedup (d01 rule): min doc_id survives each md5(text)
+    //    group — one window shuffle on the constant-width hash key
+    val exact = input
+      .withColumn("_keep",
+        min($"doc_id").over(Window.partitionBy(md5($"text"))))
+      .filter($"doc_id" === $"_keep").drop("_keep")
+      .persist()
+    val nExact = exact.count()
+
+    // 2. near-dup cluster dedup: d04 pairs → connected components
+    //    (d07) → only each cluster's min-id root survives
+    val pairs = Dedup.jaccardPairs(exact.select($"doc_id", $"text"), minJaccard)
+      .select($"doc_a".as("u"), $"doc_b".as("v"))
+    val labels = Dedup.connectedComponents(spark, pairs)
+    val near = exact
+      .join(labels, Seq("doc_id"), "left")
+      .filter($"cluster_id".isNull || $"cluster_id" === $"doc_id")
+      .drop("cluster_id")
+      .persist()
+    val nNear = near.count()
+
+    // 3. quality + repetition cut (t02/t09 signals), then PII
+    //    redaction (t08) on what remains — per-row codegen, shuffle-free
+    val quality = Text.qualitySignals(near)
+      .filter($"q_score" >= minScore &&
+        (coalesce($"q_dup3", lit(0.0)) <= maxDup3))
+      .drop("q_score", "q_dup3")
+      .withColumn("text", Text.redact($"text"))
+      .persist()
+    val nQuality = quality.count()
+
+    // 4. decontamination (d08): drop survivors colliding with the
+    //    benchmark on any distinct n-gram
+    val clean = benchmark match {
+      case Some(b) =>
+        val contaminated = Dedup.decontaminate(
+          quality.select($"doc_id", split($"text", " ").as("toks")),
+          b.select(split($"text", " ").as("toks")), ngram)
+          .select($"doc_id")
+        quality.join(contaminated, Seq("doc_id"), "left_anti").persist()
+      case None => quality
+    }
+    val nClean = clean.count()
+
+    clean.write.mode("overwrite").parquet(outDir)
+    Seq(input, exact, near, quality).foreach(_.unpersist())
+    if (benchmark.isDefined) clean.unpersist()
+    Report(nInput, nExact, nNear, nQuality, nClean)
+  }
+}

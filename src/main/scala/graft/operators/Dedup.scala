@@ -157,10 +157,18 @@ object Dedup {
   /** d04 pair set without the presentation sort — reused by d07 as the
     * near-dup edge list.
     */
-  private def d04Pairs(s: SparkSession, dir: String): DataFrame = {
+  private def d04Pairs(s: SparkSession, dir: String): DataFrame =
+    jaccardPairs(T(s, dir, "documents"), minJaccard = 0.12)
+
+  /** General exact-Jaccard near-dup pairs over any (doc_id, text)
+    * frame — d04's engine (shared-shingle candidates under the
+    * stop-shingle DF cap, exact verify on full gram sets).
+    */
+  def jaccardPairs(docsIn: DataFrame, minJaccard: Double): DataFrame = {
+    val s = docsIn.sparkSession
     import s.implicits._
     GraftFunctions.register(s)
-    val grams = T(s, dir, "documents")
+    val grams = docsIn
       .select($"doc_id", split($"text", " ").as("w"))
       .withColumn("gs", expr("shingles(w, 2)"))
       .select($"doc_id", $"gs")
@@ -178,7 +186,7 @@ object Dedup {
       .withColumn("c", expr("size(array_intersect(gs_a, gs_b))"))
       .withColumn("jaccard",
         expr("round(CAST(c AS DOUBLE) / (size(gs_a) + size(gs_b) - c), 6)"))
-      .filter(expr("CAST(c AS DOUBLE) / (size(gs_a) + size(gs_b) - c) >= 0.12e0"))
+      .filter(expr(s"CAST(c AS DOUBLE) / (size(gs_a) + size(gs_b) - c) >= ${minJaccard}e0"))
       .select($"doc_a", $"doc_b", $"jaccard")
   }
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -175,6 +175,25 @@ object Text {
     */
   private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
   private val ipPat = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+  /** t08's redaction over any text column (emails then IPv4s) — the
+    * reusable form CurateCorpus applies before a corpus ships.
+    */
+  def redact(c: Column): Column =
+    regexp_replace(regexp_replace(c, emailPat, "<EMAIL>"), ipPat, "<IP>")
+
+  /** t02's composite quality score and t09's 3-gram repetition over
+    * any (text) frame — the filter signals CurateCorpus cuts on.
+    */
+  def qualitySignals(df: DataFrame): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.withColumn("q_score", expr(
+      "0.5e0 * least(size(split(text, ' ')), 100) / 100.0e0 + " +
+        s"0.5e0 * (CAST(${hitsExpr(stopwords.head._2)} AS DOUBLE) / size(split(text, ' ')))"))
+      .withColumn("q_dup3", expr(
+        "1.0e0 - CAST(size(shingles(split(text, ' '), 3)) AS DOUBLE) / " +
+          "nullif(greatest(size(split(text, ' ')) - 2, 0), 0)"))
+  }
 
   /** t08: PII scrub — count and redact emails / IPv4s before a corpus
     * ships to training (the compliance pass of an LLM data pipeline).

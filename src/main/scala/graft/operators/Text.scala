@@ -167,6 +167,32 @@ object Text {
       .orderBy($"source", $"rk")
   }
 
+  /** Per-source quota rule shared verbatim with the t11 oracle: quota
+    * proportional to a deterministic per-source weight (derived from
+    * the source id so both engines build the same mixture).
+    */
+  private val mixQuotaSql = "(CAST(substr(source, 4) AS INT) % 4 + 1) * 5"
+
+  /** t11: data MIXING — the training-mixture step after curation:
+    * sample each source to a weight-proportional quota so the final
+    * corpus matches a target source distribution. Same deterministic
+    * content-hash ranking as t07 (reproducible across runs and
+    * engines), with a per-source quota instead of a constant. One
+    * window shuffle keyed on source; the skew caveats and remedies are
+    * t07's (hash-prefix pre-filter for mega-sources).
+    */
+  def t11(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source")
+      .orderBy(md5(concat_ws("|", $"doc_id", $"text")), $"doc_id")
+    T(s, dir, "documents")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= expr(mixQuotaSql))
+      .select($"doc_id", $"source", $"rk")
+      .orderBy($"source", $"rk")
+  }
+
   /** PII patterns shared with the oracle. `[.]` instead of `\.`
     * everywhere: Spark SQL string literals eat backslashes while DuckDB
     * literals don't, so a backslash-free pattern is the only form that
@@ -337,6 +363,13 @@ object Text {
         |    ORDER BY md5(doc_id || '|' || text), doc_id) AS rk
         | FROM documents)
         |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+    "t11_source_mix" ->
+      s"""SELECT doc_id, source, rk FROM (
+         | SELECT doc_id, source,
+         |  ROW_NUMBER() OVER (PARTITION BY source
+         |    ORDER BY md5(doc_id || '|' || text), doc_id) AS rk
+         | FROM documents)
+         |WHERE rk <= $mixQuotaSql ORDER BY source, rk""".stripMargin,
     "t01_lang_id" -> {
       val hitCols = stopwords
         .map { case (l, ws) => s"${hitsSql(ws)} AS h_$l" }.mkString(",\n  ")
@@ -392,6 +425,7 @@ object Text {
     "t07_stratified_sample" -> (t07 _),
     "t08_pii_scrub" -> (t08 _),
     "t09_repetition" -> (t09 _),
-    "t10_unigram_logprob" -> (t10 _)
+    "t10_unigram_logprob" -> (t10 _),
+    "t11_source_mix" -> (t11 _)
   )
 }

@@ -40,11 +40,17 @@ object CurateCorpus {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    val input = docs.persist()
+    // persist a frame THIS job owns (a projection of the argument):
+    // Spark persistence is not ref-counted, so persisting/unpersisting
+    // the caller's own DataFrame would evict their cache
+    val input = docs.select(docs.columns.map(col).toIndexedSeq: _*).persist()
     val nInput = input.count()
 
     // 1. exact dedup (d01 rule): min doc_id survives each md5(text)
-    //    group — one window shuffle on the constant-width hash key
+    //    group. One exchange keyed on the text hash; the full row moves
+    //    through it once — same bytes moved as the groupBy+rejoin
+    //    formulation (whose survivor-id side is corpus-sized, not
+    //    broadcastable), chosen for the single-pass simplicity
     val exact = input
       .withColumn("_keep",
         min($"doc_id").over(Window.partitionBy(md5($"text"))))
@@ -64,18 +70,18 @@ object CurateCorpus {
       .persist()
     val nNear = near.count()
 
-    // 3. quality + repetition cut (t02/t09 signals), then PII
-    //    redaction (t08) on what remains — per-row codegen, shuffle-free
+    // 3. quality + repetition cut (t02/t09 signals) — per-row codegen,
+    //    shuffle-free
     val quality = Text.qualitySignals(near)
       .filter($"q_score" >= minScore &&
         (coalesce($"q_dup3", lit(0.0)) <= maxDup3))
       .drop("q_score", "q_dup3")
-      .withColumn("text", Text.redact($"text"))
       .persist()
     val nQuality = quality.count()
 
-    // 4. decontamination (d08): drop survivors colliding with the
-    //    benchmark on any distinct n-gram
+    // 4. decontamination (d08) on the RAW text — it must run before
+    //    redaction, or contamination hidden behind a redacted span
+    //    (an email inside a copied benchmark answer) slips through
     val clean = benchmark match {
       case Some(b) =>
         val contaminated = Dedup.decontaminate(
@@ -87,7 +93,15 @@ object CurateCorpus {
     }
     val nClean = clean.count()
 
-    clean.write.mode("overwrite").parquet(outDir)
+    // 5. PII redaction (t08) last, keeping derived length metadata
+    //    consistent with the rewritten text
+    val redacted = clean.withColumn("text", Text.redact($"text"))
+      .transform(df =>
+        if (df.columns.contains("n_chars"))
+          df.withColumn("n_chars",
+            length($"text").cast(df.schema("n_chars").dataType))
+        else df)
+    redacted.write.mode("overwrite").parquet(outDir)
     Seq(input, exact, near, quality).foreach(_.unpersist())
     if (benchmark.isDefined) clean.unpersist()
     Report(nInput, nExact, nNear, nQuality, nClean)

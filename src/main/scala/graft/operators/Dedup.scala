@@ -186,7 +186,11 @@ object Dedup {
       .withColumn("c", expr("size(array_intersect(gs_a, gs_b))"))
       .withColumn("jaccard",
         expr("round(CAST(c AS DOUBLE) / (size(gs_a) + size(gs_b) - c), 6)"))
-      .filter(expr(s"CAST(c AS DOUBLE) / (size(gs_a) + size(gs_b) - c) >= ${minJaccard}e0"))
+      // Column comparison, not an interpolated SQL literal: Scala
+      // renders small doubles in scientific notation ("1.0E-4"), which
+      // the SQL parser rejects; lit() carries the exact double
+      .filter(expr("CAST(c AS DOUBLE) / (size(gs_a) + size(gs_b) - c)")
+        >= lit(minJaccard))
       .select($"doc_a", $"doc_b", $"jaccard")
   }
 

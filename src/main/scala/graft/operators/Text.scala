@@ -154,18 +154,35 @@ object Text {
     * stratum and take per-salt partial quotas — the window form here is
     * the exact-quota reference semantics.
     */
-  def t07(s: SparkSession, dir: String): DataFrame = {
+  def t07(s: SparkSession, dir: String): DataFrame =
+    sampleBySource(s, dir, quotaSql = "10")
+
+  /** Shared engine of t07/t11: deterministic content-hash ranking per
+    * source, keep ranks up to a quota expression. ONE definition of
+    * the ranking key — the cross-engine reproducibility of both
+    * samplers hangs on it staying identical.
+    */
+  private def sampleBySource(s: SparkSession, dir: String,
+      quotaSql: String): DataFrame = {
     import s.implicits._
-    val quota = 10
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"source")
       .orderBy(md5(concat_ws("|", $"doc_id", $"text")), $"doc_id")
     T(s, dir, "documents")
       .withColumn("rk", row_number().over(w))
-      .filter($"rk" <= quota)
+      .filter($"rk" <= expr(quotaSql))
       .select($"doc_id", $"source", $"rk")
       .orderBy($"source", $"rk")
   }
+
+  /** Shared oracle text for the samplers, parameterized by quota. */
+  private def sampleBySourceSql(quotaSql: String): String =
+    s"""SELECT doc_id, source, rk FROM (
+       | SELECT doc_id, source,
+       |  ROW_NUMBER() OVER (PARTITION BY source
+       |    ORDER BY md5(doc_id || '|' || text), doc_id) AS rk
+       | FROM documents)
+       |WHERE rk <= $quotaSql ORDER BY source, rk""".stripMargin
 
   /** Per-source quota rule shared verbatim with the t11 oracle: quota
     * proportional to a deterministic per-source weight (derived from
@@ -181,17 +198,8 @@ object Text {
     * window shuffle keyed on source; the skew caveats and remedies are
     * t07's (hash-prefix pre-filter for mega-sources).
     */
-  def t11(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"source")
-      .orderBy(md5(concat_ws("|", $"doc_id", $"text")), $"doc_id")
-    T(s, dir, "documents")
-      .withColumn("rk", row_number().over(w))
-      .filter($"rk" <= expr(mixQuotaSql))
-      .select($"doc_id", $"source", $"rk")
-      .orderBy($"source", $"rk")
-  }
+  def t11(s: SparkSession, dir: String): DataFrame =
+    sampleBySource(s, dir, mixQuotaSql)
 
   /** PII patterns shared with the oracle. `[.]` instead of `\.`
     * everywhere: Spark SQL string literals eat backslashes while DuckDB
@@ -356,20 +364,8 @@ object Text {
          |   || '@example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
          |  FROM documents)
          |ORDER BY doc_id""".stripMargin,
-    "t07_stratified_sample" ->
-      """SELECT doc_id, source, rk FROM (
-        | SELECT doc_id, source,
-        |  ROW_NUMBER() OVER (PARTITION BY source
-        |    ORDER BY md5(doc_id || '|' || text), doc_id) AS rk
-        | FROM documents)
-        |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
-    "t11_source_mix" ->
-      s"""SELECT doc_id, source, rk FROM (
-         | SELECT doc_id, source,
-         |  ROW_NUMBER() OVER (PARTITION BY source
-         |    ORDER BY md5(doc_id || '|' || text), doc_id) AS rk
-         | FROM documents)
-         |WHERE rk <= $mixQuotaSql ORDER BY source, rk""".stripMargin,
+    "t07_stratified_sample" -> sampleBySourceSql("10"),
+    "t11_source_mix" -> sampleBySourceSql(mixQuotaSql),
     "t01_lang_id" -> {
       val hitCols = stopwords
         .map { case (l, ws) => s"${hitsSql(ws)} AS h_$l" }.mkString(",\n  ")

@@ -38,10 +38,25 @@ class CurateCorpusSpec extends SparkSpec {
 
     // exact-dedup contract: texts are unique
     assert(survivors.select(md5(col("text"))).distinct().count() == r.nAfterDecontam)
-    // near-dup contract: no surviving pair at or above the threshold
-    // (cluster roots of different components can never be a pair)
-    assert(Dedup.jaccardPairs(
-      survivors.select(col("doc_id"), col("text")), 0.5).isEmpty)
+    // near-dup contract, stated over the PIPELINE's own edge set (the
+    // pair rule evaluated at the stage it ran — recomputing pairs over
+    // the smaller survivor corpus would re-derive the stop-shingle DF
+    // cap on different frequencies): no edge between exact-dedup
+    // survivors may keep both endpoints
+    val exactSurvivors = corpus
+      .withColumn("_keep",
+        org.apache.spark.sql.functions.min(col("doc_id"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))))
+      .filter(col("doc_id") === col("_keep")).drop("_keep")
+    val survivorIds = survivors.select("doc_id").collect().map(_.getLong(0)).toSet
+    val edges = Dedup.jaccardPairs(
+      exactSurvivors.select(col("doc_id"), col("text")), 0.5)
+      .collect().map(r2 => (r2.getLong(0), r2.getLong(1)))
+    assert(edges.nonEmpty, "corpus has no near-dup pairs to cut")
+    edges.foreach { case (a, b) =>
+      assert(!(survivorIds(a) && survivorIds(b)),
+        s"near-dup pair ($a,$b) fully survived")
+    }
     // quality contract: the floor holds on every survivor
     assert(Text.qualitySignals(survivors)
       .filter(col("q_score") < 0.25).isEmpty)
@@ -50,5 +65,25 @@ class CurateCorpusSpec extends SparkSpec {
     assert(Dedup.decontaminate(
       survivors.select(col("doc_id"), split(col("text"), " ").as("toks")),
       bench.select(split(col("text"), " ").as("toks")), 4).isEmpty)
+  }
+
+  test("qualitySignals stays in lockstep with the oracle-verified t02/t09 queries") {
+    // the pipeline filters on qualitySignals' standalone formulas;
+    // this ties them to the verified queries so the two definitions
+    // cannot drift apart silently
+    val dir = "/root/testdata/sf0.001"
+    val sig = Text.qualitySignals(Tables(spark, dir, "documents"))
+      .select(col("doc_id"), round(col("q_score"), 6).as("s"),
+        round(col("q_dup3"), 6).as("d"))
+    val t02 = Text.t02(spark, dir).select(col("doc_id"), col("score"))
+    val t09 = Text.t09(spark, dir).select(col("doc_id"), col("dup_3gram_frac"))
+    val joined = sig.join(t02, "doc_id").join(t09, "doc_id").collect()
+    assert(joined.length == 500)
+    joined.foreach { r =>
+      assert(r.getAs[Double]("s") == r.getAs[Double]("score"),
+        s"q_score drifted from t02 for doc ${r.getLong(0)}")
+      assert(Option(r.getAs[Double]("d")) == Option(r.getAs[Double]("dup_3gram_frac")),
+        s"q_dup3 drifted from t09 for doc ${r.getLong(0)}")
+    }
   }
 }

@@ -269,6 +269,10 @@ object Dedup {
   /** Large-star: connect every neighbor LARGER than the center to the
     * minimum of the center's closed neighborhood. One window shuffle
     * keyed on the center; output stays canonical (u < v).
+    *
+    * Deliberately NOT deduplicated: small-star's min window is
+    * duplicate-tolerant and the round ends in small-star's distinct,
+    * so a dedup here would buy nothing for a whole extra shuffle.
     */
   private def largeStar(e: DataFrame): DataFrame = {
     import e.sparkSession.implicits._
@@ -278,7 +282,6 @@ object Dedup {
     sym.select($"c", $"n", m.as("m"))
       .filter($"n" > $"c")
       .select($"m".as("u"), $"n".as("v"))
-      .distinct()
   }
 
   /** Small-star: connect the center's SMALLER neighbors (and the center

@@ -392,6 +392,118 @@ object Inheritance {
         |) ag(chrom, pos, alt, family_id, child, gt_c, gt_f, gt_m, ph_c, ph_f, ph_m)""".stripMargin
   }
 
+  /** X-dominant fixture: FAM1's mom is affected (male child can only
+    * receive his X from her), FAM2's dad is affected (hemizygous alt
+    * transmits to every daughter). Negatives cover no-affected-carrier,
+    * the unaffected-carrier veto, and non-carrier children.
+    */
+  object XdFixture {
+    val lines: Vector[String] = Vector(
+      "##fileformat=VCFv4.2",
+      "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"Genotype\">",
+      Seq("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO",
+        "FORMAT", "c1", "f1", "m1", "c2", "f2", "m2").mkString("\t"),
+      // male dominant hit: affected mom transmits her HET
+      row("X", 100, "A", "G", "0/1", "0/0", "0/1", "0/0", "0/0", "0/0"),
+      // no affected parent carries → not dominant
+      row("X", 200, "C", "T", "0/1", "0/0", "0/0", "0/0", "0/0", "0/0"),
+      // UNAFFECTED dad carries → full-penetrance veto
+      row("X", 300, "G", "A", "0/1", "1/1", "0/1", "0/0", "0/0", "0/0"),
+      // female dominant hit: affected hemizygous dad transmits
+      row("X", 400, "T", "C", "0/0", "0/0", "0/0", "0/1", "1/1", "0/0"),
+      // unaffected mom carries → veto (and affected dad doesn't carry)
+      row("X", 500, "A", "T", "0/0", "0/0", "0/0", "0/1", "0/0", "0/1"),
+      // child doesn't carry → not a candidate
+      row("X", 600, "C", "G", "0/0", "0/0", "0/0", "0/0", "1/1", "0/0"))
+
+    private def row(chrom: String, pos: Int, ref: String, alt: String,
+        gts: String*): String =
+      (Seq(chrom, pos.toString, ".", ref, alt, "99", "PASS", ".", "GT") ++ gts)
+        .mkString("\t")
+
+    val pedLines: Vector[String] = Vector(
+      "#family_id sample_id paternal_id maternal_id sex phenotype",
+      "FAM1 c1 f1 m1 1 2",
+      "FAM1 f1 0 0 1 1",
+      "FAM1 m1 0 0 2 2",
+      "FAM2 c2 f2 m2 2 2",
+      "FAM2 f2 0 0 1 2",
+      "FAM2 m2 0 0 2 1")
+
+    /** Hand-derived (variant, trio) classes + sex + trio phenotypes. */
+    val xdGtValues: String =
+      """(VALUES
+        | ('X', 100, 'G', 'FAM1', 'c1', 1, 1, 0, 1, 2, 1, 2),
+        | ('X', 200, 'T', 'FAM1', 'c1', 1, 1, 0, 0, 2, 1, 2),
+        | ('X', 300, 'A', 'FAM1', 'c1', 1, 1, 3, 1, 2, 1, 2),
+        | ('X', 400, 'C', 'FAM1', 'c1', 1, 0, 0, 0, 2, 1, 2),
+        | ('X', 500, 'T', 'FAM1', 'c1', 1, 0, 0, 0, 2, 1, 2),
+        | ('X', 600, 'G', 'FAM1', 'c1', 1, 0, 0, 0, 2, 1, 2),
+        | ('X', 100, 'G', 'FAM2', 'c2', 2, 0, 0, 0, 2, 2, 1),
+        | ('X', 200, 'T', 'FAM2', 'c2', 2, 0, 0, 0, 2, 2, 1),
+        | ('X', 300, 'A', 'FAM2', 'c2', 2, 0, 0, 0, 2, 2, 1),
+        | ('X', 400, 'C', 'FAM2', 'c2', 2, 1, 3, 0, 2, 2, 1),
+        | ('X', 500, 'T', 'FAM2', 'c2', 2, 1, 0, 1, 2, 2, 1),
+        | ('X', 600, 'G', 'FAM2', 'c2', 2, 0, 3, 0, 2, 2, 1)
+        |) xd(chrom, pos, alt, family_id, child, sex, gt_c, gt_f, gt_m, ph_c, ph_f, ph_m)""".stripMargin
+  }
+
+  /** Shared X-linked-dominant CASE (full-penetrance GEMINI
+    * x_linked_dominant): an AFFECTED child carries the X alt; a male
+    * child's X comes only from mom, so the affected transmitter must
+    * be her; a female child can receive it from either affected
+    * parent. A KNOWN-UNAFFECTED carrier parent vetoes; unknown
+    * phenotype neither transmits nor vetoes (same convention as
+    * auto_dom). Valid verbatim in Spark SQL and DuckDB.
+    */
+  private val xlinkedDomCase: String =
+    """gt_c IN (1, 3) AND ph_c = 2 AND (
+      |  (sex = 1 AND ph_m = 2 AND gt_m IN (1, 3)
+      |    AND NOT (ph_f = 1 AND gt_f IN (1, 3)))
+      |  OR
+      |  (sex = 2
+      |    AND ((ph_f = 2 AND gt_f IN (1, 3)) OR (ph_m = 2 AND gt_m IN (1, 3)))
+      |    AND NOT (ph_f = 1 AND gt_f IN (1, 3))
+      |    AND NOT (ph_m = 1 AND gt_m IN (1, 3)))
+      |)""".stripMargin
+
+  /** e26: GEMINI x_linked_dominant — the remaining X tool (e22 covers
+    * recessive + de novo). Same broadcast-trio shape; the trio dim
+    * carries sex AND all three phenotypes.
+    */
+  def e26(s: SparkSession, dir: String): DataFrame = {
+    val (h, variants, _) = VcfReader.fromLines(s, XdFixture.lines)
+    xlinkedDom(s, variants, h.samples, XdFixture.pedLines)
+  }
+
+  def xlinkedDom(s: SparkSession, variants: DataFrame,
+      headerSamples: Seq[String], pedLines: Seq[String]): DataFrame = {
+    import s.implicits._
+    val ped = PedSource.fromLines(s, pedLines)
+    val sexPh = ped.select($"sample_id",
+      expr("try_cast(sex AS INT)").as("p_sex"),
+      expr("try_cast(phenotype AS INT)").as("p_ph"))
+    def dim(member: String, cols: (String, String)*) =
+      broadcast(sexPh.select(($"sample_id".as(member) +:
+        cols.map { case (src, as) => col(src).as(as) }).toIndexedSeq: _*))
+    val trios = triosFromPed(s, headerSamples, pedLines)
+      .join(dim("child", "p_sex" -> "sex", "p_ph" -> "ph_c"), "child")
+      .join(dim("dad", "p_ph" -> "ph_f"), "dad")
+      .join(dim("mom", "p_ph" -> "ph_m"), "mom")
+      .select($"family_id", $"child", $"c_ix", $"d_ix", $"m_ix",
+        $"sex", $"ph_c", $"ph_f", $"ph_m")
+    variants
+      .filter(regexp_replace($"chrom", "^chr", "") === "X")
+      .crossJoin(broadcast(trios))
+      .withColumn("gt_c", element_at($"gt_types", $"c_ix"))
+      .withColumn("gt_f", element_at($"gt_types", $"d_ix"))
+      .withColumn("gt_m", element_at($"gt_types", $"m_ix"))
+      .filter(expr(xlinkedDomCase))
+      .select($"chrom", $"pos", $"alt", $"family_id", $"child",
+        $"sex", lit("xl_dominant").as("class"))
+      .orderBy($"chrom", $"pos", $"alt", $"child")
+  }
+
   /** Shared autosomal-dominant CASE (full-penetrance GEMINI auto_dom
     * rule): an AFFECTED child carries a HET transmitted from an
     * AFFECTED carrier parent, and no KNOWN-UNAFFECTED parent carries
@@ -445,6 +557,12 @@ object Inheritance {
   }
 
   val oracle: Map[String, String] = Map(
+    "e26_xlinked_dom" ->
+      s"""SELECT chrom, CAST(pos AS BIGINT) AS pos, alt, family_id, child,
+         | CAST(sex AS INTEGER) AS sex, 'xl_dominant' AS class
+         |FROM ${XdFixture.xdGtValues}
+         |WHERE $xlinkedDomCase
+         |ORDER BY chrom, pos, alt, child""".stripMargin,
     "e25_auto_dom" ->
       s"""SELECT chrom, CAST(pos AS BIGINT) AS pos, alt, family_id, child,
          | 'auto_dom' AS class
@@ -493,6 +611,7 @@ object Inheritance {
     "e18_inheritance_classify" -> (e18 _),
     "e19_comp_het" -> (e19 _),
     "e22_xlinked" -> (e22 _),
-    "e25_auto_dom" -> (e25 _)
+    "e25_auto_dom" -> (e25 _),
+    "e26_xlinked_dom" -> (e26 _)
   )
 }

@@ -65,6 +65,16 @@ class InheritanceSpec extends SparkSpec {
     assert(rows.toSeq == Seq(("1", 100L, "c"), ("1", 600L, "c2")))
   }
 
+  test("e26 xl_dominant: transmitter sex rule and unaffected-carrier veto") {
+    val rows = Inheritance.e26(spark, "").collect()
+      .map(r => (r.getLong(1), r.getString(4))).toSet
+    // X:100 — male child, affected mom transmits. X:400 — female child,
+    // affected hemizygous dad transmits. Excluded: X:200 (no affected
+    // carrier), X:300 (unaffected dad carries → veto), X:500
+    // (unaffected mom carries → veto), X:600 (child doesn't carry)
+    assert(rows == Set((100L, "c1"), (400L, "c2")))
+  }
+
   test("GraftDb family queries over a loaded Vcf2Db database match the operators") {
     import java.nio.file.Files
     val tmp = Files.createTempDirectory("graft_inherit")

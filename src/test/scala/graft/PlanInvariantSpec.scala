@@ -28,6 +28,7 @@ class PlanInvariantSpec extends SparkSpec {
     "e18_inheritance_classify" -> 1, // same broadcast-trio shape as e17
     "e22_xlinked" -> 1, // same broadcast-trio shape, sex-aware dim
     "e25_auto_dom" -> 1, // same broadcast-trio shape, phenotype-aware dim
+    "e26_xlinked_dom" -> 1, // same broadcast-trio shape, sex+phenotype dim
     // the comp-het pair self-join duplicates its hets subtree, so the
     // trio-dim BNLJ inside it prints twice
     "e19_comp_het" -> 2,

@@ -228,6 +228,16 @@ object GraftDb {
       graft.operators.Inheritance.triosWithSex(
         spark, samples(spark, dir), headerSamples(spark, dir)))
 
+  /** GEMINI x_linked_dominant over a loaded database — trio dim
+    * carries sex and the three phenotypes from the samples table.
+    */
+  def xlinkedDom(spark: SparkSession, dir: String,
+      codec: String = "zlib"): DataFrame =
+    graft.operators.Inheritance.xlinkedDom(
+      spark, expandGenotypes(spark, dir, codec),
+      graft.operators.Inheritance.triosWithSexPheno(
+        spark, samples(spark, dir), trios(spark, dir)))
+
   /** Cohort QC over a loaded database: ts/tv ratio per chromosome,
     * per-(gene, severity) burden, per-sample genotype stats, and runs
     * of homozygosity.

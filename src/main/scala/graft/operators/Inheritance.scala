@@ -125,7 +125,8 @@ object Inheritance {
         $"paternal_id" === $"dad")
       .join(withIx.select($"s_name".as("mom"), $"s_ix".as("m_ix")),
         $"maternal_id" === $"mom")
-      .select($"family_id", $"child", $"c_ix", $"d_ix", $"m_ix")
+      .select($"family_id", $"child", $"dad", $"mom",
+        $"c_ix", $"d_ix", $"m_ix")
   }
 
   /** e18: classify each (variant, trio) into an inheritance class —
@@ -477,21 +478,37 @@ object Inheritance {
   }
 
   def xlinkedDom(s: SparkSession, variants: DataFrame,
-      headerSamples: Seq[String], pedLines: Seq[String]): DataFrame = {
+      headerSamples: Seq[String], pedLines: Seq[String]): DataFrame =
+    xlinkedDom(s, variants, triosWithSexPheno(s,
+      PedSource.fromLines(s, pedLines),
+      triosFromPed(s, headerSamples, pedLines)))
+
+  /** Attach child sex + all three phenotypes to a trio dim, from any
+    * samples-shaped frame (PED text or the stored samples table).
+    */
+  def triosWithSexPheno(s: SparkSession, samples: DataFrame,
+      trios: DataFrame): DataFrame = {
     import s.implicits._
-    val ped = PedSource.fromLines(s, pedLines)
-    val sexPh = ped.select($"sample_id",
+    val sexPh = samples.select($"sample_id",
       expr("try_cast(sex AS INT)").as("p_sex"),
       expr("try_cast(phenotype AS INT)").as("p_ph"))
     def dim(member: String, cols: (String, String)*) =
       broadcast(sexPh.select(($"sample_id".as(member) +:
         cols.map { case (src, as) => col(src).as(as) }).toIndexedSeq: _*))
-    val trios = triosFromPed(s, headerSamples, pedLines)
+    trios
       .join(dim("child", "p_sex" -> "sex", "p_ph" -> "ph_c"), "child")
       .join(dim("dad", "p_ph" -> "ph_f"), "dad")
       .join(dim("mom", "p_ph" -> "ph_m"), "mom")
       .select($"family_id", $"child", $"c_ix", $"d_ix", $"m_ix",
         $"sex", $"ph_c", $"ph_f", $"ph_m")
+  }
+
+  /** e26 core over any variants table + a trio dim carrying sex and
+    * the three phenotypes ([[triosWithSexPheno]]).
+    */
+  def xlinkedDom(s: SparkSession, variants: DataFrame,
+      trios: DataFrame): DataFrame = {
+    import s.implicits._
     variants
       .filter(regexp_replace($"chrom", "^chr", "") === "X")
       .crossJoin(broadcast(trios))

@@ -65,6 +65,21 @@ class InheritanceSpec extends SparkSpec {
     assert(rows.toSeq == Seq(("1", 100L, "c"), ("1", 600L, "c2")))
   }
 
+  test("GraftDb.xlinkedDom over a loaded database matches the operator") {
+    import java.nio.file.Files
+    import graft.operators.Inheritance.XdFixture
+    val tmp = Files.createTempDirectory("graft_xd")
+    val vcf = tmp.resolve("xd.vcf")
+    val ped = tmp.resolve("xd.ped")
+    Files.writeString(vcf, XdFixture.lines.mkString("\n") + "\n")
+    Files.writeString(ped, XdFixture.pedLines.mkString("\n") + "\n")
+    val out = tmp.resolve("db").toString
+    Vcf2Db.run(spark, vcf.toString, Some(ped.toString), out, writerPartitions = 2)
+    val dbRows = GraftDb.xlinkedDom(spark, out).collect().map(_.toSeq).toSet
+    val opRows = Inheritance.e26(spark, "").collect().map(_.toSeq).toSet
+    assert(opRows.nonEmpty && dbRows == opRows)
+  }
+
   test("e26 xl_dominant: transmitter sex rule and unaffected-carrier veto") {
     val rows = Inheritance.e26(spark, "").collect()
       .map(r => (r.getLong(1), r.getString(4))).toSet

@@ -44,6 +44,36 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(cc(Seq.empty) === Map.empty)
   }
 
+  test("random graphs: star-contraction labels equal brute-force union-find") {
+    // the fixtures cover engineered shapes; this pits the distributed
+    // algorithm against a trivially-correct sequential oracle on
+    // arbitrary graphs (self-loops, multi-edges, many components)
+    val rnd = new scala.util.Random(42)
+    (1 to 8).foreach { trial =>
+      val nNodes = 5 + rnd.nextInt(40)
+      val nEdges = rnd.nextInt(60)
+      val edges = Seq.fill(nEdges)(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+      // sequential union-find oracle
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(n => n -> find(n)).toMap
+        .map { case (n, r) =>
+          // label = component MINIMUM, which union-by-min maintains
+          n -> r
+        }
+      val got = cc(edges)
+      assert(got == expected, s"trial $trial: $edges")
+    }
+  }
+
   test("d07 labels are transitively consistent with d04 pairs") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"

@@ -16,6 +16,11 @@ run / fork := true
 // default logger glues "[info] " onto it, breaking line-is-JSON parsers
 // (BENCH_r01/r02: "parsed": null).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and suppress the "[success] Total time: ..." epilogue sbt appends
+// AFTER the forked main exits: it lands on stdout below Bench's JSON
+// line, so a parse-the-last-line driver reads it instead of the JSON
+// (BENCH_r03/r04: "parsed": null even with unprefixed stdout).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

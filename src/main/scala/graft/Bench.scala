@@ -71,7 +71,11 @@ object Bench {
     val best = headline.map(n => n -> passes.map(_.toMap.apply(n)).min)
     val total = best.map(_._2).sum
     val passesJson = passes.map(jsonMap).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(best)},"passes":$passesJson,"warmup":${jsonMap(warmup)},"sf":"$sfDir"}""")
+    // Stop Spark BEFORE printing so its shutdown logging can't land
+    // after the JSON: the driver reads the bench line from the END of
+    // stdout, and anything printed below it breaks the parse.
     spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(best)},"passes":$passesJson,"warmup":${jsonMap(warmup)},"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }

@@ -119,6 +119,47 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** Frames sampled per blob in m04 (a real video pipeline samples a
+    * handful of frames per clip, not every frame).
+    */
+  private val KFrames = 4
+
+  /** m04 (rows-only): frame-sample plumbing — the video path of the
+    * multimodal mandate: decode header → pick K evenly-strided frame
+    * indices → one output ROW PER SAMPLED FRAME with scalar per-frame
+    * digests (the shape a frame-level embedding model consumes next).
+    * The decoder is the same deterministic stub as m02 (no ffmpeg in
+    * this container); the plumbing is real: per-partition batch
+    * iteration, flatMap row expansion (bounded ×K, never ×n_frames),
+    * scalars only on the way out.
+    */
+  def m04(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "documents")
+      .select($"doc_id", $"text".cast("binary").as("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(32).flatMap { batch => // one stub "decoder call" per 32 blobs
+          batch.flatMap { case (id, bytes) =>
+            val meta = fakeDecode(id, bytes)
+            val k = math.min(KFrames, meta.n_frames)
+            (0 until k).map { j =>
+              // evenly-strided deterministic indices — ffmpeg's
+              // select='not(mod(n,stride))' sampling shape
+              val frameIdx = (j.toLong * meta.n_frames) / k
+              // stub per-frame digest: the frame index mixed into the
+              // blob hash stands in for hashing decoded pixel data
+              var h = meta.checksum ^ (frameIdx * 0x9e3779b97f4a7c15L)
+              h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+              (id, meta.n_frames, frameIdx.toInt, h)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "n_frames", "frame_idx", "frame_hash")
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
   val oracle: Map[String, String] = Map(
     "m01_multimodal_meta" ->
       """SELECT doc_id,
@@ -132,6 +173,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_multimodal_meta" -> (m01 _),
     "m02_decode_stub" -> (m02 _),
-    "m03_feature_extract" -> (m03 _)
+    "m03_feature_extract" -> (m03 _),
+    "m04_frame_sample" -> (m04 _)
   )
 }

@@ -264,6 +264,38 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** q14: AS-OF join — each purchase event matched to the most recent
+    * prior-or-simultaneous click by the same user (click-attribution;
+    * the canonical time-series as-of lookup). Spark has no ASOF JOIN
+    * operator, and the naive formulation (equi-join on user + `c.ts <=
+    * p.ts` + argmax) is quadratic in events-per-user. The scalable
+    * re-expression: union both sides tagged, ONE window over a single
+    * (user_id) shuffle, `last(..., ignoreNulls)` carries the latest
+    * click forward along each user's timeline — a linear scan per user,
+    * the plan that survives 100 TB of events. A same-timestamp click
+    * sorts before the purchase (is_l tiebreak), so "as of" means
+    * click.ts <= purchase.ts.
+    */
+  def q14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = T(s, dir, "events").select($"user_id", $"event_id", $"ts", $"event_type")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts", lit(1).as("is_l"),
+        lit(null).cast("long").as("r_event_id"),
+        lit(null).cast("timestamp").as("r_ts"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id", $"ts", lit(0).as("is_l"),
+        $"event_id".as("r_event_id"), $"ts".as("r_ts"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"is_l", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(clicks)
+      .withColumn("click_event_id", last($"r_event_id", ignoreNulls = true).over(w))
+      .withColumn("click_ts", last($"r_ts", ignoreNulls = true).over(w))
+      .filter($"is_l" === 1)
+      .select($"user_id", $"event_id", $"ts", $"click_event_id", $"click_ts")
+      .orderBy($"user_id", $"event_id")
+  }
+
   /** Oracle SQL (DuckDB dialect ≈ ANSI) mirroring each query above. */
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -342,6 +374,22 @@ object Relational {
         | round(quantile_cont(l_extendedprice, 0.95e0), 6) AS p95_price,
         | COUNT(*) AS n_rows
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q14_asof_join" ->
+      """WITH tagged AS (
+        |  SELECT user_id, event_id, ts, 1 AS is_l,
+        |    CAST(NULL AS BIGINT) AS r_event_id, CAST(NULL AS TIMESTAMP) AS r_ts
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, event_id, ts, 0, event_id, ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT user_id, event_id, ts, click_event_id, click_ts FROM (
+        |  SELECT user_id, event_id, ts, is_l,
+        |    LAST_VALUE(r_event_id IGNORE NULLS) OVER w AS click_event_id,
+        |    LAST_VALUE(r_ts IGNORE NULLS) OVER w AS click_ts
+        |  FROM tagged
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_l, event_id
+        |    ROWS UNBOUNDED PRECEDING))
+        |WHERE is_l = 1 ORDER BY user_id, event_id""".stripMargin,
     "q10_orders_by_month" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
         | COUNT(*) AS n_orders,
@@ -362,6 +410,7 @@ object Relational {
     "q10_orders_by_month" -> (q10 _),
     "q11_group_percentiles" -> (q11 _),
     "q12_distinct_approx" -> (q12 _),
-    "q13_percentiles_approx" -> (q13 _)
+    "q13_percentiles_approx" -> (q13 _),
+    "q14_asof_join" -> (q14 _)
   )
 }

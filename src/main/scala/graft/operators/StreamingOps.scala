@@ -77,6 +77,30 @@ object StreamingOps {
       .orderBy($"user_id", $"event_type", $"minute")
   }
 
+  /** st04: event-time interval join — each purchase paired with the
+    * same user's views in the preceding 24 hours (attribution
+    * candidates; q14 picks the single as-of winner, this keeps ALL
+    * in-window pairs). Batch form: equi-join keyed on user_id with the
+    * time range as a post-join predicate — one shuffle pair, never a
+    * range-only join (which would explode quadratically). The streaming
+    * form is Spark's watermarked stream-stream inner join with the
+    * interval condition bounding state (StreamStreamJoinSpec exercises
+    * it on MemoryStreams: late rows beyond the watermark are dropped,
+    * state is evicted past the interval).
+    */
+  def st04(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = T(s, dir, "events")
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("p_event_id"), $"ts".as("p_ts"))
+    val v = ev.filter($"event_type" === "view")
+      .select($"user_id".as("v_user_id"), $"event_id".as("v_event_id"), $"ts".as("v_ts"))
+    p.join(v, $"user_id" === $"v_user_id" &&
+        $"v_ts" >= $"p_ts" - expr("INTERVAL 24 HOURS") && $"v_ts" <= $"p_ts")
+      .select($"user_id", $"p_event_id", $"p_ts", $"v_event_id", $"v_ts")
+      .orderBy($"user_id", $"p_event_id", $"v_event_id")
+  }
+
   val oracle: Map[String, String] = Map(
     "st03_dedup_events" ->
       """SELECT user_id, event_type,
@@ -106,12 +130,21 @@ object StreamingOps {
         |  FROM marked)
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         | MIN(ts) AS t_start, MAX(ts) AS t_end
-        |FROM numbered GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin
+        |FROM numbered GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+    "st04_interval_join" ->
+      """SELECT p.user_id, p.event_id AS p_event_id, p.ts AS p_ts,
+        | v.event_id AS v_event_id, v.ts AS v_ts
+        |FROM events p JOIN events v
+        |  ON p.user_id = v.user_id
+        | AND p.event_type = 'purchase' AND v.event_type = 'view'
+        | AND v.ts >= p.ts - INTERVAL '24 hours' AND v.ts <= p.ts
+        |ORDER BY p.user_id, p_event_id, v_event_id""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_window_agg" -> (st01 _),
     "st02_sessionize" -> (st02 _),
-    "st03_dedup_events" -> (st03 _)
+    "st03_dedup_events" -> (st03 _),
+    "st04_interval_join" -> (st04 _)
   )
 }

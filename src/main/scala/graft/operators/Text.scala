@@ -201,6 +201,40 @@ object Text {
   def t11(s: SparkSession, dir: String): DataFrame =
     sampleBySource(s, dir, mixQuotaSql)
 
+  /** Training-sequence length for t12 — short because the synthetic
+    * docs are ~60 tokens; a real pipeline would use 2048/4096. The
+    * packing math is length-agnostic.
+    */
+  private val SeqLen = 256
+
+  /** t12: SEQUENCE PACKING — the "concatenate documents and chunk into
+    * fixed-length training sequences" step between curation and
+    * tensorization. Documents are laid head-to-tail per source in the
+    * t07 deterministic content-hash order (reproducible across runs and
+    * engines); each document learns which training sequence(s) its
+    * tokens land in (`seq_first`..`seq_last`) and at what offset in the
+    * first one. Pure integer window math over ONE shuffle keyed on
+    * source — the packing stream's natural shard key at 100 TB, since
+    * each source/shard packs independently with no global coordination
+    * (sequence ids are per-source; a global id is source-offset + seq).
+    */
+  def t12(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source")
+      .orderBy(md5(concat_ws("|", $"doc_id", $"text")), $"doc_id")
+    T(s, dir, "documents")
+      .withColumn("n_tokens", expr("size(split(text, ' '))"))
+      .withColumn("cum", sum($"n_tokens".cast("long"))
+        .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .select($"doc_id", $"source", $"n_tokens", $"cum",
+        expr(s"CAST((cum - n_tokens) div $SeqLen AS BIGINT)").as("seq_first"),
+        expr(s"CAST((cum - 1) div $SeqLen AS BIGINT)").as("seq_last"),
+        expr(s"CAST((cum - n_tokens) % $SeqLen AS BIGINT)").as("seq_offset"))
+      .orderBy($"doc_id")
+  }
+
   /** PII patterns shared with the oracle. `[.]` instead of `\.`
     * everywhere: Spark SQL string literals eat backslashes while DuckDB
     * literals don't, so a backslash-free pattern is the only form that
@@ -365,6 +399,19 @@ object Text {
          |  FROM documents)
          |ORDER BY doc_id""".stripMargin,
     "t07_stratified_sample" -> sampleBySourceSql("10"),
+    "t12_seq_pack" ->
+      s"""SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum,
+         | CAST((cum - n_tokens) // $SeqLen AS BIGINT) AS seq_first,
+         | CAST((cum - 1) // $SeqLen AS BIGINT) AS seq_last,
+         | CAST((cum - n_tokens) % $SeqLen AS BIGINT) AS seq_offset
+         |FROM (
+         | SELECT doc_id, source, n_tokens,
+         |  SUM(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY md5(doc_id || '|' || text), doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS cum
+         | FROM (SELECT doc_id, source, text,
+         |       len(string_split(text, ' ')) AS n_tokens FROM documents))
+         |ORDER BY doc_id""".stripMargin,
     "t11_source_mix" -> sampleBySourceSql(mixQuotaSql),
     "t01_lang_id" -> {
       val hitCols = stopwords
@@ -422,6 +469,7 @@ object Text {
     "t08_pii_scrub" -> (t08 _),
     "t09_repetition" -> (t09 _),
     "t10_unigram_logprob" -> (t10 _),
-    "t11_source_mix" -> (t11 _)
+    "t11_source_mix" -> (t11 _),
+    "t12_seq_pack" -> (t12 _)
   )
 }

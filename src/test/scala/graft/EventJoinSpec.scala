@@ -1,0 +1,93 @@
+package graft
+
+/** Semantic cross-checks for the round-5 operators: the q14 as-of join
+  * and st04 interval join against brute-force Scala recomputations, t12
+  * packing invariants (continuity, offsets, totals), m04 frame-sample
+  * invariants (stride coverage, determinism).
+  */
+class EventJoinSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def events: Seq[(Long, Long, java.sql.Timestamp, String)] =
+    Tables(spark, dir, "events")
+      .selectExpr("user_id", "event_id", "ts", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2), r.getString(3))).toSeq
+
+  test("q14 as-of join matches a brute-force most-recent-click scan") {
+    val ev = events
+    val clicks = ev.filter(_._4 == "click")
+    val expected = ev.filter(_._4 == "purchase").map { case (u, id, ts, _) =>
+      val prior = clicks.filter(c => c._1 == u && !c._3.after(ts))
+      val best = if (prior.isEmpty) None
+      else Some(prior.maxBy(c => (c._3.getTime, c._2))) // latest ts, then max id
+      (u, id) -> best.map(c => (c._2, c._3))
+    }.toMap
+    val got = SparkEntry.queries("q14_asof_join")(spark, dir).collect().map { r =>
+      (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) None else Some((r.getLong(3), r.getTimestamp(4))))
+    }.toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, v) => assert(v == expected(k), s"mismatch at $k") }
+    assert(got.valuesIterator.exists(_.isDefined), "no purchase had a prior click")
+  }
+
+  test("st04 interval join matches a brute-force pair scan") {
+    val ev = events
+    val views = ev.filter(_._4 == "view")
+    val dayMs = 24L * 3600 * 1000
+    val expected = (for {
+      (u, pid, pts, t) <- ev if t == "purchase"
+      (vu, vid, vts, _) <- views
+      if vu == u && vts.getTime >= pts.getTime - dayMs && !vts.after(pts)
+    } yield (u, pid, vid)).toSet
+    val got = SparkEntry.queries("st04_interval_join")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("t12 packing is contiguous per source with in-range offsets") {
+    val rows = SparkEntry.queries("t12_seq_pack")(spark, dir).collect()
+      .map(r => (r.getString(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val bySeq = rs.sortBy(_._3)
+      // head-to-tail: each doc starts exactly where the previous ended
+      bySeq.sliding(2).foreach {
+        case Array((_, _, c1, _, _, _), (_, nt2, c2, _, _, _)) =>
+          assert(c2 - nt2 == c1, s"$src: gap in packing stream")
+        case _ =>
+      }
+      val (_, ntH, cumH, _, _, _) = bySeq.head
+      assert(cumH == ntH, s"$src: first doc must start at offset 0")
+      assert(bySeq.last._3 == rs.map(_._2.toLong).sum, s"$src: total mismatch")
+    }
+    rows.foreach { case (_, nt, cum, sf, sl, off) =>
+      assert(off >= 0 && off < 256)
+      assert(sf <= sl)
+      assert(sf == (cum - nt) / 256 && sl == (cum - 1) / 256)
+    }
+  }
+
+  test("m04 samples min(4, n_frames) evenly-strided frames, deterministically") {
+    val run1 = SparkEntry.queries("m04_frame_sample")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    val run2 = SparkEntry.queries("m04_frame_sample")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(run1.toSeq == run2.toSeq, "frame sampling must be deterministic")
+    run1.groupBy(_._1).foreach { case (doc, frames) =>
+      val n = frames.head._2
+      val k = math.min(4, n)
+      assert(frames.length == k, s"doc $doc: expected $k frames")
+      val idxs = frames.map(_._3).toSeq
+      assert(idxs == idxs.sorted && idxs.distinct == idxs,
+        s"doc $doc: frame indices must be strictly increasing")
+      assert(idxs == (0 until k).map(j => (j.toLong * n / k).toInt),
+        s"doc $doc: indices must follow the even stride")
+      assert(idxs.forall(i => i >= 0 && i < n))
+    }
+  }
+}

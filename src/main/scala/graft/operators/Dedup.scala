@@ -230,9 +230,14 @@ object Dedup {
     import s.implicits._
     val nodes = edgesIn
       .select(explode(array($"u", $"v")).as("doc_id")).distinct()
+    // lazy checkpoints: the checksum aggregate right below is the
+    // materializing action, so each round runs ONE job (compute +
+    // cache + digest) instead of an eager-checkpoint job plus the
+    // checksum job — the rounds are overhead-dominated at small edge
+    // counts, and this halves that overhead.
     var e = edgesIn.filter($"u" =!= $"v")
       .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(eager = false)
     // fixpoint detection: (count, xxhash64 xor-fold) of the canonical
     // edge set — one cheap aggregate per round instead of a
     // set-difference join; the edges are distinct so the xor fold is an
@@ -250,7 +255,7 @@ object Dedup {
     while (!done) {
       rounds += 1
       require(rounds <= 40, s"connected components did not converge in 40 rounds")
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
       val cur = checksum(next)
       done = cur == prev
       prev = cur

@@ -25,12 +25,14 @@ object Bench {
     "q04_order_priority_semijoin", "q05_customer_no_orders_antijoin",
     "q06_selective_filter", "q07_window_running_total",
     "q08_rollup_status_priority", "q09_distinct_users_per_type",
-    "q10_orders_by_month", "q11_group_percentiles",
+    "q10_orders_by_month", "q11_group_percentiles", "q14_asof_join",
     "st01_window_agg", "st02_sessionize", "st03_dedup_events",
+    "st04_interval_join",
     "e01_flatten_info", "e08_pack_blob",
     "d02_dedup_minhash", "d04_ngram_jaccard", "d05_dedup_embedding",
     "d07_dedup_clusters", "s01_ann_bruteforce_topk", "s02_ann_lsh",
-    "t07_stratified_sample", "t08_pii_scrub", "t10_unigram_logprob")
+    "t07_stratified_sample", "t08_pii_scrub", "t10_unigram_logprob",
+    "t12_seq_pack")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

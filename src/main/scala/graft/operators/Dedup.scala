@@ -305,6 +305,46 @@ object Dedup {
   }
 
 
+  /** Spark-side quality score for d09's survivor rule — t02's composite
+    * score (token count + stopword density), rounded to 6 before it
+    * becomes an ORDER key so both engines rank on identical doubles.
+    */
+  private def d09ScoreExpr: String =
+    s"""round(0.5e0 * least(size(split(text, ' ')), 100) / 100.0e0
+       | + 0.5e0 * (CAST(${Text.hitsExpr(Text.stopwords.head._2)} AS DOUBLE)
+       |            / size(split(text, ' '))), 6)""".stripMargin
+
+  /** d09: cluster SURVIVOR SELECTION — the decision step after near-dup
+    * clustering: a real curation pipeline keeps the best-quality member
+    * of each duplicate cluster, not the arbitrary min-id. Components
+    * come from d07's star-contraction over the d04 pair graph; the
+    * survivor is the member with the highest t02 quality score
+    * (doc_id-ascending tie-break).
+    *
+    * Scale shape: scoring is per-row codegen on the corpus scan; the
+    * membership frame is duplicate-cluster-sized (≪ corpus); the score
+    * join is an equi-join on doc_id and the pick is one window shuffle
+    * keyed on cluster_id — bucket-local, like every candidate structure
+    * in this family.
+    */
+  def d09(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = d04Pairs(s, dir)
+      .select($"doc_a".cast("long").as("u"), $"doc_b".cast("long").as("v"))
+    val comps = connectedComponents(s, edges)
+    val scored = T(s, dir, "documents")
+      .select($"doc_id", expr(d09ScoreExpr).as("score"))
+    val w = Window.partitionBy($"cluster_id")
+    comps.join(scored, "doc_id")
+      .withColumn("rk", row_number().over(
+        w.orderBy($"score".desc, $"doc_id".asc)))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .filter($"rk" === 1)
+      .select($"cluster_id", $"doc_id".as("survivor_id"), $"n_members",
+        $"score".as("survivor_score"))
+      .orderBy($"cluster_id")
+  }
+
   /** d05: embedding-cosine near-dup pairs — the semantic-dedup stage of
     * a training-data pipeline. Candidate generation is s02's random-
     * hyperplane blocking (pairs whose 8-bit sign buckets differ in ≤1
@@ -501,6 +541,34 @@ object Dedup {
     "d04_ngram_jaccard" ->
       s"""$d04PairsSql
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "d09_dedup_survivor" -> {
+      val scoreSql =
+        s"""round(0.5e0 * least(n_tokens, 100) / 100.0e0
+           | + 0.5e0 * (CAST(n_stop AS DOUBLE) / n_tokens), 6)""".stripMargin
+      s"""WITH RECURSIVE pairs AS ($d04PairsSql),
+         |edges AS (SELECT doc_a AS eu, doc_b AS ev FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT eu, ev FROM edges
+         |  UNION
+         |  SELECT r.a, e.ev FROM reach r JOIN edges e ON r.b = e.eu
+         |),
+         |comp AS (SELECT CAST(a AS BIGINT) AS doc_id,
+         |  CAST(least(a, min(b)) AS BIGINT) AS cluster_id
+         |  FROM reach GROUP BY a),
+         |scored AS (SELECT doc_id, $scoreSql AS score
+         |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         |        ${Text.hitsSql(Text.stopwords.head._2)} AS n_stop
+         |        FROM documents)),
+         |ranked AS (SELECT cluster_id, doc_id, score,
+         |  ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |    ORDER BY score DESC, doc_id ASC) AS rk,
+         |  COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+         |  FROM comp JOIN scored USING (doc_id))
+         |SELECT cluster_id, doc_id AS survivor_id, n_members,
+         | score AS survivor_score
+         |FROM ranked WHERE rk = 1 ORDER BY cluster_id""".stripMargin
+    },
     "d07_dedup_clusters" ->
       // connected components as a recursive transitive-closure CTE —
       // exact min-reachable-id per node over d04's pair graph (fine at
@@ -549,6 +617,7 @@ object Dedup {
     "d05_dedup_embedding" -> (d05 _),
     "d06_dedup_url" -> (d06 _),
     "d07_dedup_clusters" -> (d07 _),
-    "d08_decontaminate" -> (d08 _)
+    "d08_decontaminate" -> (d08 _),
+    "d09_dedup_survivor" -> (d09 _)
   )
 }

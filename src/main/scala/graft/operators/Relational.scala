@@ -296,6 +296,53 @@ object Relational {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** q15: CUBE grouping sets — the full 2^k grouping-set lattice over
+    * status × priority (q08 covers the hierarchical ROLLUP prefix sets).
+    * Same scale shape as q08: Spark expands grouping sets BEFORE the
+    * exchange, so partial aggregation absorbs each set map-side and the
+    * shuffle carries one row per (set, group) — grouping-set count is a
+    * constant factor, never a second shuffle.
+    */
+  def q15(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "orders")
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(d2($"o_totalprice")).as("total_price"),
+        grouping($"o_orderstatus").cast("int").as("g_status"),
+        grouping($"o_orderpriority").cast("int").as("g_priority"))
+      .orderBy($"g_status", $"g_priority", $"o_orderstatus".asc_nulls_first,
+        $"o_orderpriority".asc_nulls_first)
+  }
+
+  /** q16: ordered event FUNNEL — how many users did view → click →
+    * purchase in temporal order (each later stage strictly after the
+    * user's FIRST completion of the prior stage). The product-analytics
+    * staple over an events stream.
+    *
+    * Scale shape: each stage is a per-user partial-agg `min(ts)` — the
+    * stage frames are user-dim-sized, and the stage joins are equi-joins
+    * on user_id (broadcast at this sf via AQE; co-partitioned shuffle
+    * joins at 100 TB, where every stage output is already orders of
+    * magnitude smaller than the event stream). No window over the full
+    * stream, no self-join of raw events.
+    */
+  def q16(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = T(s, dir, "events").select($"user_id", $"ts", $"event_type")
+    val s1 = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t_view"))
+    val s2 = ev.filter($"event_type" === "click")
+      .join(s1, "user_id").filter($"ts" > $"t_view")
+      .groupBy($"user_id").agg(min($"ts").as("t_click"))
+    val s3 = ev.filter($"event_type" === "purchase")
+      .join(s2, "user_id").filter($"ts" > $"t_click")
+      .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
+    s1.agg(count(lit(1)).as("n_view"))
+      .crossJoin(s2.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(s3.agg(count(lit(1)).as("n_view_click_purchase")))
+  }
+
   /** Oracle SQL (DuckDB dialect ≈ ANSI) mirroring each query above. */
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -394,7 +441,31 @@ object Relational {
       """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
         | COUNT(*) AS n_orders,
         | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS DOUBLE) AS total_price
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q15_cube_status_priority" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | COUNT(*) AS n_orders,
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS DOUBLE) AS total_price,
+        | CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        | CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_priority,
+        | o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q16_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+        |  JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t_view
+        |  GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+        |  JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+        |  GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM s1) AS n_view,
+        |       (SELECT count(*) FROM s2) AS n_view_click,
+        |       (SELECT count(*) FROM s3) AS n_view_click_purchase""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -411,6 +482,8 @@ object Relational {
     "q11_group_percentiles" -> (q11 _),
     "q12_distinct_approx" -> (q12 _),
     "q13_percentiles_approx" -> (q13 _),
-    "q14_asof_join" -> (q14 _)
+    "q14_asof_join" -> (q14 _),
+    "q15_cube_status_priority" -> (q15 _),
+    "q16_funnel" -> (q16 _)
   )
 }

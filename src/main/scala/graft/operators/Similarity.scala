@@ -147,6 +147,78 @@ object Similarity {
       .orderBy($"q_id", $"rn")
   }
 
+  /** s04 (rows-only): PRODUCT-QUANTIZATION ANN (IVF-less ADC scan) —
+    * the memory-bounded scale path: 64 float dims (256 B/vector)
+    * compress to M=8 subspace codes (8 B/vector, 32×), so a 100 TB
+    * embedding corpus's codes fit in cluster RAM and the scan is
+    * memory-bandwidth-, not FLOP-, bound. Each subspace gets a k=16
+    * codebook (MLlib KMeans, fixed seed — fit on a corpus SAMPLE at
+    * scale, like s03's quantizer); corpus rows are assigned codes in
+    * one map pass (centroids broadcast by the model). Queries
+    * precompute an M×16 distance table (Asymmetric Distance
+    * Computation: exact query-subvector → centroid distances), the
+    * corpus scan approximates distance as M table lookups per row —
+    * codegen map-side work, no shuffle — and the top 3K ADC candidates
+    * re-rank by exact cosine for the final top-K (the standard
+    * PQ-then-rerank recipe; recall vs exact s01 asserted in
+    * DedupQualitySpec).
+    */
+  def s04(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val M = 8                      // subspaces
+    val subDim = Dims / M          // 8 dims each
+    val nCand = 3 * K              // ADC candidates re-ranked exactly
+    val emb = T(s, dir, "embeddings")
+    // one vector column per subspace; 4 independent codebooks
+    val withSubs = (0 until M).foldLeft(emb) { (df, m) =>
+      df.withColumn(s"sv_$m", array_to_vector(
+        expr(s"slice(CAST(embedding AS ARRAY<DOUBLE>), ${m * subDim + 1}, $subDim)")))
+    }
+    val models = (0 until M).map { m =>
+      new KMeans().setK(16).setSeed(42L + m)
+        .setFeaturesCol(s"sv_$m").setPredictionCol(s"code_$m")
+        .fit(withSubs)
+    }
+    val coded = models.zipWithIndex
+      .foldLeft(withSubs) { case (df, (mdl, _)) => mdl.transform(df) }
+      .select($"vec_id", $"embedding",
+        array((0 until M).map(m => col(s"code_$m")): _*).as("codes"))
+    // per-query ADC tables: exact squared distance from each query
+    // subvector to the 16 centroids of that subspace (centroid arrays
+    // are driver-side model state folded in as literals — bytes, not a
+    // dataset collect)
+    val tabCols = (0 until M).map { m =>
+      val centers = models(m).clusterCenters.map(_.toArray.toSeq).toSeq
+      val qSub = expr(s"slice(CAST(q_emb AS ARRAY<DOUBLE>), ${m * subDim + 1}, $subDim)")
+      transform(typedLit(centers), c =>
+        aggregate(zip_with(qSub, c, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v))
+        .as(s"tab_$m")
+    }
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+      .select($"q_id" +: $"q_emb" +: tabCols: _*)
+    // ADC scan: 4 table lookups per corpus row, top-nCand per query
+    val adc = coded.crossJoin(broadcast(queries))
+      .withColumn("approx_dist",
+        (0 until M).map(m => element_at(col(s"tab_$m"),
+          element_at($"codes", m + 1) + 1)).reduce(_ + _))
+    val wA = Window.partitionBy($"q_id").orderBy($"approx_dist".asc, $"vec_id".asc)
+    adc
+      .withColumn("ar", row_number().over(wA))
+      .filter($"ar" <= nCand)
+      .withColumn("cos", expr(
+        s"${dot("embedding", "q_emb")} / sqrt(${dot("embedding", "embedding")} * ${dot("q_emb", "q_emb")})"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)))
+      .filter($"rn" <= K)
+      .select($"q_id", $"vec_id", expr("round(cos, 6)").as("cos"), $"rn")
+      .orderBy($"q_id", $"rn")
+  }
+
   val oracle: Map[String, String] = Map(
     "s01_ann_bruteforce_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
@@ -166,6 +238,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce_topk" -> (s01 _),
     "s02_ann_lsh" -> (s02 _),
-    "s03_ann_ivf" -> (s03 _)
+    "s03_ann_ivf" -> (s03 _),
+    "s04_ann_pq" -> (s04 _)
   )
 }

@@ -29,13 +29,13 @@ object Text {
   private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
 
   /** Spark-side hit counter: tokens ∩ stopword list, counted in codegen
-    * (no UDF, no shuffle).
+    * (no UDF, no shuffle). Shared with d09's survivor scoring.
     */
-  private def hitsExpr(ws: Seq[String]) =
+  private[operators] def hitsExpr(ws: Seq[String]) =
     s"size(filter(split(text, ' '), t -> t IN (${inList(ws)})))"
 
   /** DuckDB-side mirror of hitsExpr. */
-  private def hitsSql(ws: Seq[String]) =
+  private[operators] def hitsSql(ws: Seq[String]) =
     s"len(list_filter(string_split(text, ' '), t -> t IN (${inList(ws)})))"
 
   /** Shared CASE deciding the predicted language from hit counts —
@@ -235,6 +235,55 @@ object Text {
       .orderBy($"doc_id")
   }
 
+  /** Tokens per synthesized "line" for t13 — the corpus is single-line
+    * token streams, so deterministic 10-token chunks stand in for the
+    * natural lines/paragraphs a web corpus has (same synthesis trick as
+    * t08's PII suffix); the dedup math is delimiter-agnostic.
+    */
+  private val LineTokens = 10
+
+  /** t13: LINE-level exact dedup (the CCNet/RefinedWeb sub-document
+    * pass): boilerplate lines repeated across the corpus — nav bars,
+    * cookie banners, license headers — are removed from every document
+    * except the line's global FIRST occurrence (smallest doc_id, then
+    * smallest line index). Per doc: line counts before/after, the
+    * duplicate-line fraction, and an md5 over the kept text (order
+    * preserved) as the strong content check.
+    *
+    * Scale shape: lines explode map-side; the first-occurrence winner is
+    * ONE partial-agg shuffle keyed on md5(line) — a constant-width key,
+    * never the line text; the winner set joins back on that same hash
+    * key (co-partitioned with the previous shuffle's output); the final
+    * per-doc reassembly is one partial-agg shuffle keyed on doc_id.
+    * Nothing self-joins and no key's fan-out depends on how often a
+    * line repeats.
+    */
+  def t13(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lines = T(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", posexplode(expr(
+        s"""transform(sequence(0, CAST((size(toks) - 1) div $LineTokens AS INT)),
+           | i -> array_join(slice(toks, i * $LineTokens + 1, $LineTokens), ' '))""".stripMargin)))
+      .withColumnRenamed("pos", "idx").withColumnRenamed("col", "line")
+      .select($"doc_id", $"idx", md5($"line").as("h"), $"line")
+    // global first occurrence per line hash; idx < 1e6 always (docs are
+    // token-bounded), so (doc_id, idx) packs into one orderable long
+    val firsts = lines.groupBy($"h")
+      .agg(min($"doc_id" * 1000000L + $"idx").as("first_key"))
+    lines.join(firsts, "h")
+      .withColumn("keep", $"doc_id" * 1000000L + $"idx" === $"first_key")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        count(when($"keep", 1)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(when($"keep", struct($"idx", $"line")))),
+          x => x.getField("line")), "\n")).as("kept_md5"))
+      .withColumn("dup_line_frac", expr(
+        "round(1.0e0 - CAST(n_kept AS DOUBLE) / n_lines, 6)"))
+      .orderBy($"doc_id")
+  }
+
   /** PII patterns shared with the oracle. `[.]` instead of `\.`
     * everywhere: Spark SQL string literals eat backslashes while DuckDB
     * literals don't, so a backslash-free pattern is the only form that
@@ -413,6 +462,24 @@ object Text {
          |       len(string_split(text, ' ')) AS n_tokens FROM documents))
          |ORDER BY doc_id""".stripMargin,
     "t11_source_mix" -> sampleBySourceSql(mixQuotaSql),
+    "t13_line_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |lines AS (SELECT doc_id,
+         |  unnest(generate_series(0, (len(w) - 1) // $LineTokens)) AS idx,
+         |  unnest(list_transform(generate_series(0, (len(w) - 1) // $LineTokens),
+         |    i -> array_to_string(w[i * $LineTokens + 1 : (i + 1) * $LineTokens], ' '))) AS line
+         |  FROM toks),
+         |hashed AS (SELECT doc_id, idx, md5(line) AS h, line FROM lines),
+         |firsts AS (SELECT h, min(doc_id * 1000000 + idx) AS first_key
+         |  FROM hashed GROUP BY h),
+         |flagged AS (SELECT doc_id, idx, line,
+         |  (doc_id * 1000000 + idx = first_key) AS keep
+         |  FROM hashed JOIN firsts USING (h))
+         |SELECT doc_id, count(*) AS n_lines,
+         | count(*) FILTER (WHERE keep) AS n_kept,
+         | md5(coalesce(string_agg(line, chr(10) ORDER BY idx) FILTER (WHERE keep), '')) AS kept_md5,
+         | round(1.0e0 - CAST(count(*) FILTER (WHERE keep) AS DOUBLE) / count(*), 6) AS dup_line_frac
+         |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t01_lang_id" -> {
       val hitCols = stopwords
         .map { case (l, ws) => s"${hitsSql(ws)} AS h_$l" }.mkString(",\n  ")
@@ -470,6 +537,7 @@ object Text {
     "t09_repetition" -> (t09 _),
     "t10_unigram_logprob" -> (t10 _),
     "t11_source_mix" -> (t11 _),
-    "t12_seq_pack" -> (t12 _)
+    "t12_seq_pack" -> (t12 _),
+    "t13_line_dedup" -> (t13 _)
   )
 }

@@ -65,6 +65,35 @@ class DedupQualitySpec extends SparkSpec {
     assert(Dedup.d03Pairs(spark, small.toDF("doc_id", "text")).count() == 30 * 29 / 2)
   }
 
+  test("s04 PQ ADC re-rank recalls most of the exact top-10") {
+    import graft.operators.Similarity
+    def topk(name: String) = Similarity.queries(name)(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = topk("s01_ann_bruteforce_topk")
+    val pq = topk("s04_ann_pq")
+    assert(exact.size == 50 && pq.size == 50)
+    val recall = (exact & pq).size.toDouble / exact.size
+    // 4×16 codebooks on 64 random-ish dims is a coarse quantizer; the
+    // 3K-deep exact re-rank recovers most of the true neighbors. The
+    // bound is a regression floor, not a benchmark claim.
+    assert(recall >= 0.5, s"PQ recall@10 = $recall")
+  }
+
+  test("d09 survivors: one per d07 cluster, the max-score member") {
+    import spark.implicits._
+    val comps = Dedup.queries("d07_dedup_clusters")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val survivors = Dedup.queries("d09_dedup_survivor")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byCluster = comps.groupBy(_._2)
+    assert(survivors.length == byCluster.size, "one survivor per component")
+    survivors.foreach { case (cid, sid, n) =>
+      val members = byCluster(cid).map(_._1).toSet
+      assert(members.contains(sid), s"survivor $sid outside cluster $cid")
+      assert(members.size == n, s"cluster $cid size mismatch")
+    }
+  }
+
   test("blocked d05 is a subset of exact pairs with identical cosines") {
     val blocked = Dedup.queries("d05_dedup_embedding")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

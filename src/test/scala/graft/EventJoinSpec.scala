@@ -49,6 +49,42 @@ class EventJoinSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q16 funnel counts match a brute-force per-user scan") {
+    val ev = events
+    val byUser = ev.groupBy(_._1)
+    val viewT = byUser.flatMap { case (u, es) =>
+      val ts = es.filter(_._4 == "view").map(_._3)
+      if (ts.isEmpty) None else Some(u -> ts.min)
+    }
+    val clickT = viewT.flatMap { case (u, t1) =>
+      val ts = byUser(u).filter(e => e._4 == "click" && e._3.after(t1)).map(_._3)
+      if (ts.isEmpty) None else Some(u -> ts.min)
+    }
+    val purchT = clickT.flatMap { case (u, t2) =>
+      val ts = byUser(u).filter(e => e._4 == "purchase" && e._3.after(t2)).map(_._3)
+      if (ts.isEmpty) None else Some(u -> ts.min)
+    }
+    val row = SparkEntry.queries("q16_funnel")(spark, dir).collect().head
+    assert(row.getLong(0) == viewT.size)
+    assert(row.getLong(1) == clickT.size)
+    assert(row.getLong(2) == purchT.size)
+  }
+
+  test("t13 line dedup: kept totals equal the corpus's distinct line count") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("t13_line_dedup")(spark, dir).collect()
+    out.foreach { r =>
+      val (nLines, nKept) = (r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept"))
+      assert(nKept >= 0 && nKept <= nLines)
+    }
+    // every distinct line survives exactly once, somewhere
+    val distinctLines = Tables(spark, dir, "documents")
+      .selectExpr("explode(transform(sequence(0, CAST((size(split(text, ' ')) - 1) div 10 AS INT)), " +
+        "i -> array_join(slice(split(text, ' '), i * 10 + 1, 10), ' '))) AS line")
+      .agg(countDistinct(col("line"))).collect().head.getLong(0)
+    assert(out.map(_.getAs[Long]("n_kept")).sum == distinctLines)
+  }
+
   test("t12 packing is contiguous per source with in-range offsets") {
     val rows = SparkEntry.queries("t12_seq_pack")(spark, dir).collect()
       .map(r => (r.getString(1), r.getInt(2), r.getLong(3),

@@ -18,6 +18,7 @@ class PlanInvariantSpec extends SparkSpec {
   private val bnljAllowed = Map(
     "s01_ann_bruteforce_topk" -> 1, // broadcast query set × corpus scan
     "s03_ann_ivf" -> 1, // broadcast centroid set × query scan
+    "s04_ann_pq" -> 1, // broadcast query set (+ ADC tables) × code scan
     // single-row count broadcast into the bucket-cap filter; appears
     // TWICE in the printed tree because the candidate self-join
     // duplicates its child subtree
@@ -34,7 +35,9 @@ class PlanInvariantSpec extends SparkSpec {
     "e19_comp_het" -> 2,
     // single-row corpus-total broadcast into the vocab log-probs and
     // the OOV floor (d03's count shape, used twice)
-    "t10_unigram_logprob" -> 2)
+    "t10_unigram_logprob" -> 2,
+    // three SINGLE-ROW stage counts combined into the one funnel row
+    "q16_funnel" -> 2)
 
   /** Queries whose bucket-key SELF-join is designed as a shuffle join
     * (SURVEY §5.4: "band-bucket keys are the shuffle key") — neither

@@ -8,11 +8,13 @@ import graft.operators.{Dedup, Text}
 
 /** The LLM-training-data counterpart of [[Vcf2Db]]: one job that takes
   * a raw (doc_id, text, …) corpus through the standard curation
-  * pipeline — exact dedup, near-dup CLUSTER dedup, quality/repetition
-  * filtering, PII redaction, benchmark decontamination — and writes
-  * the survivors plus a per-stage attrition report. Every stage is one
-  * of the library's verified kernels (d01/d04+d07/t02/t09/t08/d08
-  * semantics); this object only sequences them.
+  * pipeline — exact dedup, line-level (sub-document) dedup, near-dup
+  * CLUSTER dedup with best-quality survivor selection,
+  * quality/repetition filtering, PII redaction, benchmark
+  * decontamination — and writes the survivors plus a per-stage
+  * attrition report. Every stage is one of the library's verified
+  * kernels (d01/t13/d04+d07+d09/t02/t09/t08/d08 semantics); this
+  * object only sequences them.
   *
   * Scale notes: each stage is the operator's own documented shape (no
   * new shuffles are introduced by the sequencing); stages persist
@@ -23,7 +25,8 @@ object CurateCorpus {
 
   /** Per-stage attrition: how many docs survived each cut. */
   case class Report(nInput: Long, nAfterExactDedup: Long,
-      nAfterNearDedup: Long, nAfterQuality: Long, nAfterDecontam: Long)
+      nAfterLineDedup: Long, nAfterNearDedup: Long, nAfterQuality: Long,
+      nAfterDecontam: Long)
 
   /** @param docs       corpus with at least (doc_id: long, text: string)
     * @param outDir     survivors land here as parquet (redacted text)
@@ -58,28 +61,53 @@ object CurateCorpus {
       .persist()
     val nExact = exact.count()
 
-    // 2. near-dup cluster dedup: d04 pairs → connected components
-    //    (d07) → only each cluster's min-id root survives
-    val pairs = Dedup.jaccardPairs(exact.select($"doc_id", $"text"), minJaccard)
+    // 2. LINE-level dedup (t13 rewrite rule): corpus-duplicated lines
+    //    keep only their global first occurrence; docs losing every
+    //    line drop. Runs BEFORE near-dup clustering so boilerplate
+    //    lines can't glue unrelated documents into one cluster.
+    //    Token-derived metadata refreshes with the rewritten text.
+    val lineD = Text.dedupLines(exact)
+      .transform(df =>
+        if (df.columns.contains("n_chars"))
+          df.withColumn("n_chars",
+            length($"text").cast(df.schema("n_chars").dataType))
+        else df)
+      .persist()
+    val nLine = lineD.count()
+
+    // quality signals computed ONCE on the line-deduped text — the
+    // survivor rule below and the quality cut both read them
+    val scored = Text.qualitySignals(lineD).persist()
+
+    // 3. near-dup cluster dedup: d04 pairs → connected components
+    //    (d07) → the BEST-QUALITY member of each cluster survives
+    //    (d09 rule: q_score desc, doc_id tie-break), not the arbitrary
+    //    min-id. Unclustered docs pass through untouched (kept out of
+    //    the window so NULL cluster ids never pile into one partition).
+    val pairs = Dedup.jaccardPairs(lineD.select($"doc_id", $"text"), minJaccard)
       .select($"doc_a".as("u"), $"doc_b".as("v"))
     val labels = Dedup.connectedComponents(spark, pairs)
-    val near = exact
-      .join(labels, Seq("doc_id"), "left")
-      .filter($"cluster_id".isNull || $"cluster_id" === $"doc_id")
+    val labeled = scored.join(labels, Seq("doc_id"), "left")
+    val survivorPick = Window.partitionBy($"cluster_id")
+      .orderBy($"q_score".desc, $"doc_id".asc)
+    val near = labeled.filter($"cluster_id".isNull)
+      .unionByName(labeled.filter($"cluster_id".isNotNull)
+        .withColumn("_rk", row_number().over(survivorPick))
+        .filter($"_rk" === 1).drop("_rk"))
       .drop("cluster_id")
       .persist()
     val nNear = near.count()
 
-    // 3. quality + repetition cut (t02/t09 signals) — per-row codegen,
+    // 4. quality + repetition cut (t02/t09 signals) — per-row codegen,
     //    shuffle-free
-    val quality = Text.qualitySignals(near)
+    val quality = near
       .filter($"q_score" >= minScore &&
         (coalesce($"q_dup3", lit(0.0)) <= maxDup3))
       .drop("q_score", "q_dup3")
       .persist()
     val nQuality = quality.count()
 
-    // 4. decontamination (d08) on the RAW text — it must run before
+    // 5. decontamination (d08) on the RAW text — it must run before
     //    redaction, or contamination hidden behind a redacted span
     //    (an email inside a copied benchmark answer) slips through
     val clean = benchmark match {
@@ -93,7 +121,7 @@ object CurateCorpus {
     }
     val nClean = clean.count()
 
-    // 5. PII redaction (t08) last, keeping derived length metadata
+    // 6. PII redaction (t08) last, keeping derived length metadata
     //    consistent with the rewritten text
     val redacted = clean.withColumn("text", Text.redact($"text"))
       .transform(df =>
@@ -102,8 +130,8 @@ object CurateCorpus {
             length($"text").cast(df.schema("n_chars").dataType))
         else df)
     redacted.write.mode("overwrite").parquet(outDir)
-    Seq(input, exact, near, quality).foreach(_.unpersist())
+    Seq(input, exact, lineD, scored, near, quality).foreach(_.unpersist())
     if (benchmark.isDefined) clean.unpersist()
-    Report(nInput, nExact, nNear, nQuality, nClean)
+    Report(nInput, nExact, nLine, nNear, nQuality, nClean)
   }
 }

@@ -573,7 +573,38 @@ object Inheritance {
       .orderBy($"chrom", $"pos", $"alt", $"child")
   }
 
+  /** e27: GEMINI `mendel_errors`-style per-family QC summary — how many
+    * variants fall in each inheritance class per (family, child), the
+    * rate view a cohort QC dashboard reads (a family whose
+    * mendel_error count spikes has a sample swap or contamination).
+    * Same broadcast-trio classification scan as e18 followed by one
+    * partial-agg shuffle on the (family, child, class) key — family
+    * count × class count rows at any cohort size.
+    */
+  def e27(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (h, variants, _) = VcfReader.fromLines(s, TrioFixture.lines)
+    classify(s, variants, h.samples, TrioFixture.pedLines)
+      .groupBy($"family_id", $"child", $"class")
+      .agg(count(lit(1)).as("n_variants"))
+      .orderBy($"family_id", $"child", $"class")
+  }
+
   val oracle: Map[String, String] = Map(
+    "e27_mendel_summary" ->
+      s"""SELECT 'FAM' AS family_id, 'c' AS child, class,
+         | count(*) AS n_variants
+         |FROM (SELECT *,
+         |  CASE WHEN gt_c = 1 AND gt_f = 0 AND gt_m = 0 THEN 'de_novo'
+         |       WHEN gt_c = 3 AND gt_f = 1 AND gt_m = 1 THEN 'auto_rec'
+         |       WHEN (gt_c = 3 AND (gt_f = 0 OR gt_m = 0))
+         |         OR (gt_c = 0 AND (gt_f = 3 OR gt_m = 3))
+         |         OR (gt_c = 1 AND gt_f = 3 AND gt_m = 3) THEN 'mendel_error'
+         |  END AS class
+         |  FROM ${TrioFixture.trioGtValues})
+         |WHERE class IS NOT NULL
+         |GROUP BY family_id, child, class
+         |ORDER BY family_id, child, class""".stripMargin,
     "e26_xlinked_dom" ->
       s"""SELECT chrom, CAST(pos AS BIGINT) AS pos, alt, family_id, child,
          | CAST(sex AS INTEGER) AS sex, 'xl_dominant' AS class
@@ -629,6 +660,7 @@ object Inheritance {
     "e19_comp_het" -> (e19 _),
     "e22_xlinked" -> (e22 _),
     "e25_auto_dom" -> (e25 _),
-    "e26_xlinked_dom" -> (e26 _)
+    "e26_xlinked_dom" -> (e26 _),
+    "e27_mendel_summary" -> (e27 _)
   )
 }

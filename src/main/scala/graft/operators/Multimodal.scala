@@ -160,6 +160,49 @@ object Multimodal {
       .orderBy($"doc_id", $"frame_idx")
   }
 
+  /** m05 chunking geometry: 64-byte windows, 48-byte hop (25% overlap —
+    * the audio feature-frame convention), capped at 6 chunks per blob.
+    * The CAP is the scale contract: row expansion is bounded ×6, never
+    * ×(blob bytes / hop) — a long clip samples its head here; a real
+    * pipeline would shard long media upstream.
+    */
+  private val ChunkBytes = 64
+  private val HopBytes = 48
+  private val MaxChunks = 6
+
+  /** m05 (rows-only): audio-chunk plumbing — the audio path of the
+    * multimodal mandate: split each blob into fixed-size overlapping
+    * windows (the frame/hop shape every acoustic feature extractor
+    * consumes), one output row per chunk with scalar digests. Decode is
+    * stubbed (no soundfile/ffmpeg in this container) by treating the
+    * raw bytes as the sample stream; batching, bounded flatMap
+    * expansion, and scalars-only output are the real contract.
+    */
+  def m05(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "documents")
+      .select($"doc_id", $"text".cast("binary").as("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(32).flatMap { batch => // one stub "resampler call" per 32 blobs
+          batch.flatMap { case (id, bytes) =>
+            val nChunks = math.min(MaxChunks,
+              math.max(1, (bytes.length - ChunkBytes + HopBytes) / HopBytes))
+            (0 until nChunks).map { j =>
+              val off = j * HopBytes
+              val end = math.min(off + ChunkBytes, bytes.length)
+              var h = 0xcbf29ce484222325L
+              var i = off
+              while (i < end) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+              (id, j, off, end - off, h)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "chunk_idx", "byte_off", "n_chunk_bytes", "chunk_hash")
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
   val oracle: Map[String, String] = Map(
     "m01_multimodal_meta" ->
       """SELECT doc_id,
@@ -174,6 +217,7 @@ object Multimodal {
     "m01_multimodal_meta" -> (m01 _),
     "m02_decode_stub" -> (m02 _),
     "m03_feature_extract" -> (m03 _),
-    "m04_frame_sample" -> (m04 _)
+    "m04_frame_sample" -> (m04 _),
+    "m05_audio_chunk" -> (m05 _)
   )
 }

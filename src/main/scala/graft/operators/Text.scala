@@ -260,7 +260,26 @@ object Text {
     */
   def t13(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val lines = T(s, dir, "documents")
+    flaggedLines(T(s, dir, "documents"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        count(when($"keep", 1)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(when($"keep", struct($"idx", $"line")))),
+          x => x.getField("line")), "\n")).as("kept_md5"))
+      .withColumn("dup_line_frac", expr(
+        "round(1.0e0 - CAST(n_kept AS DOUBLE) / n_lines, 6)"))
+      .orderBy($"doc_id")
+  }
+
+  /** t13's engine over any (doc_id, text, …) frame: the corpus's lines
+    * flagged with the global-first-occurrence keep bit. Shared by the
+    * t13 stats query and [[dedupLines]].
+    */
+  private def flaggedLines(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val lines = docs
       .select($"doc_id", split($"text", " ").as("toks"))
       .select($"doc_id", posexplode(expr(
         s"""transform(sequence(0, CAST((size(toks) - 1) div $LineTokens AS INT)),
@@ -273,15 +292,26 @@ object Text {
       .agg(min($"doc_id" * 1000000L + $"idx").as("first_key"))
     lines.join(firsts, "h")
       .withColumn("keep", $"doc_id" * 1000000L + $"idx" === $"first_key")
+  }
+
+  /** The REWRITING form of t13 for pipeline use (CurateCorpus's
+    * line-dedup stage): every corpus-duplicated line is removed except
+    * its global first occurrence, each doc's text is reassembled from
+    * its kept lines in order, and docs that lose every line drop out.
+    * Non-text columns pass through; token-derived metadata is the
+    * caller's to refresh.
+    */
+  def dedupLines(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val kept = flaggedLines(docs.select($"doc_id", $"text"))
+      .filter($"keep")
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_lines"),
-        count(when($"keep", 1)).as("n_kept"),
-        md5(array_join(transform(
-          array_sort(collect_list(when($"keep", struct($"idx", $"line")))),
-          x => x.getField("line")), "\n")).as("kept_md5"))
-      .withColumn("dup_line_frac", expr(
-        "round(1.0e0 - CAST(n_kept AS DOUBLE) / n_lines, 6)"))
-      .orderBy($"doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct($"idx", $"line"))),
+        x => x.getField("line")), " ").as("_new_text"))
+    docs.join(kept, "doc_id")
+      .withColumn("text", $"_new_text").drop("_new_text")
   }
 
   /** PII patterns shared with the oracle. `[.]` instead of `\.`

@@ -27,7 +27,8 @@ class CurateCorpusSpec extends SparkSpec {
     assert(r.nInput == base.count() + 5)
 
     assert(r.nInput >= r.nAfterExactDedup)
-    assert(r.nAfterExactDedup >= r.nAfterNearDedup)
+    assert(r.nAfterExactDedup >= r.nAfterLineDedup)
+    assert(r.nAfterLineDedup >= r.nAfterNearDedup)
     assert(r.nAfterNearDedup >= r.nAfterQuality)
     assert(r.nAfterQuality >= r.nAfterDecontam)
     assert(r.nAfterDecontam > 0, "pipeline dropped everything")
@@ -48,9 +49,11 @@ class CurateCorpusSpec extends SparkSpec {
         org.apache.spark.sql.functions.min(col("doc_id"))
           .over(org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))))
       .filter(col("doc_id") === col("_keep")).drop("_keep")
+    // the pair stage ran on the LINE-DEDUPED text — re-derive that frame
+    val lineDeduped = Text.dedupLines(exactSurvivors)
     val survivorIds = survivors.select("doc_id").collect().map(_.getLong(0)).toSet
     val edges = Dedup.jaccardPairs(
-      exactSurvivors.select(col("doc_id"), col("text")), 0.5)
+      lineDeduped.select(col("doc_id"), col("text")), 0.5)
       .collect().map(r2 => (r2.getLong(0), r2.getLong(1)))
     assert(edges.nonEmpty, "corpus has no near-dup pairs to cut")
     edges.foreach { case (a, b) =>
@@ -65,6 +68,23 @@ class CurateCorpusSpec extends SparkSpec {
     assert(Dedup.decontaminate(
       survivors.select(col("doc_id"), split(col("text"), " ").as("toks")),
       bench.select(split(col("text"), " ").as("toks")), 4).isEmpty)
+  }
+
+  test("dedupLines removes later copies of a shared line, keeps the first doc intact") {
+    import spark.implicits._
+    val banner = (1 to 10).map(i => s"banner$i").mkString(" ") // one full 10-token line
+    val docs = Seq(
+      (0L, banner + " " + (1 to 10).map(i => s"alpha$i").mkString(" ")),
+      (1L, banner + " " + (1 to 10).map(i => s"beta$i").mkString(" ")),
+      (2L, banner)) // nothing but the duplicated line -> drops entirely
+      .toDF("doc_id", "text")
+    val out = Text.dedupLines(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == banner + " " + (1 to 10).map(i => s"alpha$i").mkString(" "),
+      "first occurrence doc must be untouched")
+    assert(out(1L) == (1 to 10).map(i => s"beta$i").mkString(" "),
+      "later copy of the banner line must be removed")
+    assert(!out.contains(2L), "doc reduced to nothing drops out")
   }
 
   test("qualitySignals stays in lockstep with the oracle-verified t02/t09 queries") {

@@ -27,6 +27,7 @@ class PlanInvariantSpec extends SparkSpec {
     // on non-equi predicates — no join key exists by construction)
     "e17_trio_denovo" -> 1,
     "e18_inheritance_classify" -> 1, // same broadcast-trio shape as e17
+    "e27_mendel_summary" -> 1, // e18's classification scan + one partial agg
     "e22_xlinked" -> 1, // same broadcast-trio shape, sex-aware dim
     "e25_auto_dom" -> 1, // same broadcast-trio shape, phenotype-aware dim
     "e26_xlinked_dom" -> 1, // same broadcast-trio shape, sex+phenotype dim

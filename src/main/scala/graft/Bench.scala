@@ -32,7 +32,7 @@ object Bench {
     "d02_dedup_minhash", "d04_ngram_jaccard", "d05_dedup_embedding",
     "d07_dedup_clusters", "s01_ann_bruteforce_topk", "s02_ann_lsh",
     "t07_stratified_sample", "t08_pii_scrub", "t10_unigram_logprob",
-    "t12_seq_pack")
+    "t12_seq_pack", "t13_line_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

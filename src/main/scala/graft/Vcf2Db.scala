@@ -218,6 +218,18 @@ object GraftDb {
       spark, expandGenotypes(spark, dir, codec), impacts(spark, dir),
       trios(spark, dir))
 
+  /** GEMINI mendel_errors-style QC summary over a loaded database:
+    * inheritance-class counts per (family, child) — e27's shape on the
+    * stored tables (one partial-agg shuffle over the classification
+    * scan).
+    */
+  def mendelSummary(spark: SparkSession, dir: String,
+      codec: String = "zlib"): DataFrame =
+    inheritanceClassify(spark, dir, codec)
+      .groupBy(col("family_id"), col("child"), col("class"))
+      .agg(count(lit(1)).as("n_variants"))
+      .orderBy(col("family_id"), col("child"), col("class"))
+
   /** GEMINI X-linked tools over a loaded database — trio dim carries
     * the samples table's sex column.
     */

@@ -343,6 +343,41 @@ object Relational {
       .crossJoin(s3.agg(count(lit(1)).as("n_view_click_purchase")))
   }
 
+  /** q17: SALTED distinct aggregation — q09's semantics through the
+    * two-phase skew path (Scale.saltedCountDistinct): values hash into
+    * 16 salt sub-keys, each sub-key counts its own distinct values, a
+    * second dim-sized aggregation sums the partials. The heavy shuffle
+    * key is (event_type, salt) so a mega-key fans out 16 ways instead
+    * of melting one reducer — and because no value crosses salt
+    * buckets, the result is EXACTLY the plain distinct count, which is
+    * what the oracle verifies.
+    */
+  def q17(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Scale.saltedCountDistinct(T(s, dir, "events"), $"event_type", $"user_id")
+      .withColumnRenamed("k", "event_type")
+      .orderBy($"event_type")
+  }
+
+  /** q18: top-k PER GROUP (every analytics surface's "top 3 orders per
+    * priority class") — rank window per group, keep rank ≤ 3. One
+    * shuffle keyed on the group; at scale, pre-filtering each partition
+    * to its local top-k before the exchange (AQE leaves the window
+    * partial) is the known optimization, and the group key bounds the
+    * output.
+    */
+  def q18(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    T(s, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"o_orderpriority", $"rk", $"o_orderkey",
+        d2($"o_totalprice").cast("double").as("total_price"))
+      .orderBy($"o_orderpriority", $"rk")
+  }
+
   /** Oracle SQL (DuckDB dialect ≈ ANSI) mirroring each query above. */
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -437,6 +472,17 @@ object Relational {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_l, event_id
         |    ROWS UNBOUNDED PRECEDING))
         |WHERE is_l = 1 ORDER BY user_id, event_id""".stripMargin,
+    "q17_salted_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q18_topk_per_group" ->
+      """SELECT o_orderpriority, rk, o_orderkey,
+        | CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
     "q10_orders_by_month" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
         | COUNT(*) AS n_orders,
@@ -484,6 +530,8 @@ object Relational {
     "q13_percentiles_approx" -> (q13 _),
     "q14_asof_join" -> (q14 _),
     "q15_cube_status_priority" -> (q15 _),
-    "q16_funnel" -> (q16 _)
+    "q16_funnel" -> (q16 _),
+    "q17_salted_distinct" -> (q17 _),
+    "q18_topk_per_group" -> (q18 _)
   )
 }

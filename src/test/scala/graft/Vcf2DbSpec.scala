@@ -141,6 +141,23 @@ class Vcf2DbSpec extends SparkSpec {
       Seq(("1", 200L, "T", "stop_gained"), ("2", 300L, "T", "frameshift_variant")))
   }
 
+  test("mendelSummary over a loaded database matches e27's class counts") {
+    import graft.operators.Inheritance
+    val dir = Files.createTempDirectory("vcf2db_mendel")
+    val vcf = dir.resolve("trio.vcf")
+    Files.writeString(vcf, Inheritance.TrioFixture.lines.mkString("\n") + "\n")
+    val ped = dir.resolve("trio.ped")
+    Files.writeString(ped, Inheritance.TrioFixture.pedLines.mkString("\n") + "\n")
+    val out = dir.resolve("db").toString
+    Vcf2Db.run(spark, vcf.toString, Some(ped.toString), out)
+    val got = GraftDb.mendelSummary(spark, out).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      ("FAM", "c", "auto_rec", 1L),
+      ("FAM", "c", "de_novo", 1L),
+      ("FAM", "c", "mendel_error", 2L)))
+  }
+
   test("BED annotate over a loaded database labels overlapping variants") {
     val dir = Files.createTempDirectory("vcf2db_bed")
     val vcf = dir.resolve("in.vcf")

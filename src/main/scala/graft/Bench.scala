@@ -26,6 +26,8 @@ object Bench {
     "q06_selective_filter", "q07_window_running_total",
     "q08_rollup_status_priority", "q09_distinct_users_per_type",
     "q10_orders_by_month", "q11_group_percentiles", "q14_asof_join",
+    "q15_cube_status_priority", "q16_funnel", "q17_salted_distinct",
+    "q18_topk_per_group",
     "st01_window_agg", "st02_sessionize", "st03_dedup_events",
     "st04_interval_join",
     "e01_flatten_info", "e08_pack_blob",

@@ -148,6 +148,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static broadcast join enriches events without stream-side state") {
+    // the streaming ENRICHMENT shape: a dim (here event_type -> weight)
+    // joins into an unbounded stream as a broadcast hash join - no
+    // watermark, no join state, the dim re-broadcasts per micro-batch.
+    // At 100 TB/day this is how reference data (user dims, geo tables,
+    // model routing tables) attaches to a firehose.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("view", 1.0), ("click", 2.0), ("purchase", 10.0))
+      .toDF("event_type", "weight")
+    val input = MemoryStream[Event]
+    val enriched = input.toDS()
+      .join(org.apache.spark.sql.functions.broadcast(dim), "event_type")
+      .select($"event_id", $"user_id", $"event_type", $"weight")
+    val q = enriched.writeStream
+      .format("memory").queryName("enriched_out")
+      .outputMode("append")
+      .start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "view"), Event(2, ts(1), 1, "purchase"),
+        Event(3, ts(2), 2, "pageping")) // not in the dim -> dropped (inner)
+      q.processAllAvailable()
+      val out = spark.table("enriched_out").collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("weight"))).toSet
+      assert(out == Set((1L, 1.0), (2L, 10.0)))
+    } finally q.stop()
+  }
+
   test("streaming VCF ingestion fails fast on a shard with mismatched samples") {
     import java.nio.file.Files
     import graft.operators.Etl.VcfFixture

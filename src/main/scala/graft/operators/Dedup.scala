@@ -255,7 +255,17 @@ object Dedup {
     while (!done) {
       rounds += 1
       require(rounds <= 40, s"connected components did not converge in 40 rounds")
-      val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
+      // TWO star rounds fuse into each checkpointed job: the rounds are
+      // overhead-dominated once the edge set is small (every round is a
+      // handful of window shuffles over a shrinking frame), so halving
+      // the job count beats the ≤2 redundant rounds the coarser
+      // fixpoint check can cost. Soundness: star contraction is
+      // monotone (the edge potential strictly decreases until the
+      // star-shaped fixpoint, and fixpoints are invariant), so an
+      // unchanged checksum across a fused double-round means BOTH
+      // inner rounds were no-ops.
+      val next = smallStar(largeStar(smallStar(largeStar(e))))
+        .localCheckpoint(eager = false)
       val cur = checksum(next)
       done = cur == prev
       prev = cur

@@ -378,6 +378,27 @@ object Relational {
       .orderBy($"o_orderpriority", $"rk")
   }
 
+  /** q19: supplier-side revenue rollup (TPC-H Q5's supplier leg) —
+    * lineitem ⋈ supplier ⋈ nation with revenue per nation. The last
+    * unexercised testdata table joins in exactly like every dim:
+    * broadcast supplier and nation, shuffle only for the final
+    * partial-agg on n_name.
+    */
+  def q19(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(T(s, dir, "supplier")), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(T(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(unitSum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount")), 4)
+        .as("revenue"),
+        countDistinct($"s_suppkey").as("n_suppliers"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"n_name")
+  }
+
   /** Oracle SQL (DuckDB dialect ≈ ANSI) mirroring each query above. */
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -475,6 +496,16 @@ object Relational {
     "q17_salted_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q19_supplier_revenue" ->
+      """SELECT n_name,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+        | COUNT(DISTINCT s_suppkey) AS n_suppliers,
+        | COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q18_topk_per_group" ->
       """SELECT o_orderpriority, rk, o_orderkey,
         | CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price
@@ -532,6 +563,7 @@ object Relational {
     "q15_cube_status_priority" -> (q15 _),
     "q16_funnel" -> (q16 _),
     "q17_salted_distinct" -> (q17 _),
-    "q18_topk_per_group" -> (q18 _)
+    "q18_topk_per_group" -> (q18 _),
+    "q19_supplier_revenue" -> (q19 _)
   )
 }

@@ -47,11 +47,14 @@ object Vcf2Db {
       .drop("i_chrom", "i_pos", "i_ref", "i_alt")
   }
 
-  /** The five int-array genotype columns — pack (packGenotypeBlobs) and
-    * unpack (GraftDb.expandGenotypes) must agree on this list.
+  /** The int-array genotype columns — pack (packGenotypeBlobs) and
+    * unpack (GraftDb.expandGenotypes) must agree on this list. The last
+    * three are the PL-derived phred-likelihood columns the reference
+    * packs for GEMINI compatibility when FORMAT PL is present.
     */
   private[graft] val intArrayCols =
-    Seq("gt_types", "gt_depths", "gt_ref_depths", "gt_alt_depths", "gt_quals")
+    Seq("gt_types", "gt_depths", "gt_ref_depths", "gt_alt_depths", "gt_quals",
+      "gt_phred_ll_homref", "gt_phred_ll_het", "gt_phred_ll_homalt")
 
   /** The reference's six per-sample genotype blob columns: each typed
     * array compressed per row (codegen Catalyst expressions, packing

@@ -48,7 +48,13 @@ object VcfReader {
     StructField("gt_depths", ArrayType(IntegerType, containsNull = false)),
     StructField("gt_ref_depths", ArrayType(IntegerType, containsNull = false)),
     StructField("gt_alt_depths", ArrayType(IntegerType, containsNull = false)),
-    StructField("gt_quals", ArrayType(IntegerType, containsNull = false)))
+    StructField("gt_quals", ArrayType(IntegerType, containsNull = false)),
+    // FORMAT PL (phred-scaled genotype likelihoods, Number=G) split into
+    // the three per-alt diploid columns the reference ships for GEMINI
+    // compatibility (gt_phred_ll_homref/het/homalt); -1 = missing.
+    StructField("gt_phred_ll_homref", ArrayType(IntegerType, containsNull = false)),
+    StructField("gt_phred_ll_het", ArrayType(IntegerType, containsNull = false)),
+    StructField("gt_phred_ll_homalt", ArrayType(IntegerType, containsNull = false)))
 
   private def infoType(spec: FieldSpec): DataType = spec.number match {
     case "0" => BooleanType
@@ -153,12 +159,19 @@ object VcfReader {
     }
   }
 
+  /** PL (Number=G) component at flat genotype index `gIx` — same
+    * diploid k(k+1)/2+j indexing as Number=G INFO fields.
+    */
+  private def plAt(sample: Vector[String], ix: Int, gIx: Int): Int =
+    adAt(sample, ix, gIx) // identical comma-list-at-index semantics
+
   /** One decomposed variant row per (record, alt). */
   private def variantRows(h: Header, specs: Seq[FieldSpec], rec: Record): Seq[Row] = {
     val gtIx = rec.formatKeys.indexOf("GT")
     val dpIx = rec.formatKeys.indexOf("DP")
     val gqIx = rec.formatKeys.indexOf("GQ")
     val adIx = rec.formatKeys.indexOf("AD")
+    val plIx = rec.formatKeys.indexOf("PL")
     // Per-sample, alt-independent arrays computed once per record.
     val gts: Seq[String] =
       if (gtIx < 0) Seq.empty else rec.genotypes.map(s => fmtAt(s, gtIx))
@@ -171,13 +184,20 @@ object VcfReader {
         if (gtIx < 0) Seq.empty
         else rec.genotypes.map(s => gtType(s(gtIx), altIx))
       val altDepths: Seq[Int] = rec.genotypes.map(s => adAt(s, adIx, altIx))
+      // PL's flat diploid index for (j, k): k(k+1)/2 + j — this alt's
+      // [0/0, 0/alt, alt/alt] triple after decompose
+      val half = altIx * (altIx + 1) / 2
+      val plHomRef: Seq[Int] = rec.genotypes.map(s => plAt(s, plIx, 0))
+      val plHet: Seq[Int] = rec.genotypes.map(s => plAt(s, plIx, half))
+      val plHomAlt: Seq[Int] = rec.genotypes.map(s => plAt(s, plIx, half + altIx))
       val st = gtStats(gtTypes)
       val infoVals = specs.map(s => infoValue(s, rec.info.get(s.id), altIx))
       Row.fromSeq(
         Seq(rec.chrom, rec.pos, rec.id.orNull, rec.ref, alt,
           rec.qual.map(Double.box).orNull, rec.filter.orNull) ++ infoVals ++
           Seq(st.callRate, st.aaf, st.numHomRef, st.numHet, st.numHomAlt,
-            st.numUnknown, gtTypes, gts, depths, refDepths, altDepths, quals))
+            st.numUnknown, gtTypes, gts, depths, refDepths, altDepths, quals,
+            plHomRef, plHet, plHomAlt))
     }
   }
 

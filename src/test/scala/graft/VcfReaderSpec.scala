@@ -47,6 +47,41 @@ class VcfReaderSpec extends SparkSpec {
     assert(ints(r2, "gt_alt_depths") == Seq(-1, -1, -1, -1))
   }
 
+  test("FORMAT PL splits into phred-likelihood columns with decompose indexing") {
+    val lines = Vector(
+      "##fileformat=VCFv4.2",
+      "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"Genotype\">",
+      "##FORMAT=<ID=PL,Number=G,Type=Integer,Description=\"Phred likelihoods\">",
+      Seq("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO",
+        "FORMAT", "s1", "s2").mkString("\t"),
+      // biallelic: PL = [0/0, 0/1, 1/1]
+      Seq("1", "100", ".", "A", "G", "99", "PASS", ".", "GT:PL",
+        "0/1:40,0,35", "0/0:0,21,210").mkString("\t"),
+      // multiallelic: PL over [0/0, 0/1, 1/1, 0/2, 1/2, 2/2] — alt 2's
+      // triple is indexes (0, 3, 5); '.' and short lists → -1
+      Seq("1", "200", ".", "C", "G,T", "99", "PASS", ".", "GT:PL",
+        "1/2:50,10,0,45,5,60", "2/2:.").mkString("\t"))
+    val (_, variants, _) = VcfReader.fromLines(spark, lines)
+    val rows = variants.orderBy("pos", "alt").collect()
+    def ints(r: org.apache.spark.sql.Row, c: String): Seq[Int] =
+      r.getAs[scala.collection.Seq[Int]](c).toSeq
+    val bi = rows(0)
+    assert(ints(bi, "gt_phred_ll_homref") == Seq(40, 0))
+    assert(ints(bi, "gt_phred_ll_het") == Seq(0, 21))
+    assert(ints(bi, "gt_phred_ll_homalt") == Seq(35, 210))
+    val altG = rows(1) // 200 C>G (alt index 1)
+    assert(ints(altG, "gt_phred_ll_het") == Seq(10, -1))
+    assert(ints(altG, "gt_phred_ll_homalt") == Seq(0, -1))
+    val altT = rows(2) // 200 C>T (alt index 2): triple (0, 3, 5)
+    assert(ints(altT, "gt_phred_ll_homref") == Seq(50, -1))
+    assert(ints(altT, "gt_phred_ll_het") == Seq(45, -1))
+    assert(ints(altT, "gt_phred_ll_homalt") == Seq(60, -1))
+    // no PL in FORMAT → all Missing
+    val (_, noPl, _) = VcfReader.fromLines(spark, VcfFixture.lines)
+    val r = noPl.limit(1).collect().head
+    assert(ints(r, "gt_phred_ll_homref").forall(_ == -1))
+  }
+
   test("fixture impacts: CSQ expansion with severity") {
     val (_, _, impacts) = VcfReader.fromLines(spark, VcfFixture.lines)
     val rows = impacts.orderBy("chrom", "pos", "alt", "severity_rank").collect()

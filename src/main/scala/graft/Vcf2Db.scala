@@ -54,7 +54,8 @@ object Vcf2Db {
     */
   private[graft] val intArrayCols =
     Seq("gt_types", "gt_depths", "gt_ref_depths", "gt_alt_depths", "gt_quals",
-      "gt_phred_ll_homref", "gt_phred_ll_het", "gt_phred_ll_homalt")
+      "gt_phred_ll_homref", "gt_phred_ll_het", "gt_phred_ll_homalt",
+      "gt_phases")
 
   /** The reference's six per-sample genotype blob columns: each typed
     * array compressed per row (codegen Catalyst expressions, packing

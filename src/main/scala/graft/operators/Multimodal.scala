@@ -203,6 +203,42 @@ object Multimodal {
       .orderBy($"doc_id", $"chunk_idx")
   }
 
+  /** m06 (rows-only): image-RESIZE plumbing — decode header → compute
+    * the letterboxed target geometry (fit 224×224 preserving aspect, the
+    * vision-model preprocessing staple) → emit the resized-frame scalar
+    * digest. The pixel resample is the stub (no libjpeg/PIL here); the
+    * geometry math, batching, and scalars-only contract are real — a
+    * real kernel slots into `resizedDigest` and nothing else changes.
+    */
+  def m06(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (tw, th) = (224, 224)
+    T(s, dir, "documents")
+      .select($"doc_id", $"text".cast("binary").as("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(32).flatMap { batch => // one stub "resize kernel call" per 32 blobs
+          batch.map { case (id, bytes) =>
+            val meta = fakeDecode(id, bytes)
+            // fit-inside scale preserving aspect ratio, letterboxed
+            val scale = math.min(tw.toDouble / meta.width, th.toDouble / meta.height)
+            val (ow, oh) = (math.max(1, (meta.width * scale).round.toInt),
+              math.max(1, (meta.height * scale).round.toInt))
+            val padX = (tw - ow) / 2
+            val padY = (th - oh) / 2
+            // stub digest: geometry mixed into the blob hash stands in
+            // for hashing the resampled pixels
+            var h = meta.checksum ^ (ow.toLong << 32) ^ oh.toLong
+            h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+            (id, meta.width, meta.height, ow, oh, padX, padY, h)
+          }
+        }
+      }
+      .toDF("doc_id", "src_w", "src_h", "out_w", "out_h", "pad_x", "pad_y",
+        "resized_hash")
+      .orderBy($"doc_id")
+  }
+
   val oracle: Map[String, String] = Map(
     "m01_multimodal_meta" ->
       """SELECT doc_id,
@@ -218,6 +254,7 @@ object Multimodal {
     "m02_decode_stub" -> (m02 _),
     "m03_feature_extract" -> (m03 _),
     "m04_frame_sample" -> (m04 _),
-    "m05_audio_chunk" -> (m05 _)
+    "m05_audio_chunk" -> (m05 _),
+    "m06_resize_stub" -> (m06 _)
   )
 }

@@ -54,7 +54,10 @@ object VcfReader {
     // compatibility (gt_phred_ll_homref/het/homalt); -1 = missing.
     StructField("gt_phred_ll_homref", ArrayType(IntegerType, containsNull = false)),
     StructField("gt_phred_ll_het", ArrayType(IntegerType, containsNull = false)),
-    StructField("gt_phred_ll_homalt", ArrayType(IntegerType, containsNull = false)))
+    StructField("gt_phred_ll_homalt", ArrayType(IntegerType, containsNull = false)),
+    // 1 = the GT call is phased ("0|1"), 0 = unphased — the reference's
+    // gt_phases bool array as a packable int array.
+    StructField("gt_phases", ArrayType(IntegerType, containsNull = false)))
 
   private def infoType(spec: FieldSpec): DataType = spec.number match {
     case "0" => BooleanType
@@ -175,6 +178,7 @@ object VcfReader {
     // Per-sample, alt-independent arrays computed once per record.
     val gts: Seq[String] =
       if (gtIx < 0) Seq.empty else rec.genotypes.map(s => fmtAt(s, gtIx))
+    val phases: Seq[Int] = gts.map(g => if (g.contains('|')) 1 else 0)
     val depths: Seq[Int] = rec.genotypes.map(s => fmtInt(s, dpIx))
     val quals: Seq[Int] = rec.genotypes.map(s => fmtInt(s, gqIx))
     val refDepths: Seq[Int] = rec.genotypes.map(s => adAt(s, adIx, 0))
@@ -197,7 +201,7 @@ object VcfReader {
           rec.qual.map(Double.box).orNull, rec.filter.orNull) ++ infoVals ++
           Seq(st.callRate, st.aaf, st.numHomRef, st.numHet, st.numHomAlt,
             st.numUnknown, gtTypes, gts, depths, refDepths, altDepths, quals,
-            plHomRef, plHet, plHomAlt))
+            plHomRef, plHet, plHomAlt, phases))
     }
   }
 

@@ -129,6 +129,21 @@ class EventJoinSpec extends SparkSpec {
     }
   }
 
+  test("m06 resize geometry letterboxes into 224x224 preserving aspect") {
+    val rows = SparkEntry.queries("m06_resize_stub")(spark, dir).collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
+        r.getInt(5), r.getInt(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (sw, sh, ow, oh, px, py) =>
+      assert(ow >= 1 && ow <= 224 && oh >= 1 && oh <= 224)
+      assert(ow == 224 || oh == 224, "the fitted side must touch the target box")
+      // aspect preserved to rounding: ow/oh ~ sw/sh
+      assert(math.abs(ow.toDouble / oh - sw.toDouble / sh) <=
+        1.5 * (1.0 / oh + sw.toDouble / sh / oh), s"aspect drift for ($sw,$sh)")
+      assert(px == (224 - ow) / 2 && py == (224 - oh) / 2)
+    }
+  }
+
   test("m04 samples min(4, n_frames) evenly-strided frames, deterministically") {
     val run1 = SparkEntry.queries("m04_frame_sample")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))

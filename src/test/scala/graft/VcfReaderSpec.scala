@@ -82,6 +82,19 @@ class VcfReaderSpec extends SparkSpec {
     assert(ints(r, "gt_phred_ll_homref").forall(_ == -1))
   }
 
+  test("gt_phases flags phased calls") {
+    val lines = Vector(
+      "##fileformat=VCFv4.2",
+      "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"Genotype\">",
+      Seq("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO",
+        "FORMAT", "s1", "s2", "s3").mkString("\t"),
+      Seq("1", "100", ".", "A", "G", "99", "PASS", ".", "GT",
+        "0|1", "0/1", "./.").mkString("\t"))
+    val (_, variants, _) = VcfReader.fromLines(spark, lines)
+    val r = variants.collect().head
+    assert(r.getAs[scala.collection.Seq[Int]]("gt_phases").toSeq == Seq(1, 0, 0))
+  }
+
   test("fixture impacts: CSQ expansion with severity") {
     val (_, _, impacts) = VcfReader.fromLines(spark, VcfFixture.lines)
     val rows = impacts.orderBy("chrom", "pos", "alt", "severity_rank").collect()

@@ -404,6 +404,31 @@ object Etl {
       .orderBy($"chrom", $"pos", $"alt")
   }
 
+  /** Gene set for e28 — the exclusion list a gemini-style "variants
+    * with no impact in gene set X" query takes as input. Shared
+    * verbatim with the oracle.
+    */
+  private val e28GeneSet = Seq("BRCA1", "EGFR")
+
+  /** e28: the SURVEY §1 downstream query quoted verbatim — "variants
+    * with no impact in gene set X" — an ANTI-join of variants against
+    * the impacts rows whose gene is in the set. Scale shape: the gene
+    * set is a broadcast literal filter on impacts; the surviving
+    * impact keys are bounded by the set's loci (dim-sized, broadcast
+    * into the anti-join), so the variants corpus is one scan with no
+    * shuffle.
+    */
+  def e28(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val inSet = VcfFixture.impacts(s)
+      .filter($"symbol".isin(e28GeneSet: _*))
+      .select($"chrom", $"pos", $"alt")
+    VcfFixture.variants(s)
+      .join(inSet, Seq("chrom", "pos", "alt"), "left_anti")
+      .select($"chrom", $"pos", $"alt", $"aaf")
+      .orderBy($"chrom", $"pos", $"alt")
+  }
+
   /** e17: GEMINI-style trio de-novo candidates — child HET while both
     * parents are HOM-REF — the flagship family-based query the
     * reference's output database serves (gemini's de_novo tool). The
@@ -718,6 +743,14 @@ object Etl {
          |  ON v.chrom = g.chrom AND v.pos = g.pos AND v.alt = g.alt
          |WHERE g.gt_s1 = 1 AND v.call_rate > 0.5
          |ORDER BY v.chrom, v.pos, v.alt""".stripMargin,
+    "e28_gene_set_antijoin" ->
+      s"""SELECT v.chrom, CAST(v.pos AS BIGINT) AS pos, v.alt,
+         | CAST(v.aaf AS DOUBLE) AS aaf
+         |FROM ${VcfFixture.variantsValues}
+         |WHERE NOT EXISTS (SELECT 1 FROM ${VcfFixture.impactsValues}
+         |  WHERE i.chrom = v.chrom AND i.pos = v.pos AND i.alt = v.alt
+         |    AND i.symbol IN (${e28GeneSet.map(g => s"'$g'").mkString(", ")}))
+         |ORDER BY v.chrom, v.pos, v.alt""".stripMargin,
     "e14_region_join" -> {
       val rvals = regionRows
         .map { case (c, a, b, n) => s"('$c', $a, $b, '$n')" }.mkString(",\n ")
@@ -803,6 +836,7 @@ object Etl {
     "e20_tstv" -> (e20 _),
     "e21_gene_burden" -> (e21 _),
     "e23_roh" -> (e23 _),
-    "e24_sample_qc" -> (e24 _)
+    "e24_sample_qc" -> (e24 _),
+    "e28_gene_set_antijoin" -> (e28 _)
   )
 }

@@ -399,6 +399,27 @@ object Relational {
       .orderBy($"n_name")
   }
 
+  /** q20: COHORT RETENTION — the product-analytics matrix: users
+    * grouped by their first-activity day (cohort), counted distinct on
+    * each subsequent activity day. The raw stream first shrinks to
+    * distinct (user, day) pairs — one partial-agg shuffle keyed on
+    * user — then joins the user-dim-sized cohort frame on user_id and
+    * partial-aggs on the (cohort, day) key, whose cardinality is
+    * bounded by days². The event stream itself never self-joins and
+    * never shuffles twice.
+    */
+  def q20(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val days = T(s, dir, "events")
+      .select($"user_id", date_trunc("day", $"ts").as("day"))
+      .distinct()
+    val cohorts = days.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    days.join(cohorts, "user_id")
+      .groupBy($"cohort_day", $"day")
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort_day", $"day")
+  }
+
   /** Oracle SQL (DuckDB dialect ≈ ANSI) mirroring each query above. */
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -496,6 +517,14 @@ object Relational {
     "q17_salted_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q20_retention_cohorts" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+        |  CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events),
+        |cohorts AS (SELECT user_id, min(day) AS cohort_day
+        |  FROM days GROUP BY user_id)
+        |SELECT cohort_day, day, COUNT(DISTINCT user_id) AS n_users
+        |FROM days JOIN cohorts USING (user_id)
+        |GROUP BY cohort_day, day ORDER BY cohort_day, day""".stripMargin,
     "q19_supplier_revenue" ->
       """SELECT n_name,
         | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
@@ -564,6 +593,7 @@ object Relational {
     "q16_funnel" -> (q16 _),
     "q17_salted_distinct" -> (q17 _),
     "q18_topk_per_group" -> (q18 _),
-    "q19_supplier_revenue" -> (q19 _)
+    "q19_supplier_revenue" -> (q19 _),
+    "q20_retention_cohorts" -> (q20 _)
   )
 }

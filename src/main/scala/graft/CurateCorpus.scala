@@ -134,4 +134,38 @@ object CurateCorpus {
     if (benchmark.isDefined) clean.unpersist()
     Report(nInput, nExact, nLine, nNear, nQuality, nClean)
   }
+
+  private val usage =
+    "usage: CurateCorpus <inParquet> <outDir> [--benchmark=path] " +
+      "[--min-score=0.25] [--max-dup3=0.6] [--min-jaccard=0.5]"
+
+  /** CLI twin of [[Vcf2Db.main]]: curate a parquet corpus in one run. */
+  def main(args: Array[String]): Unit = {
+    val (flags, positional) = args.partition(_.startsWith("--"))
+    val known = Set("benchmark", "min-score", "max-dup3", "min-jaccard")
+    flags.foreach { f =>
+      val ok = f.drop(2).split("=", 2) match {
+        case Array(name, _) => known(name)
+        case _ => false
+      }
+      require(ok, s"unrecognized or valueless flag '$f' (use --name=value)\n$usage")
+    }
+    def flag(name: String): Option[String] =
+      flags.collectFirst { case f if f.startsWith(s"--$name=") =>
+        f.substring(name.length + 3) }
+    require(positional.length == 2, usage)
+    val spark = GraftSession.build()
+    try {
+      val docs = spark.read.parquet(positional(0))
+      val bench = flag("benchmark").map(spark.read.parquet(_))
+      val r = run(docs, positional(1),
+        minScore = flag("min-score").map(_.toDouble).getOrElse(0.25),
+        maxDup3 = flag("max-dup3").map(_.toDouble).getOrElse(0.6),
+        minJaccard = flag("min-jaccard").map(_.toDouble).getOrElse(0.5),
+        benchmark = bench)
+      println(s"[curate] input=${r.nInput} exact=${r.nAfterExactDedup} " +
+        s"line=${r.nAfterLineDedup} near=${r.nAfterNearDedup} " +
+        s"quality=${r.nAfterQuality} decontam=${r.nAfterDecontam}")
+    } finally spark.stop()
+  }
 }

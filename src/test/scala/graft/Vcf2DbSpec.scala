@@ -41,12 +41,14 @@ class Vcf2DbSpec extends SparkSpec {
     assert(header.orderBy("line_no").head().getAs[String]("line") ==
       "##fileformat=VCFv4.2")
 
-    // genotype blobs: the stored variants table carries the reference's
-    // six packed blob columns; expandGenotypes round-trips them to the
-    // reader's typed arrays
+    // genotype blobs: the stored variants table carries all ten packed
+    // blob columns (the reference's six plus the PL trio and
+    // gt_phases); expandGenotypes round-trips them to the reader's
+    // typed arrays
     import org.apache.spark.sql.types.BinaryType
     val blobCols = Seq("gt_types", "gts", "gt_depths", "gt_ref_depths",
-      "gt_alt_depths", "gt_quals")
+      "gt_alt_depths", "gt_quals", "gt_phred_ll_homref", "gt_phred_ll_het",
+      "gt_phred_ll_homalt", "gt_phases")
     blobCols.foreach { c =>
       assert(variants.schema(c).dataType == BinaryType, s"$c should be a blob")
     }

@@ -75,9 +75,18 @@ object Vcf2Db {
         else df)
   }
 
+  /** @param sortedOutput when > 0, the variants table is written
+    *   range-partitioned + sorted by (chrom, pos) into this many slabs
+    *   (Scale.writeRangeSorted) instead of hash-partitioned — the
+    *   layout region queries want: per-file key ranges are disjoint,
+    *   so a chrom/pos predicate prunes whole files via parquet
+    *   row-group min/max. Buy once at load time, win on every
+    *   GraftDb.region query after.
+    */
   def run(spark: SparkSession, vcfPath: String, pedPath: Option[String],
       outDir: String, writerPartitions: Int = 8,
-      expand: Seq[String] = Nil, blobCodec: String = "zlib"): Unit = {
+      expand: Seq[String] = Nil, blobCodec: String = "zlib",
+      sortedOutput: Int = 0): Unit = {
     import spark.implicits._
     GraftFunctions.register(spark)
     val (header, variants, impacts) = VcfReader.fromPath(spark, vcfPath)
@@ -100,7 +109,11 @@ object Vcf2Db {
       if (expandCols.isEmpty) denorm
       else denorm.select(denorm.columns.map(col).toSeq ++ expandCols: _*)
     val variantsOut = packGenotypeBlobs(expanded, blobCodec)
-    DbSink.writeParquet(variantsOut, s"$outDir/variants", writerPartitions)
+    if (sortedOutput > 0)
+      graft.operators.Scale.writeRangeSorted(variantsOut,
+        s"$outDir/variants", sortedOutput, col("chrom"), col("pos"))
+    else
+      DbSink.writeParquet(variantsOut, s"$outDir/variants", writerPartitions)
     if (header.annKey.isDefined)
       DbSink.writeParquet(impacts, s"$outDir/variant_impacts", writerPartitions)
     pedPath.foreach { p =>
@@ -113,11 +126,12 @@ object Vcf2Db {
   }
 
   private val usage =
-    "usage: Vcf2Db <vcf> [<ped>] <outDir> [--expand=gt_types,...] [--blob-codec=zlib|snappy]"
+    "usage: Vcf2Db <vcf> [<ped>] <outDir> [--expand=gt_types,...] " +
+      "[--blob-codec=zlib|snappy] [--sorted-output=N]"
 
   def main(args: Array[String]): Unit = {
     val (flags, positional) = args.partition(_.startsWith("--"))
-    val knownFlags = Set("expand", "blob-codec")
+    val knownFlags = Set("expand", "blob-codec", "sorted-output")
     // reject anything that isn't --name=value with a known name: the
     // space-separated form (`--expand gt_types`) would otherwise shift
     // its value into the positional slots and silently re-target outDir
@@ -137,8 +151,10 @@ object Vcf2Db {
       else (positional(0), Some(positional(1)), positional(2))
     val expand = flag("expand").map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
     val codec = flag("blob-codec").getOrElse("zlib")
+    val sorted = flag("sorted-output").map(_.toInt).getOrElse(0)
     val spark = GraftSession.build()
-    try run(spark, vcf, ped, out, expand = expand, blobCodec = codec)
+    try run(spark, vcf, ped, out, expand = expand, blobCodec = codec,
+      sortedOutput = sorted)
     finally spark.stop()
   }
 }

@@ -143,6 +143,33 @@ class Vcf2DbSpec extends SparkSpec {
       Seq(("1", 200L, "T", "stop_gained"), ("2", 300L, "T", "frameshift_variant")))
   }
 
+  test("sorted-output writes range-disjoint variant slabs that read back whole") {
+    val dir = Files.createTempDirectory("vcf2db_sorted")
+    val vcf = dir.resolve("in.vcf")
+    Files.writeString(vcf, VcfFixture.lines.mkString("\n") + "\n")
+    val out = dir.resolve("db").toString
+    Vcf2Db.run(spark, vcf.toString, None, out, sortedOutput = 2)
+    val back = GraftDb.variants(spark, out)
+    assert(back.count() == 5)
+    // per-file key ranges must be disjoint (the pruning contract)
+    val files = new java.io.File(s"$out/variants").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq
+    assert(files.size == 2)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .selectExpr("min(struct(chrom, pos)) AS lo", "max(struct(chrom, pos)) AS hi")
+        .collect().head
+      (r.getStruct(0).getString(0), r.getStruct(0).getLong(1),
+        r.getStruct(1).getString(0), r.getStruct(1).getLong(1))
+    }.sortBy(r => (r._1, r._2))
+    ranges.sliding(2).foreach {
+      case Seq((_, _, hiC, hiP), (loC, loP, _, _)) =>
+        assert(hiC < loC || (hiC == loC && hiP < loP),
+          s"file ranges overlap: $ranges")
+      case _ =>
+    }
+  }
+
   test("mendelSummary over a loaded database matches e27's class counts") {
     import graft.operators.Inheritance
     val dir = Files.createTempDirectory("vcf2db_mendel")

@@ -23,6 +23,15 @@ import graft.operators.{Dedup, Text}
   */
 object CurateCorpus {
 
+  /** Text-derived length metadata kept consistent with a rewritten
+    * `text` column (no-op when the corpus has no n_chars column).
+    */
+  private def refreshNChars(df: DataFrame): DataFrame =
+    if (df.columns.contains("n_chars"))
+      df.withColumn("n_chars",
+        length(col("text")).cast(df.schema("n_chars").dataType))
+    else df
+
   /** Per-stage attrition: how many docs survived each cut. */
   case class Report(nInput: Long, nAfterExactDedup: Long,
       nAfterLineDedup: Long, nAfterNearDedup: Long, nAfterQuality: Long,
@@ -66,13 +75,7 @@ object CurateCorpus {
     //    line drop. Runs BEFORE near-dup clustering so boilerplate
     //    lines can't glue unrelated documents into one cluster.
     //    Token-derived metadata refreshes with the rewritten text.
-    val lineD = Text.dedupLines(exact)
-      .transform(df =>
-        if (df.columns.contains("n_chars"))
-          df.withColumn("n_chars",
-            length($"text").cast(df.schema("n_chars").dataType))
-        else df)
-      .persist()
+    val lineD = refreshNChars(Text.dedupLines(exact)).persist()
     val nLine = lineD.count()
 
     // quality signals computed ONCE on the line-deduped text — the
@@ -123,12 +126,7 @@ object CurateCorpus {
 
     // 6. PII redaction (t08) last, keeping derived length metadata
     //    consistent with the rewritten text
-    val redacted = clean.withColumn("text", Text.redact($"text"))
-      .transform(df =>
-        if (df.columns.contains("n_chars"))
-          df.withColumn("n_chars",
-            length($"text").cast(df.schema("n_chars").dataType))
-        else df)
+    val redacted = refreshNChars(clean.withColumn("text", Text.redact($"text")))
     redacted.write.mode("overwrite").parquet(outDir)
     Seq(input, exact, lineD, scored, near, quality).foreach(_.unpersist())
     if (benchmark.isDefined) clean.unpersist()

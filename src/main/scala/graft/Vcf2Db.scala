@@ -57,8 +57,9 @@ object Vcf2Db {
       "gt_phred_ll_homref", "gt_phred_ll_het", "gt_phred_ll_homalt",
       "gt_phases")
 
-  /** The reference's six per-sample genotype blob columns: each typed
-    * array compressed per row (codegen Catalyst expressions, packing
+  /** The ten per-sample genotype blob columns (the reference's six
+    * plus the PL-derived phred trio and gt_phases): each typed array
+    * compressed per row (codegen Catalyst expressions, packing
     * happens executor-side after the reader — never on the driver).
     * `codec` = "zlib" (reference default) or "snappy" (its later
     * versions; ~3× faster pack at a modest ratio cost — the 100 TB
@@ -186,7 +187,7 @@ object GraftDb {
     }
   }
 
-  /** Variants with the six genotype blobs unpacked back to typed arrays
+  /** Variants with the ten genotype blobs unpacked back to typed arrays
     * (the reference's `--expand` read path). `codec` must match the one
     * the table was written with.
     */

@@ -315,14 +315,11 @@ object Dedup {
   }
 
 
-  /** Spark-side quality score for d09's survivor rule — t02's composite
-    * score (token count + stopword density), rounded to 6 before it
-    * becomes an ORDER key so both engines rank on identical doubles.
+  /** Spark-side quality score for d09's survivor rule — the shared
+    * Text.scoreExpr formula, rounded to 6 before it becomes an ORDER
+    * key so both engines rank on identical doubles.
     */
-  private def d09ScoreExpr: String =
-    s"""round(0.5e0 * least(size(split(text, ' ')), 100) / 100.0e0
-       | + 0.5e0 * (CAST(${Text.hitsExpr(Text.stopwords.head._2)} AS DOUBLE)
-       |            / size(split(text, ' '))), 6)""".stripMargin
+  private def d09ScoreExpr: String = s"round(${Text.scoreExpr}, 6)"
 
   /** d09: cluster SURVIVOR SELECTION — the decision step after near-dup
     * clustering: a real curation pipeline keeps the best-quality member

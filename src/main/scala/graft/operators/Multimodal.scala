@@ -186,8 +186,11 @@ object Multimodal {
       .mapPartitions { it =>
         it.grouped(32).flatMap { batch => // one stub "resampler call" per 32 blobs
           batch.flatMap { case (id, bytes) =>
-            val nChunks = math.min(MaxChunks,
-              math.max(1, (bytes.length - ChunkBytes + HopBytes) / HopBytes))
+            // empty blob → zero chunks (never a zero-byte frame row)
+            val nChunks =
+              if (bytes.isEmpty) 0
+              else math.min(MaxChunks,
+                math.max(1, (bytes.length - ChunkBytes + HopBytes) / HopBytes))
             (0 until nChunks).map { j =>
               val off = j * HopBytes
               val end = math.min(off + ChunkBytes, bytes.length)

@@ -172,7 +172,7 @@ object Similarity {
     val subDim = Dims / M          // 8 dims each
     val nCand = 3 * K              // ADC candidates re-ranked exactly
     val emb = T(s, dir, "embeddings")
-    // one vector column per subspace; 4 independent codebooks
+    // one vector column per subspace; M independent codebooks
     val withSubs = (0 until M).foldLeft(emb) { (df, m) =>
       df.withColumn(s"sv_$m", array_to_vector(
         expr(s"slice(CAST(embedding AS ARRAY<DOUBLE>), ${m * subDim + 1}, $subDim)")))
@@ -201,7 +201,7 @@ object Similarity {
     val queries = emb.filter($"vec_id" < 5)
       .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
       .select($"q_id" +: $"q_emb" +: tabCols: _*)
-    // ADC scan: 4 table lookups per corpus row, top-nCand per query
+    // ADC scan: M table lookups per corpus row, top-nCand per query
     val adc = coded.crossJoin(broadcast(queries))
       .withColumn("approx_dist",
         (0 until M).map(m => element_at(col(s"tab_$m"),

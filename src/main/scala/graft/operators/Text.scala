@@ -286,12 +286,14 @@ object Text {
            | i -> array_join(slice(toks, i * $LineTokens + 1, $LineTokens), ' '))""".stripMargin)))
       .withColumnRenamed("pos", "idx").withColumnRenamed("col", "line")
       .select($"doc_id", $"idx", md5($"line").as("h"), $"line")
-    // global first occurrence per line hash; idx < 1e6 always (docs are
-    // token-bounded), so (doc_id, idx) packs into one orderable long
-    val firsts = lines.groupBy($"h")
-      .agg(min($"doc_id" * 1000000L + $"idx").as("first_key"))
+    // global first occurrence per line hash; the (doc_id, idx) order
+    // key is a FIXED-WIDTH zero-padded string, so lexicographic min =
+    // numeric min with no overflow/collision at any doc size or id
+    // range (both engines format identically: format_string/printf)
+    val fk = format_string("%019d%010d", $"doc_id", $"idx")
+    val firsts = lines.groupBy($"h").agg(min(fk).as("first_key"))
     lines.join(firsts, "h")
-      .withColumn("keep", $"doc_id" * 1000000L + $"idx" === $"first_key")
+      .withColumn("keep", fk === $"first_key")
   }
 
   /** The REWRITING form of t13 for pipeline use (CurateCorpus's
@@ -329,14 +331,22 @@ object Text {
   def redact(c: Column): Column =
     regexp_replace(regexp_replace(c, emailPat, "<EMAIL>"), ipPat, "<IP>")
 
+  /** The composite quality-score formula over a raw `text` column —
+    * the SINGLE source of the t02/qualitySignals/d09 scoring rule, so
+    * the pipeline's survivor ranking and its filters cannot drift
+    * apart (d09 wraps it in round(…, 6) before it becomes an ORDER
+    * key).
+    */
+  private[operators] val scoreExpr: String =
+    "0.5e0 * least(size(split(text, ' ')), 100) / 100.0e0 + " +
+      s"0.5e0 * (CAST(${hitsExpr(stopwords.head._2)} AS DOUBLE) / size(split(text, ' ')))"
+
   /** t02's composite quality score and t09's 3-gram repetition over
     * any (text) frame — the filter signals CurateCorpus cuts on.
     */
   def qualitySignals(df: DataFrame): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    df.withColumn("q_score", expr(
-      "0.5e0 * least(size(split(text, ' ')), 100) / 100.0e0 + " +
-        s"0.5e0 * (CAST(${hitsExpr(stopwords.head._2)} AS DOUBLE) / size(split(text, ' ')))"))
+    df.withColumn("q_score", expr(scoreExpr))
       .withColumn("q_dup3", expr(
         "1.0e0 - CAST(size(shingles(split(text, ' '), 3)) AS DOUBLE) / " +
           "nullif(greatest(size(split(text, ' ')) - 2, 0), 0)"))
@@ -500,10 +510,10 @@ object Text {
          |    i -> array_to_string(w[i * $LineTokens + 1 : (i + 1) * $LineTokens], ' '))) AS line
          |  FROM toks),
          |hashed AS (SELECT doc_id, idx, md5(line) AS h, line FROM lines),
-         |firsts AS (SELECT h, min(doc_id * 1000000 + idx) AS first_key
+         |firsts AS (SELECT h, min(printf('%019d%010d', doc_id, idx)) AS first_key
          |  FROM hashed GROUP BY h),
          |flagged AS (SELECT doc_id, idx, line,
-         |  (doc_id * 1000000 + idx = first_key) AS keep
+         |  (printf('%019d%010d', doc_id, idx) = first_key) AS keep
          |  FROM hashed JOIN firsts USING (h))
          |SELECT doc_id, count(*) AS n_lines,
          | count(*) FILTER (WHERE keep) AS n_kept,

@@ -162,11 +162,21 @@ object VcfReader {
     }
   }
 
-  /** PL (Number=G) component at flat genotype index `gIx` — same
+  /** A sample's PL comma-list pre-split once per record (empty when
+    * absent) — the per-alt lookups below index into it without
+    * re-splitting on the parse hot path.
+    */
+  private def plParts(sample: Vector[String], ix: Int): Array[String] = {
+    val v = fmtAt(sample, ix)
+    if (v.isEmpty || v == ".") Array.empty else v.split(',')
+  }
+
+  /** Pre-split PL component at flat genotype index `gIx` — the same
     * diploid k(k+1)/2+j indexing as Number=G INFO fields.
     */
-  private def plAt(sample: Vector[String], ix: Int, gIx: Int): Int =
-    adAt(sample, ix, gIx) // identical comma-list-at-index semantics
+  private def plAt(parts: Array[String], gIx: Int): Int =
+    if (gIx >= parts.length || parts(gIx) == ".") Missing
+    else try parts(gIx).toInt catch { case _: NumberFormatException => Missing }
 
   /** One decomposed variant row per (record, alt). */
   private def variantRows(h: Header, specs: Seq[FieldSpec], rec: Record): Seq[Row] = {
@@ -182,6 +192,8 @@ object VcfReader {
     val depths: Seq[Int] = rec.genotypes.map(s => fmtInt(s, dpIx))
     val quals: Seq[Int] = rec.genotypes.map(s => fmtInt(s, gqIx))
     val refDepths: Seq[Int] = rec.genotypes.map(s => adAt(s, adIx, 0))
+    val pls: Seq[Array[String]] = rec.genotypes.map(s => plParts(s, plIx))
+    val plHomRef: Seq[Int] = pls.map(p => plAt(p, 0)) // alt-independent
     rec.alts.zipWithIndex.map { case (alt, i0) =>
       val altIx = i0 + 1
       val gtTypes: Seq[Int] =
@@ -191,9 +203,8 @@ object VcfReader {
       // PL's flat diploid index for (j, k): k(k+1)/2 + j — this alt's
       // [0/0, 0/alt, alt/alt] triple after decompose
       val half = altIx * (altIx + 1) / 2
-      val plHomRef: Seq[Int] = rec.genotypes.map(s => plAt(s, plIx, 0))
-      val plHet: Seq[Int] = rec.genotypes.map(s => plAt(s, plIx, half))
-      val plHomAlt: Seq[Int] = rec.genotypes.map(s => plAt(s, plIx, half + altIx))
+      val plHet: Seq[Int] = pls.map(p => plAt(p, half))
+      val plHomAlt: Seq[Int] = pls.map(p => plAt(p, half + altIx))
       val st = gtStats(gtTypes)
       val infoVals = specs.map(s => infoValue(s, rec.info.get(s.id), altIx))
       Row.fromSeq(

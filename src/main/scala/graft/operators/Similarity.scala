@@ -77,9 +77,11 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** s02 (rows-only): LSH-bucketed approximate NN — corpus bucketed by
-    * 8 hyperplane sign bits; queries probe their own bucket plus all
+  /** s02: LSH-bucketed approximate NN — corpus bucketed by 8
+    * hyperplane sign bits; queries probe their own bucket plus all
     * Hamming-1 neighbors; exact cosine re-ranks within candidates.
+    * Oracle-verified end to end: the DuckDB side re-derives the same
+    * buckets from the plane literals (d05's technique).
     */
   def s02(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -220,6 +222,33 @@ object Similarity {
   }
 
   val oracle: Map[String, String] = Map(
+    "s02_ann_lsh" -> {
+      // the engine's hyperplanes as SQL literals (d05's technique):
+      // DuckDB re-derives the identical sign buckets, so the bucketed
+      // candidate rule is hash-verified, not just the re-rank
+      val planeRows = (0 until NPlanes).map { j =>
+        val arr = plane(j, Dims).mkString(", ")
+        s"($j, [$arr]::DOUBLE[])"
+      }.mkString(",\n ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p(j, pv) AS (VALUES
+         | $planeRows),
+         |b AS (SELECT e.vec_id,
+         |  CAST(SUM(CASE WHEN list_inner_product(e.v, p.pv) > 0 THEN (1 << p.j) ELSE 0 END) AS INTEGER) AS bucket
+         |  FROM e, p GROUP BY e.vec_id),
+         |q AS (SELECT vec_id AS q_id, bucket AS q_bucket FROM b WHERE vec_id < 5),
+         |cand AS (SELECT q.q_id, c.vec_id, c.bucket,
+         |  list_inner_product(ec.v, eq.v) /
+         |    sqrt(list_inner_product(ec.v, ec.v) * list_inner_product(eq.v, eq.v)) AS cos
+         |  FROM q JOIN b c ON bit_count(xor(q.q_bucket, c.bucket)) <= 1
+         |  JOIN e ec ON ec.vec_id = c.vec_id
+         |  JOIN e eq ON eq.vec_id = q.q_id),
+         |ranked AS (SELECT q_id, vec_id, bucket, cos,
+         |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+         |  FROM cand)
+         |SELECT q_id, vec_id, bucket, round(cos, 6) AS cos, rn
+         |FROM ranked WHERE rn <= $K ORDER BY q_id, rn""".stripMargin
+    },
     "s01_ann_bruteforce_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
          |  FROM embeddings WHERE vec_id < 5),
@@ -232,7 +261,6 @@ object Similarity {
          |  FROM scored)
          |SELECT q_id, vec_id, round(cos, 6) AS cos, rn
          |FROM ranked WHERE rn <= $K ORDER BY q_id, rn""".stripMargin
-    // s02_ann_lsh: rows-only (hyperplane literals are engine-side)
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -18,7 +18,9 @@ object PedSource {
       .map(StructField(_, StringType)))
 
   def parse(lines: Seq[String]): (StructType, Seq[Row]) = {
-    val (headerLines, body) = lines.filter(_.nonEmpty).partition(_.startsWith("#"))
+    // trim-filter: a whitespace-only line would otherwise become a
+    // phantom sample row with family_id "" polluting pedigree joins
+    val (headerLines, body) = lines.filter(_.trim.nonEmpty).partition(_.startsWith("#"))
     val extras: Seq[String] = headerLines.lastOption match {
       case Some(hl) =>
         val cols = hl.stripPrefix("#").trim.split("""\s+""").toSeq
@@ -39,8 +41,20 @@ object PedSource {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), sch)
   }
 
+  /** PED files are dim-sized: read driver-side via Hadoop FileSystem
+    * (cluster URIs work) with transparent gunzip — the same path
+    * BedSource/VcfReader use, and for the same reason: a local-only or
+    * compression-blind read silently parses garbage.
+    */
   def fromPath(spark: SparkSession, path: String): DataFrame = {
-    val src = scala.io.Source.fromFile(path)
-    try fromLines(spark, src.getLines().toSeq) finally src.close()
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(hp)
+    try {
+      val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+        VcfIo.maybeGunzip(path, in), "UTF-8"))
+      fromLines(spark,
+        Iterator.continually(reader.readLine()).takeWhile(_ != null).toVector)
+    } finally in.close()
   }
 }

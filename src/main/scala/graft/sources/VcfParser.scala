@@ -86,10 +86,13 @@ object VcfParser {
       else {
         val key = s.substring(i, eq).trim
         if (eq + 1 < s.length && s.charAt(eq + 1) == '"') {
-          val end = s.indexOf('"', eq + 2)
-          val stop = if (end < 0) s.length else end
-          out += key -> s.substring(eq + 2, stop)
-          i = stop + 2 // skip closing quote + comma
+          // closing quote scan skips backslash-escaped quotes (\" is
+          // legal inside Description per the VCF spec)
+          var j = eq + 2
+          while (j < s.length &&
+            !(s.charAt(j) == '"' && s.charAt(j - 1) != '\\')) j += 1
+          out += key -> s.substring(eq + 2, j).replace("\\\"", "\"")
+          i = j + 2 // skip closing quote + comma
         } else {
           val comma = s.indexOf(',', eq)
           val stop = if (comma < 0) s.length else comma
@@ -130,7 +133,10 @@ object VcfParser {
   private def opt(s: String): Option[String] = if (s == "." || s.isEmpty) None else Some(s)
 
   def parseRecord(line: String): Record = {
-    val f = line.split('\t')
+    // limit -1: a trailing EMPTY sample column must survive the split,
+    // or the genotype vector silently shrinks below the cohort width
+    // and every per-sample index join downstream mis-attributes
+    val f = line.split("\t", -1)
     val info: ListMap[String, String] =
       if (f.length <= 7 || f(7) == ".") ListMap.empty
       else ListMap.from(f(7).split(';').iterator.map { kv =>
@@ -164,6 +170,19 @@ object VcfParser {
     } catch { case scala.util.control.NonFatal(_) => None }
 
   // ------------------------------------------------------------- genotypes
+
+  /** VEP's minimised-allele form of an ALT (the CSQ `Allele` field):
+    * SNVs keep the alt; indels sharing their leading base with REF drop
+    * it ("-" when nothing remains). Needed to attach CSQ entries to
+    * indel alts — matching the raw ALT string alone silently drops
+    * every indel annotation.
+    */
+  def vepAllele(ref: String, alt: String): String =
+    if (ref.length == 1 && alt.length == 1) alt
+    else if (ref.nonEmpty && alt.nonEmpty && ref(0) == alt(0)) {
+      val t = alt.drop(1)
+      if (t.isEmpty) "-" else t
+    } else alt
 
   /** Allele indices of a GT string ("0/1", "1|1", "./."); None = missing. */
   def gtAlleles(gt: String): Vector[Option[Int]] =

@@ -186,8 +186,11 @@ object VcfReader {
     val adIx = rec.formatKeys.indexOf("AD")
     val plIx = rec.formatKeys.indexOf("PL")
     // Per-sample, alt-independent arrays computed once per record.
-    val gts: Seq[String] =
-      if (gtIx < 0) Seq.empty else rec.genotypes.map(s => fmtAt(s, gtIx))
+    // fmtAt handles gtIx < 0 (FORMAT without GT) and truncated sample
+    // columns alike: the arrays stay cohort-width with "" → UNKNOWN,
+    // never shorter than the sample list (index-aligned consumers
+    // would silently mis-attribute on a short array).
+    val gts: Seq[String] = rec.genotypes.map(s => fmtAt(s, gtIx))
     val phases: Seq[Int] = gts.map(g => if (g.contains('|')) 1 else 0)
     val depths: Seq[Int] = rec.genotypes.map(s => fmtInt(s, dpIx))
     val quals: Seq[Int] = rec.genotypes.map(s => fmtInt(s, gqIx))
@@ -197,8 +200,7 @@ object VcfReader {
     rec.alts.zipWithIndex.map { case (alt, i0) =>
       val altIx = i0 + 1
       val gtTypes: Seq[Int] =
-        if (gtIx < 0) Seq.empty
-        else rec.genotypes.map(s => gtType(s(gtIx), altIx))
+        rec.genotypes.map(s => gtType(fmtAt(s, gtIx), altIx))
       val altDepths: Seq[Int] = rec.genotypes.map(s => adAt(s, adIx, altIx))
       // PL's flat diploid index for (j, k): k(k+1)/2 + j — this alt's
       // [0/0, 0/alt, alt/alt] triple after decompose
@@ -270,10 +272,13 @@ object VcfReader {
         val cons = if (consIx >= 0) vals(consIx).split('&').head else ""
         val rank = severityRank.getOrElse(cons, 99)
         val sev = severityBucket(cons)
-        // attach the entry to the alt its Allele field names (all alts if
-        // the annotation has no Allele column)
+        // attach the entry to the alt its Allele field names — raw ALT
+        // or VEP's minimised form (indel entries carry the latter; raw
+        // matching alone silently drops every indel annotation). All
+        // alts if the annotation has no Allele column.
         val alts =
-          if (alleleIx >= 0) rec.alts.filter(_ == vals(alleleIx))
+          if (alleleIx >= 0) rec.alts.filter(a =>
+            vals(alleleIx) == a || vals(alleleIx) == vepAllele(rec.ref, a))
           else rec.alts
         alts.map(alt => Row.fromSeq(
           Seq(rec.chrom, rec.pos, rec.ref, alt) ++ vals ++ Seq(rank, sev)))
@@ -347,10 +352,20 @@ object VcfReader {
     import spark.implicits._
     val chromLine = headerLines.find(_.startsWith("#CHROM")).getOrElse(
       throw new IllegalArgumentException("header template has no #CHROM line"))
+    // the same guard the batch DSv2 source enforces: a shard whose
+    // sample columns OR INFO/FORMAT declarations differ from the
+    // template fails the micro-batch loudly — a mismatched Number/Type
+    // would otherwise silently null-out every cell of that field
+    val declared = headerLines.filter(l =>
+      l.startsWith("##INFO=") || l.startsWith("##FORMAT=")).toSet
     val checked = spark.readStream.textFile(dir).map { l =>
       if (l.startsWith("#CHROM") && l != chromLine)
         throw new IllegalStateException(
           s"VCF shard header mismatch: expected '$chromLine' got '$l'")
+      if ((l.startsWith("##INFO=") || l.startsWith("##FORMAT=")) &&
+        !declared.contains(l))
+        throw new IllegalStateException(
+          s"VCF shard declares a field the header template does not: '$l'")
       l
     }
     variants(parseHeader(headerLines), checked)

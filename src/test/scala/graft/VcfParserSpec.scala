@@ -111,4 +111,25 @@ class VcfParserEdgeSpec extends org.scalatest.funsuite.AnyFunSuite {
     val r = parseRecord("1\t5\t.\tA\tC\t.\t.\t.")
     assert(r.info.isEmpty)
   }
+
+  test("trailing empty sample columns keep the genotype vector cohort-width") {
+    val r = parseRecord("1\t5\t.\tA\tC\t.\t.\t.\tGT\t0/1\t\t")
+    assert(r.genotypes.length == 3, "empty trailing samples must survive")
+    assert(r.genotypes(1) == Vector("") && r.genotypes(2) == Vector(""))
+  }
+
+  test("escaped quotes inside Description parse whole") {
+    val m = parseKvList(
+      """ID=CSQ,Number=.,Type=String,Description="Ann. \"Format:\" A|B"""")
+    assert(m("Description") == """Ann. "Format:" A|B""")
+    assert(m("Number") == ".")
+  }
+
+  test("vepAllele minimises indel alts the way VEP's CSQ Allele does") {
+    assert(vepAllele("T", "A") == "A") // SNV unchanged
+    assert(vepAllele("T", "TA") == "A") // insertion drops shared base
+    assert(vepAllele("TA", "T") == "-") // deletion becomes '-'
+    assert(vepAllele("TAC", "TG") == "G")
+    assert(vepAllele("C", "GA") == "GA") // no shared base: unchanged
+  }
 }

@@ -82,6 +82,42 @@ class VcfReaderSpec extends SparkSpec {
     assert(ints(r, "gt_phred_ll_homref").forall(_ == -1))
   }
 
+  test("FORMAT without GT still yields cohort-width unknown gt arrays") {
+    val lines = Vector(
+      "##fileformat=VCFv4.2",
+      "##FORMAT=<ID=DP,Number=1,Type=Integer,Description=\"Read depth\">",
+      Seq("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO",
+        "FORMAT", "s1", "s2", "s3").mkString("\t"),
+      Seq("1", "100", ".", "A", "G", "99", "PASS", ".", "DP",
+        "10", "12", "9").mkString("\t"))
+    val (_, variants, _) = VcfReader.fromLines(spark, lines)
+    val r = variants.collect().head
+    def ints(c: String) = r.getAs[scala.collection.Seq[Int]](c).toSeq
+    assert(ints("gt_types") == Seq(2, 2, 2), "no GT -> UNKNOWN, full width")
+    assert(r.getAs[scala.collection.Seq[String]]("gts").toSeq == Seq("", "", ""))
+    assert(ints("gt_depths") == Seq(10, 12, 9))
+    assert(r.getAs[Int]("num_unknown") == 3)
+  }
+
+  test("CSQ entries with VEP-minimised indel alleles attach to their alt") {
+    val lines = Vector(
+      "##fileformat=VCFv4.2",
+      "##INFO=<ID=CSQ,Number=.,Type=String,Description=\"Consequence annotations from Ensembl VEP. Format: Allele|Consequence|SYMBOL\">",
+      Seq("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO").mkString("\t"),
+      // insertion T>TA: VEP Allele = 'A'; deletion TA>T: Allele = '-'
+      Seq("1", "100", ".", "T", "TA", "99", "PASS",
+        "CSQ=A|frameshift_variant|G1").mkString("\t"),
+      Seq("1", "200", ".", "TA", "T", "99", "PASS",
+        "CSQ=-|inframe_deletion|G2").mkString("\t"))
+    val (_, _, impacts) = VcfReader.fromLines(spark, lines)
+    val rows = impacts.orderBy("pos").collect()
+    assert(rows.length == 2, "indel annotations must not drop")
+    assert(rows(0).getAs[String]("alt") == "TA" &&
+      rows(0).getAs[String]("consequence") == "frameshift_variant")
+    assert(rows(1).getAs[String]("alt") == "T" &&
+      rows(1).getAs[String]("consequence") == "inframe_deletion")
+  }
+
   test("gt_phases flags phased calls") {
     val lines = Vector(
       "##fileformat=VCFv4.2",
@@ -137,6 +173,26 @@ class VcfReaderSpec extends SparkSpec {
         "phenotype", "ethnicity"))
     val rows = df.orderBy("sample_id").collect()
     assert(rows.map(_.getAs[String]("ethnicity")).toSeq == Seq("eur", "afr"))
+  }
+
+  test("PED source: whitespace lines skipped; gzipped path reads transparently") {
+    val df = PedSource.fromLines(spark, Seq(
+      "#family_id sample_id paternal_id maternal_id sex phenotype",
+      "fam1 s1 -9 -9 1 2",
+      "   ", // must not become a phantom sample
+      ""))
+    assert(df.count() == 1)
+    val dir = java.nio.file.Files.createTempDirectory("ped_gz")
+    val gz = dir.resolve("cohort.ped.gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(gz))
+    out.write(("#family_id sample_id paternal_id maternal_id sex phenotype\n" +
+      "fam1 s1 -9 -9 1 2\nfam1 s2 s1 -9 2 1\n").getBytes("UTF-8"))
+    out.close()
+    val back = PedSource.fromPath(spark, gz.toString)
+    assert(back.count() == 2)
+    assert(back.orderBy("sample_id").collect().map(_.getString(1)).toSeq ==
+      Seq("s1", "s2"))
   }
 
   test("vcf_header raw lines preserved (reference's vcf_header table)") {

@@ -247,7 +247,19 @@ private[sources] class VcfScan(paths: Seq[String], header: Vector[String],
           val hp = new Path(p)
           val fs = FileSystem.get(hp.toUri, conf.value)
           val ordered = splits.sortBy(_.start)
-          val keys = ordered.map(sp => firstKeyAt(fs, hp, sp.start))
+          // boundary sampling fans out on a thread pool: at 100 TB the
+          // split count is in the hundreds of thousands, and one
+          // sequential open/seek/read per boundary would stall query
+          // planning for minutes on object storage
+          val keys = {
+            import scala.concurrent.{Await, Future}
+            import scala.concurrent.ExecutionContext.Implicits.global
+            import scala.concurrent.duration.Duration
+            Await.result(
+              Future.sequence(ordered.map(sp =>
+                Future(firstKeyAt(fs, hp, sp.start)))),
+              Duration.Inf)
+          }
           ordered.zipWithIndex.filterNot { case (_, i) =>
             VcfScan.prunable(region, keys(i),
               if (i + 1 < keys.length) keys(i + 1) else None)
@@ -400,12 +412,16 @@ private[sources] class VcfPartitionReader(part: VcfInputPartition,
     stream.readLine()
   }
 
+  // pruning reaches the PARSER, not just the row conversion: unneeded
+  // INFO coercions and per-sample arrays are never computed (their
+  // full-arity slots stay null and keepIx never reads them)
+  private val neededSet: Set[String] = requiredNames.toSet
   private def rowsOf(line: String): Iterator[InternalRow] = {
     val rows =
       if (permissive)
-        try VcfReader.decomposedRows(header, line)
+        try VcfReader.decomposedRows(header, line, neededSet)
         catch { case scala.util.control.NonFatal(_) => Seq.empty }
-      else VcfReader.decomposedRows(header, line)
+      else VcfReader.decomposedRows(header, line, neededSet)
     rows.iterator.map { row =>
       val pruned = org.apache.spark.sql.Row.fromSeq(keepIx.map(row.get).toSeq)
       toCatalyst(pruned).asInstanceOf[InternalRow]

@@ -178,51 +178,89 @@ object VcfReader {
     if (gIx >= parts.length || parts(gIx) == ".") Missing
     else try parts(gIx).toInt catch { case _: NumberFormatException => Missing }
 
-  /** One decomposed variant row per (record, alt). */
-  private def variantRows(h: Header, specs: Seq[FieldSpec], rec: Record): Seq[Row] = {
+  /** One decomposed variant row per (record, alt). `needed` gates the
+    * expensive per-column work (INFO coercion, per-sample arrays): a
+    * pruned scan leaves unneeded slots null — the row keeps FULL-schema
+    * arity, the projection downstream never reads those slots, and a
+    * 2-column query over a 100-INFO, 1000-sample VCF costs 2 columns of
+    * parse, not the whole record.
+    */
+  private def variantRows(h: Header, specs: Seq[FieldSpec], rec: Record,
+      needed: String => Boolean): Seq[Row] = {
     val gtIx = rec.formatKeys.indexOf("GT")
     val dpIx = rec.formatKeys.indexOf("DP")
     val gqIx = rec.formatKeys.indexOf("GQ")
     val adIx = rec.formatKeys.indexOf("AD")
     val plIx = rec.formatKeys.indexOf("PL")
+    val needStats = Seq("call_rate", "aaf", "num_hom_ref", "num_het",
+      "num_hom_alt", "num_unknown").exists(needed)
+    val needGtTypes = needStats || needed("gt_types")
+    val needGts = needed("gts") || needed("gt_phases")
+    val needPl = Seq("gt_phred_ll_homref", "gt_phred_ll_het",
+      "gt_phred_ll_homalt").exists(needed)
     // Per-sample, alt-independent arrays computed once per record.
     // fmtAt handles gtIx < 0 (FORMAT without GT) and truncated sample
     // columns alike: the arrays stay cohort-width with "" → UNKNOWN,
     // never shorter than the sample list (index-aligned consumers
     // would silently mis-attribute on a short array).
-    val gts: Seq[String] = rec.genotypes.map(s => fmtAt(s, gtIx))
-    val phases: Seq[Int] = gts.map(g => if (g.contains('|')) 1 else 0)
-    val depths: Seq[Int] = rec.genotypes.map(s => fmtInt(s, dpIx))
-    val quals: Seq[Int] = rec.genotypes.map(s => fmtInt(s, gqIx))
-    val refDepths: Seq[Int] = rec.genotypes.map(s => adAt(s, adIx, 0))
-    val pls: Seq[Array[String]] = rec.genotypes.map(s => plParts(s, plIx))
-    val plHomRef: Seq[Int] = pls.map(p => plAt(p, 0)) // alt-independent
+    val gts: Seq[String] =
+      if (needGts) rec.genotypes.map(s => fmtAt(s, gtIx)) else null
+    val phases: Seq[Int] =
+      if (needed("gt_phases")) gts.map(g => if (g.contains('|')) 1 else 0) else null
+    val depths: Seq[Int] =
+      if (needed("gt_depths")) rec.genotypes.map(s => fmtInt(s, dpIx)) else null
+    val quals: Seq[Int] =
+      if (needed("gt_quals")) rec.genotypes.map(s => fmtInt(s, gqIx)) else null
+    val refDepths: Seq[Int] =
+      if (needed("gt_ref_depths")) rec.genotypes.map(s => adAt(s, adIx, 0)) else null
+    val pls: Seq[Array[String]] =
+      if (needPl) rec.genotypes.map(s => plParts(s, plIx)) else null
+    val plHomRef: Seq[Int] =
+      if (needed("gt_phred_ll_homref")) pls.map(p => plAt(p, 0)) else null
     rec.alts.zipWithIndex.map { case (alt, i0) =>
       val altIx = i0 + 1
       val gtTypes: Seq[Int] =
-        rec.genotypes.map(s => gtType(fmtAt(s, gtIx), altIx))
-      val altDepths: Seq[Int] = rec.genotypes.map(s => adAt(s, adIx, altIx))
+        if (needGtTypes) rec.genotypes.map(s => gtType(fmtAt(s, gtIx), altIx))
+        else null
+      val altDepths: Seq[Int] =
+        if (needed("gt_alt_depths")) rec.genotypes.map(s => adAt(s, adIx, altIx))
+        else null
       // PL's flat diploid index for (j, k): k(k+1)/2 + j — this alt's
       // [0/0, 0/alt, alt/alt] triple after decompose
       val half = altIx * (altIx + 1) / 2
-      val plHet: Seq[Int] = pls.map(p => plAt(p, half))
-      val plHomAlt: Seq[Int] = pls.map(p => plAt(p, half + altIx))
-      val st = gtStats(gtTypes)
-      val infoVals = specs.map(s => infoValue(s, rec.info.get(s.id), altIx))
+      val plHet: Seq[Int] =
+        if (needed("gt_phred_ll_het")) pls.map(p => plAt(p, half)) else null
+      val plHomAlt: Seq[Int] =
+        if (needed("gt_phred_ll_homalt")) pls.map(p => plAt(p, half + altIx))
+        else null
+      val st = if (needStats) gtStats(gtTypes) else null
+      val infoVals = specs.map(s =>
+        if (needed(sanitize(s.id))) infoValue(s, rec.info.get(s.id), altIx)
+        else null)
       Row.fromSeq(
         Seq(rec.chrom, rec.pos, rec.id.orNull, rec.ref, alt,
           rec.qual.map(Double.box).orNull, rec.filter.orNull) ++ infoVals ++
-          Seq(st.callRate, st.aaf, st.numHomRef, st.numHet, st.numHomAlt,
-            st.numUnknown, gtTypes, gts, depths, refDepths, altDepths, quals,
+          // Seq[Any] explicitly: an unascribed Seq(Double, …, Int, …)
+          // unifies to Seq[Double] and silently WIDENS the int stats
+          (if (st == null) Seq[Any](null, null, null, null, null, null)
+           else Seq[Any](st.callRate, st.aaf, st.numHomRef, st.numHet,
+             st.numHomAlt, st.numUnknown)) ++
+          Seq(if (needed("gt_types")) gtTypes else null,
+            if (needed("gts")) gts else null,
+            depths, refDepths, altDepths, quals,
             plHomRef, plHet, plHomAlt, phases))
     }
   }
 
   /** Decomposed variant rows of one body line (shared by the Dataset
-    * path below and the DataSourceV2 PartitionReader).
+    * path below and the DataSourceV2 PartitionReader); the pruned form
+    * computes only the columns `needed` accepts.
     */
   def decomposedRows(h: Header, line: String): Seq[Row] =
-    variantRows(h, infoSpecs(h), parseRecord(line))
+    decomposedRows(h, line, _ => true)
+
+  def decomposedRows(h: Header, line: String, needed: String => Boolean): Seq[Row] =
+    variantRows(h, infoSpecs(h), parseRecord(line), needed)
 
   def variants(h: Header, body: Dataset[String], permissive: Boolean = false): DataFrame = {
     val schema = variantSchema(h)
@@ -231,11 +269,11 @@ object VcfReader {
     if (permissive)
       body.filter(isBodyLine _).mapPartitions(_.flatMap(l =>
         VcfParser.tryParseRecord(l).toSeq.flatMap(r =>
-          try variantRows(h, specs, r)
+          try variantRows(h, specs, r, _ => true)
           catch { case scala.util.control.NonFatal(_) => Seq.empty })))
     else
       body.filter(isBodyLine _)
-        .mapPartitions(_.flatMap(l => variantRows(h, specs, parseRecord(l))))
+        .mapPartitions(_.flatMap(l => variantRows(h, specs, parseRecord(l), _ => true)))
   }
 
   // ------------------------------------------------------------- impacts

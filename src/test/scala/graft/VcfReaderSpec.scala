@@ -175,6 +175,27 @@ class VcfReaderSpec extends SparkSpec {
     assert(rows.map(_.getAs[String]("ethnicity")).toSeq == Seq("eur", "afr"))
   }
 
+  test("pruned decomposedRows leaves unneeded slots null, needed ones intact") {
+    import graft.sources.VcfParser
+    val h = VcfParser.parseHeader(VcfFixture.lines)
+    val body = VcfFixture.lines.filter(graft.sources.VcfParser.isBodyLine)
+    val full = VcfReader.decomposedRows(h, body.head)
+    val pruned = VcfReader.decomposedRows(h, body.head,
+      Set("chrom", "pos", "aaf"))
+    val schema = VcfReader.variantSchema(h)
+    def ix(n: String) = schema.fieldIndex(n)
+    assert(pruned.length == full.length)
+    val (p0, f0) = (pruned.head, full.head)
+    assert(p0.get(ix("chrom")) == f0.get(ix("chrom")))
+    assert(p0.get(ix("pos")) == f0.get(ix("pos")))
+    assert(p0.get(ix("aaf")) == f0.get(ix("aaf")), "aaf needs gt stats computed")
+    // unneeded expensive slots skipped (null), present in the full parse
+    Seq("dp", "gt_types", "gts", "gt_depths", "gt_quals", "gt_phases").foreach { c =>
+      assert(p0.get(ix(c)) == null, s"$c should be skipped in the pruned parse")
+      assert(f0.get(ix(c)) != null)
+    }
+  }
+
   test("PED source: whitespace lines skipped; gzipped path reads transparently") {
     val df = PedSource.fromLines(spark, Seq(
       "#family_id sample_id paternal_id maternal_id sex phenotype",

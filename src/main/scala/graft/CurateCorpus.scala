@@ -19,7 +19,8 @@ import graft.operators.{Dedup, Text}
   * Scale notes: each stage is the operator's own documented shape (no
   * new shuffles are introduced by the sequencing); stages persist
   * their survivor frame so the per-stage counts don't recompute the
-  * whole lineage.
+  * whole lineage, and each stage's input unpersists as soon as its
+  * successor materializes — peak cache holds ~2 stages, not all six.
   */
 object CurateCorpus {
 
@@ -69,6 +70,7 @@ object CurateCorpus {
       .filter($"doc_id" === $"_keep").drop("_keep")
       .persist()
     val nExact = exact.count()
+    input.unpersist() // dead once the exact stage materialized
 
     // 2. LINE-level dedup (t13 rewrite rule): corpus-duplicated lines
     //    keep only their global first occurrence; docs losing every
@@ -77,6 +79,7 @@ object CurateCorpus {
     //    Token-derived metadata refreshes with the rewritten text.
     val lineD = refreshNChars(Text.dedupLines(exact)).persist()
     val nLine = lineD.count()
+    exact.unpersist()
 
     // quality signals computed ONCE on the line-deduped text — the
     // survivor rule below and the quality cut both read them
@@ -100,6 +103,8 @@ object CurateCorpus {
       .drop("cluster_id")
       .persist()
     val nNear = near.count()
+    // the near frame carries everything downstream; its inputs are dead
+    lineD.unpersist(); scored.unpersist()
 
     // 4. quality + repetition cut (t02/t09 signals) — per-row codegen,
     //    shuffle-free
@@ -109,6 +114,7 @@ object CurateCorpus {
       .drop("q_score", "q_dup3")
       .persist()
     val nQuality = quality.count()
+    near.unpersist()
 
     // 5. decontamination (d08) on the RAW text — it must run before
     //    redaction, or contamination hidden behind a redacted span
@@ -128,7 +134,7 @@ object CurateCorpus {
     //    consistent with the rewritten text
     val redacted = refreshNChars(clean.withColumn("text", Text.redact($"text")))
     redacted.write.mode("overwrite").parquet(outDir)
-    Seq(input, exact, lineD, scored, near, quality).foreach(_.unpersist())
+    quality.unpersist()
     if (benchmark.isDefined) clean.unpersist()
     Report(nInput, nExact, nLine, nNear, nQuality, nClean)
   }
@@ -139,18 +145,8 @@ object CurateCorpus {
 
   /** CLI twin of [[Vcf2Db.main]]: curate a parquet corpus in one run. */
   def main(args: Array[String]): Unit = {
-    val (flags, positional) = args.partition(_.startsWith("--"))
-    val known = Set("benchmark", "min-score", "max-dup3", "min-jaccard")
-    flags.foreach { f =>
-      val ok = f.drop(2).split("=", 2) match {
-        case Array(name, _) => known(name)
-        case _ => false
-      }
-      require(ok, s"unrecognized or valueless flag '$f' (use --name=value)\n$usage")
-    }
-    def flag(name: String): Option[String] =
-      flags.collectFirst { case f if f.startsWith(s"--$name=") =>
-        f.substring(name.length + 3) }
+    val (flag, positional) = Cli.parse(args,
+      Set("benchmark", "min-score", "max-dup3", "min-jaccard"), usage)
     require(positional.length == 2, usage)
     val spark = GraftSession.build()
     try {

@@ -28,17 +28,19 @@ object Vcf2Db {
     * rank-1 side — it is |variants|-bounded, not |impacts|-bounded).
     */
   def denormalizeWorstImpact(variants: DataFrame, impacts: DataFrame): DataFrame = {
+    // annotator-agnostic column resolution: VEP names its fields
+    // Consequence/SYMBOL, SnpEff Annotation/Gene_Name — hardcoding one
+    // set crashes the whole load for the other annotator's VCFs
+    val consCol = graft.operators.Etl.consequenceCol(impacts)
     val w = Window.partitionBy("chrom", "pos", "ref", "alt")
-      .orderBy(col("severity_rank"), col("consequence"))
-    val geneCol =
-      if (impacts.columns.contains("symbol")) col("symbol")
-      else lit(null).cast("string")
+      .orderBy(col("severity_rank"), consCol)
+    val geneCol = graft.operators.Etl.geneCol(impacts)
     val worst = impacts
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("chrom").as("i_chrom"), col("pos").as("i_pos"),
         col("ref").as("i_ref"), col("alt").as("i_alt"),
-        geneCol.as("gene"), col("consequence").as("impact"),
+        geneCol.as("gene"), consCol.as("impact"),
         col("impact_severity"), col("severity_rank"))
     variants.join(worst,
       variants("chrom") === worst("i_chrom") && variants("pos") === worst("i_pos") &&
@@ -102,8 +104,16 @@ object Vcf2Db {
     // projection for all of them — a withColumn per (field, sample)
     // nests a Project node each, which is quadratic analyzer work at
     // cohort sample counts
+    // loud on typos (mirrors the CLI's strict flag validation — a
+    // silently-dropped misspelling used to mean "no columns, no error"),
+    // deduplicated so a repeated name can't fail the write late with a
+    // duplicate-column error
+    val expandNames = expand.distinct
+    val unknownExpand = expandNames.filterNot(denorm.columns.contains)
+    require(unknownExpand.isEmpty,
+      s"--expand names not in the variants schema: ${unknownExpand.mkString(", ")}")
     val expandCols = for {
-      f <- expand.filter(denorm.columns.contains)
+      f <- expandNames
       (name, i) <- header.samples.zipWithIndex
     } yield col(f).getItem(i).as(s"${f}_${graft.sources.VcfParser.sanitize(name)}")
     val expanded =
@@ -120,8 +130,12 @@ object Vcf2Db {
     pedPath.foreach { p =>
       DbSink.writeParquet(PedSource.fromPath(spark, p), s"$outDir/samples", 1)
     }
+    // self-describing blob codec: a synthetic header line records which
+    // codec packed the blobs, so readers don't have to trust call-site
+    // discipline (a snappy db read as zlib fails deep inside a query)
+    val headerOut = header.rawLines :+ s"##graft_blob_codec=$blobCodec"
     DbSink.writeParquet(
-      header.rawLines.zipWithIndex.map { case (l, i) => (i + 1, l) }
+      headerOut.zipWithIndex.map { case (l, i) => (i + 1, l) }
         .toDF("line_no", "line"),
       s"$outDir/vcf_header", 1)
   }
@@ -131,21 +145,8 @@ object Vcf2Db {
       "[--blob-codec=zlib|snappy] [--sorted-output=N]"
 
   def main(args: Array[String]): Unit = {
-    val (flags, positional) = args.partition(_.startsWith("--"))
-    val knownFlags = Set("expand", "blob-codec", "sorted-output")
-    // reject anything that isn't --name=value with a known name: the
-    // space-separated form (`--expand gt_types`) would otherwise shift
-    // its value into the positional slots and silently re-target outDir
-    flags.foreach { f =>
-      val ok = f.drop(2).split("=", 2) match {
-        case Array(name, _) => knownFlags(name)
-        case _ => false
-      }
-      require(ok, s"unrecognized or valueless flag '$f' (use --name=value)\n$usage")
-    }
-    def flag(name: String): Option[String] =
-      flags.collectFirst { case f if f.startsWith(s"--$name=") =>
-        f.substring(name.length + 3) }
+    val (flag, positional) =
+      Cli.parse(args, Set("expand", "blob-codec", "sorted-output"), usage)
     require(positional.length == 2 || positional.length == 3, usage)
     val (vcf, ped, out) =
       if (positional.length == 2) (positional(0), None, positional(1))
@@ -170,6 +171,12 @@ object GraftDb {
   /** GEMINI-style region filter: "chrom", "chrom:start-end", or
     * "chrom:pos" — plain chrom/pos comparisons, so they push down to
     * parquet (or to the vcf source's split pruning) untouched.
+    *
+    * Contig names carrying multiple ':' (GRCh38 HLA/ALT contigs like
+    * "HLA-A*01:01:01:01") can't be the simple form, so such specs fall
+    * back to a literal whole-name chrom match (samtools' resolution
+    * order); a single-':' spec with a malformed range is still rejected
+    * loudly — it is far more likely a typo than a contig name.
     */
   def region(df: DataFrame, spec: String): DataFrame = {
     val re = """^([^:]+)(?::(\d+)(?:-(\d+))?)?$""".r
@@ -182,21 +189,37 @@ object GraftDb {
           s"bad region '$spec': start ${start} > end ${end}")
         df.filter(col("chrom") === chrom &&
           col("pos") >= start.toLong && col("pos") <= end.toLong)
+      case s if s.count(_ == ':') >= 2 => df.filter(col("chrom") === s)
       case _ => throw new IllegalArgumentException(
         s"bad region '$spec' (want chrom[:start[-end]])")
     }
   }
+
+  /** The blob codec recorded at write time (absent for pre-marker
+    * databases → the zlib default).
+    */
+  def storedBlobCodec(spark: SparkSession, dir: String): Option[String] =
+    vcfHeader(spark, dir)
+      .filter(col("line").startsWith("##graft_blob_codec="))
+      .collect().headOption
+      .map(_.getAs[String]("line").stripPrefix("##graft_blob_codec="))
+
+  private def resolveCodec(spark: SparkSession, dir: String, codec: String): String =
+    if (codec == "auto") storedBlobCodec(spark, dir).getOrElse("zlib") else codec
 
   /** Variants with the ten genotype blobs unpacked back to typed arrays
     * (the reference's `--expand` read path). `codec` must match the one
     * the table was written with.
     */
   def expandGenotypes(spark: SparkSession, dir: String,
-      codec: String = "zlib"): DataFrame = {
+      codec: String = "auto"): DataFrame = {
     GraftFunctions.register(spark)
+    // "auto" (the default everywhere on the read side) resolves from
+    // the codec marker the writer recorded in vcf_header
+    val resolved = resolveCodec(spark, dir, codec)
     Vcf2Db.intArrayCols
       .foldLeft(variants(spark, dir))((df, c) =>
-        if (df.columns.contains(c)) df.withColumn(c, expr(s"${codec}_unpack($c)")) else df)
+        if (df.columns.contains(c)) df.withColumn(c, expr(s"${resolved}_unpack($c)")) else df)
       .transform(df =>
         if (df.columns.contains("gts")) df.withColumn("gts", expr("zlib_unpack_str(gts)"))
         else df)
@@ -229,12 +252,12 @@ object GraftDb {
     * mendel_error classification and compound-het pairs.
     */
   def inheritanceClassify(spark: SparkSession, dir: String,
-      codec: String = "zlib"): DataFrame =
+      codec: String = "auto"): DataFrame =
     graft.operators.Inheritance.classify(
       spark, expandGenotypes(spark, dir, codec), trios(spark, dir))
 
   def compHets(spark: SparkSession, dir: String,
-      codec: String = "zlib"): DataFrame =
+      codec: String = "auto"): DataFrame =
     graft.operators.Inheritance.compHets(
       spark, expandGenotypes(spark, dir, codec), impacts(spark, dir),
       trios(spark, dir))
@@ -245,7 +268,7 @@ object GraftDb {
     * scan).
     */
   def mendelSummary(spark: SparkSession, dir: String,
-      codec: String = "zlib"): DataFrame =
+      codec: String = "auto"): DataFrame =
     inheritanceClassify(spark, dir, codec)
       .groupBy(col("family_id"), col("child"), col("class"))
       .agg(count(lit(1)).as("n_variants"))
@@ -255,7 +278,7 @@ object GraftDb {
     * the samples table's sex column.
     */
   def xlinked(spark: SparkSession, dir: String,
-      codec: String = "zlib"): DataFrame =
+      codec: String = "auto"): DataFrame =
     graft.operators.Inheritance.xlinked(
       spark, expandGenotypes(spark, dir, codec),
       graft.operators.Inheritance.triosWithSex(
@@ -265,7 +288,7 @@ object GraftDb {
     * carries sex and the three phenotypes from the samples table.
     */
   def xlinkedDom(spark: SparkSession, dir: String,
-      codec: String = "zlib"): DataFrame =
+      codec: String = "auto"): DataFrame =
     graft.operators.Inheritance.xlinkedDom(
       spark, expandGenotypes(spark, dir, codec),
       graft.operators.Inheritance.triosWithSexPheno(
@@ -282,12 +305,12 @@ object GraftDb {
     graft.operators.Etl.geneBurden(spark, impacts(spark, dir))
 
   def sampleQc(spark: SparkSession, dir: String,
-      codec: String = "zlib"): DataFrame =
+      codec: String = "auto"): DataFrame =
     graft.operators.Etl.sampleQc(spark,
       expandGenotypes(spark, dir, codec), headerSamples(spark, dir))
 
   def roh(spark: SparkSession, dir: String, minSites: Int = 2,
-      codec: String = "zlib"): DataFrame =
+      codec: String = "auto"): DataFrame =
     graft.operators.Etl.roh(spark,
       expandGenotypes(spark, dir, codec), headerSamples(spark, dir), minSites)
 
@@ -308,7 +331,7 @@ object GraftDb {
     * VCF) are skipped.
     */
   def createViews(spark: SparkSession, dir: String,
-      codec: String = "zlib"): Unit = {
+      codec: String = "auto"): Unit = {
     def exists(path: String): Boolean = {
       val p = new org.apache.hadoop.fs.Path(path)
       p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)

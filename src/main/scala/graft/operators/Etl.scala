@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -495,10 +495,26 @@ object Etl {
   def e21(s: SparkSession, dir: String): DataFrame =
     geneBurden(s, VcfReader.fromLines(s, VcfFixture.lines)._3)
 
+  /** The impacts table's gene-label column across annotators — VEP CSQ
+    * writes `SYMBOL`, SnpEff ANN `Gene_Name`, BCFtools BCSQ `gene`
+    * (sanitized names). NULL literal when the header declares none, so
+    * gene-keyed queries degrade instead of crashing on a non-VEP db.
+    */
+  def geneCol(df: DataFrame): Column =
+    Seq("symbol", "gene_name", "gene").find(df.columns.contains)
+      .map(col).getOrElse(lit(null).cast("string"))
+
+  /** Same resolution for the consequence-term column (VEP/BCSQ
+    * `Consequence`, SnpEff `Annotation`).
+    */
+  def consequenceCol(df: DataFrame): Column =
+    Seq("consequence", "annotation").find(df.columns.contains)
+      .map(col).getOrElse(lit(null).cast("string"))
+
   def geneBurden(s: SparkSession, impacts: DataFrame): DataFrame = {
     import s.implicits._
     impacts
-      .groupBy($"symbol", $"impact_severity")
+      .groupBy(geneCol(impacts).as("symbol"), $"impact_severity")
       .agg(count(lit(1)).as("n_impacts"),
         countDistinct($"chrom", $"pos", $"alt").as("n_variants"))
       .orderBy($"symbol", $"impact_severity")

@@ -185,7 +185,8 @@ object Inheritance {
   def compHets(s: SparkSession, variants: DataFrame, impacts: DataFrame,
       trios: DataFrame): DataFrame = {
     import s.implicits._
-    val genes = impacts.select($"chrom", $"pos", $"alt", $"symbol".as("gene"))
+    val genes = impacts
+      .select($"chrom", $"pos", $"alt", Etl.geneCol(impacts).as("gene"))
       .distinct()
     val (gtC, gtF, gtM) = (element_at($"gt_types", $"c_ix"),
       element_at($"gt_types", $"d_ix"), element_at($"gt_types", $"m_ix"))

@@ -39,16 +39,25 @@ object VcfParser {
     val annKey: Option[String] =
       Seq("CSQ", "ANN", "BCSQ").find(infos.contains)
 
-    /** Annotation sub-field names parsed from the Description's
-      * `... Format: Allele|Consequence|...` suffix.
+    /** Annotation sub-field names parsed from the Description — VEP's
+      * `... Format: Allele|Consequence|...` suffix, or SnpEff's
+      * `Functional annotations: 'Allele | Annotation | ...'` quoted
+      * pipe list (no Format: marker).
       */
     val annFields: Vector[String] = annKey match {
       case Some(k) =>
         val d = infos(k).description
         val i = d.lastIndexOf("Format:")
-        if (i < 0) Vector.empty
-        else d.substring(i + "Format:".length).trim
-          .stripSuffix("\"").stripSuffix("'")
+        val payload =
+          if (i >= 0) d.substring(i + "Format:".length)
+          else {
+            val j = d.indexOf(':')
+            if (j >= 0 && d.substring(j + 1).contains('|')) d.substring(j + 1)
+            else ""
+          }
+        if (payload.isEmpty) Vector.empty
+        else payload.trim
+          .stripPrefix("'").stripSuffix("\"").stripSuffix("'")
           .split('|').map(_.trim).toVector
       case None => Vector.empty
     }

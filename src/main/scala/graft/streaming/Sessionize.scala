@@ -74,9 +74,20 @@ object Sessionize {
           case Some(c) if e.ts.getTime - c.t_end.getTime > GapMs =>
             closed += close(user, c)
             cur = Some(SessState(c.session_id + 1, 1L, e.ts, e.ts))
+          case Some(c) if c.t_start.getTime - e.ts.getTime > GapMs =>
+            // a late event more than a GAP older than the open session
+            // belongs to its OWN session under the batch semantics —
+            // merging it would silently stretch the session backwards.
+            // It closes immediately with the lower (chronological) id
+            // and the open session renumbers above it. Exact whenever
+            // the watermark delay ≤ gap (such events are then dropped
+            // upstream); beyond that, an approximation that never
+            // merges and keeps (user, session_id) unique.
+            closed += Session(user, c.session_id, 1L, e.ts, e.ts)
+            cur = Some(c.copy(session_id = c.session_id + 1))
           case Some(c) =>
-            // a late event (cross-batch, still within watermark) may be
-            // older than the open session's bounds — extend monotonically
+            // a late event (cross-batch, still within watermark) within
+            // a gap of the open session's bounds — extend monotonically
             cur = Some(c.copy(n_events = c.n_events + 1,
               t_start = if (e.ts.before(c.t_start)) e.ts else c.t_start,
               t_end = if (e.ts.after(c.t_end)) e.ts else c.t_end))

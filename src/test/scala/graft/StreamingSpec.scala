@@ -73,6 +73,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a late event more than a gap before the open session splits, never merges") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // 3h watermark delay: a 60-min-late event is legal input
+    val q = Sessionize.sessions(input.toDS().withWatermark("ts", "3 hours"))
+      .writeStream.format("memory").queryName("late_split_out")
+      .outputMode("append").start()
+    try {
+      input.addData(Event(1, ts(60), 1, "view"), Event(2, ts(65), 1, "view"))
+      q.processAllAvailable()
+      input.addData(Event(3, ts(0), 1, "view")) // 60 min before t_start
+      q.processAllAvailable()
+      input.addData(Event(4, ts(600), 1, "view")) // closes the open session
+      q.processAllAvailable()
+      val out = spark.table("late_split_out").collect()
+        .map(r => (r.getAs[Long]("session_id"), r.getAs[Long]("n_events"),
+          r.getAs[Timestamp]("t_start")))
+        .sortBy(_._1)
+      // batch semantics: [ts0] alone, then [ts60, ts65] — never one
+      // stretched session of 3 events
+      assert(out.length == 2)
+      assert(out(0) == ((1L, 1L, ts(0))))
+      assert(out(1) == ((2L, 2L, ts(60))))
+    } finally q.stop()
+  }
+
   test("a >24h event-time jump does not crash the gap-timeout handler") {
     // the tombstone's TTL timestamp (t_end + 24h) can be BELOW the
     // watermark after a backfill-style jump; setTimeoutTimestamp must be

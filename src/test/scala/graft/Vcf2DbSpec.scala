@@ -37,7 +37,7 @@ class Vcf2DbSpec extends SparkSpec {
     assert(samples.count() == 4)
     assert(samples.columns.contains("sample_id"))
     val header = GraftDb.vcfHeader(spark, out)
-    assert(header.count() == 13)
+    assert(header.count() == 14) // 13 raw lines + the blob-codec marker
     assert(header.orderBy("line_no").head().getAs[String]("line") ==
       "##fileformat=VCFv4.2")
 
@@ -143,6 +143,46 @@ class Vcf2DbSpec extends SparkSpec {
       Seq(("1", 200L, "T", "stop_gained"), ("2", 300L, "T", "frameshift_variant")))
   }
 
+  test("SnpEff ANN-annotated VCF loads end-to-end with annotator-agnostic columns") {
+    val lines = Vector(
+      "##fileformat=VCFv4.2",
+      "##INFO=<ID=ANN,Number=.,Type=String,Description=\"Functional annotations: " +
+        "'Allele | Annotation | Annotation_Impact | Gene_Name'\">",
+      "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"Genotype\">",
+      Seq("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO",
+        "FORMAT", "s1").mkString("\t"),
+      Seq("1", "100", ".", "A", "G", "99", "PASS",
+        "ANN=G|missense_variant|MODERATE|GENE1,G|synonymous_variant|LOW|GENE1",
+        "GT", "0/1").mkString("\t"))
+    val dir = Files.createTempDirectory("vcf2db_ann")
+    val vcf = dir.resolve("in.vcf")
+    Files.writeString(vcf, lines.mkString("\n") + "\n")
+    val out = dir.resolve("db").toString
+    Vcf2Db.run(spark, vcf.toString, None, out)
+    // worst impact denormalizes from the ANN fields (Annotation /
+    // Gene_Name instead of VEP's Consequence / SYMBOL)
+    val v = GraftDb.variants(spark, out).head()
+    assert(v.getAs[String]("gene") == "GENE1")
+    assert(v.getAs[String]("impact") == "missense_variant")
+    assert(v.getAs[String]("impact_severity") == "MED")
+    // gene-keyed read surface resolves gene_name
+    val burden = GraftDb.geneBurden(spark, out).collect()
+    assert(burden.map(_.getAs[String]("symbol")).toSet == Set("GENE1"))
+  }
+
+  test("snappy-written db reads back with the default auto codec") {
+    val dir = Files.createTempDirectory("vcf2db_auto")
+    val vcf = dir.resolve("in.vcf")
+    Files.writeString(vcf, VcfFixture.lines.mkString("\n") + "\n")
+    val out = dir.resolve("db").toString
+    Vcf2Db.run(spark, vcf.toString, None, out, blobCodec = "snappy")
+    assert(GraftDb.storedBlobCodec(spark, out).contains("snappy"))
+    // no codec argument: the marker drives the unpack
+    val e100 = GraftDb.expandGenotypes(spark, out).filter("pos = 100").head()
+    assert(e100.getAs[scala.collection.Seq[Int]]("gt_types").toSeq ==
+      Seq(1, 0, 0, 3))
+  }
+
   test("sorted-output writes range-disjoint variant slabs that read back whole") {
     val dir = Files.createTempDirectory("vcf2db_sorted")
     val vcf = dir.resolve("in.vcf")
@@ -218,6 +258,9 @@ class Vcf2DbSpec extends SparkSpec {
     assert(GraftDb.region(df, "1:50-200").count() == 1)
     assert(GraftDb.region(df, "2:90-110").count() == 1)
     intercept[IllegalArgumentException](GraftDb.region(df, "1:x-y"))
+    // GRCh38 HLA/ALT contig names carry multiple ':' — whole-name match
+    val hla = Seq(("HLA-A*01:01:01:01", 5L)).toDF("chrom", "pos")
+    assert(GraftDb.region(hla, "HLA-A*01:01:01:01").count() == 1)
   }
 
   test("annotation-less VCF (no CSQ/ANN) loads without an impacts table") {

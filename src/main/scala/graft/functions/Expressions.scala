@@ -25,12 +25,25 @@ object Kernels {
     override def initialValue() = new java.util.zip.Deflater()
   }
 
+  /** Null array elements are REJECTED loudly: the fixed-width int32
+    * blob format has no null encoding, and UnsafeArrayData would
+    * otherwise silently read a null slot as 0 — corrupt data with no
+    * diagnostic. (The VCF arrays use -1 as their missing sentinel and
+    * never carry nulls.)
+    */
+  private def intAt(arr: ArrayData, i: Int): Int = {
+    if (arr.isNullAt(i))
+      throw new IllegalArgumentException(
+        s"pack: null array element at index $i (int32 blobs have no null encoding; use a sentinel)")
+    arr.getInt(i)
+  }
+
   def zlibPackInts(arr: ArrayData): Array[Byte] = {
     val n = arr.numElements()
     val raw = java.nio.ByteBuffer.allocate(4 * n)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     var i = 0
-    while (i < n) { raw.putInt(arr.getInt(i)); i += 1 }
+    while (i < n) { raw.putInt(intAt(arr, i)); i += 1 }
     val d = deflaters.get()
     d.reset()
     d.setInput(raw.array()); d.finish()
@@ -71,6 +84,8 @@ object Kernels {
   def zlibUnpackInts(blob: Array[Byte]): ArrayData = {
     val bytes = java.nio.ByteBuffer.wrap(inflateFully(blob, 4 * blob.length))
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    if (bytes.remaining() % 4 != 0) // same corrupt-input policy as the string unpack
+      throw new java.util.zip.DataFormatException("truncated int32 payload")
     val ints = new Array[Any](bytes.remaining() / 4)
     var i = 0
     while (i < ints.length) { ints(i) = bytes.getInt(); i += 1 }
@@ -88,7 +103,11 @@ object Kernels {
     val out = new java.io.ByteArrayOutputStream(16 * (n + 1))
     var i = 0
     while (i < n) {
-      out.write(arr.getUTF8String(i).getBytes)
+      val u = arr.getUTF8String(i)
+      if (u == null)
+        throw new IllegalArgumentException(
+          s"zlib_pack_str: null array element at index $i (NUL-terminated format has no null encoding)")
+      out.write(u.getBytes)
       out.write(0)
       i += 1
     }
@@ -132,7 +151,7 @@ object Kernels {
     val raw = java.nio.ByteBuffer.allocate(4 * n)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     var i = 0
-    while (i < n) { raw.putInt(arr.getInt(i)); i += 1 }
+    while (i < n) { raw.putInt(intAt(arr, i)); i += 1 }
     org.xerial.snappy.Snappy.compress(raw.array())
   }
 
@@ -141,6 +160,8 @@ object Kernels {
     val bytes = java.nio.ByteBuffer
       .wrap(org.xerial.snappy.Snappy.uncompress(blob))
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    if (bytes.remaining() % 4 != 0)
+      throw new java.util.zip.DataFormatException("truncated int32 payload")
     val ints = new Array[Any](bytes.remaining() / 4)
     var i = 0
     while (i < ints.length) { ints(i) = bytes.getInt(); i += 1 }
@@ -211,6 +232,8 @@ object Kernels {
     * minus that formulation's surprise for size < n (Spark's
     * `sequence(0, -1)` counts DOWN; here short docs just yield []).
     */
+  private val Space = UTF8String.fromString(" ")
+
   def wordShingles(toks: ArrayData, n: Int): ArrayData = {
     val cnt = toks.numElements()
     val seen = new java.util.LinkedHashSet[UTF8String]()
@@ -219,7 +242,7 @@ object Kernels {
       val parts = new Array[UTF8String](n)
       var j = 0
       while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
-      seen.add(UTF8String.concatWs(UTF8String.fromString(" "), parts: _*))
+      seen.add(UTF8String.concatWs(Space, parts: _*))
       i += 1
     }
     new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size())))
@@ -243,13 +266,16 @@ object Kernels {
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
-      val h = fnv64(tokens.getUTF8String(i))
+      val t = tokens.getUTF8String(i)
+      if (t == null) { i += 1 } else { // null tokens cast no vote (minhash_sig-style tolerance)
+      val h = fnv64(t)
       var j = 0
       while (j < 64) {
         if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
         j += 1
       }
       i += 1
+      }
     }
     var out = 0L
     var j = 0
@@ -295,6 +321,11 @@ object Kernels {
 
 /** `zlib_pack(array<int>) → binary` */
 case class ZlibPack(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<int>, got $t")
+  }
   override def dataType: DataType = BinaryType
   override protected def nullSafeEval(input: Any): Any =
     Kernels.zlibPackInts(input.asInstanceOf[ArrayData])
@@ -306,6 +337,11 @@ case class ZlibPack(child: Expression) extends UnaryExpression {
 
 /** `zlib_unpack(binary) → array<int>` */
 case class ZlibUnpack(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects binary, got $t")
+  }
   override def dataType: DataType = ArrayType(IntegerType)
   override protected def nullSafeEval(input: Any): Any =
     Kernels.zlibUnpackInts(input.asInstanceOf[Array[Byte]])
@@ -317,6 +353,11 @@ case class ZlibUnpack(child: Expression) extends UnaryExpression {
 
 /** `zlib_pack_str(array<string>) → binary` */
 case class ZlibPackStr(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<string>, got $t")
+  }
   override def dataType: DataType = BinaryType
   override protected def nullSafeEval(input: Any): Any =
     Kernels.zlibPackStrings(input.asInstanceOf[ArrayData])
@@ -328,6 +369,11 @@ case class ZlibPackStr(child: Expression) extends UnaryExpression {
 
 /** `zlib_unpack_str(binary) → array<string>` */
 case class ZlibUnpackStr(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects binary, got $t")
+  }
   override def dataType: DataType = ArrayType(StringType)
   override protected def nullSafeEval(input: Any): Any =
     Kernels.zlibUnpackStrings(input.asInstanceOf[Array[Byte]])
@@ -339,6 +385,11 @@ case class ZlibUnpackStr(child: Expression) extends UnaryExpression {
 
 /** `snappy_pack(array<int>) → binary` */
 case class SnappyPack(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<int>, got $t")
+  }
   override def dataType: DataType = BinaryType
   override protected def nullSafeEval(input: Any): Any =
     Kernels.snappyPackInts(input.asInstanceOf[ArrayData])
@@ -350,6 +401,11 @@ case class SnappyPack(child: Expression) extends UnaryExpression {
 
 /** `snappy_unpack(binary) → array<int>` */
 case class SnappyUnpack(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects binary, got $t")
+  }
   override def dataType: DataType = ArrayType(IntegerType)
   override protected def nullSafeEval(input: Any): Any =
     Kernels.snappyUnpackInts(input.asInstanceOf[Array[Byte]])
@@ -441,6 +497,11 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 
 /** `simhash64(array<string>) → bigint` */
 case class SimHash64(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<string>, got $t")
+  }
   override def dataType: DataType = LongType
   override protected def nullSafeEval(input: Any): Any =
     Kernels.simHash64(input.asInstanceOf[ArrayData])
@@ -452,6 +513,11 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
 /** `rolling_minhash(string) → bigint` (16-char windows) */
 case class RollingMinHash(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects string, got $t")
+  }
   override def dataType: DataType = LongType
   override protected def nullSafeEval(input: Any): Any =
     Kernels.rollingMinHash(input.asInstanceOf[UTF8String], 16)
@@ -474,7 +540,14 @@ object GraftFunctions {
   private[functions] val shinglesBuilder: Seq[Expression] => Expression = { es =>
     require(es.length == 2, "shingles(array<string>, n) takes exactly 2 arguments")
     val n = es(1) match {
-      case e if e.foldable => Option(e.eval()).collect { case x: Number => x.intValue() }
+      // integral literals only — Number.intValue would silently
+      // TRUNCATE a long or decimal (shingles(t, 2.9) must not mean 2)
+      case e if e.foldable => Option(e.eval()).collect {
+        case x: java.lang.Integer => x.intValue()
+        case x: java.lang.Short => x.intValue()
+        case x: java.lang.Byte => x.intValue()
+        case x: java.lang.Long if x.longValue().isValidInt => x.intValue()
+      }
       case _ => None
     }
     WordShingles(es(0), n.getOrElse(throw new IllegalArgumentException(

@@ -30,7 +30,12 @@ object DbSink {
     props.setProperty("batchsize", conf.batchSize.toString)
     props.setProperty("isolationLevel", conf.isolationLevel)
     props.setProperty("truncate", conf.truncate.toString)
-    df.coalesce(conf.numPartitions).write.mode(mode).jdbc(conf.url, conf.table, props)
+    // the JDBC writer's own numPartitions option caps connection
+    // parallelism (it coalesces only when the frame exceeds the cap) —
+    // the engine owns that logic; a hand-rolled coalesce would
+    // duplicate it
+    props.setProperty("numPartitions", conf.numPartitions.toString)
+    df.write.mode(mode).jdbc(conf.url, conf.table, props)
   }
 
   /** Container-friendly fallback: same "bounded writer parallelism"

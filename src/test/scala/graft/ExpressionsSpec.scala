@@ -75,4 +75,38 @@ class ExpressionsSpec extends SparkSpec {
         "aggregate(zip_with(v, v, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0e0, (acc, w) -> acc + w) AS slow")
     assert(df.filter("fast != slow").count() == 0)
   }
+
+  test("mistyped arguments fail analysis, not at runtime") {
+    graft.functions.GraftFunctions.register(spark)
+    def fails(sql: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql).collect())
+      assert(e.isInstanceOf[org.apache.spark.sql.AnalysisException] ||
+        e.getMessage.contains("expects"), s"wanted analysis failure for: $sql")
+    }
+    fails("SELECT zlib_pack(array('a', 'b'))")
+    fails("SELECT zlib_unpack('abc')")
+    fails("SELECT snappy_pack('xyz')")
+    fails("SELECT simhash64('not-an-array')")
+    fails("SELECT rolling_minhash(array('a'))")
+    fails("SELECT zlib_pack_str(array(1, 2))")
+  }
+
+  test("null array elements are rejected by pack, tolerated by simhash") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = intercept[Exception](
+      spark.sql("SELECT zlib_pack(array(1, CAST(NULL AS INT)))").collect())
+    assert(e.getMessage.contains("null array element"))
+    // a null token casts no vote — same fingerprint as without it
+    val r = spark.sql(
+      """SELECT simhash64(array('a', 'b')) = simhash64(array('a', CAST(NULL AS STRING), 'b'))"""
+    ).collect().head.getBoolean(0)
+    assert(r)
+  }
+
+  test("a non-integral shingles n is rejected, not truncated") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = intercept[Exception](
+      spark.sql("SELECT shingles(array('a','b','c'), 2.9)").collect())
+    assert(e.getMessage.contains("integer literal"))
+  }
 }

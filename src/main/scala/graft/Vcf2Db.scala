@@ -262,6 +262,19 @@ object GraftDb {
       spark, expandGenotypes(spark, dir, codec), impacts(spark, dir),
       trios(spark, dir))
 
+  /** GEMINI `--gt-filter` wildcard over a loaded database: variants
+    * whose unpacked genotype arrays satisfy the DSL predicate, e.g.
+    * `(gt_types).(phenotype==2).(==HET).(all)` — see
+    * [[graft.operators.GtFilter]]. One codegen row predicate, no
+    * explode; the variants scan is the whole cost.
+    */
+  def gtFilter(spark: SparkSession, dir: String, spec: String,
+      codec: String = "auto"): DataFrame = {
+    val v = expandGenotypes(spark, dir, codec)
+    v.filter(graft.operators.GtFilter.compile(
+      spec, samples(spark, dir), headerSamples(spark, dir)))
+  }
+
   /** GEMINI mendel_errors-style QC summary over a loaded database:
     * inheritance-class counts per (family, child) — e27's shape on the
     * stored tables (one partial-agg shuffle over the classification

@@ -210,6 +210,38 @@ class Vcf2DbSpec extends SparkSpec {
     }
   }
 
+  test("GEMINI --gt-filter wildcard DSL compiles and filters the loaded db") {
+    import graft.operators.Inheritance
+    val dir = Files.createTempDirectory("vcf2db_gtf")
+    val vcf = dir.resolve("trio.vcf")
+    Files.writeString(vcf, Inheritance.TrioFixture.lines.mkString("\n") + "\n")
+    val ped = dir.resolve("trio.ped")
+    Files.writeString(ped, Inheritance.TrioFixture.pedLines.mkString("\n") + "\n")
+    val out = dir.resolve("db").toString
+    Vcf2Db.run(spark, vcf.toString, Some(ped.toString), out)
+    def positions(spec: String): Seq[Long] =
+      GraftDb.gtFilter(spark, out, spec)
+        .select("pos").collect().map(_.getLong(0)).sorted.toSeq
+    // affected sample (phenotype 2) = child c; HET sites of c
+    assert(positions("(gt_types).(phenotype==2).(==HET).(all)") ==
+      Seq(1000L, 2000L, 3000L, 100L).sorted)
+    // unaffecteds both HOM_REF: only the de novo site 1:1000
+    assert(positions("(gt_types).(phenotype==1).(==HOM_REF).(all)") ==
+      Seq(1000L))
+    // any sample with depth >= 39 (f at 3:100 and 2:600's dp 38 < 39)
+    assert(positions("(gt_depths).(*).(>=39).(any)") == Seq(100L, 1000L))
+    // exactly two HETs in the trio: 1:2000 (c,f), 1:3000 (c,m),
+    // 2:500 (f,m), 3:200 (f,m with uncalled child)
+    assert(positions("(gt_types).(*).(==HET).(count==2)") ==
+      Seq(200L, 500L, 2000L, 3000L))
+    // loud errors for malformed specs
+    intercept[IllegalArgumentException](
+      GraftDb.gtFilter(spark, out, "(gt_types).(nope==1).(==HET).(all)")
+        .collect())
+    intercept[IllegalArgumentException](
+      GraftDb.gtFilter(spark, out, "gt_types == HET").collect())
+  }
+
   test("mendelSummary over a loaded database matches e27's class counts") {
     import graft.operators.Inheritance
     val dir = Files.createTempDirectory("vcf2db_mendel")

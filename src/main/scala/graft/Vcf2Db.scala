@@ -86,10 +86,18 @@ object Vcf2Db {
     *   row-group min/max. Buy once at load time, win on every
     *   GraftDb.region query after.
     */
+  /** @param jdbcUrl when set, every table writes through
+    *   [[DbSink.writeJdbc]] against this URL instead of parquet — the
+    *   reference's actual product (a sqlite/MySQL/PG database via
+    *   peewee). Multi-valued INFO arrays degrade to comma-joined TEXT
+    *   exactly like the reference; genotype blobs land as BLOBs.
+    *   `outDir` is ignored for table data in this mode.
+    */
   def run(spark: SparkSession, vcfPath: String, pedPath: Option[String],
       outDir: String, writerPartitions: Int = 8,
       expand: Seq[String] = Nil, blobCodec: String = "zlib",
-      sortedOutput: Int = 0): Unit = {
+      sortedOutput: Int = 0, jdbcUrl: Option[String] = None,
+      jdbcBatchSize: Int = 10000): Unit = {
     import spark.implicits._
     GraftFunctions.register(spark)
     val (header, variants, impacts) = VcfReader.fromPath(spark, vcfPath)
@@ -120,33 +128,47 @@ object Vcf2Db {
       if (expandCols.isEmpty) denorm
       else denorm.select(denorm.columns.map(col).toSeq ++ expandCols: _*)
     val variantsOut = packGenotypeBlobs(expanded, blobCodec)
-    if (sortedOutput > 0)
+    // one sink closure for both backends — the tables and their order
+    // are identical; only the target differs (parquet dir vs JDBC table)
+    val sink: (org.apache.spark.sql.DataFrame, String, Int) => Unit =
+      jdbcUrl match {
+        case Some(url) => (df, table, parts) =>
+          DbSink.writeJdbc(DbSink.jdbcSafe(df),
+            DbSink.JdbcConf(url = url, table = table,
+              batchSize = jdbcBatchSize, numPartitions = parts),
+            mode = org.apache.spark.sql.SaveMode.Overwrite)
+        case None => (df, name, parts) =>
+          DbSink.writeParquet(df, s"$outDir/$name", parts)
+      }
+    if (sortedOutput > 0 && jdbcUrl.isEmpty)
       graft.operators.Scale.writeRangeSorted(variantsOut,
         s"$outDir/variants", sortedOutput, col("chrom"), col("pos"))
     else
-      DbSink.writeParquet(variantsOut, s"$outDir/variants", writerPartitions)
+      sink(variantsOut, "variants", writerPartitions)
     if (header.annKey.isDefined)
-      DbSink.writeParquet(impacts, s"$outDir/variant_impacts", writerPartitions)
+      sink(impacts, "variant_impacts", writerPartitions)
     pedPath.foreach { p =>
-      DbSink.writeParquet(PedSource.fromPath(spark, p), s"$outDir/samples", 1)
+      sink(PedSource.fromPath(spark, p), "samples", 1)
     }
     // self-describing blob codec: a synthetic header line records which
     // codec packed the blobs, so readers don't have to trust call-site
     // discipline (a snappy db read as zlib fails deep inside a query)
     val headerOut = header.rawLines :+ s"##graft_blob_codec=$blobCodec"
-    DbSink.writeParquet(
+    sink(
       headerOut.zipWithIndex.map { case (l, i) => (i + 1, l) }
         .toDF("line_no", "line"),
-      s"$outDir/vcf_header", 1)
+      "vcf_header", 1)
   }
 
   private val usage =
     "usage: Vcf2Db <vcf> [<ped>] <outDir> [--expand=gt_types,...] " +
-      "[--blob-codec=zlib|snappy] [--sorted-output=N]"
+      "[--blob-codec=zlib|snappy] [--sorted-output=N] " +
+      "[--jdbc-url=jdbc:...] [--jdbc-batch-size=N]"
 
   def main(args: Array[String]): Unit = {
-    val (flag, positional) =
-      Cli.parse(args, Set("expand", "blob-codec", "sorted-output"), usage)
+    val (flag, positional) = Cli.parse(args,
+      Set("expand", "blob-codec", "sorted-output", "jdbc-url",
+        "jdbc-batch-size"), usage)
     require(positional.length == 2 || positional.length == 3, usage)
     val (vcf, ped, out) =
       if (positional.length == 2) (positional(0), None, positional(1))
@@ -156,7 +178,8 @@ object Vcf2Db {
     val sorted = flag("sorted-output").map(_.toInt).getOrElse(0)
     val spark = GraftSession.build()
     try run(spark, vcf, ped, out, expand = expand, blobCodec = codec,
-      sortedOutput = sorted)
+      sortedOutput = sorted, jdbcUrl = flag("jdbc-url"),
+      jdbcBatchSize = flag("jdbc-batch-size").map(_.toInt).getOrElse(10000))
     finally spark.stop()
   }
 }

@@ -350,6 +350,50 @@ class Vcf2DbSpec extends SparkSpec {
     assert(seqOf[String]("gts") == Seq("0/1", "0/0", "0/0"))
   }
 
+  test("full job against embedded Derby: the reference's actual product") {
+    val dir = Files.createTempDirectory("vcf2db_jdbc")
+    System.setProperty("derby.system.home", dir.toString)
+    val vcf = dir.resolve("in.vcf")
+    Files.writeString(vcf, VcfFixture.lines.mkString("\n") + "\n")
+    val ped = dir.resolve("in.ped")
+    Files.writeString(ped,
+      "#family_id sample_id paternal_id maternal_id sex phenotype\n" +
+        "fam1 s1 -9 -9 1 2\nfam1 s2 -9 -9 2 1\nfam1 s3 s1 s2 1 1\nfam1 s4 s1 s2 2 2\n")
+    val url = "jdbc:derby:memory:vcf2db_e2e;create=true"
+    // jdbcBatchSize 2 over 5 variants: multiple insert batches per writer
+    Vcf2Db.run(spark, vcf.toString, Some(ped.toString),
+      dir.resolve("unused").toString, jdbcUrl = Some(url), jdbcBatchSize = 2)
+
+    val props = new java.util.Properties()
+    val variants = spark.read.jdbc(url, "variants", props)
+    assert(variants.count() == 5)
+    // worst impact denormalized into the SQL table, like the reference
+    val v100 = variants.filter("pos = 100").head()
+    assert(v100.getAs[String]("gene") == "BRCA1")
+    assert(v100.getAs[String]("impact") == "missense_variant")
+    assert(v100.getAs[String]("impact_severity") == "MED")
+    // genotype blobs land as real BLOBs and unpack back to the arrays
+    import org.apache.spark.sql.types.BinaryType
+    assert(variants.schema("gt_types").dataType == BinaryType)
+    graft.functions.GraftFunctions.register(spark)
+    val e100 = variants.filter("pos = 100")
+      .selectExpr("zlib_unpack(gt_types) AS t", "zlib_unpack_str(gts) AS g")
+      .head()
+    assert(e100.getAs[scala.collection.Seq[Int]]("t").toSeq == Seq(1, 0, 0, 3))
+    assert(e100.getAs[scala.collection.Seq[String]]("g").toSeq ==
+      Seq("0/1", "0/0", "0/0", "1/1"))
+    // companion tables all present in the database
+    assert(spark.read.jdbc(url, "variant_impacts", props).count() == 5)
+    val samples = spark.read.jdbc(url, "samples", props)
+    assert(samples.count() == 4)
+    assert(samples.select("sample_id").collect().map(_.getString(0)).toSet ==
+      Set("s1", "s2", "s3", "s4"))
+    val header = spark.read.jdbc(url, "vcf_header", props)
+    assert(header.count() == 14)
+    assert(header.orderBy("line_no").head().getAs[String]("line") ==
+      "##fileformat=VCFv4.2")
+  }
+
   test("streaming dedup: dropDuplicatesWithinWatermark on event ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

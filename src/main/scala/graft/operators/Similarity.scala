@@ -65,6 +65,28 @@ object Similarity {
   private[operators] val NPlanes = 8
   private[operators] val Dims = 64
 
+  /** Constant row budget for quantizer training (s03/s04). 64k 64-dim
+    * vectors ≈ 16 MB on the driver-adjacent MLlib path — enough for a
+    * k=16 codebook (4k samples per centroid) at any corpus size.
+    */
+  private[graft] val FitBudget = 65536L
+
+  /** Bounds a quantizer's training input to ~[[FitBudget]] rows: a
+    * seeded Bernoulli sample at fraction budget/count. The count is one
+    * parquet-metadata pass; the sample keeps MLlib's iterative fit off
+    * the full corpus (the 100 TB scale killer: KMeans makes several
+    * all-data passes per iteration). Below the budget the frame passes
+    * through untouched, so small-scale results — and the oracle
+    * comparisons built on them — are byte-identical to a full fit.
+    * Assignment (model.transform) always stays full-corpus.
+    */
+  private[graft] def fitSample(df: DataFrame, budget: Long = FitBudget,
+      seed: Long = 42L): DataFrame = {
+    val n = df.count()
+    if (n <= budget) df
+    else df.sample(withReplacement = false, budget.toDouble / n, seed)
+  }
+
   /** Random-hyperplane sign bucket of an embedding column (caller must
     * have GraftFunctions registered — vec_dot resolves by name).
     */
@@ -106,12 +128,14 @@ object Similarity {
       .orderBy($"q_id", $"rn")
   }
 
-  /** s03 (rows-only): IVF approximate NN — MLlib KMeans (fixed seed)
-    * coarse-quantizes the corpus ONCE into nlist=16 cells; each query
-    * probes its 2 nearest cells and re-ranks candidates by exact
-    * cosine. At 100 TB the assignment is a one-pass map (centroids
-    * broadcast), the index is just a cluster column (partition/cluster
-    * by it and probes touch 2/16th of the corpus).
+  /** s03 (rows-only): IVF approximate NN — MLlib KMeans (fixed seed,
+    * trained on a [[fitSample]]-bounded sample) coarse-quantizes the
+    * corpus ONCE into nlist=16 cells; each query probes its 2 nearest
+    * cells and re-ranks candidates by exact cosine. At 100 TB the fit
+    * touches ~64k rows regardless of corpus size, the assignment is a
+    * one-pass map (centroids broadcast), and the index is just a
+    * cluster column (partition/cluster by it and probes touch 2/16th
+    * of the corpus).
     */
   def s03(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -123,7 +147,7 @@ object Similarity {
       .withColumn("fv", array_to_vector($"embedding".cast("array<double>")))
     val model = new KMeans().setK(16).setSeed(42L)
       .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(emb)
+      .fit(fitSample(emb))
     val corpus = model.transform(emb).select($"vec_id", $"embedding", $"cell")
     val centers = model.clusterCenters.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toArray) }
@@ -154,8 +178,9 @@ object Similarity {
     * compress to M=8 subspace codes (8 B/vector, 32×), so a 100 TB
     * embedding corpus's codes fit in cluster RAM and the scan is
     * memory-bandwidth-, not FLOP-, bound. Each subspace gets a k=16
-    * codebook (MLlib KMeans, fixed seed — fit on a corpus SAMPLE at
-    * scale, like s03's quantizer); corpus rows are assigned codes in
+    * codebook (MLlib KMeans, fixed seed, trained on ONE shared
+    * [[fitSample]]-bounded sample — like s03's quantizer); corpus rows
+    * are assigned codes in
     * one map pass (centroids broadcast by the model). Queries
     * precompute an M×16 distance table (Asymmetric Distance
     * Computation: exact query-subvector → centroid distances), the
@@ -179,11 +204,17 @@ object Similarity {
       df.withColumn(s"sv_$m", array_to_vector(
         expr(s"slice(CAST(embedding AS ARRAY<DOUBLE>), ${m * subDim + 1}, $subDim)")))
     }
-    val models = (0 until M).map { m =>
-      new KMeans().setK(16).setSeed(42L + m)
-        .setFeaturesCol(s"sv_$m").setPredictionCol(s"code_$m")
-        .fit(withSubs)
-    }
+    // ONE bounded sample feeds all M codebook fits (cache it: M
+    // sequential MLlib fits would otherwise re-read + re-slice the
+    // corpus M times)
+    val fitDf = fitSample(withSubs).cache()
+    val models = try {
+      (0 until M).map { m =>
+        new KMeans().setK(16).setSeed(42L + m)
+          .setFeaturesCol(s"sv_$m").setPredictionCol(s"code_$m")
+          .fit(fitDf)
+      }
+    } finally fitDf.unpersist(blocking = false)
     val coded = models.zipWithIndex
       .foldLeft(withSubs) { case (df, (mdl, _)) => mdl.transform(df) }
       .select($"vec_id", $"embedding",

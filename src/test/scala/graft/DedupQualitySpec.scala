@@ -79,6 +79,18 @@ class DedupQualitySpec extends SparkSpec {
     assert(recall >= 0.5, s"PQ recall@10 = $recall")
   }
 
+  test("quantizer fit input is bounded to the constant row budget") {
+    import graft.operators.Similarity
+    val big = spark.range(300000).toDF("id")
+    // above the budget: a seeded Bernoulli sample lands near the budget
+    val n = Similarity.fitSample(big, budget = 4096L, seed = 7L).count()
+    assert(n < 5000 && n > 3300, s"sampled $n rows for a 4096 budget")
+    // at or below the budget the frame passes through untouched, so
+    // small-scale fits (and their oracle comparisons) are unchanged
+    assert(Similarity.fitSample(big, budget = 300000L).count() == 300000L)
+    assert(Similarity.fitSample(big, budget = 1000000L).count() == 300000L)
+  }
+
   test("d09 survivors: one per d07 cluster, the max-score member") {
     import spark.implicits._
     val comps = Dedup.queries("d07_dedup_clusters")(spark, dir).collect()

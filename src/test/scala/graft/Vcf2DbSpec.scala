@@ -242,6 +242,51 @@ class Vcf2DbSpec extends SparkSpec {
       GraftDb.gtFilter(spark, out, "gt_types == HET").collect())
   }
 
+  test("compound gt-filter: and/or/not over wildcard and per-sample clauses") {
+    import graft.operators.Inheritance
+    val dir = Files.createTempDirectory("vcf2db_gtf2")
+    val vcf = dir.resolve("trio.vcf")
+    Files.writeString(vcf, Inheritance.TrioFixture.lines.mkString("\n") + "\n")
+    val ped = dir.resolve("trio.ped")
+    Files.writeString(ped, Inheritance.TrioFixture.pedLines.mkString("\n") + "\n")
+    val out = dir.resolve("db").toString
+    Vcf2Db.run(spark, vcf.toString, Some(ped.toString), out)
+    def positions(spec: String): Seq[Long] =
+      GraftDb.gtFilter(spark, out, spec)
+        .select("pos").collect().map(_.getLong(0)).sorted.toSeq
+
+    // GEMINI's per-sample clause form: child HET with decent depth
+    assert(positions("gt_types.c == HET and gt_depths.c >= 25") ==
+      Seq(100L, 1000L, 2000L))
+    // the documented compound wildcard form: any HET, every DP >= 20
+    // (only 3:200 fails — the uncalled child's DP is 0)
+    assert(positions(
+      "(gt_types).(*).(==HET).(any) and (gt_depths).(*).(>=20).(all)") ==
+      Seq(100L, 500L, 600L, 700L, 1000L, 2000L, 3000L))
+    // or + not over a wildcard clause
+    assert(positions(
+      "gt_types.c == HOM_ALT or not (gt_depths).(*).(>=20).(all)") ==
+      Seq(200L, 500L, 600L))
+    // precedence: and binds tighter than or...
+    assert(positions(
+      "gt_types.c == HOM_REF or gt_types.c == HET and gt_depths.f >= 38") ==
+      Seq(100L, 700L, 1000L))
+    // ...and parentheses regroup the same clauses
+    assert(positions(
+      "(gt_types.c == HOM_REF or gt_types.c == HET) and gt_depths.f >= 38") ==
+      Seq(100L, 1000L))
+    // string-valued per-sample clause over the gts array
+    assert(positions("gts.c == '1/1'") == Seq(500L, 600L))
+    // loud errors: unknown sample, trailing garbage, bare column
+    intercept[IllegalArgumentException](
+      GraftDb.gtFilter(spark, out, "gt_types.zzz == HET").collect())
+    intercept[IllegalArgumentException](
+      GraftDb.gtFilter(spark, out,
+        "gt_types.c == HET) or gt_types.c == HOM_ALT").collect())
+    intercept[IllegalArgumentException](
+      GraftDb.gtFilter(spark, out, "gt_types == HET").collect())
+  }
+
   test("mendelSummary over a loaded database matches e27's class counts") {
     import graft.operators.Inheritance
     val dir = Files.createTempDirectory("vcf2db_mendel")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.{PedSource, VcfReader}
@@ -172,6 +172,14 @@ object Inheritance {
     * reverse). Gene labels come from the expanded impacts table via an
     * equi-join on the variant key; the pair self-join is keyed on
     * (family, gene) so candidates only meet inside their gene bucket.
+    *
+    * Phase-aware (GEMINI's priority=1 rule): when the child's GT is
+    * phased at BOTH sites (`gt_phases` = 1) and the alt haplotype side
+    * is unambiguous (exactly one side of the '|' is non-ref), a pair
+    * whose alts sit on the SAME haplotype is cis, not compound-het, and
+    * is rejected. Unphased, ambiguous (multi-allelic "1|2"), or
+    * missing-phase sites fall back to the unphased parental-origin rule
+    * above — phase can only prune candidates, never invent them.
     */
   def e19(s: SparkSession, dir: String): DataFrame = {
     val (h, variants, impacts) = VcfReader.fromLines(s, TrioFixture.lines)
@@ -193,21 +201,42 @@ object Inheritance {
     // explicit early projection: a Vcf2Db variants table carries a
     // denormalized worst-impact `gene` column that would collide with
     // the impacts-derived gene label below
-    val hets = variants.select($"chrom", $"pos", $"alt", $"gt_types")
+    val hasPhase = variants.columns.contains("gts") &&
+      variants.columns.contains("gt_phases")
+    val baseCols = Seq($"chrom", $"pos", $"alt", $"gt_types") ++
+      (if (hasPhase) Seq($"gts", $"gt_phases") else Nil)
+    // alt haplotype side of the child's phased HET: 0 = left of '|',
+    // 1 = right, null = unphased or ambiguous (both sides non-ref in a
+    // multi-allelic call — which side is THIS row's alt is unknowable
+    // post-decompose, so it stays uninformative)
+    val altSide: Column = if (hasPhase) {
+      val g = element_at($"gts", $"c_ix")
+      val l = split(g, "\\|").getItem(0)
+      val r = split(g, "\\|").getItem(1)
+      when(element_at($"gt_phases", $"c_ix") === 1,
+        when(l =!= "0" && r === "0", 0)
+          .when(l === "0" && r =!= "0", 1))
+    } else lit(null).cast("int")
+    val hets = variants.select(baseCols: _*)
       .crossJoin(broadcast(trios))
       .withColumn("gt_c", gtC).withColumn("gt_f", gtF).withColumn("gt_m", gtM)
       .filter($"gt_c" === 1 &&
         (($"gt_f" === 1 && $"gt_m" === 0) || ($"gt_m" === 1 && $"gt_f" === 0)))
       .withColumn("from_dad", $"gt_f" === 1)
+      .withColumn("alt_side", altSide)
       .join(genes, Seq("chrom", "pos", "alt"))
       .select($"family_id", $"child", $"gene", $"chrom", $"pos", $"alt",
-        $"from_dad")
+        $"from_dad", $"alt_side")
     hets.as("a")
       .join(hets.as("b"),
         $"a.family_id" === $"b.family_id" && $"a.gene" === $"b.gene" &&
           ($"a.chrom" < $"b.chrom" ||
             ($"a.chrom" === $"b.chrom" && $"a.pos" < $"b.pos")) &&
-          $"a.from_dad" =!= $"b.from_dad")
+          $"a.from_dad" =!= $"b.from_dad" &&
+          // phased-cis rejection: both sides known and equal → same
+          // haplotype. Null (unphased/ambiguous) never rejects.
+          !($"a.alt_side".isNotNull && $"b.alt_side".isNotNull &&
+            $"a.alt_side" === $"b.alt_side"))
       .select($"a.family_id", $"a.child", $"a.gene",
         $"a.chrom".as("chrom_a"), $"a.pos".as("pos_a"), $"a.alt".as("alt_a"),
         $"b.chrom".as("chrom_b"), $"b.pos".as("pos_b"), $"b.alt".as("alt_b"))

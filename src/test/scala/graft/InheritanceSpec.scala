@@ -54,6 +54,38 @@ class InheritanceSpec extends SparkSpec {
     assert(!rows.exists(_.getString(2) == "GENE_C"))
   }
 
+  test("phase-aware comp_hets rejects cis pairs, keeps trans and unphased") {
+    import graft.sources.VcfReader
+    // gene GENE_P, child phased at 100/200/300, unphased at 400:
+    //   100  c 0|1 (alt RIGHT)  from dad
+    //   200  c 0|1 (alt RIGHT)  from mom   → cis with 100: must prune
+    //   300  c 1|0 (alt LEFT)   from mom   → trans with 100: keep
+    //   400  c 0/1 (no phase)   from mom   → fallback: keep with 100
+    // the unphased rule alone would report all three dad×mom pairs
+    def row(pos: Int, ref: String, alt: String, c: String, f: String, m: String) =
+      Seq("10", pos.toString, ".", ref, alt, "99", "PASS",
+        s"CSQ=$alt|missense_variant|GENE_P", "GT", c, f, m).mkString("\t")
+    val lines = Vector(
+      "##fileformat=VCFv4.2",
+      "##INFO=<ID=CSQ,Number=.,Type=String,Description=\"Consequence annotations from Ensembl VEP. Format: Allele|Consequence|SYMBOL\">",
+      "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"Genotype\">",
+      Seq("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO",
+        "FORMAT", "c", "f", "m").mkString("\t"),
+      row(100, "A", "G", "0|1", "0/1", "0/0"),
+      row(200, "C", "T", "0|1", "0/0", "0/1"),
+      row(300, "G", "A", "1|0", "0/0", "0/1"),
+      row(400, "T", "C", "0/1", "0/0", "0/1"))
+    val ped = Vector(
+      "#family_id sample_id paternal_id maternal_id sex phenotype",
+      "FAM c f m 1 2", "FAM f 0 0 1 1", "FAM m 0 0 2 1")
+    val (h, v, i) = VcfReader.fromLines(spark, lines)
+    val pairs = Inheritance.compHets(spark, v, i, h.samples, ped)
+      .select("pos_a", "pos_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((100L, 300L), (100L, 400L)),
+      s"phased cis pair (100,200) must be pruned; got $pairs")
+  }
+
   test("e25 auto_dom requires an affected carrier parent and full penetrance") {
     val rows = Inheritance.e25(spark, "").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getString(4)))

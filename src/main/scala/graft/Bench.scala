@@ -66,7 +66,7 @@ object Bench {
         "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
       }.mkString("{", ",", "}")
 
-    val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     require(nPasses >= 1, s"SPARK_GRAFT_BENCH_PASSES must be >= 1, got $nPasses")
     val warmup = headline.map(n => n -> run(n)) // JIT, codegen cache, file listing
     val passes = (1 to nPasses).map(_ => headline.map(n => n -> run(n)))
@@ -79,7 +79,11 @@ object Bench {
     // after the JSON: the driver reads the bench line from the END of
     // stdout, and anything printed below it breaks the parse.
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(best)},"passes":$passesJson,"warmup":${jsonMap(warmup)},"sf":"$sfDir"}""")
+    // `queries` (the authoritative min dict) prints LAST: consumers
+    // that truncate the line's head or tail keep either the headline
+    // total (front) or the per-query mins (back) — the noisy raw
+    // passes sit in the middle.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","warmup":${jsonMap(warmup)},"passes":$passesJson,"queries":${jsonMap(best)}}""")
     System.out.flush()
   }
 }

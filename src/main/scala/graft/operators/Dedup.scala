@@ -210,10 +210,11 @@ object Dedup {
     * O(log n) rounds — not O(diameter) like naive label propagation, so
     * a 100 M-doc chain-shaped component still resolves in ~27 rounds.
     * Lineage is truncated per round (localCheckpoint) — mandatory for
-    * any iterative DataFrame loop. Known hazard at extreme scale: the
-    * component-minimum node's window partition holds the whole
-    * component's edges at convergence; the paper's two-phase minimum
-    * handles that regime.
+    * any iterative DataFrame loop. Giant-component regime handled via
+    * the paper's two-phase minimum in both star steps above the
+    * [[TwoPhaseMinEdges]] bound (see largeStar): no task ever buffers a
+    * whole component, while small edge sets keep the cheaper
+    * single-shuffle window form.
     */
   def d07(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -222,11 +223,26 @@ object Dedup {
     connectedComponents(s, edges).orderBy($"doc_id")
   }
 
+  /** Above this edge count the star steps switch to the two-phase
+    * minimum (groupBy + join); below it they use the single-shuffle
+    * window form. The window's hazard is one task buffering a whole
+    * component's neighborhood — at ≤16M edges that's ≤256 MB of
+    * (long, long) rows even in the degenerate one-component case,
+    * comfortably inside a task (WindowExec spills besides). The edge
+    * count is already computed every round by the fixpoint checksum,
+    * so the switch costs nothing and flips as the edge set contracts.
+    */
+  private[operators] val TwoPhaseMinEdges = 16000000L
+
   /** Connected components over an undirected edge list (u, v) →
     * (doc_id, cluster_id = component min). Every input endpoint appears
     * in the output exactly once, component minima label themselves.
+    *
+    * @param twoPhaseMinEdges override of [[TwoPhaseMinEdges]] (tests
+    *   pass 0 to force the giant-component two-phase path at any size)
     */
-  def connectedComponents(s: SparkSession, edgesIn: DataFrame): DataFrame = {
+  def connectedComponents(s: SparkSession, edgesIn: DataFrame,
+      twoPhaseMinEdges: Long = TwoPhaseMinEdges): DataFrame = {
     import s.implicits._
     val nodes = edgesIn
       .select(explode(array($"u", $"v")).as("doc_id")).distinct()
@@ -264,7 +280,8 @@ object Dedup {
       // star-shaped fixpoint, and fixpoints are invariant), so an
       // unchanged checksum across a fused double-round means BOTH
       // inner rounds were no-ops.
-      val next = smallStar(largeStar(smallStar(largeStar(e))))
+      val big = prev._1 > twoPhaseMinEdges
+      val next = smallStar(largeStar(smallStar(largeStar(e, big), big), big), big)
         .localCheckpoint(eager = false)
       val cur = checksum(next)
       done = cur == prev
@@ -282,32 +299,59 @@ object Dedup {
   }
 
   /** Large-star: connect every neighbor LARGER than the center to the
-    * minimum of the center's closed neighborhood. One window shuffle
-    * keyed on the center; output stays canonical (u < v).
+    * minimum of the center's closed neighborhood. Output stays
+    * canonical (u < v).
     *
-    * Deliberately NOT deduplicated: small-star's min window is
-    * duplicate-tolerant and the round ends in small-star's distinct,
-    * so a dedup here would buy nothing for a whole extra shuffle.
+    * `twoPhase = false` (small edge sets): one window shuffle keyed on
+    * the center — the cheapest formulation, but the component ROOT's
+    * window partition holds its whole closed neighborhood (≈ the
+    * entire component at convergence), so it only runs under the
+    * [[TwoPhaseMinEdges]] bound where that partition provably fits a
+    * task.
+    *
+    * `twoPhase = true` (the giant-component regime): the paper's
+    * two-phase minimum — per-center min via a partial-aggregating
+    * groupBy (map-side combine keeps any single task's state at one
+    * (center, min) pair per center), then an equi-join back on the
+    * center. The min side is one row per center, so AQE broadcasts it
+    * while small and streams a sort-merge join when it isn't — no
+    * single-task materialization either way, at the cost of an extra
+    * exchange per step.
+    *
+    * Deliberately NOT deduplicated: small-star's min is duplicate-
+    * tolerant and the round ends in small-star's distinct, so a dedup
+    * here would buy nothing for a whole extra shuffle.
     */
-  private def largeStar(e: DataFrame): DataFrame = {
+  private def largeStar(e: DataFrame, twoPhase: Boolean): DataFrame = {
     import e.sparkSession.implicits._
     val sym = e.select($"u".as("c"), $"v".as("n"))
       .union(e.select($"v".as("c"), $"u".as("n")))
-    val m = least(min($"n").over(Window.partitionBy($"c")), $"c")
-    sym.select($"c", $"n", m.as("m"))
-      .filter($"n" > $"c")
-      .select($"m".as("u"), $"n".as("v"))
+    if (twoPhase) {
+      val mins = sym.groupBy($"c").agg(min($"n").as("mn"))
+        .select($"c", least($"mn", $"c").as("m"))
+      sym.filter($"n" > $"c")
+        .join(mins, "c")
+        .select($"m".as("u"), $"n".as("v"))
+    } else {
+      val m = least(min($"n").over(Window.partitionBy($"c")), $"c")
+      sym.select($"c", $"n", m.as("m"))
+        .filter($"n" > $"c")
+        .select($"m".as("u"), $"n".as("v"))
+    }
   }
 
   /** Small-star: connect the center's SMALLER neighbors (and the center
     * itself) to the smallest of them. Input and output both canonical
-    * (u < v); the center is the larger endpoint, so one window keyed on
-    * `v` sees exactly its small neighborhood.
+    * (u < v); the center is the larger endpoint, so one
+    * window/grouping key on `v` sees exactly its small neighborhood.
+    * Same two-phase escape hatch as large-star: a max-id hub's small
+    * neighborhood is the whole component at convergence.
     */
-  private def smallStar(e: DataFrame): DataFrame = {
+  private def smallStar(e: DataFrame, twoPhase: Boolean): DataFrame = {
     import e.sparkSession.implicits._
-    val m = min($"u").over(Window.partitionBy($"v"))
-    val withM = e.select($"u", $"v", m.as("m"))
+    val withM =
+      if (twoPhase) e.join(e.groupBy($"v").agg(min($"u").as("m")), "v")
+      else e.select($"u", $"v", min($"u").over(Window.partitionBy($"v")).as("m"))
     withM.select($"m".as("u"), $"u".as("v"))
       .union(withM.select($"m".as("u"), $"v"))
       .filter($"u" =!= $"v")

@@ -210,6 +210,60 @@ private[sources] class VcfScan(paths: Seq[String], header: Vector[String],
     } finally in.close()
   }
 
+  /** First BODY-line (chrom, pos) of a whole shard, decompressing when
+    * the shard is gzip/BGZF — the cohort-level pruning key. Bounded
+    * work: one shard head (header lines + 1 body line), not a scan.
+    */
+  private def firstShardKey(p: String): Option[(String, Long)] = {
+    val hp = new Path(p)
+    val fs = FileSystem.get(hp.toUri, conf.value)
+    val in = fs.open(hp)
+    try {
+      val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+        VcfIo.maybeGunzip(p, in), "UTF-8"))
+      Iterator.continually(reader.readLine())
+        .takeWhile(_ != null)
+        .find(VcfParser.isBodyLine)
+        .flatMap(VcfScan.chromPosOf)
+    } finally in.close()
+  }
+
+  /** Whole-shard pruning for a sorted multi-shard cohort (the dominant
+    * real-world layout: a BGZF shard per scatter region). `sorted=true`
+    * over >1 file asserts the shards are coordinate-range-partitioned
+    * (each file internally sorted, files covering disjoint ranges —
+    * what Scale.writeRangeSorted and scatter-gather pipelines emit), so
+    * shard i's rows are bounded by shard i+1's first key once shards
+    * are ordered by their own first keys. The same conservative
+    * same-chromosome rule as split pruning applies; any shard whose
+    * first key can't be read (empty file, malformed head) disables
+    * cohort pruning entirely rather than risk a wrong bound. This is
+    * what lets a region query over a 3000-shard BGZF cohort open one
+    * shard instead of 3000 — gzip streams can't seek, so per-split
+    * sampling inside a shard is impossible and whole-shard skipping is
+    * the only lever.
+    */
+  private def pruneShards(ps: Seq[String]): Seq[String] = {
+    if (!sorted || region.isTrivial || ps.length <= 1) return ps
+    val keys = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      Await.result(
+        Future.sequence(ps.map(p => Future(firstShardKey(p)))), Duration.Inf)
+    }
+    if (keys.exists(_.isEmpty)) return ps
+    // lexicographic (chrom, pos) order: same-chrom shards sort in true
+    // coordinate order (all pruning pairs are same-chrom); cross-chrom
+    // ordering may disagree with header contig order, but those pairs
+    // never prune — conservative either way
+    val ordered = ps.zip(keys.map(_.get)).sortBy { case (_, (c, pos)) => (c, pos) }
+    ordered.zipWithIndex.filterNot { case ((_, k), i) =>
+      VcfScan.prunable(region, Some(k),
+        if (i + 1 < ordered.length) Some(ordered(i + 1)._2) else None)
+    }.map { case ((p, _), _) => p }
+  }
+
   /** Plain-text files split into byte ranges (each reader skips the
     * partial first line and reads through the line straddling its
     * end — the classic text-split contract), so ONE huge uncompressed
@@ -223,11 +277,13 @@ private[sources] class VcfScan(paths: Seq[String], header: Vector[String],
     * sampled driver-side — one bounded read per split boundary, the
     * min/max index parquet row-groups get for free — and splits whose
     * [firstKey, nextFirstKey] range cannot intersect the region are
-    * dropped before any executor touches them. At 100 TB this is the
+    * dropped before any executor touches them. Multi-shard cohorts
+    * additionally prune WHOLE shards first (see pruneShards — the only
+    * possible pruning for compressed shards). At 100 TB this is the
     * difference between scanning one shard and three thousand.
     */
   override def planInputPartitions(): Array[InputPartition] = {
-    val all = paths.flatMap { p =>
+    val all = pruneShards(paths).flatMap { p =>
       if (p.endsWith(".gz") || p.endsWith(".bgz"))
         Seq(VcfInputPartition(p, 0L, Long.MaxValue))
       else {

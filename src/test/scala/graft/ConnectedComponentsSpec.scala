@@ -74,6 +74,42 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("adversarial 1e5-edge chain + max-hub star converge correctly") {
+    import spark.implicits._
+    // chain 0-1-...-50000: diameter 50k forces the full O(log n) round
+    // count; naive propagation would need 50k rounds and trip the cap.
+    val n = 50000L
+    val chain = (0L until n).map(i => (i, i + 1))
+    // star whose HUB is the component MAX: every canonical edge is
+    // (spoke, hub), so small-star's per-v neighborhood for the hub is
+    // the whole component — the exact giant-partition regime the
+    // two-phase minimum exists for (a window formulation would buffer
+    // all 50k rows in one task).
+    val hub = 2000000L
+    val star = (0L until 49999L).map(i => (1000000L + i, hub))
+    // twoPhaseMinEdges = 0 forces the giant-component two-phase-minimum
+    // path the whole way down — the code 100 TB inputs run
+    val labels = Dedup.connectedComponents(
+      spark, (chain ++ star).toDF("u", "v"), twoPhaseMinEdges = 0L)
+      .groupBy($"cluster_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // two components: the chain labeled 0 (50001 nodes), the star
+    // labeled by its minimum spoke (49999 spokes + hub)
+    assert(labels == Set((0L, n + 1), (1000000L, 50000L)))
+  }
+
+  test("two-phase and window star paths agree on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(300)(
+      (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong)).toDF("u", "v")
+    val win = Dedup.connectedComponents(spark, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val two = Dedup.connectedComponents(spark, edges, twoPhaseMinEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(win == two)
+  }
+
   test("d07 labels are transitively consistent with d04 pairs") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"

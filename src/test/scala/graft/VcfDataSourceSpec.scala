@@ -204,6 +204,46 @@ class VcfPushdownSpec extends SparkSpec {
     // pruning disabled: every split survives
     assert(q.rdd.getNumPartitions == read(sorted = false).rdd.getNumPartitions)
   }
+
+  // range-partitioned 4-shard gzip cohort: chrom 1, pos 3..3000,
+  // 3003..6000, 6003..9000, 9003..12000 (gzip = unsplittable, one
+  // partition per shard; pruning must drop whole shards or nothing)
+  private lazy val shardedDir: String = {
+    val dir = Files.createTempDirectory("vcfshards")
+    val header = "##fileformat=VCFv4.2\n" +
+      "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"Depth\">\n" +
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1\n"
+    (0 until 4).foreach { sh =>
+      val sb = new StringBuilder(header)
+      for (i <- (sh * 1000 + 1) to ((sh + 1) * 1000))
+        sb ++= s"1\t${i * 3}\t.\tA\tG\t.\tPASS\tDP=$i\tGT\t0/1\n"
+      val out = new java.util.zip.GZIPOutputStream(
+        java.nio.file.Files.newOutputStream(dir.resolve(f"shard-$sh%02d.vcf.gz")))
+      try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+    }
+    dir.toString
+  }
+
+  test("region query over a sorted compressed cohort opens fewer shards") {
+    val df = spark.read.format("vcf").option("sorted", "true").load(shardedDir)
+    assert(df.rdd.getNumPartitions == 4, "one partition per gzip shard")
+    // pos in [4000, 5000] lives entirely in shard 1 (3003..6000): shard
+    // 0 is ruled out by its successor's first key, shard 2 by its own;
+    // the last shard has no successor bound and is conservatively kept
+    val q = df.filter("chrom = '1' AND pos >= 4000 AND pos <= 5000")
+    assert(q.rdd.getNumPartitions == 2,
+      s"expected 2 surviving shards, got ${q.rdd.getNumPartitions}")
+    assert(q.count() == 333) // pos = 3i in [4000, 5000] → i in [1334, 1666]
+    // a region past every shard's range keeps only the unbounded last shard
+    val far = df.filter("chrom = '1' AND pos > 900000")
+    assert(far.rdd.getNumPartitions == 1)
+    assert(far.count() == 0)
+    // unsorted mode never shard-prunes
+    val un = spark.read.format("vcf").load(shardedDir)
+      .filter("chrom = '1' AND pos >= 4000 AND pos <= 5000")
+    assert(un.rdd.getNumPartitions == 4)
+    assert(un.count() == 333)
+  }
 }
 
 /** CRLF line termination: byte-offset tracking counts the actual

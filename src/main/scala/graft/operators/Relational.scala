@@ -15,11 +15,12 @@ import graft.Tables
   * so Catalyst handles pushdown, pruning and join strategy.
   *
   * Determinism rules (for the DuckDB oracle hash-compare):
-  *   - money arithmetic happens entirely in DECIMAL: raw columns (≤2
-  *     decimal digits) are cast to decimal first, products/sums stay
-  *     exact (order-independent), and only the FINAL value is cast to
-  *     DOUBLE — a single correctly-rounded conversion both engines
-  *     agree on bit-for-bit (see dsum) — so the driver's float64
+  *   - money arithmetic happens entirely in exact integer units: raw
+  *     columns (≤2 decimal digits) become integer cents, products/sums
+  *     stay exact longs (order-independent), and the FINAL value is one
+  *     long→double cast plus one division by an exactly-representable
+  *     power of ten — both correctly rounded in any IEEE engine at any
+  *     magnitude (see unitSum) — so the driver's float64
   *     materialization hashes identically on both sides;
   *   - every query ends in a total ORDER BY with a unique tiebreak.
   */
@@ -28,24 +29,6 @@ object Relational {
   /** Raw money/qty column (2 decimal digits stored as double) → exact decimal. */
   private def d2(c: Column): Column = c.cast(DecimalType(12, 2))
 
-  /** Exact, order-independent sum of an exact decimal expression.
-    *
-    * The aggregation is exact DECIMAL (order-independent); only the FINAL
-    * value is cast to DOUBLE so the driver's value materialization (float64
-    * in pandas on both the Spark-parquet and DuckDB sides) is identical.
-    * DECIMAL(38,6)→DOUBLE is correctly rounded in both engines while the
-    * unscaled value < 2^53 (i.e. |sum| < 9e9 at scale 6 — holds at the
-    * verify SF with wide margin), so the bits match.
-    *
-    * Plain decimal SUMs stay on Spark's long-backed fast path (same-scale
-    * addition never allocates). Decimal MULTIPLICATION does not — every
-    * product goes through java.math.BigDecimal, which is what made the
-    * product-bearing aggregates ~10× slower than they should be. Those
-    * use [[unitSum]] instead.
-    */
-  private def dsum(e: Column): Column =
-    sum(e).cast(DecimalType(38, 6)).cast("double")
-
   /** Money/rate column (exactly 2 decimal digits, stored as double) →
     * exact integer hundredths ("cents"). round() absorbs the double
     * representation error (|x·100 − true| < 0.5 always for 2-digit data),
@@ -53,22 +36,23 @@ object Relational {
     */
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
-  /** Exact sum of integer units of 10^-k → DOUBLE, bit-identical to the
-    * oracle's `CAST(CAST(SUM(decimal products) AS DECIMAL(38,6)) AS
-    * DOUBLE)`: the per-row math is pure LONG (whole-stage codegen, no
-    * BigDecimal allocation — the 100 TB-friendly hot path), the long sum
-    * is the same rational number scaled by 10^k, and the single
-    * per-GROUP conversion long → DECIMAL(38,6) → DOUBLE is the identical
-    * final cast. Long range: sf100's ~6e8 rows × ≤1e11 units/row is the
-    * only regime that nears 2^63 — at that point widen k or pre-agg.
-    * Exactness of the decimal divide: result scale is 6 ≥ k, so S/10^k
-    * is represented exactly (no rounding ever happens).
+  /** Exact sum of integer units of 10^-k → DOUBLE via an IEEE-
+    * deterministic final step: the LONG sum (exact, order-independent,
+    * whole-stage codegen, no BigDecimal anywhere — the 100 TB-friendly
+    * hot path) casts to double (one correctly-rounded conversion at ANY
+    * magnitude) and divides by 10^k, which is exactly representable for
+    * k ≤ 15, so the division is one more correctly-rounded op. The
+    * oracle does the identical two ops on the identical integer, so the
+    * bits match regardless of the sum's size. The previous
+    * DECIMAL(38,6)→DOUBLE final cast was only bit-stable while the
+    * unscaled value stayed under 2^53 — it broke at the sf1 probe
+    * (DuckDB converts int128 decimals via a double multiply by 1e-6,
+    * which rounds twice; Spark's BigDecimal.doubleValue rounds once).
+    * Long range: sf100's ~6e8 rows × ≤1e11 units/row is the only regime
+    * that nears 2^63 — at that point widen to DECIMAL or pre-agg.
     */
-  private def unitSum(units: Column, k: Int): Column = {
-    val pow = java.math.BigDecimal.valueOf(math.pow(10, k).toLong)
-    (sum(units).cast(DecimalType(38, 0)) / lit(pow))
-      .cast(DecimalType(38, 6)).cast("double")
-  }
+  private def unitSum(units: Column, k: Int): Column =
+    (sum(units).cast("double") / lit(math.pow(10, k)))
 
   private def T(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
 
@@ -79,8 +63,8 @@ object Relational {
       .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        dsum(d2($"l_quantity")).as("sum_qty"),
-        dsum(d2($"l_extendedprice")).as("sum_base_price"),
+        unitSum(cents($"l_quantity"), 2).as("sum_qty"),
+        unitSum(cents($"l_extendedprice"), 2).as("sum_base_price"),
         unitSum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount")), 4)
           .as("sum_disc_price"),
         unitSum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount"))
@@ -181,7 +165,7 @@ object Relational {
     T(s, dir, "orders")
       .rollup($"o_orderstatus", $"o_orderpriority")
       .agg(count(lit(1)).as("n_orders"),
-        dsum(d2($"o_totalprice")).as("total_price"),
+        unitSum(cents($"o_totalprice"), 2).as("total_price"),
         grouping($"o_orderstatus").cast("int").as("g_status"),
         grouping($"o_orderpriority").cast("int").as("g_priority"))
       .orderBy($"g_status", $"g_priority", $"o_orderstatus".asc_nulls_first,
@@ -202,7 +186,7 @@ object Relational {
     import s.implicits._
     T(s, dir, "orders")
       .groupBy(date_trunc("month", $"o_orderdate").as("month"))
-      .agg(count(lit(1)).as("n_orders"), dsum(d2($"o_totalprice")).as("total_price"))
+      .agg(count(lit(1)).as("n_orders"), unitSum(cents($"o_totalprice"), 2).as("total_price"))
       .orderBy($"month")
   }
 
@@ -308,7 +292,7 @@ object Relational {
     T(s, dir, "orders")
       .cube($"o_orderstatus", $"o_orderpriority")
       .agg(count(lit(1)).as("n_orders"),
-        dsum(d2($"o_totalprice")).as("total_price"),
+        unitSum(cents($"o_totalprice"), 2).as("total_price"),
         grouping($"o_orderstatus").cast("int").as("g_status"),
         grouping($"o_orderpriority").cast("int").as("g_priority"))
       .orderBy($"g_status", $"g_priority", $"o_orderstatus".asc_nulls_first,
@@ -424,16 +408,16 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_qty,
-        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_base_price,
-        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
-        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1.00 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
+        | CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty,
+        | CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_base_price,
+        | CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS sum_disc_price,
+        | CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT)) * (100 + CAST(ROUND(l_tax*100) AS BIGINT))) AS DOUBLE)/1000000.0 AS sum_charge,
         | COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q02_revenue_by_nation" ->
       """SELECT n_name,
-        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+        | CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue,
         | COUNT(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -446,7 +430,7 @@ object Relational {
     "q03_topk_orders" ->
       """SELECT o_orderkey, c_name, o_orderdate, revenue FROM (
         |  SELECT l_orderkey,
-        |   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+        |   CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue
         |  FROM lineitem GROUP BY 1) rev
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -466,7 +450,7 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin,
     "q06_selective_filter" ->
       """SELECT
-        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+        | CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * CAST(ROUND(l_discount*100) AS BIGINT)) AS DOUBLE)/10000.0 AS revenue,
         | COUNT(*) AS n_rows
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -482,7 +466,7 @@ object Relational {
     "q08_rollup_status_priority" ->
       """SELECT o_orderstatus, o_orderpriority,
         | COUNT(*) AS n_orders,
-        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS DOUBLE) AS total_price,
+        | CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_price,
         | CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
         | CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
         |FROM orders
@@ -527,7 +511,7 @@ object Relational {
         |GROUP BY cohort_day, day ORDER BY cohort_day, day""".stripMargin,
     "q19_supplier_revenue" ->
       """SELECT n_name,
-        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+        | CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue,
         | COUNT(DISTINCT s_suppkey) AS n_suppliers,
         | COUNT(*) AS n_items
         |FROM lineitem
@@ -546,12 +530,12 @@ object Relational {
     "q10_orders_by_month" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
         | COUNT(*) AS n_orders,
-        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS DOUBLE) AS total_price
+        | CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q15_cube_status_priority" ->
       """SELECT o_orderstatus, o_orderpriority,
         | COUNT(*) AS n_orders,
-        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS DOUBLE) AS total_price,
+        | CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_price,
         | CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
         | CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
         |FROM orders

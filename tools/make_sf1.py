@@ -9,7 +9,8 @@ bench's dedup/ANN queries run on fixed-size corpora at every sf, per
 Bench.scala's headline note). Timestamps in events shift by replica
 too, spreading cohorts/windows across a wider range like real growth.
 
-Usage: python3 tools/make_sf1.py [OUT_DIR] (default /tmp/sf1)
+Usage: python3 tools/make_sf1.py [OUT_DIR] [REPLICAS]
+       (defaults: /tmp/sf1, 10 — REPLICAS=100 builds an sf10 probe)
 """
 import sys
 
@@ -17,7 +18,7 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
-R = 10  # replicas
+R = int(sys.argv[2]) if len(sys.argv) > 2 else 10  # replicas
 STRIDE = 10_000_000  # > every key in sf0.1
 
 # table -> key columns to shift per replica

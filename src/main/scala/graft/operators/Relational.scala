@@ -84,8 +84,12 @@ object Relational {
     val c = T(s, dir, "customer")
     val n = T(s, dir, "nation")
     val r = T(s, dir, "region").filter($"r_name" === "ASIA")
+    // nation/region are BOUNDED dims (25/5 rows at any sf) — hint them.
+    // customer GROWS with sf: no hint, so AQE broadcasts while it fits
+    // the threshold and degrades to a co-partitioned shuffle join at
+    // cohort scale instead of force-broadcasting a 100 TB-era dim.
     li.join(o, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(c, $"o_custkey" === $"c_custkey")
       .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
       .groupBy($"n_name")
@@ -104,7 +108,8 @@ object Relational {
         .as("revenue"))
     rev
       .join(T(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(T(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+      // customer scales with sf — AQE picks broadcast vs shuffle (q02's note)
+      .join(T(s, dir, "customer"), $"o_custkey" === $"c_custkey")
       .select($"o_orderkey", $"c_name", $"o_orderdate", $"revenue")
       .orderBy($"revenue".desc, $"o_orderkey".asc)
       .limit(10)
@@ -373,7 +378,8 @@ object Relational {
     T(s, dir, "lineitem")
       .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
         $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
-      .join(broadcast(T(s, dir, "supplier")), $"l_suppkey" === $"s_suppkey")
+      // supplier scales with sf — AQE picks broadcast vs shuffle (q02's note)
+      .join(T(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
       .join(broadcast(T(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
       .groupBy($"n_name")
       .agg(unitSum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount")), 4)

@@ -12,7 +12,7 @@ case class MediaMeta(
     width: Int,
     height: Int,
     n_frames: Int,
-    checksum: Long)
+    digest: String)
 
 /** Multimodal-column operators (SURVEY.md §2.3): media as opaque
   * `binary` columns with typed metadata.
@@ -41,25 +41,53 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** md5 hex of the blob bytes — the stub decoder's entropy source.
+    * md5 (not FNV/xxhash) so the DuckDB ORACLE can recompute the exact
+    * same digests natively: this is what upgrades m02/m04/m05/m06 from
+    * rows-only to full oracle verification while keeping the decode
+    * stub deterministic on content.
+    */
+  private def md5hex(bytes: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val sb = new java.lang.StringBuilder(32)
+    d.foreach { b => sb.append(Character.forDigit((b >> 4) & 0xf, 16))
+      .append(Character.forDigit(b & 0xf, 16)) }
+    sb.toString
+  }
+
+  /** Unsigned value of 4 hex chars of `s` at 0-based `pos` (16 bits —
+    * small enough that the oracle can rebuild it with plain arithmetic).
+    */
+  private def hex4(s: String, pos: Int): Int =
+    Integer.parseInt(s.substring(pos, pos + 4), 16)
+
+  /** The same 4-hex-char value in DuckDB SQL (1-based `pos`), built from
+    * strpos digit lookups — no hex-parse builtin needed.
+    */
+  private def sqlHex4(col: String, pos: Int): String = {
+    def d(i: Int) =
+      s"(strpos('0123456789abcdef', substr($col, ${pos + i}, 1)) - 1)"
+    s"(((${d(0)} * 16 + ${d(1)}) * 16 + ${d(2)}) * 16 + ${d(3)})"
+  }
+
   /** STUB decoder — stands in for libjpeg/ffmpeg, which are absent in
     * this container. Deterministic on the blob bytes so results are
-    * verifiable; the real implementation would decode here and nothing
-    * else in the pipeline would change.
+    * verifiable (and oracle-recomputable, see md5hex); the real
+    * implementation would decode here and nothing else in the pipeline
+    * would change.
     */
   private def fakeDecode(id: Long, bytes: Array[Byte]): MediaMeta = {
-    var h = 0xcbf29ce484222325L // FNV-1a, same family as Kernels
-    var i = 0
-    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    val dg = md5hex(bytes)
     MediaMeta(
       doc_id = id,
       n_bytes = bytes.length,
-      width = 64 + ((h & 0x3ffL).toInt),
-      height = 64 + (((h >>> 10) & 0x3ffL).toInt),
-      n_frames = 1 + (((h >>> 20) & 0xfL).toInt),
-      checksum = h)
+      width = 64 + hex4(dg, 0) % 1024,
+      height = 64 + hex4(dg, 4) % 1024,
+      n_frames = 1 + hex4(dg, 8) % 16,
+      digest = dg)
   }
 
-  /** m02 (rows-only): decode plumbing — binary batches per partition
+  /** m02: decode plumbing — binary batches per partition
     * (batch size 32, the shape a GPU/vectorized decoder wants), typed
     * struct out. `mapPartitions` is the Scala analog of mapInPandas:
     * one iterator per partition, amortized setup, no driver round-trip.
@@ -124,7 +152,7 @@ object Multimodal {
     */
   private val KFrames = 4
 
-  /** m04 (rows-only): frame-sample plumbing — the video path of the
+  /** m04: frame-sample plumbing — the video path of the
     * multimodal mandate: decode header → pick K evenly-strided frame
     * indices → one output ROW PER SAMPLED FRAME with scalar per-frame
     * digests (the shape a frame-level embedding model consumes next).
@@ -146,12 +174,11 @@ object Multimodal {
             (0 until k).map { j =>
               // evenly-strided deterministic indices — ffmpeg's
               // select='not(mod(n,stride))' sampling shape
-              val frameIdx = (j.toLong * meta.n_frames) / k
+              val frameIdx = ((j.toLong * meta.n_frames) / k).toInt
               // stub per-frame digest: the frame index mixed into the
-              // blob hash stands in for hashing decoded pixel data
-              var h = meta.checksum ^ (frameIdx * 0x9e3779b97f4a7c15L)
-              h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
-              (id, meta.n_frames, frameIdx.toInt, h)
+              // blob digest stands in for hashing decoded pixel data
+              val h = md5hex(s"${meta.digest}:$frameIdx".getBytes("UTF-8"))
+              (id, meta.n_frames, frameIdx, h)
             }
           }
         }
@@ -170,43 +197,45 @@ object Multimodal {
   private val HopBytes = 48
   private val MaxChunks = 6
 
-  /** m05 (rows-only): audio-chunk plumbing — the audio path of the
+  /** m05: audio-chunk plumbing — the audio path of the
     * multimodal mandate: split each blob into fixed-size overlapping
     * windows (the frame/hop shape every acoustic feature extractor
     * consumes), one output row per chunk with scalar digests. Decode is
     * stubbed (no soundfile/ffmpeg in this container) by treating the
-    * raw bytes as the sample stream; batching, bounded flatMap
-    * expansion, and scalars-only output are the real contract.
+    * character stream as the sample stream (chars == bytes on this
+    * ASCII corpus; a real decoder slots in without changing the plan);
+    * batching, bounded flatMap expansion, and scalars-only output are
+    * the real contract. Chunk digests are md5 over the chunk content so
+    * the oracle recomputes them with substr+md5.
     */
   def m05(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     T(s, dir, "documents")
-      .select($"doc_id", $"text".cast("binary").as("blob"))
-      .as[(Long, Array[Byte])]
+      .select($"doc_id", $"text")
+      .as[(Long, String)]
       .mapPartitions { it =>
         it.grouped(32).flatMap { batch => // one stub "resampler call" per 32 blobs
-          batch.flatMap { case (id, bytes) =>
+          batch.flatMap { case (id, txt) =>
             // empty blob → zero chunks (never a zero-byte frame row)
+            val len = txt.length
             val nChunks =
-              if (bytes.isEmpty) 0
+              if (len == 0) 0
               else math.min(MaxChunks,
-                math.max(1, (bytes.length - ChunkBytes + HopBytes) / HopBytes))
+                math.max(1, (len - ChunkBytes + HopBytes) / HopBytes))
             (0 until nChunks).map { j =>
               val off = j * HopBytes
-              val end = math.min(off + ChunkBytes, bytes.length)
-              var h = 0xcbf29ce484222325L
-              var i = off
-              while (i < end) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
-              (id, j, off, end - off, h)
+              val end = math.min(off + ChunkBytes, len)
+              (id, j, off, end - off,
+                md5hex(txt.substring(off, end).getBytes("UTF-8")))
             }
           }
         }
       }
-      .toDF("doc_id", "chunk_idx", "byte_off", "n_chunk_bytes", "chunk_hash")
+      .toDF("doc_id", "chunk_idx", "char_off", "n_chunk_chars", "chunk_hash")
       .orderBy($"doc_id", $"chunk_idx")
   }
 
-  /** m06 (rows-only): image-RESIZE plumbing — decode header → compute
+  /** m06: image-RESIZE plumbing — decode header → compute
     * the letterboxed target geometry (fit 224×224 preserving aspect, the
     * vision-model preprocessing staple) → emit the resized-frame scalar
     * digest. The pixel resample is the stub (no libjpeg/PIL here); the
@@ -229,10 +258,9 @@ object Multimodal {
               math.max(1, (meta.height * scale).round.toInt))
             val padX = (tw - ow) / 2
             val padY = (th - oh) / 2
-            // stub digest: geometry mixed into the blob hash stands in
+            // stub digest: geometry mixed into the blob digest stands in
             // for hashing the resampled pixels
-            var h = meta.checksum ^ (ow.toLong << 32) ^ oh.toLong
-            h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+            val h = md5hex(s"${meta.digest}:${ow}x$oh".getBytes("UTF-8"))
             (id, meta.width, meta.height, ow, oh, padX, padY, h)
           }
         }
@@ -248,8 +276,69 @@ object Multimodal {
         | octet_length(text::BLOB) AS n_bytes,
         | sha256(text) AS sha,
         | substr(text, 1, 8) AS head8
-        |FROM documents ORDER BY doc_id""".stripMargin
-    // m02_decode_stub: rows-only (stub decoder is engine-side)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // m02/m04/m05/m06: the stub decoder derives EVERYTHING from
+    // md5(blob), which DuckDB computes natively — so the oracle rebuilds
+    // the full decode → geometry → digest chain in SQL. Only m03 stays
+    // rows-only (float stub model; cross-engine float-format hashing is
+    // not contract-stable).
+    "m02_decode_stub" ->
+      s"""WITH meta AS (
+         |  SELECT doc_id, CAST(octet_length(text::BLOB) AS INT) AS n_bytes,
+         |         md5(text) AS digest
+         |  FROM documents)
+         |SELECT doc_id, n_bytes,
+         |  CAST(64 + ${sqlHex4("digest", 1)} % 1024 AS INT) AS width,
+         |  CAST(64 + ${sqlHex4("digest", 5)} % 1024 AS INT) AS height,
+         |  CAST(1 + ${sqlHex4("digest", 9)} % 16 AS INT) AS n_frames,
+         |  digest
+         |FROM meta ORDER BY doc_id""".stripMargin,
+    "m04_frame_sample" ->
+      s"""WITH meta AS (
+         |  SELECT doc_id, md5(text) AS dg,
+         |         CAST(1 + ${sqlHex4("md5(text)", 9)} % 16 AS INT) AS n_frames
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, n_frames, dg,
+         |         CAST((j * n_frames) // LEAST(4, n_frames) AS INT) AS frame_idx
+         |  FROM meta CROSS JOIN range(4) t(j)
+         |  WHERE j < LEAST(4, n_frames))
+         |SELECT doc_id, n_frames, frame_idx,
+         |       md5(dg || ':' || CAST(frame_idx AS VARCHAR)) AS frame_hash
+         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    "m05_audio_chunk" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS len
+        |  FROM documents WHERE length(text) > 0),
+        |c AS (
+        |  SELECT doc_id, text, len,
+        |         LEAST(6, GREATEST(1, (len - 64 + 48) // 48)) AS n_chunks
+        |  FROM d)
+        |SELECT doc_id, CAST(j AS INT) AS chunk_idx,
+        |       CAST(j * 48 AS INT) AS char_off,
+        |       CAST(LEAST(j * 48 + 64, len) - j * 48 AS INT) AS n_chunk_chars,
+        |       md5(substr(text, CAST(j * 48 + 1 AS INT), 64)) AS chunk_hash
+        |FROM c CROSS JOIN range(6) t(j) WHERE j < n_chunks
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "m06_resize_stub" ->
+      s"""WITH meta AS (
+         |  SELECT doc_id, md5(text) AS dg,
+         |         CAST(64 + ${sqlHex4("md5(text)", 1)} % 1024 AS INT) AS w,
+         |         CAST(64 + ${sqlHex4("md5(text)", 5)} % 1024 AS INT) AS h
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, dg, w, h,
+         |    GREATEST(1, CAST(round(w * LEAST(CAST(224 AS DOUBLE) / w,
+         |      CAST(224 AS DOUBLE) / h)) AS INT)) AS ow,
+         |    GREATEST(1, CAST(round(h * LEAST(CAST(224 AS DOUBLE) / w,
+         |      CAST(224 AS DOUBLE) / h)) AS INT)) AS oh
+         |  FROM meta)
+         |SELECT doc_id, w AS src_w, h AS src_h, ow AS out_w, oh AS out_h,
+         |       CAST((224 - ow) // 2 AS INT) AS pad_x,
+         |       CAST((224 - oh) // 2 AS INT) AS pad_y,
+         |       md5(dg || ':' || CAST(ow AS VARCHAR) || 'x'
+         |           || CAST(oh AS VARCHAR)) AS resized_hash
+         |FROM g ORDER BY doc_id""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -110,13 +110,13 @@ class EventJoinSpec extends SparkSpec {
 
   test("m05 chunks have hop-strided offsets, bounded counts, and are deterministic") {
     val run1 = SparkEntry.queries("m05_audio_chunk")(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
     val run2 = SparkEntry.queries("m05_audio_chunk")(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
     assert(run1.toSeq == run2.toSeq, "chunking must be deterministic")
     val byDoc = run1.groupBy(_._1)
     val lens = Tables(spark, dir, "documents")
-      .selectExpr("doc_id", "CAST(octet_length(CAST(text AS BINARY)) AS BIGINT) AS n")
+      .selectExpr("doc_id", "CAST(length(text) AS BIGINT) AS n")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     byDoc.foreach { case (id, chunks) =>
       assert(chunks.length <= 6 && chunks.nonEmpty)
@@ -146,9 +146,9 @@ class EventJoinSpec extends SparkSpec {
 
   test("m04 samples min(4, n_frames) evenly-strided frames, deterministically") {
     val run1 = SparkEntry.queries("m04_frame_sample")(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
     val run2 = SparkEntry.queries("m04_frame_sample")(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
     assert(run1.toSeq == run2.toSeq, "frame sampling must be deterministic")
     run1.groupBy(_._1).foreach { case (doc, frames) =>
       val n = frames.head._2

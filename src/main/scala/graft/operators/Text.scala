@@ -110,9 +110,11 @@ object Text {
       .orderBy($"doc_id")
   }
 
-  /** t05 (rows-only): winnowing rolling-hash fingerprint — custom
-    * codegen Catalyst expression (min of 16-char polynomial window
-    * hashes); not ANSI-SQL-expressible.
+  /** t05: winnowing rolling-hash fingerprint — custom codegen Catalyst
+    * expression (min of 16-char polynomial window hashes). The oracle
+    * replays the kernel bit-for-bit in DuckDB: 64-bit wraparound
+    * multiplies become 32-bit split products in HUGEINT (see
+    * `sqlMulMod`), so even the custom expression is hash-verified.
     */
   def t05(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -448,7 +450,63 @@ object Text {
       .orderBy($"doc_id")
   }
 
+  /** t05 oracle machinery: DuckDB SQL replaying the rolling-minhash
+    * kernel (Expressions.scala `Kernels.rollingMinHash`) bit-for-bit.
+    * The kernel works in 64-bit wraparound arithmetic; DuckDB raises on
+    * UBIGINT overflow, so every multiply is emitted as 32-bit split
+    * products accumulated in HUGEINT and reduced `% 2^64`, while
+    * xor/shift steps run natively on UBIGINT.
+    */
+  private val M64 = BigInt(1) << 64
+
+  private def sqlXorShift(e: String, n: Int): String =
+    s"CAST(xor(CAST($e AS UBIGINT), CAST($e AS UBIGINT) >> $n) AS HUGEINT)"
+
+  /** `(e * c) % 2^64` for a HUGEINT expression `e` in [0, 2^64). */
+  private def sqlMulMod(e: String, c: BigInt): String = {
+    val (cHi, cLo) = (c >> 32, c & 0xffffffffL)
+    val lo = s"CAST(CAST($e AS UBIGINT) & 4294967295 AS HUGEINT)"
+    val hi = s"CAST(CAST($e AS UBIGINT) >> 32 AS HUGEINT)"
+    s"(($lo * $cLo + (($lo * $cHi + $hi * $cLo) % 4294967296) * 4294967296) % $M64)"
+  }
+
+  /** The splitmix64 finalizer (Kernels.avalanche) over expression `e`. */
+  private def sqlAvalanche(e: String): String = {
+    val x1 = s"(($e + 11400714819323198485) % $M64)" // + 0x9e3779b97f4a7c15
+    val x2 = sqlMulMod(sqlXorShift(x1, 30), BigInt("bf58476d1ce4e5b9", 16))
+    val x3 = sqlMulMod(sqlXorShift(x2, 27), BigInt("94d049bb133111eb", 16))
+    sqlXorShift(x3, 31)
+  }
+
+  /** Base-257 polynomial of a 16-char window `win`, mod 2^64 — the
+    * rolled hash re-expressed positionally with precomputed power
+    * literals (ord == byte on this ASCII corpus, matching the kernel's
+    * UTF-8 byte walk).
+    */
+  private def sqlPoly16: String = {
+    val terms = (0 until 16).map { j =>
+      val p = BigInt(257).modPow(BigInt(15 - j), M64)
+      s"CAST(ord(substr(win, ${j + 1}, 1)) AS HUGEINT) * $p"
+    }
+    s"((${terms.mkString(" + ")}) % $M64)"
+  }
+
   val oracle: Map[String, String] = Map(
+    // every 16-char window's avalanched polynomial hash, unsigned-min
+    // per doc, sign-converted back to the kernel's Long. range(1,4096)
+    // bounds window starts (docs here are ≤ ~600 chars; a doc under 16
+    // chars would emit no window — corpus min length is 44).
+    "t05_rolling_hash" ->
+      s"""WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+         |w AS (SELECT doc_id, substr(text, CAST(i AS INT), 16) AS win
+         |      FROM d CROSS JOIN range(1, 4096) t(i) WHERE i + 15 <= len),
+         |h AS (SELECT doc_id, CAST(${sqlAvalanche(sqlPoly16)} AS UBIGINT) AS hv FROM w),
+         |m AS (SELECT doc_id, min(hv) AS mh FROM h GROUP BY doc_id)
+         |SELECT doc_id,
+         |       CAST(CASE WHEN mh >= 9223372036854775808
+         |                 THEN CAST(mh AS HUGEINT) - $M64
+         |                 ELSE CAST(mh AS HUGEINT) END AS BIGINT) AS fp
+         |FROM m ORDER BY doc_id""".stripMargin,
     "t10_unigram_logprob" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
          |  FROM documents),
@@ -555,7 +613,6 @@ object Text {
       """SELECT doc_id,
         | md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // t05_rolling_hash: rows-only (custom expression)
     "t06_bpe_tokens" ->
       s"""SELECT doc_id, len(toks) AS n_bpe_tokens,
          | len(list_distinct(toks)) AS n_distinct,

@@ -87,10 +87,12 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** d03 (rows-only): SimHash near-dup pairs — 64-bit fingerprint via
-    * the custom codegen expression, bucketed by its four 16-bit chunks
-    * (a near-dup within Hamming distance 3×16 shares ≥1 chunk), pairs
-    * confirmed by full Hamming distance ≤ 12.
+  /** d03: SimHash near-dup pairs — 64-bit fingerprint via the custom
+    * codegen expression, bucketed by its four 16-bit chunks (a near-dup
+    * within Hamming distance 3×16 shares ≥1 chunk), pairs confirmed by
+    * full Hamming distance ≤ 12. The DuckDB oracle replays the whole
+    * thing — FNV-1a token hashes, bit votes, adaptive cap, Hamming —
+    * bit-for-bit (see `oracle` below).
     */
   def d03(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
@@ -532,7 +534,39 @@ object Dedup {
       .orderBy($"canonical_url")
   }
 
+  /** d03 oracle: replay simhash64 in DuckDB — per-token FNV-1a via
+    * OracleSql.fnv64 (list_reduce fold, 64-bit wraparound made
+    * explicit), then the 64 bit-votes as one summed CASE lattice, then
+    * the exact chunk-bucket / adaptive-cap / Hamming pipeline in plain
+    * SQL. One sum-CASE term per bit.
+    */
+  private def d03BitVotes: String = (0 until 64).map { j =>
+    s"(CASE WHEN sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) > 0 " +
+      s"THEN CAST(${BigInt(1) << j} AS HUGEINT) ELSE 0 END)"
+  }.mkString(" + ")
+
   val oracle: Map[String, String] = Map(
+    "d03_dedup_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |              FROM documents),
+         |th AS (SELECT doc_id, CAST(${OracleSql.fnv64("tok")} AS UBIGINT) AS h
+         |       FROM toks),
+         |sh AS (SELECT doc_id, CAST(($d03BitVotes) AS UBIGINT) AS ush
+         |       FROM th GROUP BY doc_id),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |chunks AS (SELECT doc_id, ush, c,
+         |                  CAST((ush >> CAST(c * 16 AS INT)) & 65535 AS INT) AS chunk
+         |           FROM sh CROSS JOIN range(0, 4) t(c)),
+         |keep AS (SELECT c, chunk FROM chunks GROUP BY c, chunk
+         |         HAVING count(*) <= GREATEST(50, 8 * (SELECT n_docs FROM n) // 65536)),
+         |capped AS (SELECT ch.doc_id, ch.ush, ch.c, ch.chunk
+         |           FROM chunks ch JOIN keep k USING (c, chunk)),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |                 bit_count(xor(a.ush, b.ush)) AS hamming
+         |          FROM capped a JOIN capped b
+         |            ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+         |FROM pairs WHERE hamming <= 12 ORDER BY doc_a, doc_b""".stripMargin,
     "d08_decontaminate" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |grams AS (SELECT doc_id,

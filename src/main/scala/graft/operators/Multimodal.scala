@@ -61,14 +61,8 @@ object Multimodal {
   private def hex4(s: String, pos: Int): Int =
     Integer.parseInt(s.substring(pos, pos + 4), 16)
 
-  /** The same 4-hex-char value in DuckDB SQL (1-based `pos`), built from
-    * strpos digit lookups — no hex-parse builtin needed.
-    */
-  private def sqlHex4(col: String, pos: Int): String = {
-    def d(i: Int) =
-      s"(strpos('0123456789abcdef', substr($col, ${pos + i}, 1)) - 1)"
-    s"(((${d(0)} * 16 + ${d(1)}) * 16 + ${d(2)}) * 16 + ${d(3)})"
-  }
+  /** The same 4-hex-char value in DuckDB SQL (1-based `pos`). */
+  private def sqlHex4(col: String, pos: Int): String = OracleSql.hex4(col, pos)
 
   /** STUB decoder — stands in for libjpeg/ffmpeg, which are absent in
     * this container. Deterministic on the blob bytes so results are
@@ -108,10 +102,17 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
-  /** m03 (rows-only): feature-extract plumbing — binary blob → dense
-    * embedding (the "encode then ANN-index" path; s01–s03 consume this
-    * shape). The encoder is a deterministic stub (no torch/onnx in
-    * this container); batching, schema, and normalization are real.
+  /** m03: feature-extract plumbing — binary blob → dense embedding
+    * (the "encode then ANN-index" path; s01–s03 consume this shape).
+    * The encoder is a deterministic stub (no torch/onnx in this
+    * container): 16 signed 16-bit lattice coordinates derived from
+    * per-dimension content digests, then L2-normalized to the
+    * Array[Float] a real model would emit. Batching, schema, and
+    * normalization are real; the EMITTED scalars digest the integer
+    * pre-image (a bijective image of the unit vector) rather than
+    * formatted floats — cross-engine float formatting is not
+    * contract-stable (see t10's round() note), integers are, which is
+    * what lets the DuckDB oracle verify this query.
     */
   def m03(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -122,28 +123,23 @@ object Multimodal {
       .mapPartitions { it =>
         it.grouped(32).flatMap { batch => // one stub "model call" per 32 blobs
           batch.map { case (id, bytes) =>
-            var h = 0xcbf29ce484222325L
-            var i = 0
-            while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
-            val raw = Array.tabulate(dims) { d =>
-              var x = h + d * 0x9e3779b97f4a7c15L
-              x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-              ((x >>> 11).toDouble / (1L << 53).toDouble).toFloat - 0.5f
+            val dg = md5hex(bytes)
+            val q = Array.tabulate(dims) { d =>
+              hex4(md5hex(s"$dg:$d".getBytes("UTF-8")), 0) - 32768
             }
-            val norm = math.sqrt(raw.map(v => v.toDouble * v).sum).toFloat
-            (id, raw.map(_ / norm))
+            val norm = math.sqrt(q.map(v => v.toDouble * v).sum)
+            // the downstream embedding shape — normalized floats
+            val emb = q.map(v => (v / norm).toFloat)
+            // Scalars only on the way out: the Array[Float] stays an
+            // internal shape; externally we emit the integer pre-image's
+            // exact squared norm and content digest. Array cells in a
+            // result table also break column-wise sorters downstream.
+            (id, q.map(v => v.toLong * v).sum,
+              md5hex(q.mkString(",").getBytes("UTF-8")), emb.length)
           }
         }
       }
-      .toDF("doc_id", "embedding")
-      // Scalars only on the way out: the raw Array[Float] stays an
-      // internal shape (s01–s03 consume it); externally we emit its
-      // squared norm and a rounded-element content digest. Array cells
-      // in a result table also break column-wise sorters downstream.
-      .select($"doc_id",
-        expr("round(aggregate(embedding, 0.0e0, (a, x) -> a + CAST(x AS DOUBLE) * x), 5)").as("sq_norm"),
-        md5(concat_ws(",", expr("transform(embedding, x -> format_number(CAST(x AS DOUBLE), 6))"))).as("emb_digest"),
-        size($"embedding").as("dims"))
+      .toDF("doc_id", "sq_norm_int", "emb_digest", "dims")
       .orderBy($"doc_id")
   }
 
@@ -277,11 +273,25 @@ object Multimodal {
         | sha256(text) AS sha,
         | substr(text, 1, 8) AS head8
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // m02/m04/m05/m06: the stub decoder derives EVERYTHING from
-    // md5(blob), which DuckDB computes natively — so the oracle rebuilds
-    // the full decode → geometry → digest chain in SQL. Only m03 stays
-    // rows-only (float stub model; cross-engine float-format hashing is
-    // not contract-stable).
+    // m02–m06: the stub decoder derives EVERYTHING from md5(blob),
+    // which DuckDB computes natively — so the oracle rebuilds the full
+    // decode → geometry → digest chain in SQL.
+    "m03_feature_extract" -> {
+      val qs = (0 until 16).map { d =>
+        s"(${sqlHex4(s"md5(dg || ':$d')", 1)} - 32768) AS q$d"
+      }.mkString(",\n        ")
+      val sq = (0 until 16).map(d => s"CAST(q$d AS BIGINT) * q$d").mkString(" + ")
+      val cat = (0 until 16).map(d => s"CAST(q$d AS VARCHAR)").mkString(" || ',' || ")
+      s"""WITH meta AS (SELECT doc_id, md5(text) AS dg FROM documents),
+         |q AS (SELECT doc_id,
+         |        $qs
+         |      FROM meta)
+         |SELECT doc_id,
+         |       CAST($sq AS BIGINT) AS sq_norm_int,
+         |       md5($cat) AS emb_digest,
+         |       CAST(16 AS INT) AS dims
+         |FROM q ORDER BY doc_id""".stripMargin
+    },
     "m02_decode_stub" ->
       s"""WITH meta AS (
          |  SELECT doc_id, CAST(octet_length(text::BLOB) AS INT) AS n_bytes,

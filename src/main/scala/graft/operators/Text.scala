@@ -450,45 +450,17 @@ object Text {
       .orderBy($"doc_id")
   }
 
-  /** t05 oracle machinery: DuckDB SQL replaying the rolling-minhash
-    * kernel (Expressions.scala `Kernels.rollingMinHash`) bit-for-bit.
-    * The kernel works in 64-bit wraparound arithmetic; DuckDB raises on
-    * UBIGINT overflow, so every multiply is emitted as 32-bit split
-    * products accumulated in HUGEINT and reduced `% 2^64`, while
-    * xor/shift steps run natively on UBIGINT.
-    */
-  private val M64 = BigInt(1) << 64
-
-  private def sqlXorShift(e: String, n: Int): String =
-    s"CAST(xor(CAST($e AS UBIGINT), CAST($e AS UBIGINT) >> $n) AS HUGEINT)"
-
-  /** `(e * c) % 2^64` for a HUGEINT expression `e` in [0, 2^64). */
-  private def sqlMulMod(e: String, c: BigInt): String = {
-    val (cHi, cLo) = (c >> 32, c & 0xffffffffL)
-    val lo = s"CAST(CAST($e AS UBIGINT) & 4294967295 AS HUGEINT)"
-    val hi = s"CAST(CAST($e AS UBIGINT) >> 32 AS HUGEINT)"
-    s"(($lo * $cLo + (($lo * $cHi + $hi * $cLo) % 4294967296) * 4294967296) % $M64)"
-  }
-
-  /** The splitmix64 finalizer (Kernels.avalanche) over expression `e`. */
-  private def sqlAvalanche(e: String): String = {
-    val x1 = s"(($e + 11400714819323198485) % $M64)" // + 0x9e3779b97f4a7c15
-    val x2 = sqlMulMod(sqlXorShift(x1, 30), BigInt("bf58476d1ce4e5b9", 16))
-    val x3 = sqlMulMod(sqlXorShift(x2, 27), BigInt("94d049bb133111eb", 16))
-    sqlXorShift(x3, 31)
-  }
-
   /** Base-257 polynomial of a 16-char window `win`, mod 2^64 — the
     * rolled hash re-expressed positionally with precomputed power
     * literals (ord == byte on this ASCII corpus, matching the kernel's
-    * UTF-8 byte walk).
+    * UTF-8 byte walk). Shared 64-bit-wraparound machinery in OracleSql.
     */
   private def sqlPoly16: String = {
     val terms = (0 until 16).map { j =>
-      val p = BigInt(257).modPow(BigInt(15 - j), M64)
+      val p = BigInt(257).modPow(BigInt(15 - j), OracleSql.M64)
       s"CAST(ord(substr(win, ${j + 1}, 1)) AS HUGEINT) * $p"
     }
-    s"((${terms.mkString(" + ")}) % $M64)"
+    s"((${terms.mkString(" + ")}) % ${OracleSql.M64})"
   }
 
   val oracle: Map[String, String] = Map(
@@ -500,12 +472,9 @@ object Text {
       s"""WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
          |w AS (SELECT doc_id, substr(text, CAST(i AS INT), 16) AS win
          |      FROM d CROSS JOIN range(1, 4096) t(i) WHERE i + 15 <= len),
-         |h AS (SELECT doc_id, CAST(${sqlAvalanche(sqlPoly16)} AS UBIGINT) AS hv FROM w),
+         |h AS (SELECT doc_id, CAST(${OracleSql.avalanche(sqlPoly16)} AS UBIGINT) AS hv FROM w),
          |m AS (SELECT doc_id, min(hv) AS mh FROM h GROUP BY doc_id)
-         |SELECT doc_id,
-         |       CAST(CASE WHEN mh >= 9223372036854775808
-         |                 THEN CAST(mh AS HUGEINT) - $M64
-         |                 ELSE CAST(mh AS HUGEINT) END AS BIGINT) AS fp
+         |SELECT doc_id, ${OracleSql.toSigned("mh")} AS fp
          |FROM m ORDER BY doc_id""".stripMargin,
     "t10_unigram_logprob" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok

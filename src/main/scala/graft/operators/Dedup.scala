@@ -545,7 +545,119 @@ object Dedup {
       s"THEN CAST(${BigInt(1) << j} AS HUGEINT) ELSE 0 END)"
   }.mkString(" + ")
 
+  /** d02 oracle: replay the full MinHash+LSH pipeline in DuckDB,
+    * bit-for-bit against Spark's XXH64 — per-lane seeds
+    * (`XXH64.hashInt(j, 42)`), the <32-byte string fold over each
+    * distinct shingle (all shingles here are 3 word-grams, max 26
+    * bytes: 3 LE words + optional int + tail bytes, every round
+    * guarded by the shingle's length), signed lane minima via the
+    * sign-bit-flip trick, and the banded `xxhash64(int, 4 longs)`
+    * chain. Everything runs in native UBIGINT via OracleSql's staged
+    * builders (~1M fold rows at sf0.01 in ~1.5s); hash values never
+    * convert back to signed because every downstream use is equality
+    * or (flipped) min. Structure mirrors d02 exactly: bucket cap 50,
+    * candidate distinct, est_jaccard = matching lanes / 64.
+    */
+  private def d02OracleSql: String = {
+    import OracleSql._
+
+    def byteAt(pos: String): String =
+      s"(CASE WHEN L >= $pos THEN ord(substr(g, $pos, 1))::UBIGINT ELSE 0::UBIGINT END)"
+    def word(k: Int): String =
+      "(" + (0 until 8).map(i =>
+        s"(${byteAt((8 * k + i + 1).toString)} * ${BigInt(1) << (8 * i)})").mkString(" | ") + ")"
+    def int4: String =
+      "(" + (0 until 4).map { i =>
+        val p = s"CAST(8*nw + ${i + 1} AS INT)"
+        s"((CASE WHEN L >= $p THEN ord(substr(g, $p, 1))::UBIGINT ELSE 0::UBIGINT END) * ${BigInt(1) << (8 * i)})"
+      }.mkString(" | ") + ")"
+    def tailByte(m: Int): String = {
+      val p = s"CAST(8*nw + (CASE WHEN L % 8 >= 4 THEN 4 ELSE 0 END) + ${m + 1} AS INT)"
+      s"(CASE WHEN L >= $p THEN ord(substr(g, $p, 1))::UBIGINT ELSE 0::UBIGINT END)"
+    }
+
+    // per-distinct-shingle decomposition + lane-invariant contributions
+    val pre = new Stages("dec",
+      "SELECT g, CAST(strlen(g) AS INT) AS L, CAST(strlen(g) // 8 AS INT) AS nw, " +
+        "(strlen(g) % 8 >= 4) AS has_int, " +
+        "CAST(strlen(g) % 8 - (CASE WHEN strlen(g) % 8 >= 4 THEN 4 ELSE 0 END) AS INT) AS nb " +
+        "FROM gs")
+    pre.add((0 until 3).map(k => s"w$k" -> word(k)) ++
+      Seq("i4" -> int4) ++ (0 until 3).map(m => s"tb$m" -> tailByte(m)))
+    (0 until 3).foreach { k =>
+      pre.add(Seq(s"kw$k" -> uMulMod(uRotl(uMulMod(s"w$k", XxP2), 31), XxP1)))
+    }
+    pre.add(Seq("ki" -> uMulMod("i4", XxP1)))
+    (0 until 3).foreach(m => pre.add(Seq(s"kb$m" -> uMulMod(s"tb$m", XxP5))))
+    pre.add(Seq("pad" -> "0"), select = Seq(
+      "g", "L", "nw", "has_int", "nb", "kw0", "kw1", "kw2", "ki", "kb0", "kb1", "kb2"))
+
+    // the 64 lane seeds
+    val ln = new Stages("ln", "SELECT CAST(j AS INT) AS j FROM range(0, 64) t(j)")
+    xxHashInt(ln, "j", "seed")
+
+    // shingle x lane fold
+    val hx = new Stages("hx",
+      s"SELECT d.*, l.j, l.seed FROM ${pre.last} d CROSS JOIN " +
+        s"(SELECT j, seed FROM ${ln.last}) l")
+    hx.add(Seq("h0" -> uAddMod("seed", s"($XxP5::UBIGINT + L::UBIGINT)")))
+    var h = "h0"
+    (0 until 3).foreach { k =>
+      h = xxRound(hx, h, s"kw$k", 27, XxP1, Some(XxP4), s"nw > $k", s"h${k + 1}")
+    }
+    h = xxRound(hx, h, "ki", 23, XxP2, Some(XxP3), "has_int", "hi4")
+    (0 until 3).foreach { m =>
+      h = xxRound(hx, h, s"kb$m", 11, XxP1, None, s"nb > $m", s"hb${m + 1}")
+    }
+    xxFmix(hx, h, "hf")
+    val sign = BigInt(1) << 63
+    hx.add(Seq("hv" -> s"xor(hf, $sign::UBIGINT)"), select = Seq("g", "j"))
+
+    // banded xxhash64(band, slice(sig, band*4+1, 4)) fold
+    val bh = new Stages("bh",
+      "SELECT doc_id, CAST(j // 4 AS INT) AS band, " +
+        "list(hv ORDER BY j) AS l4 FROM mins GROUP BY doc_id, CAST(j // 4 AS INT)")
+    xxHashInt(bh, "band", "s0")
+    var s = "s0"
+    (0 until 4).foreach { k =>
+      bh.add(Seq(s"v$k" -> s"xor(l4[${k + 1}], $sign::UBIGINT)"))
+      xxHashLong(bh, s, s"v$k", s"s${k + 1}")
+      s = s"s${k + 1}"
+    }
+    bh.add(Seq("bhv" -> s), select = Seq("doc_id", "band"))
+
+    val head = Vector(
+      "toks" -> ("SELECT doc_id, string_split(text, ' ') AS t FROM documents " +
+        "WHERE len(string_split(text, ' ')) >= 3"),
+      "sh" -> ("SELECT DISTINCT doc_id, g FROM (SELECT doc_id, " +
+        "unnest(list_transform(range(1, len(t)-1), " +
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g FROM toks)"),
+      "gs" -> "SELECT DISTINCT g FROM sh")
+    val mins = Vector("mins" ->
+      (s"SELECT s.doc_id, x.j, min(x.hv) AS hv " +
+        s"FROM sh s JOIN ${hx.last} x USING (g) GROUP BY s.doc_id, x.j"))
+    val mat = Set("sh", "gs", pre.last, hx.last, "mins", bh.last)
+    val all = head ++ pre.ctes ++ ln.ctes ++ hx.ctes ++ mins ++ bh.ctes
+    val withClause = all.map { case (nm, body) =>
+      val kw = if (mat(nm)) " AS MATERIALIZED (" else " AS ("
+      s"$nm$kw$body)"
+    }.mkString(",\n")
+    s"""WITH $withClause,
+       |keep AS (SELECT band, bhv FROM ${bh.last} GROUP BY band, bhv HAVING count(*) <= 50),
+       |capped AS (SELECT b.doc_id, b.band, b.bhv FROM ${bh.last} b JOIN keep USING (band, bhv)),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM capped a JOIN capped b ON a.band = b.band AND a.bhv = b.bhv AND a.doc_id < b.doc_id),
+       |neq AS (SELECT p.doc_a, p.doc_b, sum(CASE WHEN sa.hv = sb.hv THEN 1 ELSE 0 END) AS n_eq
+       |  FROM pairs p
+       |  JOIN mins sa ON sa.doc_id = p.doc_a
+       |  JOIN mins sb ON sb.doc_id = p.doc_b AND sb.j = sa.j
+       |  GROUP BY p.doc_a, p.doc_b)
+       |SELECT doc_a, doc_b, round(CAST(n_eq AS DOUBLE) / 64.0, 6) AS est_jaccard
+       |FROM neq ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "d02_dedup_minhash" -> d02OracleSql,
     "d03_dedup_simhash" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
          |              FROM documents),
@@ -593,8 +705,6 @@ object Dedup {
     "d01_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
-    // d02_dedup_minhash, d03_dedup_simhash: rows-only (xxhash64/simhash
-    // are Spark-native hashes with no DuckDB equivalent)
     "d05_dedup_embedding" -> {
       // the engine's hyperplanes as SQL literals: DuckDB recomputes the
       // same sign buckets (list_inner_product is the same sequential

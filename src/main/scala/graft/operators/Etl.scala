@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.functions.GraftFunctions
@@ -628,6 +629,29 @@ object Etl {
       .orderBy($"sample")
   }
 
+  /** e29: gemini `windower` re-expressed on testdata — sliding-window
+    * aggregation (window 1h, step 15min, so every row lands in exactly
+    * 4 overlapping windows) over the events timeline per event_type,
+    * the same shape as windower's per-chromosome sliding position
+    * windows. Spark's `window(ts, w, s)` expands rows w/s-fold BEFORE
+    * one partial-agg shuffle keyed on (window, type); the expansion
+    * factor is the bounded w/s ratio, the output is timeline/step ×
+    * types-sized, and no window ever materializes its member rows —
+    * at cohort scale this is a scan plus a dim-sized aggregate.
+    */
+  def e29(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .groupBy(window($"ts", "1 hour", "15 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"),
+        sum($"value".cast(DecimalType(18, 2)))
+          .cast(DecimalType(38, 2)).cast("double").as("sum_value"))
+      .select($"w.start".as("ws"), $"w.end".as("we"), $"event_type",
+        $"n_events", $"n_users", $"sum_value")
+      .orderBy($"ws", $"event_type")
+  }
+
   // ----------------------------------------------------------------- oracle
 
   private val variantsSelect =
@@ -645,6 +669,19 @@ object Etl {
       |FROM """.stripMargin
 
   val oracle: Map[String, String] = Map(
+    "e29_windower" ->
+      // sliding 1h/15min windows: every event belongs to exactly the 4
+      // epoch-aligned 15-min starts at/before it (time_bucket - k*15min)
+      """WITH exp AS (SELECT
+        |  time_bucket(INTERVAL '15 minutes', ts)
+        |    - CAST(k AS INT) * INTERVAL '15 minutes' AS ws,
+        |  event_type, user_id, value
+        |  FROM events CROSS JOIN range(0, 4) t(k))
+        |SELECT ws, ws + INTERVAL '1 hour' AS we, event_type,
+        | COUNT(*) AS n_events,
+        | COUNT(DISTINCT user_id) AS n_users,
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+        |FROM exp GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
     "e01_flatten_info" ->
       """SELECT event_id, event_type, value,
         | CAST(props->>'$.k' AS INTEGER) AS prop_k
@@ -853,6 +890,7 @@ object Etl {
     "e21_gene_burden" -> (e21 _),
     "e23_roh" -> (e23 _),
     "e24_sample_qc" -> (e24 _),
-    "e28_gene_set_antijoin" -> (e28 _)
+    "e28_gene_set_antijoin" -> (e28 _),
+    "e29_windower" -> (e29 _)
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -450,6 +451,44 @@ object Text {
       .orderBy($"doc_id")
   }
 
+  /** Terms kept per doc in t14's tf-idf ranking. */
+  private val TfIdfTopK = 3
+
+  /** t14: per-document top-k terms by tf-idf — the keyword/relevance
+    * weighting step of corpus curation (topic balancing, query-doc
+    * relevance, boilerplate spotting: a doc whose top terms are
+    * navigation chrome scores low). tf from ONE (doc, term) partial-agg
+    * shuffle; document frequency from ONE term-keyed partial-agg
+    * shuffle; the tf×df join is term-keyed — the vocabulary of a
+    * 100 TB corpus is itself corpus-scale, so neither side broadcasts
+    * (only the single-row total N does); top-k via a rank window over
+    * the (doc, term) frame. idf goes through the t10 pattern —
+    * round→DECIMAL(18,6) so both engines rank and sum bit-identical
+    * values, one final double cast.
+    */
+  def t14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = T(s, dir, "documents")
+    val tf = docs
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("idf", expr(
+        "CAST(round(log10(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS DECIMAL(18,6))"))
+      .withColumn("score", expr("CAST(tf AS DECIMAL(18,0)) * idf"))
+    val byDoc = Window.partitionBy($"doc_id")
+      .orderBy($"score".desc, $"term".asc)
+    scored
+      .withColumn("rk", row_number().over(byDoc))
+      .filter($"rk" <= TfIdfTopK)
+      .select($"doc_id", $"rk", $"term", $"tf",
+        expr("CAST(score AS DOUBLE)").as("tfidf"))
+      .orderBy($"doc_id", $"rk")
+  }
+
   /** Base-257 polynomial of a 16-char window `win`, mod 2^64 — the
     * rolled hash re-expressed positionally with precomputed power
     * literals (ord == byte on this ASCII corpus, matching the kernel's
@@ -464,6 +503,25 @@ object Text {
   }
 
   val oracle: Map[String, String] = Map(
+    "t14_tfidf" ->
+      s"""WITH tf AS (SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM documents)
+         |  GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (SELECT t.doc_id, t.term, t.tf,
+         |  CAST(t.tf AS DECIMAL(18,0)) *
+         |    CAST(round(log10(CAST((SELECT n_docs FROM n) AS DOUBLE)
+         |      / CAST(d.df AS DOUBLE)), 6) AS DECIMAL(18,6)) AS score
+         |  FROM tf t JOIN dfreq d USING (term)),
+         |ranked AS (SELECT doc_id, term, tf, score,
+         |  ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, term ASC) AS rk
+         |  FROM scored)
+         |SELECT doc_id, CAST(rk AS INT) AS rk, term, tf,
+         | CAST(score AS DOUBLE) AS tfidf
+         |FROM ranked WHERE rk <= $TfIdfTopK ORDER BY doc_id, rk""".stripMargin,
     // every 16-char window's avalanched polynomial hash, unsigned-min
     // per doc, sign-converted back to the kernel's Long. range(1,4096)
     // bounds window starts (docs here are ≤ ~600 chars; a doc under 16
@@ -604,6 +662,7 @@ object Text {
     "t10_unigram_logprob" -> (t10 _),
     "t11_source_mix" -> (t11 _),
     "t12_seq_pack" -> (t12 _),
-    "t13_line_dedup" -> (t13 _)
+    "t13_line_dedup" -> (t13 _),
+    "t14_tfidf" -> (t14 _)
   )
 }

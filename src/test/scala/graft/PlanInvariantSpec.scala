@@ -38,7 +38,9 @@ class PlanInvariantSpec extends SparkSpec {
     // the OOV floor (d03's count shape, used twice)
     "t10_unigram_logprob" -> 2,
     // three SINGLE-ROW stage counts combined into the one funnel row
-    "q16_funnel" -> 2)
+    "q16_funnel" -> 2,
+    // single-row doc-count broadcast into the idf term (t10's shape)
+    "t14_tfidf" -> 1)
 
   /** Queries whose bucket-key SELF-join is designed as a shuffle join
     * (SURVEY §5.4: "band-bucket keys are the shuffle key") — neither
@@ -50,7 +52,11 @@ class PlanInvariantSpec extends SparkSpec {
     Set("d02_dedup_minhash", "d03_dedup_simhash", "d04_ngram_jaccard",
       // pair self-join keyed on (family, gene) — the candidate-bucket
       // key; neither side is a broadcastable dim at cohort scale
-      "e19_comp_het")
+      "e19_comp_het",
+      // tf × document-frequency join keyed on term — the vocabulary of
+      // a corpus-scale input is itself corpus-scale, so the term join
+      // is a shuffle join by design (AQE broadcasts it at tiny SF)
+      "t14_tfidf")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plan: no cartesian product, no sort-merge join") {

@@ -629,6 +629,62 @@ object Etl {
       .orderBy($"sample")
   }
 
+  /** The HWE/inbreeding arithmetic over genotype-class counts, shared
+    * VERBATIM between the Spark plan and the DuckDB oracle: identical
+    * IEEE operation order makes the doubles bit-identical in both
+    * engines, so no rounding is needed. Expects integer columns
+    * n_aa_ref (hom-ref), n_het, n_aa_alt (hom-alt) in scope.
+    */
+  private val hweSqlCols: Seq[(String, String)] = Seq(
+    "n_called" -> "(n_aa_ref + n_het + n_aa_alt)",
+    "p_ref" -> ("(CAST(2 * n_aa_ref + n_het AS DOUBLE) / " +
+      "CAST(2 * (n_aa_ref + n_het + n_aa_alt) AS DOUBLE))"),
+    "hwe_chi2" ->
+      ("""(CASE WHEN p_ref > 0.0e0 AND p_ref < 1.0e0 THEN
+         |  (CAST(n_aa_ref AS DOUBLE) - CAST(n_called AS DOUBLE) * p_ref * p_ref)
+         |    * (CAST(n_aa_ref AS DOUBLE) - CAST(n_called AS DOUBLE) * p_ref * p_ref)
+         |    / (CAST(n_called AS DOUBLE) * p_ref * p_ref)
+         |  + (CAST(n_het AS DOUBLE) - CAST(n_called AS DOUBLE) * 2.0e0 * p_ref * (1.0e0 - p_ref))
+         |    * (CAST(n_het AS DOUBLE) - CAST(n_called AS DOUBLE) * 2.0e0 * p_ref * (1.0e0 - p_ref))
+         |    / (CAST(n_called AS DOUBLE) * 2.0e0 * p_ref * (1.0e0 - p_ref))
+         |  + (CAST(n_aa_alt AS DOUBLE) - CAST(n_called AS DOUBLE) * (1.0e0 - p_ref) * (1.0e0 - p_ref))
+         |    * (CAST(n_aa_alt AS DOUBLE) - CAST(n_called AS DOUBLE) * (1.0e0 - p_ref) * (1.0e0 - p_ref))
+         |    / (CAST(n_called AS DOUBLE) * (1.0e0 - p_ref) * (1.0e0 - p_ref))
+         |  ELSE NULL END)""".stripMargin),
+    "inbreeding_f" ->
+      ("""(CASE WHEN p_ref > 0.0e0 AND p_ref < 1.0e0 THEN
+         |  1.0e0 - (CAST(n_het AS DOUBLE) / CAST(n_called AS DOUBLE))
+         |    / (2.0e0 * p_ref * (1.0e0 - p_ref))
+         |  ELSE NULL END)""".stripMargin))
+
+  /** e30: per-variant Hardy-Weinberg chi-square and inbreeding
+    * coefficient — the pop-gen QC columns a GEMINI-style variants
+    * table carries (hwe, inbreeding_coeff), computed from the same
+    * genotype-class counts as e05. Counts come straight off the
+    * packed gt_types array (one codegen size/filter per class, no
+    * per-sample explode), the statistics are per-row double
+    * arithmetic — scan-speed at cohort scale, and the fixed
+    * monomorphic guard (p in {0,1} → NULL) is engine-portable.
+    * Chi-square STATISTIC, not p-value: the statistic is exact IEEE
+    * arithmetic both engines agree on bit-for-bit; a p-value needs
+    * erfc, which DuckDB lacks (downstream can threshold the statistic
+    * at 3.841 for α=0.05, df=1).
+    */
+  def e30(s: SparkSession, dir: String): DataFrame =
+    hwe(s, VcfFixture.variants(s))
+
+  def hwe(s: SparkSession, variants: DataFrame): DataFrame = {
+    import s.implicits._
+    var df = variants.select($"chrom", $"pos", $"alt",
+      expr("size(filter(gt_types, x -> x = 0))").as("n_aa_ref"),
+      expr("size(filter(gt_types, x -> x = 1))").as("n_het"),
+      expr("size(filter(gt_types, x -> x = 3))").as("n_aa_alt"))
+    hweSqlCols.foreach { case (n, e) => df = df.withColumn(n, expr(e)) }
+    df.select($"chrom", $"pos", $"alt", $"n_called", $"p_ref",
+        $"hwe_chi2", $"inbreeding_f")
+      .orderBy($"chrom", $"pos", $"alt")
+  }
+
   /** e29: gemini `windower` re-expressed on testdata — sliding-window
     * aggregation (window 1h, step 15min, so every row lands in exactly
     * 4 overlapping windows) over the events timeline per event_type,
@@ -669,6 +725,18 @@ object Etl {
       |FROM """.stripMargin
 
   val oracle: Map[String, String] = Map(
+    "e30_hwe" -> {
+      val (c1, c2) = hweSqlCols.splitAt(2)
+      def sel(cols: Seq[(String, String)], from: String) =
+        s"SELECT *, ${cols.map { case (n, e) => s"$e AS $n" }.mkString(", ")} FROM $from"
+      s"""WITH base AS (SELECT chrom, CAST(pos AS BIGINT) AS pos, alt,
+         |  num_hom_ref AS n_aa_ref, num_het AS n_het, num_hom_alt AS n_aa_alt
+         |  FROM ${VcfFixture.variantsValues}),
+         |s1 AS (${sel(c1, "base")}),
+         |s2 AS (${sel(c2, "s1")})
+         |SELECT chrom, pos, alt, n_called, p_ref, hwe_chi2, inbreeding_f
+         |FROM s2 ORDER BY chrom, pos, alt""".stripMargin
+    },
     "e29_windower" ->
       // sliding 1h/15min windows: every event belongs to exactly the 4
       // epoch-aligned 15-min starts at/before it (time_bucket - k*15min)
@@ -891,6 +959,7 @@ object Etl {
     "e23_roh" -> (e23 _),
     "e24_sample_qc" -> (e24 _),
     "e28_gene_set_antijoin" -> (e28 _),
-    "e29_windower" -> (e29 _)
+    "e29_windower" -> (e29 _),
+    "e30_hwe" -> (e30 _)
   )
 }

@@ -221,4 +221,42 @@ class VcfReaderSpec extends SparkSpec {
     assert(h.rawLines.size == 13)
     assert(h.rawLines.head == "##fileformat=VCFv4.2")
   }
+
+  test("e30 HWE chi-square and inbreeding F match hand-computed values") {
+    import graft.operators.Etl
+    val rows = Etl.hwe(spark, VcfFixture.variants(spark)).collect()
+    assert(rows.length == 5)
+    def r(chrom: String, pos: Long, alt: String) = rows.find(x =>
+      x.getAs[String]("chrom") == chrom && x.getAs[Long]("pos") == pos &&
+        x.getAs[String]("alt") == alt).get
+    // 1:100 G — counts (2 hom-ref, 1 het, 1 hom-alt), p_ref = 5/8
+    val a = r("1", 100L, "G")
+    assert(a.getAs[Int]("n_called") == 4)
+    assert(a.getAs[Double]("p_ref") == 0.625)
+    assert(math.abs(a.getAs[Double]("hwe_chi2") - 0.8711111111111111) < 1e-12)
+    assert(math.abs(a.getAs[Double]("inbreeding_f") - 0.4666666666666667) < 1e-12)
+    // 1:200 T — all-het (0,2,0): maximal het excess, F = -1, chi2 = n = 2
+    val b = r("1", 200L, "T")
+    assert(b.getAs[Double]("hwe_chi2") == 2.0)
+    assert(b.getAs[Double]("inbreeding_f") == -1.0)
+    // X:400 C — (0,2,2), p_ref = 1/4
+    val c = r("X", 400L, "C")
+    assert(math.abs(c.getAs[Double]("hwe_chi2") - 0.4444444444444444) < 1e-12)
+    assert(math.abs(c.getAs[Double]("inbreeding_f") - (-1.0 / 3.0)) < 1e-12)
+  }
+
+  test("e30 HWE guards: monomorphic sites yield NULL statistics") {
+    import org.apache.spark.sql.functions._
+    // all hom-ref (p=1) and all hom-alt (p=0): chi2/F undefined -> NULL
+    val df = spark.range(2).select(
+      lit("1").as("chrom"), col("id").as("pos"), lit("G").as("alt"),
+      when(col("id") === 0, typedLit(Seq(0, 0, 0)))
+        .otherwise(typedLit(Seq(3, 3, 3))).as("gt_types"))
+    val out = graft.operators.Etl.hwe(spark, df).collect()
+    assert(out.length == 2)
+    out.foreach { row =>
+      assert(row.isNullAt(row.fieldIndex("hwe_chi2")))
+      assert(row.isNullAt(row.fieldIndex("inbreeding_f")))
+    }
+  }
 }

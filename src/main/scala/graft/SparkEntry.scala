@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Etl, Inheritance, Multimodal, Relational, Similarity, StreamingOps, Text}
+import graft.operators.{Burden, Dedup, Etl, Inheritance, Multimodal, Relational, Similarity, StreamingOps, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -14,14 +14,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Etl.queries ++ Inheritance.queries ++
-      Text.queries ++ Dedup.queries ++ Similarity.queries ++
-      Multimodal.queries ++ StreamingOps.queries
+      Burden.queries ++ Text.queries ++ Dedup.queries ++
+      Similarity.queries ++ Multimodal.queries ++ StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Etl.oracle ++ Inheritance.oracle ++
-      Text.oracle ++ Dedup.oracle ++ Similarity.oracle ++
-      Multimodal.oracle ++ StreamingOps.oracle
+      Burden.oracle ++ Text.oracle ++ Dedup.oracle ++
+      Similarity.oracle ++ Multimodal.oracle ++ StreamingOps.oracle
 }

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Etl.VcfFixture
+import graft.sources.VcfReader
+
+/** GEMINI's `stats` + `annotate -a extract` tool surface (SURVEY.md
+  * §2.2), Spark-first: score extraction from annotation intervals with
+  * per-variant aggregation ops, the site frequency spectrum, and the
+  * pairwise-sample genotype distance matrix behind `stats --mds`.
+  */
+object Stats {
+
+  /** Scored annotation intervals (a conservation-track-like BED with a
+    * value column); VALUES mirror in the e34 oracle. Dyadic scores so
+    * the mean stays bit-exact across engines.
+    */
+  private val annotRows = Seq(
+    ("1", 50L, 150L, 1.5), ("1", 90L, 110L, 2.25), ("1", 150L, 250L, 0.5),
+    ("2", 250L, 310L, 3.0), ("X", 300L, 500L, 1.25))
+
+  /** e34: gemini `annotate -a extract -o mean/max/count` — pull a value
+    * column off every overlapping annotation interval and aggregate it
+    * per variant. The interval join is Etl.annotateIntervals' binned
+    * equi-join (broadcast annotation dim, never a chrom-only key); the
+    * aggregation is one (chrom,pos,alt)-keyed partial agg whose output
+    * is variant-sized; un-annotated variants survive via the left join
+    * with NULL scores (GEMINI leaves the column empty).
+    */
+  def e34(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ann = annotRows.toDF("r_chrom", "r_start", "r_end", "score")
+    val variants = VcfFixture.variants(s)
+    val scored = Etl.annotateIntervals(variants, ann, binW = 100L)
+      .groupBy($"chrom", $"pos", $"alt")
+      .agg(sum($"score").as("score_sum"),
+        count($"score").cast("int").as("n_overlaps"),
+        max($"score").as("score_max"))
+      // ONE division on identical operands in both engines (a running
+      // mean would round differently depending on grouping order)
+      .withColumn("score_mean", expr("score_sum / CAST(n_overlaps AS DOUBLE)"))
+    variants.select($"chrom", $"pos", $"alt")
+      .join(scored, Seq("chrom", "pos", "alt"), "left")
+      .select($"chrom", $"pos", $"alt", $"n_overlaps", $"score_mean",
+        $"score_max")
+      .orderBy($"chrom", $"pos", $"alt")
+  }
+
+  /** e35: gemini `stats --sfs` — the site frequency spectrum: how many
+    * variants carry each alt-allele count. AC comes off the packed
+    * gt_types array in one codegen projection (het + 2*hom_alt), then
+    * ONE partial-agg shuffle whose key space is bounded by 2*cohort+1
+    * bins — constant-size output at any variant count.
+    */
+  def e35(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    VcfFixture.variants(s)
+      .select(expr("size(filter(gt_types, x -> x = 1)) + " +
+        "2 * size(filter(gt_types, x -> x = 3))").as("ac"))
+      .groupBy($"ac").agg(count(lit(1)).as("n_variants"))
+      .orderBy($"ac")
+  }
+
+  /** e36: gemini `stats --mds` — the pairwise genotype distance matrix
+    * (mean squared alt-copy difference over sites where both samples
+    * are called) that feeds multidimensional scaling.
+    *
+    * Scale shape: sample pairs are generated INSIDE one codegen
+    * projection over the packed gt_types array (a nested transform +
+    * flatten comprehension) — no self-join of the variants fact, no
+    * per-sample explode; the only shuffle is the final partial agg
+    * keyed on the (i, j) pair, whose key space is cohort^2/2. The
+    * cohort^2 term is inherent to the statistic; at biobank scale the
+    * standard remedy is subsampling SITES (one pushed-down filter
+    * here), not a different plan. The final mean is ONE integer
+    * division per pair — bit-identical in both engines.
+    */
+  def e36(s: SparkSession, dir: String): DataFrame = {
+    val (h, variants, _) = VcfReader.fromLines(s, VcfFixture.lines)
+    mdsDistances(s, variants, h.samples)
+  }
+
+  def mdsDistances(s: SparkSession, variants: DataFrame,
+                   samples: Seq[String]): DataFrame = {
+    import s.implicits._
+    // copies: 0/1/2 for called classes, -1 sentinel for unknown (class 2)
+    val pairs = variants.select(explode(expr(
+      """flatten(transform(gt_types, (gi, i) ->
+        |  filter(transform(gt_types, (gj, j) -> CASE
+        |    WHEN j > i AND gi <> 2 AND gj <> 2 THEN named_struct(
+        |      'i', i, 'j', j,
+        |      'sq', (CASE WHEN gi = 3 THEN 2 WHEN gi = 1 THEN 1 ELSE 0 END
+        |           - CASE WHEN gj = 3 THEN 2 WHEN gj = 1 THEN 1 ELSE 0 END)
+        |          * (CASE WHEN gi = 3 THEN 2 WHEN gi = 1 THEN 1 ELSE 0 END
+        |           - CASE WHEN gj = 3 THEN 2 WHEN gj = 1 THEN 1 ELSE 0 END))
+        |    ELSE NULL END), p -> p IS NOT NULL)))""".stripMargin)).as("p"))
+    pairs
+      .select(element_at(typedLit(samples), $"p.i" + 1).as("sample_a"),
+        element_at(typedLit(samples), $"p.j" + 1).as("sample_b"),
+        $"p.sq".as("sq"))
+      .groupBy($"sample_a", $"sample_b")
+      .agg(count(lit(1)).as("n_sites"), sum($"sq").as("sq_sum"))
+      .withColumn("distance",
+        expr("CAST(sq_sum AS DOUBLE) / CAST(n_sites AS DOUBLE)"))
+      .select($"sample_a", $"sample_b", $"n_sites", $"distance")
+      .orderBy($"sample_a", $"sample_b")
+  }
+
+  // ---------------------------------------------------------------- oracles
+
+  private val gtLong: String =
+    s"""(SELECT chrom, pos, alt, six, gt,
+       |   CASE WHEN gt = 3 THEN 2 WHEN gt = 1 THEN 1 ELSE 0 END AS copies
+       | FROM (
+       |  SELECT chrom, pos, alt, 1 AS six, gt_s1 AS gt FROM ${VcfFixture.gtValues}
+       |  UNION ALL SELECT chrom, pos, alt, 2, gt_s2 FROM ${VcfFixture.gtValues}
+       |  UNION ALL SELECT chrom, pos, alt, 3, gt_s3 FROM ${VcfFixture.gtValues}
+       |  UNION ALL SELECT chrom, pos, alt, 4, gt_s4 FROM ${VcfFixture.gtValues}) gg
+       |)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "e34_annotate_extract" -> {
+      val avals = annotRows
+        .map { case (c, a, b, v) => s"('$c', $a, $b, $v)" }.mkString(",\n ")
+      s"""WITH scored AS (
+         | SELECT v.chrom, v.pos, v.alt,
+         |  CAST(COUNT(*) AS INTEGER) AS n_overlaps,
+         |  SUM(CAST(a.score AS DOUBLE)) / CAST(COUNT(*) AS DOUBLE) AS score_mean,
+         |  MAX(CAST(a.score AS DOUBLE)) AS score_max
+         | FROM ${VcfFixture.variantsValues}
+         | JOIN (VALUES
+         | $avals
+         | ) a(a_chrom, a_start, a_end, score)
+         |   ON v.chrom = a.a_chrom AND v.pos BETWEEN a.a_start AND a.a_end
+         | GROUP BY 1, 2, 3)
+         |SELECT v.chrom, CAST(v.pos AS BIGINT) AS pos, v.alt,
+         | s.n_overlaps, s.score_mean, s.score_max
+         |FROM ${VcfFixture.variantsValues}
+         |LEFT JOIN scored s
+         |  ON s.chrom = v.chrom AND s.pos = v.pos AND s.alt = v.alt
+         |ORDER BY v.chrom, v.pos, v.alt""".stripMargin
+    },
+    "e35_sfs" ->
+      s"""SELECT CAST(num_het + 2 * num_hom_alt AS INTEGER) AS ac,
+         | CAST(COUNT(*) AS BIGINT) AS n_variants
+         |FROM ${VcfFixture.variantsValues}
+         |GROUP BY 1 ORDER BY ac""".stripMargin,
+    "e36_mds" ->
+      s"""SELECT 's' || CAST(a.six AS VARCHAR) AS sample_a,
+         | 's' || CAST(b.six AS VARCHAR) AS sample_b,
+         | CAST(COUNT(*) AS BIGINT) AS n_sites,
+         | CAST(SUM((a.copies - b.copies) * (a.copies - b.copies)) AS DOUBLE)
+         |   / CAST(COUNT(*) AS DOUBLE) AS distance
+         |FROM $gtLong a
+         |JOIN $gtLong b
+         |  ON a.chrom = b.chrom AND a.pos = b.pos AND a.alt = b.alt
+         | AND a.six < b.six
+         |WHERE a.gt <> 2 AND b.gt <> 2
+         |GROUP BY 1, 2 ORDER BY sample_a, sample_b""".stripMargin)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e34_annotate_extract" -> (e34 _),
+    "e35_sfs" -> (e35 _),
+    "e36_mds" -> (e36 _)
+  )
+}

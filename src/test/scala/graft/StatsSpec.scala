@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.Stats
+
+/** Value-level checks for the gemini-stats family on the embedded
+  * fixture (hand-derived expectations).
+  */
+class StatsSpec extends SparkSpec {
+
+  test("e35 site frequency spectrum bins alt-allele counts") {
+    val got = Stats.e35(spark, "").collect()
+      .map(r => (r.getAs[Int]("ac"), r.getAs[Long]("n_variants"))).toSet
+    // ACs: 1:100 G=3, 1:200 T=2, 2:300 A=2, 2:300 T=3, X:400 C=6
+    assert(got == Set((2, 2L), (3, 2L), (6, 1L)))
+  }
+
+  test("e36 MDS pairwise distances match hand-computed values") {
+    val got = Stats.e36(spark, "").collect().map(r =>
+      ((r.getAs[String]("sample_a"), r.getAs[String]("sample_b")),
+        (r.getAs[Long]("n_sites"), r.getAs[Double]("distance")))).toMap
+    // copies per (variant, sample), unknown excluded:
+    // 1:100 (1,0,0,2); 1:200 (1,1,-,-); 2:300A (1,1,0,0);
+    // 2:300T (1,0,2,0); X:400 (2,2,1,1)
+    assert(got(("s1", "s2")) == ((5L, 0.4)))
+    assert(got(("s1", "s3")) == ((4L, 1.0)))
+    assert(got(("s1", "s4")) == ((4L, 1.0)))
+    assert(got(("s2", "s3")) == ((4L, 1.5)))
+    assert(got(("s2", "s4")) == ((4L, 1.5)))
+    assert(got(("s3", "s4")) == ((4L, 2.0)))
+  }
+
+  test("e34 annotate-extract aggregates overlapping interval scores") {
+    val got = Stats.e34(spark, "").collect().map(r =>
+      ((r.getAs[String]("chrom"), r.getAs[Long]("pos"), r.getAs[String]("alt")),
+        (r.getAs[Int]("n_overlaps"), r.getAs[Double]("score_mean"),
+          r.getAs[Double]("score_max")))).toMap
+    assert(got(("1", 100L, "G")) == ((2, 1.875, 2.25))) // (1.5+2.25)/2
+    assert(got(("1", 200L, "T")) == ((1, 0.5, 0.5)))
+    assert(got(("2", 300L, "A")) == ((1, 3.0, 3.0)))
+    assert(got(("2", 300L, "T")) == ((1, 3.0, 3.0)))
+    assert(got(("X", 400L, "C")) == ((1, 1.25, 1.25)))
+  }
+}

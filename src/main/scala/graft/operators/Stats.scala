@@ -108,6 +108,34 @@ object Stats {
       .orderBy($"sample_a", $"sample_b")
   }
 
+  /** e37: gemini `query --show-samples` — each variant annotated with
+    * the comma-joined, name-sorted lists of het and hom-alt carrier
+    * samples. One carrier posexplode + one variant-keyed partial agg;
+    * `array_sort(collect_list)` makes the list order deterministic
+    * regardless of partitioning (collect_list alone is
+    * partition-order-dependent — a silent nondeterminism at scale).
+    * Output is variant-sized with cohort-bounded strings.
+    */
+  def e37(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (h, variants, _) = VcfReader.fromLines(s, VcfFixture.lines)
+    val lists = Burden.carriers(s, variants, h.samples)
+      .groupBy($"chrom", $"pos", $"alt")
+      .agg(
+        concat_ws(",", array_sort(collect_list(when($"gt_class" === 1, $"sample"))))
+          .as("het_samples"),
+        concat_ws(",", array_sort(collect_list(when($"gt_class" === 3, $"sample"))))
+          .as("hom_alt_samples"))
+    variants.select($"chrom", $"pos", $"alt")
+      .join(lists, Seq("chrom", "pos", "alt"), "left")
+      // a variant with zero carriers never enters `lists` (carriers
+      // filters to classes 1/3) — GEMINI shows an empty list, not NULL
+      .select($"chrom", $"pos", $"alt",
+        coalesce($"het_samples", lit("")).as("het_samples"),
+        coalesce($"hom_alt_samples", lit("")).as("hom_alt_samples"))
+      .orderBy($"chrom", $"pos", $"alt")
+  }
+
   // ---------------------------------------------------------------- oracles
 
   private val gtLong: String =
@@ -147,6 +175,20 @@ object Stats {
          | CAST(COUNT(*) AS BIGINT) AS n_variants
          |FROM ${VcfFixture.variantsValues}
          |GROUP BY 1 ORDER BY ac""".stripMargin,
+    "e37_show_samples" ->
+      s"""WITH lists AS (
+         | SELECT chrom, pos, alt,
+         |  COALESCE(STRING_AGG(CASE WHEN gt = 1 THEN 's' || CAST(six AS VARCHAR) END,
+         |    ',' ORDER BY six), '') AS het_samples,
+         |  COALESCE(STRING_AGG(CASE WHEN gt = 3 THEN 's' || CAST(six AS VARCHAR) END,
+         |    ',' ORDER BY six), '') AS hom_alt_samples
+         | FROM $gtLong GROUP BY 1, 2, 3)
+         |SELECT v.chrom, CAST(v.pos AS BIGINT) AS pos, v.alt,
+         | l.het_samples, l.hom_alt_samples
+         |FROM ${VcfFixture.variantsValues}
+         |LEFT JOIN lists l
+         |  ON l.chrom = v.chrom AND l.pos = v.pos AND l.alt = v.alt
+         |ORDER BY v.chrom, v.pos, v.alt""".stripMargin,
     "e36_mds" ->
       s"""SELECT 's' || CAST(a.six AS VARCHAR) AS sample_a,
          | 's' || CAST(b.six AS VARCHAR) AS sample_b,
@@ -163,6 +205,7 @@ object Stats {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e34_annotate_extract" -> (e34 _),
     "e35_sfs" -> (e35 _),
-    "e36_mds" -> (e36 _)
+    "e36_mds" -> (e36 _),
+    "e37_show_samples" -> (e37 _)
   )
 }

@@ -29,6 +29,18 @@ class StatsSpec extends SparkSpec {
     assert(got(("s3", "s4")) == ((4L, 2.0)))
   }
 
+  test("e37 show-samples lists het and hom-alt carriers per variant") {
+    val got = Stats.e37(spark, "").collect().map(r =>
+      ((r.getAs[String]("chrom"), r.getAs[Long]("pos"), r.getAs[String]("alt")),
+        (r.getAs[String]("het_samples"), r.getAs[String]("hom_alt_samples"))))
+      .toMap
+    assert(got(("1", 100L, "G")) == (("s1", "s4")))
+    assert(got(("1", 200L, "T")) == (("s1,s2", "")))
+    assert(got(("2", 300L, "A")) == (("s1,s2", "")))
+    assert(got(("2", 300L, "T")) == (("s1", "s3")))
+    assert(got(("X", 400L, "C")) == (("s3,s4", "s1,s2")))
+  }
+
   test("e34 annotate-extract aggregates overlapping interval scores") {
     val got = Stats.e34(spark, "").collect().map(r =>
       ((r.getAs[String]("chrom"), r.getAs[Long]("pos"), r.getAs[String]("alt")),

@@ -136,6 +136,86 @@ object Stats {
       .orderBy($"chrom", $"pos", $"alt")
   }
 
+  /** The fixture PED's (sample, phenotype) dim — 2 = affected, 1 =
+    * unaffected, parsed from the same pedLines e07/e17 consume.
+    */
+  private def phenotypes(s: SparkSession): DataFrame = {
+    import s.implicits._
+    VcfFixture.pedLines.filterNot(_.startsWith("#"))
+      .map { l => val f = l.split("\\s+"); (f(1), f(5).toInt) }
+      .toDF("sample", "phenotype")
+  }
+
+  /** Shared (variant, sample, gt_class) long form for the by-sample
+    * stats: ONE posexplode of the packed gt_types array. No filter —
+    * callers count classes conditionally so zero-count groups still
+    * appear. At cohort scale this fans out variants × samples once and
+    * feeds a single partial agg; the per-sample result is dim-sized.
+    */
+  private def gtBySample(s: SparkSession, variants: DataFrame,
+                         samples: Seq[String]): DataFrame = {
+    import s.implicits._
+    variants.select($"chrom", $"pos", $"alt",
+        posexplode($"gt_types").as(Seq("six", "gt_class")))
+      .select($"chrom", $"pos", $"alt", $"gt_class",
+        element_at(typedLit(samples), $"six" + 1).as("sample"))
+  }
+
+  /** e38: gemini `stats --vars-by-sample` — how many variants each
+    * sample carries (het or hom-alt). One partial-agg shuffle keyed on
+    * sample; output is cohort-dim-sized at any variant count.
+    */
+  def e38(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (h, variants, _) = VcfReader.fromLines(s, VcfFixture.lines)
+    gtBySample(s, variants, h.samples)
+      .groupBy($"sample")
+      .agg(sum(when($"gt_class".isin(1, 3), 1L).otherwise(0L))
+        .as("n_variants"))
+      .orderBy($"sample")
+  }
+
+  /** e39: gemini `stats --gts-by-sample` — per-sample counts of each
+    * genotype class (hom_ref / het / hom_alt / unknown). Same single
+    * explode + partial agg as e38; the four counts are conditional
+    * sums in ONE pass, not four scans.
+    */
+  def e39(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (h, variants, _) = VcfReader.fromLines(s, VcfFixture.lines)
+    def n(cls: Int) = sum(when($"gt_class" === cls, 1L).otherwise(0L))
+    gtBySample(s, variants, h.samples)
+      .groupBy($"sample")
+      .agg(n(0).as("n_hom_ref"), n(1).as("n_het"), n(3).as("n_hom_alt"),
+        n(2).as("n_unknown"))
+      .orderBy($"sample")
+  }
+
+  /** e40: gemini `query --carrier-summary-by-phenotype` — per variant,
+    * carrier (het|hom-alt) and non-carrier (hom-ref) counts split by
+    * PED affection status; unknown genotypes count toward neither
+    * (GEMINI's rule). The phenotype dim broadcasts (cohort-sized);
+    * the only shuffle is the variant-keyed partial agg, and every
+    * variant survives because the un-filtered explode keeps at least
+    * one row per variant.
+    */
+  def e40(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (h, variants, _) = VcfReader.fromLines(s, VcfFixture.lines)
+    def n(aff: Boolean, classes: Seq[Int]) =
+      sum(when($"phenotype" === (if (aff) 2 else 1) &&
+        $"gt_class".isin(classes: _*), 1L).otherwise(0L))
+    gtBySample(s, variants, h.samples)
+      .join(broadcast(phenotypes(s)), Seq("sample"))
+      .groupBy($"chrom", $"pos", $"alt")
+      .agg(
+        n(aff = true, Seq(1, 3)).as("n_aff_carrier"),
+        n(aff = true, Seq(0)).as("n_aff_noncarrier"),
+        n(aff = false, Seq(1, 3)).as("n_unaff_carrier"),
+        n(aff = false, Seq(0)).as("n_unaff_noncarrier"))
+      .orderBy($"chrom", $"pos", $"alt")
+  }
+
   // ---------------------------------------------------------------- oracles
 
   private val gtLong: String =
@@ -148,7 +228,42 @@ object Stats {
        |  UNION ALL SELECT chrom, pos, alt, 4, gt_s4 FROM ${VcfFixture.gtValues}) gg
        |)""".stripMargin
 
+  /** The PED (sample, phenotype) dim as a SQL VALUES literal, derived
+    * from the same pedLines the Spark side parses.
+    */
+  private val pedPhenoValues: String =
+    VcfFixture.pedLines.filterNot(_.startsWith("#"))
+      .map { l => val f = l.split("\\s+"); s"('${f(1)}', ${f(5)})" }
+      .mkString("(VALUES ", ", ", ") p(sample, phenotype)")
+
   val oracle: Map[String, String] = Map(
+    "e38_vars_by_sample" ->
+      s"""SELECT 's' || CAST(six AS VARCHAR) AS sample,
+         | CAST(SUM(CASE WHEN gt IN (1, 3) THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_variants
+         |FROM $gtLong GROUP BY 1 ORDER BY sample""".stripMargin,
+    "e39_gts_by_sample" ->
+      s"""SELECT 's' || CAST(six AS VARCHAR) AS sample,
+         | CAST(SUM(CASE WHEN gt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hom_ref,
+         | CAST(SUM(CASE WHEN gt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_het,
+         | CAST(SUM(CASE WHEN gt = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_hom_alt,
+         | CAST(SUM(CASE WHEN gt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_unknown
+         |FROM $gtLong GROUP BY 1 ORDER BY sample""".stripMargin,
+    "e40_carrier_summary" ->
+      s"""SELECT g.chrom, CAST(g.pos AS BIGINT) AS pos, g.alt,
+         | CAST(SUM(CASE WHEN p.phenotype = 2 AND g.gt IN (1, 3)
+         |   THEN 1 ELSE 0 END) AS BIGINT) AS n_aff_carrier,
+         | CAST(SUM(CASE WHEN p.phenotype = 2 AND g.gt = 0
+         |   THEN 1 ELSE 0 END) AS BIGINT) AS n_aff_noncarrier,
+         | CAST(SUM(CASE WHEN p.phenotype = 1 AND g.gt IN (1, 3)
+         |   THEN 1 ELSE 0 END) AS BIGINT) AS n_unaff_carrier,
+         | CAST(SUM(CASE WHEN p.phenotype = 1 AND g.gt = 0
+         |   THEN 1 ELSE 0 END) AS BIGINT) AS n_unaff_noncarrier
+         |FROM $gtLong g
+         |JOIN $pedPhenoValues
+         |  ON p.sample = 's' || CAST(g.six AS VARCHAR)
+         |GROUP BY g.chrom, g.pos, g.alt
+         |ORDER BY g.chrom, g.pos, g.alt""".stripMargin,
     "e34_annotate_extract" -> {
       val avals = annotRows
         .map { case (c, a, b, v) => s"('$c', $a, $b, $v)" }.mkString(",\n ")
@@ -206,6 +321,9 @@ object Stats {
     "e34_annotate_extract" -> (e34 _),
     "e35_sfs" -> (e35 _),
     "e36_mds" -> (e36 _),
-    "e37_show_samples" -> (e37 _)
+    "e37_show_samples" -> (e37 _),
+    "e38_vars_by_sample" -> (e38 _),
+    "e39_gts_by_sample" -> (e39 _),
+    "e40_carrier_summary" -> (e40 _)
   )
 }

@@ -41,6 +41,40 @@ class StatsSpec extends SparkSpec {
     assert(got(("X", 400L, "C")) == (("s3,s4", "s1,s2")))
   }
 
+  test("e38 vars-by-sample counts carried variants per sample") {
+    val got = Stats.e38(spark, "").collect()
+      .map(r => (r.getAs[String]("sample"), r.getAs[Long]("n_variants")))
+      .toMap
+    // carrier classes per sample across the 5 decomposed variants:
+    // s1 (1,1,1,1,3)=5; s2 (0,1,1,0,3)=3; s3 (0,2,0,3,1)=2; s4 (3,2,0,0,1)=2
+    assert(got == Map("s1" -> 5L, "s2" -> 3L, "s3" -> 2L, "s4" -> 2L))
+  }
+
+  test("e39 gts-by-sample tallies genotype classes per sample") {
+    val got = Stats.e39(spark, "").collect().map(r =>
+      (r.getAs[String]("sample"),
+        (r.getAs[Long]("n_hom_ref"), r.getAs[Long]("n_het"),
+          r.getAs[Long]("n_hom_alt"), r.getAs[Long]("n_unknown")))).toMap
+    assert(got("s1") == ((0L, 4L, 1L, 0L)))
+    assert(got("s2") == ((2L, 2L, 1L, 0L)))
+    assert(got("s3") == ((2L, 1L, 1L, 1L)))
+    assert(got("s4") == ((2L, 1L, 1L, 1L)))
+  }
+
+  test("e40 carrier summary splits carriers by PED phenotype") {
+    val got = Stats.e40(spark, "").collect().map(r =>
+      ((r.getAs[String]("chrom"), r.getAs[Long]("pos"), r.getAs[String]("alt")),
+        (r.getAs[Long]("n_aff_carrier"), r.getAs[Long]("n_aff_noncarrier"),
+          r.getAs[Long]("n_unaff_carrier"),
+          r.getAs[Long]("n_unaff_noncarrier")))).toMap
+    // affected = s1 only; unknown genotypes count toward neither side
+    assert(got(("1", 100L, "G")) == ((1L, 0L, 1L, 2L)))
+    assert(got(("1", 200L, "T")) == ((1L, 0L, 1L, 0L)))
+    assert(got(("2", 300L, "A")) == ((1L, 0L, 1L, 2L)))
+    assert(got(("2", 300L, "T")) == ((1L, 0L, 1L, 2L)))
+    assert(got(("X", 400L, "C")) == ((1L, 0L, 3L, 0L)))
+  }
+
   test("e34 annotate-extract aggregates overlapping interval scores") {
     val got = Stats.e34(spark, "").collect().map(r =>
       ((r.getAs[String]("chrom"), r.getAs[Long]("pos"), r.getAs[String]("alt")),

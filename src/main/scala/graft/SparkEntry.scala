@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Burden, Dedup, Etl, Inheritance, Multimodal, Relational, Similarity, Stats, StreamingOps, Text}
+import graft.operators.{Burden, Dedup, Etl, GeneNetwork, Inheritance, Multimodal, Relational, Similarity, Stats, StreamingOps, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -14,7 +14,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Etl.queries ++ Inheritance.queries ++
-      Burden.queries ++ Stats.queries ++ Text.queries ++ Dedup.queries ++
+      Burden.queries ++ Stats.queries ++ GeneNetwork.queries ++
+      Text.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -22,6 +23,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Etl.oracle ++ Inheritance.oracle ++
-      Burden.oracle ++ Stats.oracle ++ Text.oracle ++ Dedup.oracle ++
+      Burden.oracle ++ Stats.oracle ++ GeneNetwork.oracle ++
+      Text.oracle ++ Dedup.oracle ++
       Similarity.oracle ++ Multimodal.oracle ++ StreamingOps.oracle
 }

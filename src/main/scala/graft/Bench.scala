@@ -38,6 +38,11 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Dev aid: SPARK_GRAFT_BENCH_ONLY=e08_pack_blob,q01_pricing_summary
+    // restricts the run to the named queries (driver leaves it unset).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val bench = headline.filter(n => only.forall(_.contains(n)))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -68,11 +73,11 @@ object Bench {
 
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     require(nPasses >= 1, s"SPARK_GRAFT_BENCH_PASSES must be >= 1, got $nPasses")
-    val warmup = headline.map(n => n -> run(n)) // JIT, codegen cache, file listing
-    val passes = (1 to nPasses).map(_ => headline.map(n => n -> run(n)))
+    val warmup = bench.map(n => n -> run(n)) // JIT, codegen cache, file listing
+    val passes = (1 to nPasses).map(_ => bench.map(n => n -> run(n)))
     // min across timed passes = the reproducible cost of the plan; the
     // per-pass spread (visible in `passes`) is the environment's noise.
-    val best = headline.map(n => n -> passes.map(_.toMap.apply(n)).min)
+    val best = bench.map(n => n -> passes.map(_.toMap.apply(n)).min)
     val total = best.map(_._2).sum
     val passesJson = passes.map(jsonMap).mkString("[", ",", "]")
     // Stop Spark BEFORE printing so its shutdown logging can't land

@@ -16,8 +16,11 @@ class KernelsSpec extends AnyFunSuite {
   }
 
   test("zlib pack compresses runs") {
+    // bound accommodates BEST_SPEED (level 1 packs this run to ~222
+    // bytes vs level 6's ~120 — either is a >80x reduction of the
+    // 40000-byte input, which is what this pins)
     val in = new GenericArrayData(Array.fill[Any](10000)(7))
-    assert(Kernels.zlibPackInts(in).length < 200)
+    assert(Kernels.zlibPackInts(in).length < 500)
   }
 
   test("zlib string pack/unpack round-trips (gts blobs)") {

@@ -40,7 +40,11 @@ class PlanInvariantSpec extends SparkSpec {
     // three SINGLE-ROW stage counts combined into the one funnel row
     "q16_funnel" -> 2,
     // single-row doc-count broadcast into the idf term (t10's shape)
-    "t14_tfidf" -> 1)
+    "t14_tfidf" -> 1,
+    // broadcast tumor-normal pair dim × one variants scan: the depth/
+    // frequency predicate is non-equi by construction (e17's trio shape)
+    "e43_set_somatic" -> 1,
+    "e44_actionable" -> 1)
 
   /** Queries whose bucket-key SELF-join is designed as a shuffle join
     * (SURVEY §5.4: "band-bucket keys are the shuffle key") — neither

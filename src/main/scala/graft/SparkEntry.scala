@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Burden, Dedup, Etl, GeneNetwork, Inheritance, Multimodal, Relational, Similarity, Somatic, Stats, StreamingOps, Text}
+import graft.operators.{Burden, Dedup, Etl, GeneNetwork, Inheritance, Multimodal, Relational, Similarity, Somatic, Stats, StreamingOps, Sv, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -15,7 +15,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Etl.queries ++ Inheritance.queries ++
       Burden.queries ++ Stats.queries ++ GeneNetwork.queries ++
-      Somatic.queries ++ Text.queries ++ Dedup.queries ++
+      Somatic.queries ++ Sv.queries ++ Text.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -24,6 +24,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Etl.oracle ++ Inheritance.oracle ++
       Burden.oracle ++ Stats.oracle ++ GeneNetwork.oracle ++
-      Somatic.oracle ++ Text.oracle ++ Dedup.oracle ++
+      Somatic.oracle ++ Sv.oracle ++ Text.oracle ++ Dedup.oracle ++
       Similarity.oracle ++ Multimodal.oracle ++ StreamingOps.oracle
 }

@@ -360,6 +360,68 @@ object GraftDb {
       variants(spark, dir),
       graft.sources.BedSource.fromPath(spark, bedPath), binW)
 
+  /** GEMINI `fusions` over a loaded database: breakend (BND) variants
+    * whose two ends land in two different genes of the BED's intervals
+    * (name column = gene). Broadcast binned joins; the variants fact is
+    * scanned once — see [[graft.operators.Sv.fusions]].
+    */
+  def fusions(spark: SparkSession, dir: String, bedPath: String,
+      binW: Long = 100000L): DataFrame = {
+    val genes = graft.sources.BedSource.fromPath(spark, bedPath)
+      .select(col("r_chrom").as("g_chrom"), col("r_start").as("g_start"),
+        col("r_end").as("g_end"), col("region").as("gene"))
+    graft.operators.Sv.fusions(variants(spark, dir), genes, binW)
+  }
+
+  /** GEMINI `db_info`: one row per (table, column, type) across the
+    * loaded database — schema metadata read from the stored tables
+    * (driver-side schema fetch; no data scan).
+    */
+  def dbInfo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def exists(path: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    }
+    val tables = Seq("variants", "variant_impacts", "samples", "vcf_header")
+      .filter(t => exists(s"$dir/$t"))
+    tables.flatMap { t =>
+      spark.read.parquet(s"$dir/$t").schema.fields.map(f =>
+        (t, f.name, f.dataType.simpleString))
+    }.toDF("table_name", "column_name", "column_type")
+  }
+
+  /** GEMINI `dump --tfam`: the samples table in PLINK .tfam column
+    * order (family, sample, paternal, maternal, sex, phenotype).
+    */
+  def dumpTfam(spark: SparkSession, dir: String): DataFrame =
+    samples(spark, dir).select("family_id", "sample_id", "paternal_id",
+      "maternal_id", "sex", "phenotype")
+
+  /** GEMINI `amend --sample`: replace the stored samples table from a
+    * new PED file (re-phenotyping a loaded cohort without a reload).
+    * The new PED must cover the same sample ids the genotype arrays
+    * were packed for — enforced against the stored header's #CHROM
+    * sample list, since a silently narrowed cohort would mis-attribute
+    * every per-sample array index downstream.
+    */
+  def amend(spark: SparkSession, dir: String, pedPath: String): Unit = {
+    val ped = graft.sources.PedSource.fromPath(spark, pedPath)
+    val newIds = ped.select("sample_id").collect().map(_.getString(0)).toSet
+    val expected = headerSamples(spark, dir).toSet
+    require(expected.subsetOf(newIds),
+      s"amend PED is missing cohort samples: ${(expected -- newIds).mkString(", ")}")
+    // stage-then-swap: parquet reads are lazy, so writing straight over
+    // the directory being read would corrupt it mid-scan
+    val tmp = s"$dir/samples__amend_tmp"
+    graft.sinks.DbSink.writeParquet(ped, tmp, 1)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val dst = new org.apache.hadoop.fs.Path(s"$dir/samples")
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
   /** Registers the loaded tables as temp views (genotype blobs already
     * expanded) so the reference's SQL surface runs verbatim:
     * `spark.sql("SELECT ... FROM variants JOIN variant_impacts ...")`.

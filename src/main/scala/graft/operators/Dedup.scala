@@ -656,7 +656,63 @@ object Dedup {
        |FROM neq ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** d10 window geometry: 40-char windows sampled every 20 chars.
+    * Stride 1 would give Lee et al.'s exact any-duplicated-substring
+    * guarantee; the half-overlap stride is the 20× cheaper screen that
+    * still catches every duplicated run ≥ W + S - 1 chars starting at
+    * an aligned offset — the boilerplate/license-block regime the pass
+    * exists for.
+    */
+  private val D10W = 40
+  private val D10S = 20
+
+  /** d10: exact-substring duplicate screen (Lee et al. 2021's
+    * deduplication target, re-expressed Spark-first): stride-sampled
+    * fixed-width character windows, md5 window keys, a window appearing
+    * at more than one (doc, offset) location is duplicated text; per
+    * doc, the fraction of its windows that are duplicated anywhere in
+    * the corpus. Catches sub-line boilerplate t13's line alignment
+    * misses.
+    *
+    * 100 TB notes: t13's exact shape — the window key is a
+    * constant-width md5 (text never shuffles with it), the repeat-count
+    * partial agg and the count-back join are co-partitioned on that
+    * key, and the per-doc rollup keys on doc_id; no key's fan-out
+    * depends on how often a window repeats, so a boilerplate-heavy
+    * crawl cannot skew it.
+    */
+  def d10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wins = T(s, dir, "documents")
+      .filter(length($"text") >= D10W)
+      .select($"doc_id", posexplode(expr(
+        s"""transform(sequence(0, CAST((length(text) - $D10W) div $D10S AS INT)),
+           | i -> substr(text, i * $D10S + 1, $D10W))""".stripMargin)))
+      .select($"doc_id", md5($"col").as("h"))
+    val counts = wins.groupBy($"h").agg(count(lit(1)).as("n_locs"))
+    wins.join(counts, "h")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        count(when($"n_locs" > 1, 1)).as("n_dup_windows"))
+      .withColumn("dup_win_frac", expr(
+        "round(CAST(n_dup_windows AS DOUBLE) / n_windows, 6)"))
+      .orderBy($"doc_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "d10_substring_dedup" ->
+      s"""WITH wins AS (
+         | SELECT doc_id, md5(win) AS h
+         | FROM (SELECT doc_id,
+         |   unnest(list_transform(generate_series(0, (length(text) - $D10W) // $D10S),
+         |     i -> substr(text, i * $D10S + 1, $D10W))) AS win
+         |  FROM documents WHERE length(text) >= $D10W)),
+         |counts AS (SELECT h, count(*) AS n_locs FROM wins GROUP BY h)
+         |SELECT doc_id, count(*) AS n_windows,
+         | count(*) FILTER (WHERE n_locs > 1) AS n_dup_windows,
+         | round(CAST(count(*) FILTER (WHERE n_locs > 1) AS DOUBLE) / count(*), 6) AS dup_win_frac
+         |FROM wins JOIN counts USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d02_dedup_minhash" -> d02OracleSql,
     "d03_dedup_simhash" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -813,6 +869,7 @@ object Dedup {
     "d06_dedup_url" -> (d06 _),
     "d07_dedup_clusters" -> (d07 _),
     "d08_decontaminate" -> (d08 _),
-    "d09_dedup_survivor" -> (d09 _)
+    "d09_dedup_survivor" -> (d09 _),
+    "d10_substring_dedup" -> (d10 _)
   )
 }

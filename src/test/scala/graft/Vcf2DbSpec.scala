@@ -326,6 +326,72 @@ class Vcf2DbSpec extends SparkSpec {
       ("X", 400L, "C", "regX")))
   }
 
+  test("fusions over a loaded SV database finds the inter-gene breakend pair") {
+    val dir = Files.createTempDirectory("vcf2db_sv")
+    val vcf = dir.resolve("sv.vcf")
+    Files.writeString(vcf,
+      graft.operators.Sv.SvFixture.lines.mkString("\n") + "\n")
+    val out = dir.resolve("db").toString
+    Vcf2Db.run(spark, vcf.toString, None, out)
+    val bed = dir.resolve("genes.bed")
+    // BED 0-based half-open → 1-based inclusive [100000,101000] etc.
+    Files.writeString(bed,
+      "2\t99999\t101000\tGENE_A\n17\t199999\t201000\tGENE_B\n" +
+        "5\t999\t2000\tGENE_C\n")
+
+    val got = GraftDb.fusions(spark, out, bed.toString)
+      .select("chrom", "pos", "gene_a", "gene_b")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getString(3))).toSet
+    assert(got == Set(
+      ("2", 100100L, "GENE_A", "GENE_B"),
+      ("17", 200200L, "GENE_B", "GENE_A")))
+  }
+
+  test("db_info / dump --tfam / amend over a loaded database") {
+    val dir = Files.createTempDirectory("vcf2db_admin")
+    val vcf = dir.resolve("in.vcf")
+    Files.writeString(vcf, VcfFixture.lines.mkString("\n") + "\n")
+    val ped = dir.resolve("in.ped")
+    Files.writeString(ped,
+      "#family_id sample_id paternal_id maternal_id sex phenotype\n" +
+        "fam1 s1 -9 -9 1 2\nfam1 s2 -9 -9 2 1\nfam1 s3 s1 s2 1 1\nfam1 s4 s1 s2 2 2\n")
+    val out = dir.resolve("db").toString
+    Vcf2Db.run(spark, vcf.toString, Some(ped.toString), out)
+
+    // db_info lists every stored table's columns with types
+    val info = GraftDb.dbInfo(spark, out).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(info.map(_._1).toSet ==
+      Set("variants", "variant_impacts", "samples", "vcf_header"))
+    assert(info.contains(("variants", "chrom", "string")))
+    assert(info.contains(("variants", "gt_types", "binary")))
+    assert(info.contains(("samples", "phenotype", "string")))
+
+    // dump --tfam: PLINK column order
+    val tfam = GraftDb.dumpTfam(spark, out)
+    assert(tfam.columns.toSeq == Seq("family_id", "sample_id",
+      "paternal_id", "maternal_id", "sex", "phenotype"))
+    assert(tfam.count() == 4)
+
+    // amend: re-phenotype s4 without a reload
+    val ped2 = dir.resolve("amended.ped")
+    Files.writeString(ped2,
+      "#family_id sample_id paternal_id maternal_id sex phenotype\n" +
+        "fam1 s1 -9 -9 1 2\nfam1 s2 -9 -9 2 1\nfam1 s3 s1 s2 1 1\nfam1 s4 s1 s2 2 2\n"
+          .replace("fam1 s4 s1 s2 2 2", "fam1 s4 s1 s2 2 1"))
+    GraftDb.amend(spark, out, ped2.toString)
+    val s4 = GraftDb.samples(spark, out).filter("sample_id = 's4'").head()
+    assert(s4.getAs[String]("phenotype") == "1")
+
+    // a PED that narrows the cohort must be rejected loudly
+    val bad = dir.resolve("bad.ped")
+    Files.writeString(bad,
+      "#family_id sample_id paternal_id maternal_id sex phenotype\n" +
+        "fam1 s1 -9 -9 1 2\n")
+    intercept[IllegalArgumentException](GraftDb.amend(spark, out, bad.toString))
+  }
+
   test("region() parses GEMINI-style specs into pushdown-friendly filters") {
     import spark.implicits._
     val df = Seq(("1", 100L), ("1", 250L), ("2", 100L))

@@ -275,15 +275,23 @@ object GraftDb {
     * mendel_error classification and compound-het pairs.
     */
   def inheritanceClassify(spark: SparkSession, dir: String,
-      codec: String = "auto"): DataFrame =
-    graft.operators.Inheritance.classify(
-      spark, expandGenotypes(spark, dir, codec), trios(spark, dir))
+      codec: String = "auto", minKindreds: Int = 1): DataFrame =
+    graft.operators.Inheritance.minKindreds(
+      graft.operators.Inheritance.classify(
+        spark, expandGenotypes(spark, dir, codec), trios(spark, dir)),
+      minKindreds)
 
+  /** `minKindreds` follows GEMINI: for comp_hets the kindred count is
+    * per GENE (a gene hit by candidate pairs in ≥ N families), not per
+    * variant pair.
+    */
   def compHets(spark: SparkSession, dir: String,
-      codec: String = "auto"): DataFrame =
-    graft.operators.Inheritance.compHets(
-      spark, expandGenotypes(spark, dir, codec), impacts(spark, dir),
-      trios(spark, dir))
+      codec: String = "auto", minKindreds: Int = 1): DataFrame =
+    graft.operators.Inheritance.minKindreds(
+      graft.operators.Inheritance.compHets(
+        spark, expandGenotypes(spark, dir, codec), impacts(spark, dir),
+        trios(spark, dir)),
+      minKindreds, keyCols = Seq("gene"))
 
   /** GEMINI `--gt-filter` wildcard over a loaded database: variants
     * whose unpacked genotype arrays satisfy the DSL predicate, e.g.
@@ -296,6 +304,17 @@ object GraftDb {
     val v = expandGenotypes(spark, dir, codec)
     v.filter(graft.operators.GtFilter.compile(
       spec, samples(spark, dir), headerSamples(spark, dir)))
+  }
+
+  /** GEMINI `query --sample-filter WHERE --in any|all|none|only`:
+    * variants related to the sample subset the WHERE picks from the
+    * samples table — see [[graft.operators.GtFilter.sampleFilter]].
+    */
+  def sampleFilter(spark: SparkSession, dir: String, where: String,
+      in: String = "any", codec: String = "auto"): DataFrame = {
+    val v = expandGenotypes(spark, dir, codec)
+    v.filter(graft.operators.GtFilter.sampleFilter(
+      where, in, samples(spark, dir), headerSamples(spark, dir)))
   }
 
   /** GEMINI mendel_errors-style QC summary over a loaded database:
@@ -314,21 +333,25 @@ object GraftDb {
     * the samples table's sex column.
     */
   def xlinked(spark: SparkSession, dir: String,
-      codec: String = "auto"): DataFrame =
-    graft.operators.Inheritance.xlinked(
-      spark, expandGenotypes(spark, dir, codec),
-      graft.operators.Inheritance.triosWithSex(
-        spark, samples(spark, dir), headerSamples(spark, dir)))
+      codec: String = "auto", minKindreds: Int = 1): DataFrame =
+    graft.operators.Inheritance.minKindreds(
+      graft.operators.Inheritance.xlinked(
+        spark, expandGenotypes(spark, dir, codec),
+        graft.operators.Inheritance.triosWithSex(
+          spark, samples(spark, dir), headerSamples(spark, dir))),
+      minKindreds)
 
   /** GEMINI x_linked_dominant over a loaded database — trio dim
     * carries sex and the three phenotypes from the samples table.
     */
   def xlinkedDom(spark: SparkSession, dir: String,
-      codec: String = "auto"): DataFrame =
-    graft.operators.Inheritance.xlinkedDom(
-      spark, expandGenotypes(spark, dir, codec),
-      graft.operators.Inheritance.triosWithSexPheno(
-        spark, samples(spark, dir), trios(spark, dir)))
+      codec: String = "auto", minKindreds: Int = 1): DataFrame =
+    graft.operators.Inheritance.minKindreds(
+      graft.operators.Inheritance.xlinkedDom(
+        spark, expandGenotypes(spark, dir, codec),
+        graft.operators.Inheritance.triosWithSexPheno(
+          spark, samples(spark, dir), trios(spark, dir))),
+      minKindreds)
 
   /** Cohort QC over a loaded database: ts/tv ratio per chromosome,
     * per-(gene, severity) burden, per-sample genotype stats, and runs

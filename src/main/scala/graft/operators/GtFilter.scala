@@ -47,6 +47,47 @@ object GtFilter {
       headerSamples: Seq[String]): Column =
     new Parser(spec.trim, samples, headerSamples).parse()
 
+  /** GEMINI `query --sample-filter` + `--in` modifiers: a SQL WHERE
+    * over the samples table picks a sample subset driver-side
+    * (dim-sized), and the variant predicate asks how that subset
+    * relates to the variant's carriers (gt_types HET/HOM_ALT):
+    *
+    *  - `any`  (GEMINI's default): some matching sample carries it
+    *  - `all`: every matching sample carries it
+    *  - `none`: no matching sample carries it
+    *  - `only`: some matching sample carries it AND no NON-matching
+    *    sample does (GEMINI's `--in only` exclusivity form)
+    *
+    * Compiles to one codegen row predicate over the unpacked gt_types
+    * array — no explode, no shuffle, one variants scan.
+    */
+  def sampleFilter(where: String, in: String, samples: DataFrame,
+      headerSamples: Seq[String]): Column = {
+    val ixOf = headerSamples.zipWithIndex
+      .map { case (n, i) => n -> (i + 1) }.toMap
+    val matching = samples.filter(where)
+      .select("sample_id").collect().map(_.getString(0))
+      .filter(ixOf.contains).toSeq
+    require(matching.nonEmpty,
+      s"sample-filter '$where' selects no VCF samples")
+    def carrier(name: String): Column = {
+      val cell = element_at(col("gt_types"), ixOf(name))
+      cell === 1 || cell === 3
+    }
+    val others = headerSamples.filterNot(matching.contains)
+    in.trim.toLowerCase match {
+      case "any" => matching.map(carrier).reduce(_ || _)
+      case "all" => matching.map(carrier).reduce(_ && _)
+      case "none" => matching.map(n => !carrier(n)).reduce(_ && _)
+      case "only" =>
+        val anyMatch = matching.map(carrier).reduce(_ || _)
+        if (others.isEmpty) anyMatch
+        else anyMatch && others.map(n => !carrier(n)).reduce(_ && _)
+      case other => throw new IllegalArgumentException(
+        s"sample-filter: bad --in '$other' (want any|all|none|only)")
+    }
+  }
+
   private def operandOf(raw: String): Column = GtClasses.get(raw) match {
     case Some(cls) => lit(cls)
     case None =>

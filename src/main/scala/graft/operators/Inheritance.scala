@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.{PedSource, VcfReader}
@@ -165,6 +166,21 @@ object Inheritance {
         element_at($"gt_depths", $"m_ix").as("mom_dp"))
       .orderBy($"chrom", $"pos", $"alt", $"child")
   }
+
+  /** GEMINI's `--min-kindreds N`: keep only rows whose key (the
+    * variant for the single-site tools, the gene for comp_hets) was
+    * hit in at least N distinct families. One window over the already
+    * family-keyed result — the candidate frame is orders of magnitude
+    * smaller than the variants fact, and families-per-key is
+    * cohort-bounded, so the collect_set stays tiny.
+    */
+  def minKindreds(df: DataFrame, n: Int,
+      keyCols: Seq[String] = Seq("chrom", "pos", "alt")): DataFrame =
+    if (n <= 1) df
+    else df
+      .withColumn("n_kindreds", size(collect_set(col("family_id"))
+        .over(Window.partitionBy(keyCols.map(col): _*))))
+      .filter(col("n_kindreds") >= n)
 
   /** e19: compound-heterozygote candidate pairs — two HET sites of the
     * child in the SAME gene, one inherited from each parent (unphased

@@ -287,6 +287,66 @@ class Vcf2DbSpec extends SparkSpec {
       GraftDb.gtFilter(spark, out, "gt_types == HET").collect())
   }
 
+  test("sample-filter with --in modifiers relates sample subsets to carriers") {
+    import graft.operators.Inheritance
+    val dir = Files.createTempDirectory("vcf2db_sf")
+    val vcf = dir.resolve("trio.vcf")
+    Files.writeString(vcf, Inheritance.TrioFixture.lines.mkString("\n") + "\n")
+    val ped = dir.resolve("trio.ped")
+    Files.writeString(ped, Inheritance.TrioFixture.pedLines.mkString("\n") + "\n")
+    val out = dir.resolve("db").toString
+    Vcf2Db.run(spark, vcf.toString, Some(ped.toString), out)
+    def positions(where: String, in: String): Seq[Long] =
+      GraftDb.sampleFilter(spark, out, where, in)
+        .select("pos").collect().map(_.getLong(0)).sorted.toSeq
+    // affected = child c; carrier = HET|HOM_ALT of gt_types
+    assert(positions("phenotype = 2", "any") ==
+      Seq(100L, 500L, 600L, 1000L, 2000L, 3000L))
+    // c not a carrier: 2:700 (HOM_REF) and 3:200 (UNKNOWN counts as
+    // non-carrier, the e40 rule)
+    assert(positions("phenotype = 2", "none") == Seq(200L, 700L))
+    // ONLY the affected child carries: just the de novo site
+    assert(positions("phenotype = 2", "only") == Seq(1000L))
+    // both unaffected parents carry (HET or HOM_ALT — 2:700's dad is
+    // HOM_ALT and counts)
+    assert(positions("phenotype = 1", "all") == Seq(100L, 200L, 500L, 700L))
+    intercept[IllegalArgumentException](
+      GraftDb.sampleFilter(spark, out, "phenotype = 2", "most").collect())
+    intercept[IllegalArgumentException](
+      GraftDb.sampleFilter(spark, out, "phenotype = 9", "any").collect())
+  }
+
+  test("min-kindreds gates family-tool hits on distinct family counts") {
+    import graft.operators.Inheritance
+    import spark.implicits._
+    // direct helper semantics: variant (1,1,A) seen in two families
+    // survives n=2; the single-family variant does not
+    val hits = Seq(
+      ("1", 1000L, "A", "F1"), ("1", 1000L, "A", "F2"),
+      ("2", 2000L, "B", "F1"))
+      .toDF("chrom", "pos", "alt", "family_id")
+    val kept = Inheritance.minKindreds(hits, 2)
+      .select("chrom", "pos", "family_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(kept == Set(("1", 1000L, "F1"), ("1", 1000L, "F2")))
+    assert(Inheritance.minKindreds(hits, 1).count() == 3)
+
+    // over a loaded single-family db: n=1 passes through, n=2 empties
+    val dir = Files.createTempDirectory("vcf2db_mk")
+    val vcf = dir.resolve("trio.vcf")
+    Files.writeString(vcf, Inheritance.TrioFixture.lines.mkString("\n") + "\n")
+    val ped = dir.resolve("trio.ped")
+    Files.writeString(ped, Inheritance.TrioFixture.pedLines.mkString("\n") + "\n")
+    val out = dir.resolve("db").toString
+    Vcf2Db.run(spark, vcf.toString, Some(ped.toString), out)
+    val n1 = GraftDb.inheritanceClassify(spark, out).count()
+    assert(n1 > 0)
+    assert(GraftDb.inheritanceClassify(spark, out, minKindreds = 2).count() == 0)
+    assert(GraftDb.compHets(spark, out).count() ==
+      GraftDb.compHets(spark, out, minKindreds = 1).count())
+    assert(GraftDb.compHets(spark, out, minKindreds = 2).count() == 0)
+  }
+
   test("mendelSummary over a loaded database matches e27's class counts") {
     import graft.operators.Inheritance
     val dir = Files.createTempDirectory("vcf2db_mendel")

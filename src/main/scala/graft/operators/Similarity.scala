@@ -252,7 +252,46 @@ object Similarity {
       .orderBy($"q_id", $"rn")
   }
 
+  /** s05 similarity floor — sized to the synthetic embeddings'
+    * near-orthogonal cosine distribution (max non-self cosine ≈ 0.40
+    * at sf0.01): low enough for a non-trivial result set, high enough
+    * that the output stays a small fraction of the scan.
+    */
+  private val RangeTau = 0.25
+
+  /** s05: cosine RANGE search — every corpus vector within a
+    * similarity floor of each query (the radius-query twin of s01's
+    * top-k; retrieval/dedup pipelines want both shapes). Even lighter
+    * than s01 at scale: broadcast query set, one corpus scan, and NO
+    * shuffle at all — the threshold filter is map-side, there is no
+    * window. The s02 buckets compose in front at full scale exactly as
+    * they do for top-k.
+    */
+  def s05(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val emb = T(s, dir, "embeddings")
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    emb.crossJoin(broadcast(queries))
+      .filter($"vec_id" =!= $"q_id")
+      .withColumn("cos", expr(
+        s"${dot("embedding", "q_emb")} / sqrt(${dot("embedding", "embedding")} * ${dot("q_emb", "q_emb")})"))
+      .filter($"cos" >= RangeTau)
+      .select($"q_id", $"vec_id", expr("round(cos, 6)").as("cos"))
+      .orderBy($"q_id", $"vec_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "s05_range_search" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
+         |  FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |scored AS (SELECT q_id, vec_id,
+         |  list_inner_product(e, qe) / sqrt(list_inner_product(e, e) * list_inner_product(qe, qe)) AS cos
+         |  FROM c, q WHERE vec_id <> q_id)
+         |SELECT q_id, vec_id, round(cos, 6) AS cos
+         |FROM scored WHERE cos >= $RangeTau ORDER BY q_id, vec_id""".stripMargin,
     "s02_ann_lsh" -> {
       // the engine's hyperplanes as SQL literals (d05's technique):
       // DuckDB re-derives the identical sign buckets, so the bucketed
@@ -298,6 +337,7 @@ object Similarity {
     "s01_ann_bruteforce_topk" -> (s01 _),
     "s02_ann_lsh" -> (s02 _),
     "s03_ann_ivf" -> (s03 _),
-    "s04_ann_pq" -> (s04 _)
+    "s04_ann_pq" -> (s04 _),
+    "s05_range_search" -> (s05 _)
   )
 }

@@ -216,6 +216,39 @@ object Stats {
       .orderBy($"chrom", $"pos", $"alt")
   }
 
+  /** The fixture PED's (sample, family_id) dim, parsed from the same
+    * pedLines (s1–s3 = F1, s4 = F2).
+    */
+  private def families(s: SparkSession): DataFrame = {
+    import s.implicits._
+    VcfFixture.pedLines.filterNot(_.startsWith("#"))
+      .map { l => val f = l.split("\\s+"); (f(1), f(0)) }
+      .toDF("sample", "family_id")
+  }
+
+  /** e46: gemini `query --show-families` — each variant with the
+    * name-sorted list of FAMILIES containing a carrier, and the
+    * kindred count the `--min-kindreds` gate reads. One carrier
+    * explode (Burden.carriers) joined to the broadcast family dim +
+    * ONE variant-keyed partial agg; `array_sort(collect_set)` pins
+    * order against partition nondeterminism, and the left join keeps
+    * carrier-less variants with an empty list like GEMINI.
+    */
+  def e46(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (h, variants, _) = VcfReader.fromLines(s, VcfFixture.lines)
+    val lists = Burden.carriers(s, variants, h.samples)
+      .join(broadcast(families(s)), Seq("sample"))
+      .groupBy($"chrom", $"pos", $"alt")
+      .agg(array_sort(collect_set($"family_id")).as("fam_arr"))
+    variants.select($"chrom", $"pos", $"alt")
+      .join(lists, Seq("chrom", "pos", "alt"), "left")
+      .select($"chrom", $"pos", $"alt",
+        concat_ws(",", coalesce($"fam_arr", array())).as("families"),
+        size(coalesce($"fam_arr", array())).as("n_kindreds"))
+      .orderBy($"chrom", $"pos", $"alt")
+  }
+
   // ---------------------------------------------------------------- oracles
 
   private val gtLong: String =
@@ -236,7 +269,31 @@ object Stats {
       .map { l => val f = l.split("\\s+"); s"('${f(1)}', ${f(5)})" }
       .mkString("(VALUES ", ", ", ") p(sample, phenotype)")
 
+  /** The PED (sample, family_id) dim as a SQL VALUES literal. */
+  private val pedFamilyValues: String =
+    VcfFixture.pedLines.filterNot(_.startsWith("#"))
+      .map { l => val f = l.split("\\s+"); s"('${f(1)}', '${f(0)}')" }
+      .mkString("(VALUES ", ", ", ") pf(sample, family_id)")
+
   val oracle: Map[String, String] = Map(
+    "e46_show_families" ->
+      s"""WITH carr AS (
+         | SELECT g.chrom, g.pos, g.alt, pf.family_id
+         | FROM $gtLong g
+         | JOIN $pedFamilyValues ON 's' || CAST(g.six AS VARCHAR) = pf.sample
+         | WHERE g.gt IN (1, 3)),
+         |lists AS (
+         | SELECT chrom, pos, alt,
+         |  STRING_AGG(DISTINCT family_id, ',' ORDER BY family_id) AS families,
+         |  COUNT(DISTINCT family_id) AS n_kindreds
+         | FROM carr GROUP BY 1, 2, 3)
+         |SELECT v.chrom, CAST(v.pos AS BIGINT) AS pos, v.alt,
+         | COALESCE(l.families, '') AS families,
+         | CAST(COALESCE(l.n_kindreds, 0) AS INTEGER) AS n_kindreds
+         |FROM ${VcfFixture.variantsValues}
+         |LEFT JOIN lists l
+         |  ON l.chrom = v.chrom AND l.pos = v.pos AND l.alt = v.alt
+         |ORDER BY v.chrom, v.pos, v.alt""".stripMargin,
     "e38_vars_by_sample" ->
       s"""SELECT 's' || CAST(six AS VARCHAR) AS sample,
          | CAST(SUM(CASE WHEN gt IN (1, 3) THEN 1 ELSE 0 END) AS BIGINT)
@@ -324,6 +381,7 @@ object Stats {
     "e37_show_samples" -> (e37 _),
     "e38_vars_by_sample" -> (e38 _),
     "e39_gts_by_sample" -> (e39 _),
-    "e40_carrier_summary" -> (e40 _)
+    "e40_carrier_summary" -> (e40 _),
+    "e46_show_families" -> (e46 _)
   )
 }

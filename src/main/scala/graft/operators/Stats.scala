@@ -249,6 +249,85 @@ object Stats {
       .orderBy($"chrom", $"pos", $"alt")
   }
 
+  /** e47: gemini `gene_wise --min-kindreds 2` — genes where variants
+    * (not necessarily the same one) hit carriers in at least N distinct
+    * families, with the supporting (variant, family) evidence rows.
+    * Scale shape: the carrier explode is bounded by carriers-per-site;
+    * the family dim and the qualifying-gene frame are both BROADCAST
+    * (cohort- and gene-dim-sized at any corpus size); the only shuffles
+    * are the variant-keyed gene join and one gene-keyed partial agg
+    * whose key space is the ~20k-gene universe.
+    */
+  def e47(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (h, variants, impacts) = VcfReader.fromLines(s, VcfFixture.lines)
+    val sites = impacts
+      .select($"chrom", $"pos", $"alt", $"symbol".as("gene")).distinct()
+    val hits = Burden.carriers(s, variants, h.samples)
+      .join(broadcast(families(s)), Seq("sample"))
+      .join(sites, Seq("chrom", "pos", "alt"))
+      .select($"gene", $"chrom", $"pos", $"alt", $"family_id").distinct()
+    val genes = hits.groupBy($"gene")
+      .agg(countDistinct($"family_id").cast("int").as("n_kindreds"))
+      .filter($"n_kindreds" >= 2)
+    hits.join(broadcast(genes), Seq("gene"))
+      .select($"gene", $"chrom", $"pos", $"alt", $"family_id", $"n_kindreds")
+      .orderBy($"gene", $"chrom", $"pos", $"alt", $"family_id")
+  }
+
+  /** e48: gemini `stats --snp-counts` — variant tallies per
+    * substitution type (A->G, C->T, ...), SNP rows only. One codegen
+    * projection + ONE partial-agg shuffle over a ≤12-key space —
+    * constant-size output at any variant count.
+    */
+  def e48(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    VcfFixture.variants(s)
+      .filter(length($"ref") === 1 && length($"alt") === 1)
+      .select(concat($"ref", lit("->"), $"alt").as("substitution"))
+      .groupBy($"substitution").agg(count(lit(1)).as("n_variants"))
+      .orderBy($"substitution")
+  }
+
+  /** The plink biallelic recode of one sample's genotype on a
+    * DECOMPOSED row, from (gts string, per-alt gt class) alone — no
+    * allele index needed: a sample is cleanly biallelic for this row
+    * iff its total non-ref allele count equals its copies of THIS alt
+    * (then the bases are ref/alt by class); any other-alt carrier or
+    * missing call degrades to plink's "0 0" whole-genotype missing
+    * code. Shared verbatim (modulo list-function spelling) with the
+    * e49 oracle.
+    */
+  private val tpedCell: String =
+    """CASE
+      | WHEN p.gt_types = 2 THEN '0 0'
+      | WHEN size(filter(split(replace(p.gts, '|', '/'), '/'),
+      |        a -> a <> '0' AND a <> '.'))
+      |      = (CASE WHEN p.gt_types = 3 THEN 2
+      |              WHEN p.gt_types = 1 THEN 1 ELSE 0 END)
+      |   THEN CASE WHEN p.gt_types = 3 THEN concat(alt, ' ', alt)
+      |             WHEN p.gt_types = 1 THEN concat(ref, ' ', alt)
+      |             ELSE concat(ref, ' ', ref) END
+      | ELSE '0 0' END""".stripMargin
+
+  /** e49: gemini `query --format TPED` — the plink transposed-pedigree
+    * export: one line per variant (chrom, snp id, genetic distance 0,
+    * pos, per-sample allele pairs in cohort order). Pure per-row
+    * codegen over the packed gts/gt_types arrays (no explode, no
+    * shuffle beyond the final presentation sort) — export runs at scan
+    * speed at any cohort size.
+    */
+  def e49(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    VcfFixture.variants(s)
+      .select($"chrom",
+        coalesce($"vid", concat($"chrom", lit(":"), $"pos")).as("snp_id"),
+        lit(0).as("cm"), $"pos",
+        expr(s"concat_ws(' ', transform(arrays_zip(gts, gt_types), p -> $tpedCell))")
+          .as("genotypes"))
+      .orderBy($"chrom", $"pos", $"genotypes")
+  }
+
   // ---------------------------------------------------------------- oracles
 
   private val gtLong: String =
@@ -276,6 +355,57 @@ object Stats {
       .mkString("(VALUES ", ", ", ") pf(sample, family_id)")
 
   val oracle: Map[String, String] = Map(
+    "e47_gene_wise" ->
+      s"""WITH sites AS (
+         | SELECT DISTINCT chrom, pos, alt, symbol AS gene
+         | FROM ${VcfFixture.impactsValues}),
+         |hits AS (
+         | SELECT DISTINCT i.gene, g.chrom, g.pos, g.alt, pf.family_id
+         | FROM $gtLong g
+         | JOIN $pedFamilyValues ON 's' || CAST(g.six AS VARCHAR) = pf.sample
+         | JOIN sites i ON i.chrom = g.chrom AND i.pos = g.pos AND i.alt = g.alt
+         | WHERE g.gt IN (1, 3)),
+         |genes AS (
+         | SELECT gene, CAST(COUNT(DISTINCT family_id) AS INTEGER) AS n_kindreds
+         | FROM hits GROUP BY 1 HAVING COUNT(DISTINCT family_id) >= 2)
+         |SELECT h.gene, h.chrom, CAST(h.pos AS BIGINT) AS pos, h.alt,
+         | h.family_id, ge.n_kindreds
+         |FROM hits h JOIN genes ge ON h.gene = ge.gene
+         |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
+    "e48_snp_counts" ->
+      s"""SELECT ref || '->' || alt AS substitution,
+         | CAST(COUNT(*) AS BIGINT) AS n_variants
+         |FROM ${VcfFixture.variantsValues}
+         |WHERE LENGTH(ref) = 1 AND LENGTH(alt) = 1
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "e49_tped" ->
+      s"""WITH cell AS (
+         | SELECT f.chrom, f.pos, f.alt, f.sample_ix,
+         |  CASE
+         |   WHEN c.gt = 2 THEN '0 0'
+         |   WHEN len(list_filter(string_split(replace(f.gt, '|', '/'), '/'),
+         |          a -> a <> '0' AND a <> '.'))
+         |        = (CASE WHEN c.gt = 3 THEN 2 WHEN c.gt = 1 THEN 1 ELSE 0 END)
+         |     THEN CASE WHEN c.gt = 3 THEN v.alt || ' ' || v.alt
+         |               WHEN c.gt = 1 THEN v.ref || ' ' || v.alt
+         |               ELSE v.ref || ' ' || v.ref END
+         |   ELSE '0 0' END AS g2
+         | FROM ${VcfFixture.gtFormatValues}
+         | JOIN $gtLong c
+         |   ON c.chrom = f.chrom AND c.pos = f.pos AND c.alt = f.alt
+         |  AND c.six = f.sample_ix
+         | JOIN ${VcfFixture.variantsValues}
+         |   ON v.chrom = f.chrom AND v.pos = f.pos AND v.alt = f.alt),
+         |lines AS (
+         | SELECT chrom, pos, alt,
+         |  STRING_AGG(g2, ' ' ORDER BY sample_ix) AS genotypes
+         | FROM cell GROUP BY 1, 2, 3)
+         |SELECT v.chrom,
+         | COALESCE(v.vid, v.chrom || ':' || CAST(v.pos AS VARCHAR)) AS snp_id,
+         | CAST(0 AS INTEGER) AS cm, CAST(v.pos AS BIGINT) AS pos, l.genotypes
+         |FROM ${VcfFixture.variantsValues}
+         |JOIN lines l ON l.chrom = v.chrom AND l.pos = v.pos AND l.alt = v.alt
+         |ORDER BY v.chrom, v.pos, l.genotypes""".stripMargin,
     "e46_show_families" ->
       s"""WITH carr AS (
          | SELECT g.chrom, g.pos, g.alt, pf.family_id
@@ -382,6 +512,9 @@ object Stats {
     "e38_vars_by_sample" -> (e38 _),
     "e39_gts_by_sample" -> (e39 _),
     "e40_carrier_summary" -> (e40 _),
-    "e46_show_families" -> (e46 _)
+    "e46_show_families" -> (e46 _),
+    "e47_gene_wise" -> (e47 _),
+    "e48_snp_counts" -> (e48 _),
+    "e49_tped" -> (e49 _)
   )
 }

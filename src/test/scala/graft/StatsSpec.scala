@@ -75,6 +75,39 @@ class StatsSpec extends SparkSpec {
     assert(got(("X", 400L, "C")) == ((1L, 0L, 3L, 0L)))
   }
 
+  test("e47 gene_wise keeps only genes hit in >= 2 kindreds") {
+    val got = Stats.e47(spark, "").collect().map(r =>
+      (r.getAs[String]("gene"), r.getAs[String]("chrom"),
+        r.getAs[Long]("pos"), r.getAs[String]("alt"),
+        r.getAs[String]("family_id"), r.getAs[Int]("n_kindreds")))
+    // BRCA1 (1:100 G: s1@F1 het, s4@F2 hom-alt) is the only gene whose
+    // carriers span both fixture families; TP53/EGFR carriers are all F1
+    assert(got.toSeq == Seq(
+      ("BRCA1", "1", 100L, "G", "F1", 2),
+      ("BRCA1", "1", 100L, "G", "F2", 2)))
+  }
+
+  test("e48 snp-counts tallies substitution types over SNP rows") {
+    val got = Stats.e48(spark, "").collect().map(r =>
+      r.getAs[String]("substitution") -> r.getAs[Long]("n_variants")).toMap
+    assert(got == Map("A->G" -> 1L, "C->T" -> 1L, "G->A" -> 1L,
+      "G->T" -> 1L, "T->C" -> 1L))
+  }
+
+  test("e49 TPED recode: biallelic bases, other-alt and missing -> 0 0") {
+    val got = Stats.e49(spark, "").collect().map(r =>
+      (r.getAs[String]("snp_id"), r.getAs[String]("genotypes")))
+    // 1:100 A>G: 0/1 -> "A G", 0/0 -> "A A", 1/1 -> "G G"
+    assert(got.contains(("rs1", "A G A A A A G G")))
+    // 1:200 missing calls degrade to plink's 0 0
+    assert(got.contains(("1:200", "C T C T 0 0 0 0")))
+    // 2:300 multi-allelic: samples carrying the OTHER alt are 0 0 on
+    // each decomposed row; clean hom-alt (2/2 on the T row) survives
+    assert(got.contains(("rs3", "0 0 0 0 T T G G"))) // T row
+    assert(got.contains(("rs3", "0 0 G A 0 0 G G"))) // A row
+    assert(got.count(_._1 == "rs3") == 2)
+  }
+
   test("e34 annotate-extract aggregates overlapping interval scores") {
     val got = Stats.e34(spark, "").collect().map(r =>
       ((r.getAs[String]("chrom"), r.getAs[Long]("pos"), r.getAs[String]("alt")),

@@ -101,7 +101,42 @@ object StreamingOps {
       .orderBy($"user_id", $"p_event_id", $"v_event_id")
   }
 
+  /** st05: streaming corpus curation — the LLM-ingest shape: quality-
+    * gate each arriving document (Text.scoreExpr, the same rule t02 /
+    * CurateCorpus cut on), then collapse exact duplicates on a
+    * constant-width md5 content key. Batch form (this query, oracle-
+    * verified): ONE partial-agg shuffle on the md5 key, min-doc_id
+    * survivor — d01's scale shape behind a map-side filter that
+    * discards low-quality rows BEFORE they shuffle. Streaming form
+    * (StreamingSpec "st05"): identical filter, then
+    * `dropDuplicatesWithinWatermark(content_md5)` — state holds only
+    * in-watermark keys, so an unbounded ingest stream curates with
+    * bounded memory.
+    */
+  def st05(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "documents")
+      .withColumn("score", expr(s"round(${Text.scoreExpr}, 6)"))
+      .filter($"score" >= 0.3)
+      .withColumn("content_md5", md5($"text"))
+      .groupBy($"content_md5")
+      .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_dupes"),
+        min($"score").as("score"))
+      .orderBy($"content_md5")
+  }
+
   val oracle: Map[String, String] = Map(
+    "st05_stream_curate" ->
+      s"""WITH scored AS (
+         | SELECT doc_id, md5(text) AS content_md5,
+         |  round(0.5e0 * least(len(string_split(text, ' ')), 100) / 100.0e0
+         |   + 0.5e0 * (CAST(${Text.hitsSql(Text.stopwords.head._2)} AS DOUBLE)
+         |              / len(string_split(text, ' '))), 6) AS score
+         | FROM documents)
+         |SELECT content_md5, MIN(doc_id) AS doc_id, COUNT(*) AS n_dupes,
+         | MIN(score) AS score
+         |FROM scored WHERE score >= 0.3
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "st03_dedup_events" ->
       """SELECT user_id, event_type,
         | CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute,
@@ -145,6 +180,7 @@ object StreamingOps {
     "st01_window_agg" -> (st01 _),
     "st02_sessionize" -> (st02 _),
     "st03_dedup_events" -> (st03 _),
-    "st04_interval_join" -> (st04 _)
+    "st04_interval_join" -> (st04 _),
+    "st05_stream_curate" -> (st05 _)
   )
 }

@@ -340,7 +340,7 @@ object Text {
     * apart (d09 wraps it in round(…, 6) before it becomes an ORDER
     * key).
     */
-  private[operators] val scoreExpr: String =
+  private[graft] val scoreExpr: String =
     "0.5e0 * least(size(split(text, ' ')), 100) / 100.0e0 + " +
       s"0.5e0 * (CAST(${hitsExpr(stopwords.head._2)} AS DOUBLE) / size(split(text, ' ')))"
 

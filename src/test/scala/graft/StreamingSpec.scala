@@ -306,6 +306,48 @@ class StreamStreamJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming corpus curation: quality gate + in-watermark exact dedup (st05 analog)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // (arrival ts, doc_id, text) — an ingest stream of documents
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val good = "the cat sat on the mat and the dog ran off with the hat"
+    val junk = "zxqj vwpk"  // no stopwords, tiny -> fails the gate
+    val curated = input.toDS()
+      .toDF("ts", "doc_id", "text")
+      .withWatermark("ts", "1 minute")
+      .withColumn("score",
+        expr(s"round(${graft.operators.Text.scoreExpr}, 6)"))
+      .filter($"score" >= 0.3)
+      .withColumn("content_md5", md5($"text"))
+      .dropDuplicatesWithinWatermark("content_md5")
+    val q = curated.writeStream.format("memory").queryName("curate_out")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(0), 1L, good), (ts(0), 2L, good), (ts(0), 3L, junk))
+      q.processAllAvailable()
+      // a later duplicate still within the watermark: dropped by state
+      input.addData((ts(1), 4L, good))
+      q.processAllAvailable()
+      // watermark far past -> key evicted; the same content re-admits
+      // (bounded state: the stream never holds the full corpus)
+      input.addData((ts(240), 5L, good))
+      q.processAllAvailable()
+      val out = spark.table("curate_out")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(out.contains(1L), s"first good doc must survive: $out")
+      assert(!out.contains(2L) && !out.contains(4L), s"in-watermark dups must drop: $out")
+      assert(!out.contains(3L), s"low-quality doc must be gated out: $out")
+      assert(out.contains(5L), s"post-eviction re-admit expected: $out")
+      // batch/stream parity on the shared rule: the batch query's
+      // survivor for this content is the min doc_id the stream saw first
+      val batch = graft.operators.StreamingOps.st05(spark, "/root/testdata/sf0.001")
+      assert(batch.columns.toSeq ==
+        Seq("content_md5", "doc_id", "n_dupes", "score"))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate deliveries within the watermark (st03 analog)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

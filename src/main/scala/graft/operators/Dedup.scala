@@ -699,6 +699,49 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** d11 (rows-only): SemDeDup semantic dedup (Abbas et al. 2023) —
+    * cluster the embedding space, then drop any vector whose cosine to
+    * a LOWER-id mate in the SAME cluster reaches τ (d05's 0.45 on this
+    * corpus): the modern "prune semantically redundant training data"
+    * pass, distinct from d05's pair FINDING in that the cluster both
+    * blocks the candidate search AND caps its cost. Scale shape: the
+    * KMeans fit reads a [[Similarity.fitSample]]-bounded sample (never
+    * the corpus); assignment is a one-pass map with broadcast
+    * centroids; the only join is EQUI-keyed on the cell id, so the
+    * pairwise term is Σ cellᵢ² — bounded by scaling k with the corpus
+    * (SemDeDup's own recipe) exactly as d03 scales its bucket cap.
+    * Output keeps EVERY row with its cell and kept/dropped verdict
+    * (DedupQualitySpec re-derives the partition from exact cosines).
+    */
+  def d11(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = T(s, dir, "embeddings")
+      .withColumn("fv", array_to_vector($"embedding".cast("array<double>")))
+    val model = new KMeans().setK(16).setSeed(42L)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(Similarity.fitSample(emb))
+    val corpus = model.transform(emb).select($"vec_id", $"embedding", $"cell")
+    val dropped = corpus.as("a")
+      .join(corpus.as("b"),
+        $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id")
+      .withColumn("cos", expr(
+        s"${Similarity.dot("a.embedding", "b.embedding")} / sqrt(${Similarity.dot("a.embedding", "a.embedding")} * ${Similarity.dot("b.embedding", "b.embedding")})"))
+      .filter($"cos" >= 0.45)
+      .select($"b.vec_id".as("vec_id"),
+        lit(null).cast("int").as("cell"), lit(true).as("dropped"))
+    // merge-back as union + ONE partial-agg shuffle on vec_id (max
+    // ignores the mark rows' null cell) — a fact-vs-fact left join here
+    // would be the plan's only sort-merge join
+    corpus.select($"vec_id", $"cell", lit(false).as("dropped"))
+      .unionByName(dropped)
+      .groupBy($"vec_id")
+      .agg(max($"cell").as("cell"), (!max($"dropped")).as("kept"))
+      .orderBy($"vec_id")
+  }
+
   val oracle: Map[String, String] = Map(
     "d10_substring_dedup" ->
       s"""WITH wins AS (
@@ -870,6 +913,7 @@ object Dedup {
     "d07_dedup_clusters" -> (d07 _),
     "d08_decontaminate" -> (d08 _),
     "d09_dedup_survivor" -> (d09 _),
-    "d10_substring_dedup" -> (d10 _)
+    "d10_substring_dedup" -> (d10 _),
+    "d11_semantic_dedup" -> (d11 _)
   )
 }

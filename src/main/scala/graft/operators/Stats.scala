@@ -328,6 +328,23 @@ object Stats {
       .orderBy($"chrom", $"pos", $"genotypes")
   }
 
+  /** e50: gemini `region --gene TP53` — every variant whose impact
+    * annotation lands in the named gene. The gene filter is a
+    * selective predicate pushed onto the impacts scan; the distinct
+    * variant-key frame it yields is gene-sized, so it BROADCASTs into
+    * a left-semi join against one variants scan — the fact table never
+    * shuffles (e28's anti-join shape, semi-join polarity).
+    */
+  def e50(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (_, variants, impacts) = VcfReader.fromLines(s, VcfFixture.lines)
+    val keys = impacts.filter($"symbol" === "TP53")
+      .select($"chrom", $"pos", $"alt").distinct()
+    variants.join(broadcast(keys), Seq("chrom", "pos", "alt"), "left_semi")
+      .select($"chrom", $"pos", $"ref", $"alt", $"qual", $"filter")
+      .orderBy($"chrom", $"pos", $"alt")
+  }
+
   // ---------------------------------------------------------------- oracles
 
   private val gtLong: String =
@@ -372,6 +389,14 @@ object Stats {
          | h.family_id, ge.n_kindreds
          |FROM hits h JOIN genes ge ON h.gene = ge.gene
          |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
+    "e50_region_gene" ->
+      s"""SELECT v.chrom, CAST(v.pos AS BIGINT) AS pos, v.ref, v.alt,
+         | CAST(v.qual AS DOUBLE) AS qual, v.filter
+         |FROM ${VcfFixture.variantsValues}
+         |WHERE EXISTS (SELECT 1 FROM ${VcfFixture.impactsValues}
+         |  WHERE i.symbol = 'TP53' AND i.chrom = v.chrom
+         |    AND i.pos = v.pos AND i.alt = v.alt)
+         |ORDER BY v.chrom, v.pos, v.alt""".stripMargin,
     "e48_snp_counts" ->
       s"""SELECT ref || '->' || alt AS substitution,
          | CAST(COUNT(*) AS BIGINT) AS n_variants
@@ -515,6 +540,7 @@ object Stats {
     "e46_show_families" -> (e46 _),
     "e47_gene_wise" -> (e47 _),
     "e48_snp_counts" -> (e48 _),
-    "e49_tped" -> (e49 _)
+    "e49_tped" -> (e49 _),
+    "e50_region_gene" -> (e50 _)
   )
 }

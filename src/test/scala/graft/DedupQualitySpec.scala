@@ -106,6 +106,28 @@ class DedupQualitySpec extends SparkSpec {
     }
   }
 
+  test("d11 SemDeDup: kept/dropped is exactly the greedy in-cell cosine partition") {
+    val out = Dedup.queries("d11_semantic_dedup")(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getBoolean(2)))).toMap
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble)).toMap
+    assert(out.size == emb.size, "every corpus row must appear with a verdict")
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    // re-derive the rule from exact cosines, trusting only the CELLS:
+    // dropped iff some lower-id same-cell mate reaches tau
+    out.foreach { case (id, (cell, kept)) =>
+      val hasNearLower = out.exists { case (id2, (cell2, _)) =>
+        id2 < id && cell2 == cell && cos(emb(id2), emb(id)) >= 0.45
+      }
+      assert(kept == !hasNearLower, s"vec $id: kept=$kept but nearLower=$hasNearLower")
+    }
+    // the synthetic corpus carries real near-dups: some must drop
+    assert(out.values.exists(!_._2), "expected at least one semantic duplicate")
+  }
+
   test("blocked d05 is a subset of exact pairs with identical cosines") {
     val blocked = Dedup.queries("d05_dedup_embedding")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

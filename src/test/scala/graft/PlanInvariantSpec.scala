@@ -17,6 +17,7 @@ class PlanInvariantSpec extends SparkSpec {
     */
   private val bnljAllowed = Map(
     "s01_ann_bruteforce_topk" -> 1, // broadcast query set × corpus scan
+    "s05_range_search" -> 1, // broadcast query set × corpus scan (s01's shape)
     "s03_ann_ivf" -> 1, // broadcast centroid set × query scan
     "s04_ann_pq" -> 1, // broadcast query set (+ ADC tables) × code scan
     // single-row count broadcast into the bucket-cap filter; appears

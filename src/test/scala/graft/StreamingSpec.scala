@@ -312,7 +312,10 @@ class StreamStreamJoinSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     // (arrival ts, doc_id, text) — an ingest stream of documents
     val input = MemoryStream[(Timestamp, Long, String)]
-    val good = "the cat sat on the mat and the dog ran off with the hat"
+    // must clear the 0.3 quality gate: 23 tokens, 13 en-stopword hits
+    // -> 0.5*23/100 + 0.5*13/23 = 0.3976
+    val good = "the cat is one of the best of all the cats and " +
+      "the dog is one of the best of all the dogs"
     val junk = "zxqj vwpk"  // no stopwords, tiny -> fails the gate
     val curated = input.toDS()
       .toDF("ts", "doc_id", "text")
@@ -330,9 +333,14 @@ class StreamStreamJoinSpec extends SparkSpec {
       // a later duplicate still within the watermark: dropped by state
       input.addData((ts(1), 4L, good))
       q.processAllAvailable()
-      // watermark far past -> key evicted; the same content re-admits
-      // (bounded state: the stream never holds the full corpus)
-      input.addData((ts(240), 5L, good))
+      // advance the watermark past the first content's expiry: state
+      // evicts at the END of the batch whose watermark passed the key,
+      // so a separate pusher batch must land first
+      input.addData((ts(240), 9L, good + " again and again"))
+      q.processAllAvailable()
+      // key evicted -> the same content re-admits (bounded state: the
+      // stream never holds the full corpus)
+      input.addData((ts(300), 5L, good))
       q.processAllAvailable()
       val out = spark.table("curate_out")
         .select("doc_id").collect().map(_.getLong(0)).toSet

@@ -32,9 +32,10 @@ object Bench {
     "st04_interval_join",
     "e01_flatten_info", "e08_pack_blob", "e29_windower",
     "d02_dedup_minhash", "d04_ngram_jaccard", "d05_dedup_embedding",
-    "d07_dedup_clusters", "s01_ann_bruteforce_topk", "s02_ann_lsh",
+    "d07_dedup_clusters", "d10_substring_dedup",
+    "s01_ann_bruteforce_topk", "s02_ann_lsh", "s06_knn_graph",
     "t07_stratified_sample", "t08_pii_scrub", "t10_unigram_logprob",
-    "t12_seq_pack", "t13_line_dedup", "t14_tfidf")
+    "t12_seq_pack", "t13_line_dedup", "t14_tfidf", "t15_gopher_rules")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

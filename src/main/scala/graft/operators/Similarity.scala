@@ -330,14 +330,86 @@ object Similarity {
          |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
          |  FROM scored)
          |SELECT q_id, vec_id, round(cos, 6) AS cos, rn
-         |FROM ranked WHERE rn <= $K ORDER BY q_id, rn""".stripMargin
+         |FROM ranked WHERE rn <= $K ORDER BY q_id, rn""".stripMargin,
+    "s06_knn_graph" -> {
+      // the engine's hyperplanes as SQL literals (s02's technique):
+      // DuckDB re-derives the identical sign buckets, so every graph
+      // edge — candidate rule included — is hash-verified
+      val planeRows = (0 until NPlanes).map { j =>
+        val arr = plane(j, Dims).mkString(", ")
+        s"($j, [$arr]::DOUBLE[])"
+      }.mkString(",\n ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p(j, pv) AS (VALUES
+         | $planeRows),
+         |b AS (SELECT e.vec_id,
+         |  CAST(SUM(CASE WHEN list_inner_product(e.v, p.pv) > 0 THEN (1 << p.j) ELSE 0 END) AS INTEGER) AS bucket
+         |  FROM e, p GROUP BY e.vec_id),
+         |cand AS (SELECT s.vec_id AS src_id, c.vec_id AS nbr_id,
+         |  list_inner_product(ec.v, es.v) /
+         |    sqrt(list_inner_product(ec.v, ec.v) * list_inner_product(es.v, es.v)) AS cos
+         |  FROM b s JOIN b c
+         |    ON bit_count(xor(s.bucket, c.bucket)) <= 1 AND s.vec_id <> c.vec_id
+         |  JOIN e ec ON ec.vec_id = c.vec_id
+         |  JOIN e es ON es.vec_id = s.vec_id),
+         |ranked AS (SELECT src_id, nbr_id, cos,
+         |  ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY cos DESC, nbr_id) AS rn
+         |  FROM cand)
+         |SELECT src_id, nbr_id, round(cos, 6) AS cos, rn
+         |FROM ranked WHERE rn <= 5 ORDER BY src_id, rn""".stripMargin
+    }
   )
+
+  /** s06 neighbor-list depth — small by design: a k-NN graph feeds
+    * clustering/curation, not retrieval, and edge volume is k × corpus.
+    */
+  private val KnnK = 5
+
+  /** s06: approximate k-NN GRAPH construction — every corpus vector's
+    * top-k neighbors (the backbone of graph-based semantic clustering,
+    * SemDeDup cell refinement, and diversity-aware sampling). s02's
+    * bucket machinery turned corpus-vs-corpus: the BUILD side is the
+    * corpus bucketed once; the PROBE side explodes each vector into its
+    * own bucket + all Hamming-1 probes, so the candidate join is
+    * EQUI-keyed on the bucket id — never an all-pairs pass. Unlike
+    * s02's broadcast-query regime, neither side is broadcastable here,
+    * so both shuffle ONCE on the bucket key (d02's banded-join regime);
+    * per-vector fan-out is a constant NPlanes+1 probe rows, and each
+    * candidate pair joins at most once (probe buckets are distinct).
+    * Top-k per source = one window shuffle keyed on src_id. Oracle:
+    * DuckDB re-derives the buckets from the plane literals, so the
+    * graph EDGES are hash-verified end to end, not just spot-checked.
+    */
+  def s06(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val emb = T(s, dir, "embeddings")
+    val corpus = emb.select($"vec_id", $"embedding", bucketCol("embedding").as("bucket"))
+    val probes = (0 to NPlanes).map(i => if (i == 0) 0 else 1 << (i - 1))
+    val sources = corpus
+      .select($"vec_id".as("src_id"), $"embedding".as("src_emb"),
+        $"bucket".as("src_bucket"))
+      .withColumn("probe", explode(typedLit(probes)))
+      .withColumn("bucket", expr("src_bucket ^ probe"))
+      .select($"src_id", $"src_emb", $"bucket")
+    val cand = corpus.join(sources, "bucket")
+      .filter($"vec_id" =!= $"src_id")
+      .withColumn("cos", expr(
+        s"${dot("embedding", "src_emb")} / sqrt(${dot("embedding", "embedding")} * ${dot("src_emb", "src_emb")})"))
+    val w = Window.partitionBy($"src_id").orderBy($"cos".desc, $"vec_id".asc)
+    cand.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= KnnK)
+      .select($"src_id", $"vec_id".as("nbr_id"),
+        expr("round(cos, 6)").as("cos"), $"rn")
+      .orderBy($"src_id", $"rn")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce_topk" -> (s01 _),
     "s02_ann_lsh" -> (s02 _),
     "s03_ann_ivf" -> (s03 _),
     "s04_ann_pq" -> (s04 _),
-    "s05_range_search" -> (s05 _)
+    "s05_range_search" -> (s05 _),
+    "s06_knn_graph" -> (s06 _)
   )
 }

@@ -502,7 +502,100 @@ object Text {
     s"((${terms.mkString(" + ")}) % ${OracleSql.M64})"
   }
 
+  /** The Gopher required-word list (Rae et al. 2021 §A1.1): a document
+    * must contain at least [[GopherMinRequired]] of these to pass.
+    */
+  private val gopherRequired =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  private val GopherMinRequired = 2
+
+  /** t15: Gopher-style heuristic quality rules (Rae et al. 2021) — the
+    * standard pre-training document gate: word-count bounds, mean word
+    * length bounds, alphabetic-word fraction, and the required-stopword
+    * rule, each emitted as its own signal plus the conjunctive keep
+    * flag (pipelines tune thresholds per source, so the signals matter
+    * as much as the verdict). Pure per-row codegen arithmetic over one
+    * scan — shuffle-free, runs at scan speed at any corpus size; the
+    * DuckDB oracle re-computes every signal from the same definitions.
+    */
+  def t15(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val req = gopherRequired.map(w => s"'$w'").mkString(", ")
+    T(s, dir, "documents")
+      .withColumn("n_words", expr("size(split(text, ' '))"))
+      .withColumn("mean_word_len", expr(
+        "round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / n_words, 6)"))
+      .withColumn("alpha_frac", expr(
+        "round(CAST(size(filter(split(text, ' '), t -> t RLIKE '[A-Za-z]')) AS DOUBLE) / n_words, 6)"))
+      .withColumn("n_required", expr(
+        s"size(filter(split(text, ' '), t -> t IN ($req)))"))
+      .withColumn("ok_words", $"n_words" >= 50 && $"n_words" <= 100000)
+      .withColumn("ok_word_len", $"mean_word_len" >= 3.0 && $"mean_word_len" <= 10.0)
+      .withColumn("ok_alpha", $"alpha_frac" > 0.8)
+      .withColumn("ok_required", $"n_required" >= GopherMinRequired)
+      .withColumn("keep",
+        $"ok_words" && $"ok_word_len" && $"ok_alpha" && $"ok_required")
+      .select($"doc_id", $"n_words", $"mean_word_len", $"alpha_frac",
+        $"n_required", $"ok_words", $"ok_word_len", $"ok_alpha",
+        $"ok_required", $"keep")
+      .orderBy($"doc_id")
+  }
+
+  /** t16: deterministic CONTENT-hash train/val/test split — assignment
+    * keyed on md5(text), not doc_id or randomness, so byte-identical
+    * documents land in the same split no matter which shard, source, or
+    * ingest run they arrive through (the leakage-safe split rule;
+    * doc-id- or random-keyed splits leak duplicated text across
+    * train/eval). Fixed-width lowercase hex compares lexicographically
+    * = numerically, so the 80/10/10 cut is two string comparisons —
+    * pure per-row codegen, shuffle-free, and identical in DuckDB (both
+    * engines emit the same md5 hex), making the whole assignment
+    * hash-verified. Stratify per source by prepending a salt to the
+    * hash input if a pipeline needs per-source ratios.
+    */
+  def t16(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "documents")
+      .withColumn("h2", expr("substring(md5(text), 1, 2)"))
+      .withColumn("split",
+        when($"h2" < "cd", "train")      // 205/256 ~ 80.1%
+          .when($"h2" < "e6", "val")     //  25/256 ~  9.8%
+          .otherwise("test"))            //  26/256 ~ 10.2%
+      .select($"doc_id", $"h2", $"split")
+      .orderBy($"doc_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "t16_hash_split" ->
+      s"""SELECT doc_id, substr(md5(text), 1, 2) AS h2,
+         | CASE WHEN substr(md5(text), 1, 2) < 'cd' THEN 'train'
+         |      WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+         |      ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t15_gopher_rules" -> {
+      val req = gopherRequired.map(w => s"'$w'").mkString(", ")
+      s"""WITH sig AS (SELECT doc_id,
+         |  len(string_split(text, ' ')) AS n_words,
+         |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |    / len(string_split(text, ' ')), 6) AS mean_word_len,
+         |  round(CAST(len(list_filter(string_split(text, ' '),
+         |      t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+         |    / len(string_split(text, ' ')), 6) AS alpha_frac,
+         |  len(list_filter(string_split(text, ' '),
+         |      t -> t IN ($req))) AS n_required
+         | FROM documents)
+         |SELECT doc_id, CAST(n_words AS INT) AS n_words, mean_word_len,
+         | alpha_frac, CAST(n_required AS INT) AS n_required,
+         | (n_words >= 50 AND n_words <= 100000) AS ok_words,
+         | (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_word_len,
+         | (alpha_frac > 0.8) AS ok_alpha,
+         | (n_required >= $GopherMinRequired) AS ok_required,
+         | (n_words >= 50 AND n_words <= 100000
+         |  AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |  AND alpha_frac > 0.8
+         |  AND n_required >= $GopherMinRequired) AS keep
+         |FROM sig ORDER BY doc_id""".stripMargin
+    },
     "t14_tfidf" ->
       s"""WITH tf AS (SELECT doc_id, term, count(*) AS tf
          |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
@@ -663,6 +756,8 @@ object Text {
     "t11_source_mix" -> (t11 _),
     "t12_seq_pack" -> (t12 _),
     "t13_line_dedup" -> (t13 _),
-    "t14_tfidf" -> (t14 _)
+    "t14_tfidf" -> (t14 _),
+    "t15_gopher_rules" -> (t15 _),
+    "t16_hash_split" -> (t16 _)
   )
 }

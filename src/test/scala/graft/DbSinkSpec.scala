@@ -40,6 +40,28 @@ class DbSinkSpec extends SparkSpec {
     assert(spark.read.jdbc(url, "t1", props).count() == 5)
   }
 
+  test("partitioned parallel JDBC read: the consumer path at cohort scale") {
+    import spark.implicits._
+    System.setProperty("derby.system.home",
+      java.nio.file.Files.createTempDirectory("derby").toString)
+    val url = "jdbc:derby:memory:dbread;create=true"
+    val df = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    DbSink.writeJdbc(df,
+      DbSink.JdbcConf(url = url, table = "t2", numPartitions = 2),
+      SaveMode.Overwrite)
+    // a GEMINI-style consumer reads the table back in parallel: range
+    // predicates on the partition column split the scan into 4
+    // independent connections — the read twin of the bounded writer
+    val props = new java.util.Properties()
+    val back = spark.read.jdbc(url, "t2",
+      columnName = "id", lowerBound = 1L, upperBound = 1001L,
+      numPartitions = 4, connectionProperties = props)
+    assert(back.rdd.getNumPartitions == 4)
+    assert(back.count() == 1000)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0) ==
+      1000L * 1001 / 2)
+  }
+
   test("parquet fallback bounds writer parallelism and round-trips") {
     import spark.implicits._
     val df = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v")

@@ -55,6 +55,9 @@ class PlanInvariantSpec extends SparkSpec {
     */
   private val shuffleSelfJoinAllowed =
     Set("d02_dedup_minhash", "d03_dedup_simhash", "d04_ngram_jaccard",
+      // corpus-vs-corpus k-NN graph keyed on the LSH bucket — neither
+      // side is a broadcastable dim at corpus scale (d02's regime)
+      "s06_knn_graph",
       // pair self-join keyed on (family, gene) — the candidate-bucket
       // key; neither side is a broadcastable dim at cohort scale
       "e19_comp_het",

@@ -9,12 +9,24 @@ class EventJoinSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  /** The driver's parquet stores `ts` as timestamp[us] with no zone, which
+    * Spark 4 reads as TIMESTAMP_NTZ and collects as java.time.LocalDateTime;
+    * regenerated data may carry a zone and collect as java.sql.Timestamp.
+    * Normalize either to a Timestamp so the brute-force oracles are stable.
+    */
+  private def asTs(v: Any): java.sql.Timestamp = v match {
+    case t: java.sql.Timestamp     => t
+    case l: java.time.LocalDateTime => java.sql.Timestamp.valueOf(l)
+    case i: java.time.Instant       => java.sql.Timestamp.from(i)
+    case other => sys.error(s"unexpected timestamp repr: ${other.getClass}")
+  }
+
   private def events: Seq[(Long, Long, java.sql.Timestamp, String)] =
     Tables(spark, dir, "events")
       .selectExpr("user_id", "event_id", "ts", "event_type")
       .collect()
       .map(r => (r.getLong(0), r.getLong(1),
-        r.getTimestamp(2), r.getString(3))).toSeq
+        asTs(r.get(2)), r.getString(3))).toSeq
 
   test("q14 as-of join matches a brute-force most-recent-click scan") {
     val ev = events
@@ -27,7 +39,7 @@ class EventJoinSpec extends SparkSpec {
     }.toMap
     val got = SparkEntry.queries("q14_asof_join")(spark, dir).collect().map { r =>
       (r.getLong(0), r.getLong(1)) ->
-        (if (r.isNullAt(3)) None else Some((r.getLong(3), r.getTimestamp(4))))
+        (if (r.isNullAt(3)) None else Some((r.getLong(3), asTs(r.get(4)))))
     }.toMap
     assert(got.keySet == expected.keySet)
     got.foreach { case (k, v) => assert(v == expected(k), s"mismatch at $k") }

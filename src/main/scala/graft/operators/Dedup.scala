@@ -742,7 +742,39 @@ object Dedup {
       .orderBy($"vec_id")
   }
 
+  /** d12 repetition soft cap: at most this many copies count. */
+  private val D12Cap = 3L
+
+  /** d12: duplicate DOWN-WEIGHTING — the keep-but-reweight alternative
+    * to dropping duplicates (how several production corpora treat mild
+    * repetition: a document seen n times trains with weight 1/√n, and
+    * at most [[D12Cap]] copies are ever emitted). Groups are d01's
+    * exact-hash clusters; the survivor carries the group's sampling
+    * weight and its capped copy count, so a downstream packer (t12) can
+    * materialize `n_keep` repeats or feed `weight` into a loss scale.
+    *
+    * Scale shape: exactly d01 — one partial-agg shuffle on the md5
+    * constant-width key; the weight math is per-group arithmetic after
+    * the agg. 1/√n and the cap are per-row double ops on an exact
+    * integer count, so the oracle's values match bit for bit.
+    */
+  def d12(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "documents")
+      .groupBy(md5($"text").as("h"))
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select($"keep_id", $"n_copies",
+        expr("round(1.0 / sqrt(n_copies), 6)").as("weight"),
+        least($"n_copies", lit(D12Cap)).as("n_keep"))
+      .orderBy($"keep_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "d12_dup_downweight" ->
+      s"""SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+         | round(1.0 / sqrt(count(*)), 6) AS weight,
+         | least(count(*), $D12Cap) AS n_keep
+         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     "d10_substring_dedup" ->
       s"""WITH wins AS (
          | SELECT doc_id, md5(win) AS h
@@ -914,6 +946,7 @@ object Dedup {
     "d08_decontaminate" -> (d08 _),
     "d09_dedup_survivor" -> (d09 _),
     "d10_substring_dedup" -> (d10 _),
-    "d11_semantic_dedup" -> (d11 _)
+    "d11_semantic_dedup" -> (d11 _),
+    "d12_dup_downweight" -> (d12 _)
   )
 }

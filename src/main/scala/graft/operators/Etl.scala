@@ -470,7 +470,7 @@ object Etl {
   def e20(s: SparkSession, dir: String): DataFrame =
     tstv(s, VcfReader.fromLines(s, VcfFixture.lines)._2)
 
-  private val tsExpr =
+  private[operators] val tsExpr =
     "(ref = 'A' AND alt = 'G') OR (ref = 'G' AND alt = 'A') OR " +
       "(ref = 'C' AND alt = 'T') OR (ref = 'T' AND alt = 'C')"
 

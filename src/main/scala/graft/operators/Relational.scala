@@ -410,8 +410,46 @@ object Relational {
       .orderBy($"cohort_day", $"day")
   }
 
+  /** q21: RANGE-frame moving aggregate — each order's trailing-90-day
+    * spend and order count for the same customer. q07 is the ROWS-frame
+    * running total; this is the value-based frame Spark expresses with
+    * `rangeBetween` over a numeric sort key. The order date collapses
+    * to an integer epoch-day so the frame bound is exact integer
+    * arithmetic in both engines (timestamp RANGE frames differ in
+    * interval semantics across engines; epoch days don't), and peers
+    * (same customer, same day) correctly share one frame value.
+    *
+    * Scale shape: identical to q07 — ONE shuffle keyed on o_custkey,
+    * per-partition sort on the day key, and the trailing sum is
+    * computed in a single pass with a sliding two-pointer frame (Spark's
+    * bounded RANGE frame implementation); cents-scaled longs keep the
+    * frame sum exact and codegen-friendly.
+    */
+  def q21(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"day")
+      .rangeBetween(-90, Window.currentRow)
+    T(s, dir, "orders")
+      .withColumn("day", datediff($"o_orderdate".cast("date"),
+        to_date(lit("1970-01-01"))))
+      .withColumn("trailing_90d",
+        (sum(cents($"o_totalprice")).over(w).cast("double") / lit(100.0)))
+      .withColumn("n_trailing", count(lit(1)).over(w))
+      .select($"o_orderkey", $"o_custkey", $"day", $"trailing_90d", $"n_trailing")
+      .orderBy($"o_orderkey")
+  }
+
   /** Oracle SQL (DuckDB dialect ≈ ANSI) mirroring each query above. */
   val oracle: Map[String, String] = Map(
+    "q21_trailing_window" ->
+      """SELECT o_orderkey, o_custkey, day,
+        | CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER w AS DOUBLE)/100.0 AS trailing_90d,
+        | COUNT(*) OVER w AS n_trailing
+        |FROM (SELECT *, datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day
+        |      FROM orders)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+        |             RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty,
@@ -584,6 +622,7 @@ object Relational {
     "q17_salted_distinct" -> (q17 _),
     "q18_topk_per_group" -> (q18 _),
     "q19_supplier_revenue" -> (q19 _),
-    "q20_retention_cohorts" -> (q20 _)
+    "q20_retention_cohorts" -> (q20 _),
+    "q21_trailing_window" -> (q21 _)
   )
 }

@@ -283,6 +283,35 @@ object Similarity {
   }
 
   val oracle: Map[String, String] = Map(
+    "s07_diversity_sample" -> {
+      val planeRows = (0 until NPlanes).map { j =>
+        val arr = plane(j, Dims).mkString(", ")
+        s"($j, [$arr]::DOUBLE[])"
+      }.mkString(",\n ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p(j, pv) AS (VALUES
+         | $planeRows),
+         |b AS (SELECT e.vec_id,
+         |  CAST(SUM(CASE WHEN list_inner_product(e.v, p.pv) > 0 THEN (1 << p.j) ELSE 0 END) AS INTEGER) AS bucket
+         |  FROM e, p GROUP BY e.vec_id),
+         |m AS (SELECT b.bucket, d.i AS pos,
+         |  SUM(CAST(round(ev.v[d.i] * 1000000) AS BIGINT)) AS sx
+         |  FROM b JOIN e ev USING (vec_id),
+         |       (SELECT unnest(range(1, ${Dims + 1})) AS i) d
+         |  GROUP BY b.bucket, d.i),
+         |cs AS (SELECT bucket, list(CAST(sx AS DOUBLE) ORDER BY pos) AS cell_sum
+         |  FROM m GROUP BY bucket),
+         |scored AS (SELECT b.bucket, b.vec_id,
+         |  round(list_inner_product(ev.v, cs.cell_sum)
+         |    / sqrt(list_inner_product(ev.v, ev.v)
+         |         * list_inner_product(cs.cell_sum, cs.cell_sum)), 6) AS cen
+         |  FROM b JOIN e ev USING (vec_id) JOIN cs USING (bucket)),
+         |ranked AS (SELECT bucket, vec_id, cen,
+         |  ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY cen DESC, vec_id) AS rn
+         |  FROM scored)
+         |SELECT bucket, vec_id, cen, rn
+         |FROM ranked WHERE rn <= $DivQuota ORDER BY bucket, rn""".stripMargin
+    },
     "s05_range_search" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
          |  FROM embeddings WHERE vec_id < 5),
@@ -404,12 +433,62 @@ object Similarity {
       .orderBy($"src_id", $"rn")
   }
 
+  /** s07 per-cell keep quota. */
+  private val DivQuota = 3
+
+  /** s07: DIVERSITY sampling over the embedding space — keep at most
+    * [[DivQuota]] vectors per hyperplane sign cell, so the sample
+    * covers every occupied region of the space instead of
+    * oversampling dense modes (the coverage-first counterpart to
+    * d11's SemDeDup pruning; the "semantic stratified sample" step of
+    * embedding-aware data curation). Within a cell the keeps are the
+    * most CENTRAL vectors: rank by cosine against the cell's mean
+    * direction (sum of member vectors — no normalization needed, the
+    * cosine is scale-invariant in the second argument), doc-id
+    * tie-broken.
+    *
+    * Scale shape: cells come from the s02 bucket expression (per-row
+    * codegen, no fit, no shuffle); the centroid sums run per DIMENSION
+    * in exact integer units (round(x·10^6) as LONG — float addition is
+    * order-sensitive, so a double sum could disagree with the oracle in
+    * the last ulp and flip a rank; integer sums are order-free), with
+    * map-side partial agg on the (cell, dim) key; the centroid frame is
+    * cell-count-sized (≤ 2^NPlanes × Dims rows → ≤ 2^NPlanes arrays,
+    * broadcast back); the corpus then sees ONE rank window keyed on the
+    * cell — t07's stratified-sample shape with buckets as strata.
+    * Oracle: DuckDB re-derives cells from the plane literals and the
+    * centroid by the same integer-unit sums, so the kept set is
+    * hash-verified end to end.
+    */
+  def s07(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val emb = T(s, dir, "embeddings")
+      .select($"vec_id", $"embedding", bucketCol("embedding").as("bucket"))
+    val sums = emb
+      .select($"bucket", posexplode($"embedding".cast("array<double>")))
+      .groupBy($"bucket", $"pos")
+      .agg(sum(expr("CAST(round(col * 1000000) AS BIGINT)")).as("sx"))
+      .groupBy($"bucket")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"sx"))),
+        p => p.getField("sx").cast("double")).as("cell_sum"))
+    val w = Window.partitionBy($"bucket").orderBy($"cen".desc, $"vec_id".asc)
+    emb.join(broadcast(sums), "bucket")
+      .withColumn("cen", expr(
+        s"round(${dot("embedding", "cell_sum")} / sqrt(${dot("embedding", "embedding")} * ${dot("cell_sum", "cell_sum")}), 6)"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= DivQuota)
+      .select($"bucket", $"vec_id", $"cen", $"rn")
+      .orderBy($"bucket", $"rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce_topk" -> (s01 _),
     "s02_ann_lsh" -> (s02 _),
     "s03_ann_ivf" -> (s03 _),
     "s04_ann_pq" -> (s04 _),
     "s05_range_search" -> (s05 _),
-    "s06_knn_graph" -> (s06 _)
+    "s06_knn_graph" -> (s06 _),
+    "s07_diversity_sample" -> (s07 _)
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.Etl.VcfFixture
@@ -342,6 +343,62 @@ object Stats {
       .select($"chrom", $"pos", $"alt").distinct()
     variants.join(broadcast(keys), Seq("chrom", "pos", "alt"), "left_semi")
       .select($"chrom", $"pos", $"ref", $"alt", $"qual", $"filter")
+      .orderBy($"chrom", $"pos", $"alt")
+  }
+
+  /** e51: gemini `stats --tstv-coding` generalized — the ts/tv QC ratio
+    * STRATIFIED by the variant's worst-impact severity class (HIGH
+    * frameshift/stop sites behave differently from LOW synonymous
+    * ones; a skewed coding ts/tv is the classic callset-artifact
+    * signal). Worst impact per variant is e04's rank rule; the
+    * severity dim it yields is variant-sized and broadcasts into one
+    * equi-join against the variants scan, then a 3-group partial agg —
+    * e20's shape with one extra broadcast join.
+    */
+  def e51(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (_, variants, impacts) = VcfReader.fromLines(s, VcfFixture.lines)
+    val w = Window.partitionBy($"chrom", $"pos", $"ref", $"alt")
+      .orderBy($"severity_rank", $"consequence")
+    val worst = impacts
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"chrom", $"pos", $"alt", $"impact_severity")
+    variants.join(broadcast(worst), Seq("chrom", "pos", "alt"))
+      .filter(length($"ref") === 1 && length($"alt") === 1)
+      .withColumn("is_ts", expr(Etl.tsExpr))
+      .groupBy($"impact_severity")
+      .agg(sum(when($"is_ts", 1L).otherwise(0L)).as("n_ts"),
+        sum(when($"is_ts", 0L).otherwise(1L)).as("n_tv"))
+      .withColumn("tstv",
+        expr("round(CAST(n_ts AS DOUBLE) / nullif(n_tv, 0), 6)"))
+      .orderBy($"impact_severity")
+  }
+
+  /** e52: VCF EXPORT — the reverse of the load path: reassemble each
+    * decomposed variants-table row into a spec-conformant VCF body
+    * line (CHROM..FILTER plus a typed-column-rebuilt INFO string, DP →
+    * AF → DB → TYPE field order; missing values as `.`). Closes the
+    * round trip a vcf2db user needs to hand a cohort subset back to
+    * bcftools/IGV. Pure per-row codegen string assembly at scan speed —
+    * no shuffle beyond the presentation sort (and concat_ws's
+    * null-skipping builds the INFO field without a single branch tree
+    * per combination).
+    */
+  def e52(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    VcfFixture.variants(s)
+      .withColumn("info", concat_ws(";",
+        when($"dp".isNotNull, concat(lit("DP="), $"dp".cast("string"))),
+        when($"af".isNotNull, concat(lit("AF="), $"af".cast("string"))),
+        when($"db", lit("DB")),
+        when($"type".isNotNull, concat(lit("TYPE="), $"type"))))
+      .withColumn("vcf_line", concat_ws("\t",
+        $"chrom", $"pos".cast("string"), coalesce($"vid", lit(".")),
+        $"ref", $"alt",
+        coalesce($"qual".cast("string"), lit(".")),
+        coalesce($"filter", lit(".")),
+        when(length($"info") > 0, $"info").otherwise(lit("."))))
+      .select($"chrom", $"pos", $"alt", $"vcf_line")
       .orderBy($"chrom", $"pos", $"alt")
   }
 

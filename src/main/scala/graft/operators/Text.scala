@@ -565,7 +565,67 @@ object Text {
       .orderBy($"doc_id")
   }
 
+  /** t17 target corpus size (documents kept across all sources). */
+  private val MixTarget = 120
+
+  /** t17: TEMPERATURE-scaled mixture sampling — the multilingual /
+    * multi-source rebalancing rule (sample source s proportionally to
+    * n_s^(1/T), here T=2): big sources are down-weighted, small sources
+    * up-weighted, flattening the natural size distribution toward
+    * uniform without discarding the long tail. t11 mixes to FIXED
+    * per-source weights; t17 derives the weights from the observed
+    * counts, which is how real training mixtures (mC4, ROOTS) are set.
+    *
+    * Determinism across engines: the normalized share is kept in exact
+    * integer space — w_s = round(sqrt(n_s)·10^6) as a LONG, total = Σw
+    * (exact), quota = max(1, (target·w_s) div total) — so no float
+    * summation-order ulp can flip a floor boundary between Spark and
+    * the oracle. Document selection inside a source is t07's
+    * deterministic content-hash ranking.
+    *
+    * Scale shape: counts and weights live on a source-dim-sized frame
+    * (broadcast both ways); the corpus sees ONE window shuffle keyed on
+    * source — t07's shape — and the single-row total is a broadcast
+    * cross join, never a driver collect.
+    */
+  def t17(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = T(s, dir, "documents")
+      .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", expr("CAST(round(sqrt(n_docs) * 1000000) AS BIGINT)"))
+    val tot = counts.agg(sum($"w").as("tot_w"))
+    val quotas = counts.crossJoin(broadcast(tot))
+      .withColumn("quota",
+        greatest(lit(1L), expr(s"($MixTarget * w) div tot_w")))
+      .select($"source", $"quota")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source")
+      .orderBy(md5(concat_ws("|", $"doc_id", $"text")), $"doc_id")
+    T(s, dir, "documents")
+      .withColumn("rk", row_number().over(w))
+      .join(broadcast(quotas), "source")
+      .filter($"rk" <= $"quota")
+      .select($"doc_id", $"source", $"rk", $"quota")
+      .orderBy($"source", $"rk")
+  }
+
   val oracle: Map[String, String] = Map(
+    "t17_temperature_mix" ->
+      s"""WITH cnt AS (SELECT source, count(*) AS n_docs
+         |  FROM documents GROUP BY source),
+         |w AS (SELECT source, n_docs,
+         |  CAST(round(sqrt(n_docs) * 1000000) AS BIGINT) AS w FROM cnt),
+         |tot AS (SELECT SUM(w) AS tot_w FROM w),
+         |q AS (SELECT source,
+         |  greatest(1, ($MixTarget * w) // (SELECT tot_w FROM tot)) AS quota
+         |  FROM w),
+         |ranked AS (SELECT doc_id, source,
+         |  ROW_NUMBER() OVER (PARTITION BY source
+         |    ORDER BY md5(doc_id || '|' || text), doc_id) AS rk
+         |  FROM documents)
+         |SELECT r.doc_id, r.source, r.rk, q.quota
+         |FROM ranked r JOIN q USING (source)
+         |WHERE r.rk <= q.quota ORDER BY source, rk""".stripMargin,
     "t16_hash_split" ->
       s"""SELECT doc_id, substr(md5(text), 1, 2) AS h2,
          | CASE WHEN substr(md5(text), 1, 2) < 'cd' THEN 'train'
@@ -758,6 +818,7 @@ object Text {
     "t13_line_dedup" -> (t13 _),
     "t14_tfidf" -> (t14 _),
     "t15_gopher_rules" -> (t15 _),
-    "t16_hash_split" -> (t16 _)
+    "t16_hash_split" -> (t16 _),
+    "t17_temperature_mix" -> (t17 _)
   )
 }

@@ -26,4 +26,20 @@ object SparkEntry {
       Burden.oracle ++ Stats.oracle ++ GeneNetwork.oracle ++
       Somatic.oracle ++ Sv.oracle ++ Text.oracle ++ Dedup.oracle ++
       Similarity.oracle ++ Multimodal.oracle ++ StreamingOps.oracle
+
+  /** Queries DECLARED non-SQL-expressible (driver records a weaker
+    * rows-only check; each carries a ScalaTest accuracy/round-trip spec
+    * instead — see SURVEY §2). Every key in [[queries]] must appear in
+    * [[oracleSql]] or here — OracleRegistrySpec enforces it, so a new
+    * operator cannot register without either an oracle or an explicit,
+    * reviewable entry in this set.
+    */
+  val rowsOnly: Set[String] = Set(
+    "q12_distinct_approx", // HLL sketch — ApproxAccuracySpec <5% vs q09
+    "q13_percentiles_approx", // KLL sketch — <1% vs q11
+    "e08_pack_blob", // zlib blob — round-trip in Vcf2DbSpec
+    "s03_ann_ivf", // IVF recall floor — SimilaritySpec
+    "s04_ann_pq", // PQ recall floor — SimilaritySpec
+    "d11_semantic_dedup" // KMeans cells — DedupQualitySpec exact-cosine
+  )
 }

@@ -19,7 +19,21 @@ object Similarity {
 
   private def T(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
 
-  private val K = 10
+  // Constants consumed by BOTH the Spark plans and the `oracle` SQL
+  // strings live ABOVE the oracle map and are `final val` literals
+  // (compile-time inlined): a plain `val` declared below the map would
+  // still be 0 when the map's interpolations run (Scala object vals
+  // initialize in declaration order — the exact bug that shipped s07's
+  // oracle as `WHERE rn <= 0` in round 6).
+  private final val K = 10
+
+  /** s06 neighbor-list depth — small by design: a k-NN graph feeds
+    * clustering/curation, not retrieval, and edge volume is k × corpus.
+    */
+  private final val KnnK = 5
+
+  /** s07 per-cell keep quota. */
+  private final val DivQuota = 3
 
   /** Sequential-fold dot product — same left-to-right double
     * accumulation DuckDB's list_inner_product does, so cosines are
@@ -389,11 +403,6 @@ object Similarity {
     }
   )
 
-  /** s06 neighbor-list depth — small by design: a k-NN graph feeds
-    * clustering/curation, not retrieval, and edge volume is k × corpus.
-    */
-  private val KnnK = 5
-
   /** s06: approximate k-NN GRAPH construction — every corpus vector's
     * top-k neighbors (the backbone of graph-based semantic clustering,
     * SemDeDup cell refinement, and diversity-aware sampling). s02's
@@ -432,9 +441,6 @@ object Similarity {
         expr("round(cos, 6)").as("cos"), $"rn")
       .orderBy($"src_id", $"rn")
   }
-
-  /** s07 per-cell keep quota. */
-  private val DivQuota = 3
 
   /** s07: DIVERSITY sampling over the embedding space — keep at most
     * [[DivQuota]] vectors per hyperplane sign cell, so the sample

@@ -362,8 +362,12 @@ object Stats {
       .orderBy($"severity_rank", $"consequence")
     val worst = impacts
       .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-      .select($"chrom", $"pos", $"alt", $"impact_severity")
-    variants.join(broadcast(worst), Seq("chrom", "pos", "alt"))
+      .select($"chrom", $"pos", $"ref", $"alt", $"impact_severity")
+    // ref IS a join key: two decomposed records can share (chrom, pos,
+    // alt) with different refs, and a 3-key join would fan them out and
+    // double-count the ts/tv tallies (the window above partitions on
+    // all four).
+    variants.join(broadcast(worst), Seq("chrom", "pos", "ref", "alt"))
       .filter(length($"ref") === 1 && length($"alt") === 1)
       .withColumn("is_ts", expr(Etl.tsExpr))
       .groupBy($"impact_severity")
@@ -429,6 +433,45 @@ object Stats {
       .mkString("(VALUES ", ", ", ") pf(sample, family_id)")
 
   val oracle: Map[String, String] = Map(
+    "e51_tstv_by_impact" ->
+      s"""WITH worst AS (
+         | SELECT chrom, pos, ref, alt, impact_severity,
+         |  ROW_NUMBER() OVER (PARTITION BY chrom, pos, ref, alt
+         |    ORDER BY severity_rank, consequence) AS rn
+         | FROM ${VcfFixture.impactsValues}),
+         |j AS (
+         | SELECT w.impact_severity,
+         |  ((v.ref = 'A' AND v.alt = 'G') OR (v.ref = 'G' AND v.alt = 'A') OR
+         |   (v.ref = 'C' AND v.alt = 'T') OR (v.ref = 'T' AND v.alt = 'C')) AS ts
+         | FROM ${VcfFixture.variantsValues}
+         | JOIN worst w ON w.chrom = v.chrom AND w.pos = v.pos
+         |   AND w.ref = v.ref AND w.alt = v.alt AND w.rn = 1
+         | WHERE LENGTH(v.ref) = 1 AND LENGTH(v.alt) = 1),
+         |agg AS (
+         | SELECT impact_severity,
+         |  CAST(SUM(CASE WHEN ts THEN 1 ELSE 0 END) AS BIGINT) AS n_ts,
+         |  CAST(SUM(CASE WHEN ts THEN 0 ELSE 1 END) AS BIGINT) AS n_tv
+         | FROM j GROUP BY 1)
+         |SELECT impact_severity, n_ts, n_tv,
+         | round(CAST(n_ts AS DOUBLE) / nullif(n_tv, 0), 6) AS tstv
+         |FROM agg ORDER BY impact_severity""".stripMargin,
+    "e52_vcf_export" ->
+      s"""WITH built AS (
+         | SELECT chrom, pos, vid, ref, alt, qual, filter,
+         |  concat_ws(';',
+         |   CASE WHEN dp IS NOT NULL THEN 'DP=' || CAST(dp AS VARCHAR) END,
+         |   CASE WHEN af IS NOT NULL
+         |     THEN 'AF=' || CAST(CAST(af AS DOUBLE) AS VARCHAR) END,
+         |   CASE WHEN db THEN 'DB' END,
+         |   CASE WHEN type IS NOT NULL THEN 'TYPE=' || type END) AS info
+         | FROM ${VcfFixture.variantsValues})
+         |SELECT chrom, CAST(pos AS BIGINT) AS pos, alt,
+         | concat_ws(chr(9), chrom, CAST(pos AS VARCHAR),
+         |  COALESCE(vid, '.'), ref, alt,
+         |  COALESCE(CAST(CAST(qual AS DOUBLE) AS VARCHAR), '.'),
+         |  COALESCE(filter, '.'),
+         |  CASE WHEN length(info) > 0 THEN info ELSE '.' END) AS vcf_line
+         |FROM built ORDER BY chrom, pos, alt""".stripMargin,
     "e47_gene_wise" ->
       s"""WITH sites AS (
          | SELECT DISTINCT chrom, pos, alt, symbol AS gene
@@ -598,6 +641,8 @@ object Stats {
     "e47_gene_wise" -> (e47 _),
     "e48_snp_counts" -> (e48 _),
     "e49_tped" -> (e49 _),
-    "e50_region_gene" -> (e50 _)
+    "e50_region_gene" -> (e50 _),
+    "e51_tstv_by_impact" -> (e51 _),
+    "e52_vcf_export" -> (e52 _)
   )
 }

@@ -596,7 +596,7 @@ object Text {
     val tot = counts.agg(sum($"w").as("tot_w"))
     val quotas = counts.crossJoin(broadcast(tot))
       .withColumn("quota",
-        greatest(lit(1L), expr(s"($MixTarget * w) div tot_w")))
+        greatest(lit(1L), expr(s"($MixTarget * w) div tot_w")).cast("long"))
       .select($"source", $"quota")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"source")
@@ -617,7 +617,8 @@ object Text {
          |  CAST(round(sqrt(n_docs) * 1000000) AS BIGINT) AS w FROM cnt),
          |tot AS (SELECT SUM(w) AS tot_w FROM w),
          |q AS (SELECT source,
-         |  greatest(1, ($MixTarget * w) // (SELECT tot_w FROM tot)) AS quota
+         |  CAST(greatest(1, ($MixTarget * w) // (SELECT tot_w FROM tot))
+         |    AS BIGINT) AS quota
          |  FROM w),
          |ranked AS (SELECT doc_id, source,
          |  ROW_NUMBER() OVER (PARTITION BY source

@@ -42,6 +42,9 @@ class PlanInvariantSpec extends SparkSpec {
     "q16_funnel" -> 2,
     // single-row doc-count broadcast into the idf term (t10's shape)
     "t14_tfidf" -> 1,
+    // single-row weight-total broadcast into the per-source quota
+    // (t10/t14's count shape)
+    "t17_temperature_mix" -> 1,
     // broadcast tumor-normal pair dim × one variants scan: the depth/
     // frequency predicate is non-equi by construction (e17's trio shape)
     "e43_set_somatic" -> 1,

@@ -108,6 +108,32 @@ class StatsSpec extends SparkSpec {
     assert(got.count(_._1 == "rs3") == 2)
   }
 
+  test("e51 ts/tv stratified by worst-impact severity, one row per variant") {
+    val got = Stats.e51(spark, "").collect().map(r =>
+      (r.getAs[String]("impact_severity"),
+        (r.getAs[Long]("n_ts"), r.getAs[Long]("n_tv")))).toMap
+    // worst per variant: 1:100 A>G MED (ts), 1:200 C>T HIGH (ts),
+    // 2:300 G>A LOW (ts), 2:300 G>T HIGH (tv); X:400 has no impact row
+    assert(got == Map("HIGH" -> ((1L, 1L)), "MED" -> ((1L, 0L)),
+      "LOW" -> ((1L, 0L))))
+    val high = Stats.e51(spark, "").filter("impact_severity = 'HIGH'")
+      .collect().head
+    assert(high.getAs[Double]("tstv") == 1.0)
+  }
+
+  test("e52 VCF export reassembles spec-conformant body lines") {
+    val got = Stats.e52(spark, "").collect().map(r =>
+      ((r.getAs[String]("chrom"), r.getAs[Long]("pos"), r.getAs[String]("alt")),
+        r.getAs[String]("vcf_line"))).toMap
+    assert(got(("1", 100L, "G")) ==
+      "1\t100\trs1\tA\tG\t50.0\tPASS\tDP=10;AF=0.25;DB")
+    // null qual/filter render as '.'; multiallelic decomposed rows keep
+    // their own alt
+    assert(got(("2", 300L, "T")) == "2\t300\trs3\tG\tT\t.\tq10\tDP=5;AF=0.25")
+    // no INFO fields at all would render '.'; X:400 has AF and TYPE
+    assert(got(("X", 400L, "C")) == "X\t400\t.\tT\tC\t10.5\t.\tAF=0.75;TYPE=snp")
+  }
+
   test("e34 annotate-extract aggregates overlapping interval scores") {
     val got = Stats.e34(spark, "").collect().map(r =>
       ((r.getAs[String]("chrom"), r.getAs[Long]("pos"), r.getAs[String]("alt")),

@@ -91,6 +91,15 @@ def main(sf_dir, out_dir):
             print(f"  ✗ {name}: ORACLE SQL ERROR: {e}")
             n_fail += 1
             continue
+        # A 0-row oracle can never verify anything — even if Spark also
+        # returns 0 rows, treat it as a broken oracle, not a pass (the
+        # round-6 s07 bug shipped `WHERE rn <= 0` via an uninitialized
+        # interpolated constant and the driver caught it before we did).
+        if len(exp_rows) == 0:
+            print(f"  ✗ {name}: DEGENERATE ORACLE (0 rows) — "
+                  "likely an uninitialized interpolated constant")
+            n_fail += 1
+            continue
         gc, gr = canon(got_rows, got_cols)
         ec, er = canon(exp_rows, exp_cols)
         if gc != ec:

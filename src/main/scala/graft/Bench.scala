@@ -31,11 +31,18 @@ object Bench {
     "st01_window_agg", "st02_sessionize", "st03_dedup_events",
     "st04_interval_join",
     "e01_flatten_info", "e08_pack_blob", "e29_windower",
+    // GEMINI stats-family representatives: fixture-cohort-sized (their
+    // inputs don't scale with sf), tracked so a plan regression — e36's
+    // cohort²/2 aggregate key especially — shows up as a timing step
+    "e30_hwe", "e33_burden_calpha", "e36_mds", "e49_tped",
     "d02_dedup_minhash", "d04_ngram_jaccard", "d05_dedup_embedding",
-    "d07_dedup_clusters", "d10_substring_dedup",
+    "d07_dedup_clusters", "d10_substring_dedup", "d11_semantic_dedup",
+    "d12_dup_downweight",
     "s01_ann_bruteforce_topk", "s02_ann_lsh", "s06_knn_graph",
+    "s07_diversity_sample",
     "t07_stratified_sample", "t08_pii_scrub", "t10_unigram_logprob",
-    "t12_seq_pack", "t13_line_dedup", "t14_tfidf", "t15_gopher_rules")
+    "t12_seq_pack", "t13_line_dedup", "t14_tfidf", "t15_gopher_rules",
+    "t17_temperature_mix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

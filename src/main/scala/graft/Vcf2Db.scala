@@ -383,6 +383,19 @@ object GraftDb {
       variants(spark, dir),
       graft.sources.BedSource.fromPath(spark, bedPath), binW)
 
+  /** GEMINI `annotate` from a VCF annotation source (dbSNP/ClinVar
+    * style): exact allele-keyed left join of the loaded cohort against
+    * a second VCF's decomposed records — see
+    * [[graft.operators.Etl.annotateVcf]] for the scale shape (the
+    * annotation source is corpus-sized, so it is NOT broadcast; the
+    * 4-part variant key shuffles both sides).
+    */
+  def annotateVcf(spark: SparkSession, dir: String, vcfPath: String,
+      prefix: String = "ann_"): DataFrame = {
+    val ann = spark.read.format("vcf").load(vcfPath)
+    graft.operators.Etl.annotateVcf(variants(spark, dir), ann, prefix)
+  }
+
   /** GEMINI `fusions` over a loaded database: breakend (BND) variants
     * whose two ends land in two different genes of the BED's intervals
     * (name column = gene). Broadcast binned joins; the variants fact is

@@ -128,6 +128,29 @@ object Etl {
         | ('X', 400, 'C', 4, '0/1', -1, -1, -1, -1)
         |) f(chrom, pos, alt, sample_ix, gt, dp, gq, ref_d, alt_d)""".stripMargin
 
+    /** Companion ANNOTATION VCF (dbSNP/ClinVar-style): sites-only (no
+      * FORMAT/sample columns — the normal shape of an annotation
+      * source), one multi-allelic record (CAF is Number=A, so each
+      * decomposed alt keeps its own frequency), one record absent from
+      * the cohort (must not leak through the join), and one cohort
+      * variant absent here (X:400 — must survive a left join with NULL
+      * annotation).
+      */
+    val annLines: Vector[String] = Vector(
+      "##fileformat=VCFv4.2",
+      "##INFO=<ID=CAF,Number=A,Type=Float,Description=\"Allele frequency from population\">",
+      "##INFO=<ID=CLNSIG,Number=1,Type=String,Description=\"Clinical significance\">",
+      Seq("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER",
+        "INFO").mkString("\t"),
+      Seq("1", "100", "rs1", "A", "G", ".", ".",
+        "CAF=0.12;CLNSIG=benign").mkString("\t"),
+      Seq("1", "200", "rs77", "C", "T", ".", ".",
+        "CAF=0.01;CLNSIG=pathogenic").mkString("\t"),
+      Seq("2", "300", "rs3", "G", "A,T", ".", ".",
+        "CAF=0.3,0.05").mkString("\t"),
+      Seq("3", "500", "rs99", "T", "G", ".", ".",
+        "CAF=0.2;CLNSIG=benign").mkString("\t"))
+
     /** Companion PED pedigree: one trio (s1 child of s2×s3) plus an
       * unrelated founder, exercising trio derivation from real PED text.
       */
@@ -367,6 +390,46 @@ object Etl {
         col("chrom") === col("r_chrom") && col("bin") === col("r_bin") &&
           col("pos") >= col("r_start") && col("pos") <= col("r_end"))
       .drop("bin", "r_bin", "r_chrom")
+  }
+
+  /** GEMINI `annotate` from a VCF annotation source (dbSNP/ClinVar
+    * style) — the most common annotation input in practice: exact
+    * ALLELE-keyed left join on (chrom, pos, ref, alt), so a
+    * multi-allelic annotation record matches only the decomposed alt it
+    * describes (both sides pass through the same per-alt decompose).
+    * `ann`'s payload columns are prefixed to dodge collisions with the
+    * cohort's own INFO columns (both sides are real VCFs — DP/AF name
+    * clashes are the norm, not the exception).
+    *
+    * Scale shape: unlike a BED dim, a dbSNP-scale annotation source is
+    * CORPUS-sized (~1e9 sites) — deliberately NOT broadcast. The join
+    * is an equi-join on the constant-width 4-part variant key, which
+    * Catalyst shuffles on both sides (or broadcasts on its own when the
+    * source is actually small — AQE decides from real sizes); the key
+    * is position-uniform, so no salt is needed.
+    */
+  def annotateVcf(variants: DataFrame, ann: DataFrame,
+      prefix: String = "ann_"): DataFrame = {
+    val keys = Seq("chrom", "pos", "ref", "alt")
+    val payload = ann.columns.filterNot(keys.contains)
+    val dim = payload.foldLeft(ann)((df, c) => df.withColumnRenamed(c, prefix + c))
+    variants.join(dim, keys, "left")
+  }
+
+  /** e53: the registered [[annotateVcf]] query — cohort fixture
+    * annotated from the sites-only dbSNP-style fixture; rsID, per-alt
+    * CAF, and CLNSIG land as typed columns, unmatched cohort rows keep
+    * NULLs.
+    */
+  def e53(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ann = VcfReader.fromLines(s, VcfFixture.annLines)._2
+      .select($"chrom", $"pos", $"ref", $"alt", $"vid", $"caf", $"clnsig")
+    annotateVcf(VcfFixture.variants(s), ann)
+      .select($"chrom", $"pos", $"ref", $"alt",
+        $"ann_vid".as("rsid"), $"ann_caf".as("caf"),
+        $"ann_clnsig".as("clnsig"))
+      .orderBy($"chrom", $"pos", $"alt")
   }
 
   /** e15: full FORMAT genotype arrays — DP/GQ/AD carried per sample as
@@ -725,6 +788,20 @@ object Etl {
       |FROM """.stripMargin
 
   val oracle: Map[String, String] = Map(
+    "e53_annotate_vcf" ->
+      s"""SELECT v.chrom, CAST(v.pos AS BIGINT) AS pos, v.ref, v.alt,
+         | a.rsid, CAST(a.caf AS DOUBLE) AS caf, a.clnsig
+         |FROM ${VcfFixture.variantsValues}
+         |LEFT JOIN (VALUES
+         | ('1', 100, 'A', 'G', 'rs1', 0.12, 'benign'),
+         | ('1', 200, 'C', 'T', 'rs77', 0.01, 'pathogenic'),
+         | ('2', 300, 'G', 'A', 'rs3', 0.30, NULL),
+         | ('2', 300, 'G', 'T', 'rs3', 0.05, NULL),
+         | ('3', 500, 'T', 'G', 'rs99', 0.20, 'benign')
+         |) a(chrom, pos, ref, alt, rsid, caf, clnsig)
+         |  ON a.chrom = v.chrom AND a.pos = v.pos
+         | AND a.ref = v.ref AND a.alt = v.alt
+         |ORDER BY v.chrom, v.pos, v.alt""".stripMargin,
     "e30_hwe" -> {
       val (c1, c2) = hweSqlCols.splitAt(2)
       def sel(cols: Seq[(String, String)], from: String) =
@@ -960,6 +1037,7 @@ object Etl {
     "e24_sample_qc" -> (e24 _),
     "e28_gene_set_antijoin" -> (e28 _),
     "e29_windower" -> (e29 _),
-    "e30_hwe" -> (e30 _)
+    "e30_hwe" -> (e30 _),
+    "e53_annotate_vcf" -> (e53 _)
   )
 }

@@ -267,9 +267,13 @@ private[sources] class VcfScan(paths: Seq[String], header: Vector[String],
   /** Plain-text files split into byte ranges (each reader skips the
     * partial first line and reads through the line straddling its
     * end — the classic text-split contract), so ONE huge uncompressed
-    * VCF still fans out across executors. Compressed shards stay one
-    * partition each (gzip is unsplittable; bgzip cohorts parallelize
-    * by shard).
+    * VCF still fans out across executors. BGZF shards (what bgzip and
+    * every scatter-gather pipeline emit) split the same way in
+    * COMPRESSED offset space: boundaries snap to real block starts at
+    * planning time (see bgzfSplits), so a single 100 GB .vcf.gz shard
+    * fans out too instead of serializing on one task. Only plain
+    * single-member gzip — rare in practice — stays one partition per
+    * shard (no block structure to resync on).
     *
     * Split pruning: with `sorted=true` (coordinate-sorted input, the
     * same precondition the reference inherits from vt-decompose) and a
@@ -282,11 +286,40 @@ private[sources] class VcfScan(paths: Seq[String], header: Vector[String],
     * possible pruning for compressed shards). At 100 TB this is the
     * difference between scanning one shard and three thousand.
     */
+  /** Block-aligned byte ranges for one BGZF shard: tentative `splitSize`
+    * boundaries are snapped forward to the next real block start
+    * (driver-side bounded scans — ≤64 KiB window each, the same cost
+    * class as firstKeyAt boundary sampling). Any unresolvable boundary
+    * degrades to one-shard-one-task rather than risking a bad split.
+    */
+  private def bgzfSplits(p: String, fs: FileSystem, hp: Path,
+      len: Long): Seq[VcfInputPartition] = {
+    val in = fs.open(hp)
+    try {
+      if (!Bgzf.isBgzf(in, len))
+        return Seq(VcfInputPartition(p, 0L, Long.MaxValue)) // plain gzip: unsplittable
+      if (len <= splitSize)
+        return Seq(VcfInputPartition(p, 0L, Long.MaxValue, bgzf = true))
+      val n = ((len + splitSize - 1) / splitSize).toInt
+      val bounds = (1 until n).map(i => Bgzf.nextBlockStart(in, i * splitSize, len))
+      if (bounds.contains(-1L))
+        return Seq(VcfInputPartition(p, 0L, Long.MaxValue, bgzf = true))
+      val starts = (0L +: bounds).distinct.filter(_ < len).sorted
+      starts.zipWithIndex.map { case (s, i) =>
+        VcfInputPartition(p, s,
+          if (i + 1 < starts.length) starts(i + 1) else Long.MaxValue,
+          bgzf = true)
+      }
+    } finally in.close()
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val all = pruneShards(paths).flatMap { p =>
-      if (p.endsWith(".gz") || p.endsWith(".bgz"))
-        Seq(VcfInputPartition(p, 0L, Long.MaxValue))
-      else {
+      if (p.endsWith(".gz") || p.endsWith(".bgz")) {
+        val hp = new Path(p)
+        val fs = FileSystem.get(hp.toUri, conf.value)
+        bgzfSplits(p, fs, hp, fs.getFileStatus(hp).getLen)
+      } else {
         val hp = new Path(p)
         val len = FileSystem.get(hp.toUri, conf.value).getFileStatus(hp).getLen
         val n = math.max(1L, (len + splitSize - 1) / splitSize)
@@ -359,8 +392,8 @@ private[sources] object VcfScan {
     }
 }
 
-private[sources] case class VcfInputPartition(path: String, start: Long, end: Long)
-    extends InputPartition
+private[sources] case class VcfInputPartition(path: String, start: Long,
+    end: Long, bgzf: Boolean = false) extends InputPartition
 
 /** Line reader that reports the EXACT bytes each line consumed,
   * terminator included — LF, CRLF, and lone CR all count correctly, so
@@ -437,17 +470,32 @@ private[sources] class VcfPartitionReader(part: VcfInputPartition,
   private val toCatalyst =
     CatalystTypeConverters.createToCatalystConverter(required)
 
-  private val stream = {
+  // Left = plain-text/whole-gzip counting reader, Right = BGZF
+  // block reader (splittable compressed shards; see BgzfLineReader)
+  private val stream: Either[CountingLineReader, BgzfLineReader] = {
     val hp = new Path(path)
     val fs = FileSystem.get(hp.toUri, conf.value)
     val raw = fs.open(hp)
-    if (part.start > 0) raw.seek(part.start)
-    new CountingLineReader(VcfIo.maybeGunzip(path, raw))
+    if (part.bgzf)
+      Right(new BgzfLineReader(raw, part.start, fs.getFileStatus(hp).getLen))
+    else {
+      if (part.start > 0) raw.seek(part.start)
+      Left(new CountingLineReader(VcfIo.maybeGunzip(path, raw)))
+    }
   }
 
-  // byte offset (within the file) of the NEXT line to be read —
-  // exact, because CountingLineReader reports terminator bytes
-  private def pos: Long = part.start + stream.bytesConsumed
+  // ownership offset of the NEXT line to be read — for text splits the
+  // exact byte offset (CountingLineReader reports terminator bytes);
+  // for BGZF splits the compressed block-space position (split ends
+  // are block-aligned, so the same `pos > end` contract applies)
+  private def pos: Long = stream match {
+    case Left(r) => part.start + r.bytesConsumed
+    case Right(r) => r.nextPos
+  }
+  private def readRawLine(): String = stream match {
+    case Left(r) => r.readLine()
+    case Right(r) => r.readLine()
+  }
   private var primed = part.start == 0
   private var pending: Iterator[InternalRow] = Iterator.empty
   private var current: InternalRow = _
@@ -458,14 +506,14 @@ private[sources] class VcfPartitionReader(part: VcfInputPartition,
     */
   private def nextOwnedLine(): String = {
     if (!primed) {
-      stream.readLine() // partial line — belongs to the previous split
+      readRawLine() // partial line — belongs to the previous split
       primed = true
     }
     // a line STARTING at exactly `end` still belongs to this split (the
     // next reader unconditionally discards its first line) — stop only
     // strictly past end, per the Hadoop text-split contract
     if (pos > part.end) return null
-    stream.readLine()
+    readRawLine()
   }
 
   // pruning reaches the PARSER, not just the row conversion: unneeded
@@ -506,5 +554,8 @@ private[sources] class VcfPartitionReader(part: VcfInputPartition,
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = stream.close()
+  override def close(): Unit = stream match {
+    case Left(r) => r.close()
+    case Right(r) => r.close()
+  }
 }

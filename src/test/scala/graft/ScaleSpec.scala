@@ -94,4 +94,30 @@ class ScaleSpec extends SparkSpec {
     assert(q.count() ==
       df.filter(col("chrom") === "2" && col("pos") >= 1000 && col("pos") <= 2000).count())
   }
+
+  test("e36 MDS kernel at a real cohort width (96 samples x 2k sites)") {
+    // the cohort²/2 aggregate key is e36's inherent hotspot (SURVEY §5):
+    // this pins that a non-toy cohort — 4560 pair keys over ~9.1M
+    // exploded pair rows — completes locally and stays exact, so the
+    // documented subsampling remedy has a measured baseline to beat
+    val n = 96; val m = 2000
+    val samples = (0 until n).map(i => f"p$i%02d")
+    // classes drawn from {0,1,3} (no unknowns → every pair sees all m
+    // sites); samples 0 and 1 get IDENTICAL genotypes → distance 0
+    val variants = spark.range(m).select(expr(
+      s"""transform(sequence(0, ${n - 1}), s ->
+         |  element_at(array(0, 1, 3),
+         |    CAST(pmod(id * 31 + greatest(s, 1) * 7919, 3) AS INT) + 1))"""
+        .stripMargin).as("gt_types"))
+    val t0 = System.nanoTime()
+    val got = graft.operators.Stats.mdsDistances(spark, variants, samples)
+      .collect()
+    info(f"96x2k MDS wall: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    assert(got.length == n * (n - 1) / 2)
+    assert(got.forall(_.getAs[Long]("n_sites") == m.toLong))
+    val d01 = got.find(r => r.getAs[String]("sample_a") == "p00" &&
+      r.getAs[String]("sample_b") == "p01").get.getAs[Double]("distance")
+    assert(d01 == 0.0)
+    assert(got.exists(_.getAs[Double]("distance") > 0.5))
+  }
 }

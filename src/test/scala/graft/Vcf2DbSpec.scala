@@ -386,6 +386,24 @@ class Vcf2DbSpec extends SparkSpec {
       ("X", 400L, "C", "regX")))
   }
 
+  test("VCF annotate over a loaded database joins a dbSNP-style source by allele") {
+    val dir = Files.createTempDirectory("vcf2db_annvcf")
+    val vcf = dir.resolve("in.vcf")
+    Files.writeString(vcf, VcfFixture.lines.mkString("\n") + "\n")
+    val out = dir.resolve("db").toString
+    Vcf2Db.run(spark, vcf.toString, None, out)
+    val ann = dir.resolve("dbsnp.vcf")
+    Files.writeString(ann, VcfFixture.annLines.mkString("\n") + "\n")
+
+    val got = GraftDb.annotateVcf(spark, out, ann.toString)
+      .select("chrom", "pos", "alt", "ann_vid", "ann_caf")
+      .collect().map(r => ((r.getString(0), r.getLong(1), r.getString(2)),
+        (r.getAs[String]("ann_vid"), Option(r.getAs[Any]("ann_caf"))))).toMap
+    assert(got.size == 5) // cohort rows only; 3:500 rs99 does not leak
+    assert(got(("2", 300L, "T")) == (("rs3", Some(0.05))))
+    assert(got(("X", 400L, "C")) == ((null, None)))
+  }
+
   test("fusions over a loaded SV database finds the inter-gene breakend pair") {
     val dir = Files.createTempDirectory("vcf2db_sv")
     val vcf = dir.resolve("sv.vcf")

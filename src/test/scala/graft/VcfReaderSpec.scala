@@ -25,6 +25,31 @@ class VcfReaderSpec extends SparkSpec {
     assert(rows(4).isNullAt(rows(4).fieldIndex("dp")))
   }
 
+  test("sites-only annotation VCF parses with empty cohort arrays") {
+    val (h, ann, _) = VcfReader.fromLines(spark, VcfFixture.annLines)
+    assert(h.samples.isEmpty)
+    val rows = ann.orderBy("chrom", "pos", "alt").collect()
+    assert(rows.length == 5) // 4 records, one decomposed into two alts
+    // Number=A CAF splits per decomposed alt
+    val multi = rows.filter(_.getAs[Long]("pos") == 300L)
+    assert(multi.map(_.getAs[String]("alt")).toSeq == Seq("A", "T"))
+    assert(multi.map(_.getAs[Double]("caf")).toSeq == Seq(0.3, 0.05))
+    assert(rows(0).getAs[String]("clnsig") == "benign")
+    assert(rows(0).getSeq[String](rows(0).fieldIndex("gts")).isEmpty)
+  }
+
+  test("e53 annotate-vcf: allele-exact left join, no leakage, NULL misses") {
+    val got = graft.operators.Etl.e53(spark, "").collect().map(r =>
+      ((r.getAs[String]("chrom"), r.getAs[Long]("pos"), r.getAs[String]("alt")),
+        (r.getAs[String]("rsid"), r.getAs[String]("clnsig")))).toMap
+    assert(got.size == 5) // cohort rows only — 3:500 rs99 must not leak
+    assert(got(("1", 200L, "T")) == (("rs77", "pathogenic")))
+    // per-alt CAF: each decomposed alt of 2:300 annotated independently
+    assert(got(("2", 300L, "A")) == (("rs3", null)))
+    // cohort variant absent from the annotation source survives as NULL
+    assert(got(("X", 400L, "C")) == ((null, null)))
+  }
+
   test("fixture variants: full FORMAT arrays (DP/GQ/AD + gts)") {
     val (_, variants, _) = VcfReader.fromLines(spark, VcfFixture.lines)
     val rows = variants.orderBy("chrom", "pos", "alt").collect()

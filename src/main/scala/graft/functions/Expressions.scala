@@ -200,6 +200,55 @@ object Kernels {
     acc
   }
 
+  /** All co-called sample pairs of one variant's gt_types array, packed
+    * as longs `(i << 40) | (j << 16) | sq` with i < j and sq the
+    * squared alt-copy difference (copies: gt 3 → 2, 1 → 1, 0 → 0,
+    * gt 2 = unknown → pair skipped). One tight primitive loop replaces
+    * the e36 nested transform×transform comprehension, whose
+    * per-element interpreted higher-order closures dominated the MDS
+    * kernel's cost (same reason shingles/minhash_sig exist — measured
+    * 8.4 s → see ScaleSpec's 96×2k case). 24/24/16-bit packing bounds
+    * the cohort at 2^23 samples — far past where the cohort²/2
+    * statistic needs subsampling anyway.
+    */
+  def mdsPairs(gt: ArrayData): ArrayData = {
+    val n = gt.numElements()
+    val copies = new Array[Int](n)
+    var called = 0
+    var i = 0
+    while (i < n) {
+      val g = if (gt.isNullAt(i)) 2 else gt.getInt(i)
+      copies(i) = g match {
+        case 3 => 2
+        case 1 => 1
+        case 2 => -1 // unknown sentinel
+        case _ => 0
+      }
+      if (copies(i) >= 0) called += 1
+      i += 1
+    }
+    val out = new Array[Long](called * (called - 1) / 2)
+    var k = 0
+    i = 0
+    while (i < n) {
+      val ci = copies(i)
+      if (ci >= 0) {
+        var j = i + 1
+        while (j < n) {
+          val cj = copies(j)
+          if (cj >= 0) {
+            val d = ci - cj
+            out(k) = (i.toLong << 40) | (j.toLong << 16) | (d * d).toLong
+            k += 1
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** 64-lane MinHash signature over a shingle array — bit-identical to
     * `transform(sequence(0, 63), j -> array_min(transform(shingles,
     * sh -> xxhash64(j, sh))))` (XXH64, seed 42, int lane chained into
@@ -481,6 +530,25 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `mds_pairs(array<int>) → array<bigint>` — packed co-called sample
+  * pairs with squared copy differences (see Kernels.mdsPairs).
+  */
+case class MdsPairs(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"mds_pairs expects array<int>, got $t")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.mdsPairs(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.mdsPairs($c)")
+  override protected def withNewChildInternal(newChild: Expression): MdsPairs =
+    copy(child = newChild)
+}
+
 /** `shingles(array<string>, n) → array<string>` — distinct word
   * n-grams (see Kernels.wordShingles). `n` is a literal.
   */
@@ -576,5 +644,6 @@ object GraftFunctions {
     add("shingles", shinglesBuilder)
     add("simhash64", es => SimHash64(es.head))
     add("rolling_minhash", es => RollingMinHash(es.head))
+    add("mds_pairs", es => MdsPairs(es.head))
   }
 }

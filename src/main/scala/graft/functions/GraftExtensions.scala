@@ -51,5 +51,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("rolling_minhash", classOf[RollingMinHash],
       "rolling_minhash(string) - winnowing min rolling-window hash",
       es => RollingMinHash(es.head))
+    inject("mds_pairs", classOf[MdsPairs],
+      "mds_pairs(array<int>) - packed co-called pairs with squared copy diffs",
+      es => MdsPairs(es.head))
   }
 }

@@ -210,6 +210,26 @@ private[sources] class VcfScan(paths: Seq[String], header: Vector[String],
     } finally in.close()
   }
 
+  /** First owned BODY-line key of a block-aligned BGZF split —
+    * decompresses from the boundary block until one body line surfaces
+    * (typically a single 64 KiB block). Same ownership rule as
+    * firstKeyAt: a reader starting past 0 discards the line it lands
+    * in. This is what extends sorted-input split pruning to compressed
+    * shards: a region query over ONE giant sorted .vcf.gz now opens
+    * only the block ranges that can intersect the region.
+    */
+  private def firstKeyAtBgzf(fs: FileSystem, path: Path, start: Long,
+      fileLen: Long): Option[(String, Long)] = {
+    val rdr = new BgzfLineReader(fs.open(path), start, fileLen)
+    try {
+      if (start > 0) rdr.readLine() // owned by the previous split
+      Iterator.continually(rdr.readLine())
+        .takeWhile(_ != null)
+        .find(VcfParser.isBodyLine)
+        .flatMap(VcfScan.chromPosOf)
+    } finally rdr.close()
+  }
+
   /** First BODY-line (chrom, pos) of a whole shard, decompressing when
     * the shard is gzip/BGZF — the cohort-level pruning key. Bounded
     * work: one shard head (header lines + 1 body line), not a scan.
@@ -331,11 +351,16 @@ private[sources] class VcfScan(paths: Seq[String], header: Vector[String],
     val kept =
       if (!sorted || region.isTrivial) all
       else all.groupBy(_.path).toSeq.flatMap { case (p, splits) =>
-        if (splits.length <= 1 || p.endsWith(".gz") || p.endsWith(".bgz")) splits
+        // splittable BGZF shards prune like text splits (keys sampled
+        // by decompressing from the boundary block); only an UNSPLIT
+        // compressed shard has nothing to prune below shard level
+        if (splits.length <= 1) splits
         else {
           val hp = new Path(p)
           val fs = FileSystem.get(hp.toUri, conf.value)
           val ordered = splits.sortBy(_.start)
+          val bgzf = ordered.head.bgzf
+          val len = if (bgzf) fs.getFileStatus(hp).getLen else 0L
           // boundary sampling fans out on a thread pool: at 100 TB the
           // split count is in the hundreds of thousands, and one
           // sequential open/seek/read per boundary would stall query
@@ -345,8 +370,9 @@ private[sources] class VcfScan(paths: Seq[String], header: Vector[String],
             import scala.concurrent.ExecutionContext.Implicits.global
             import scala.concurrent.duration.Duration
             Await.result(
-              Future.sequence(ordered.map(sp =>
-                Future(firstKeyAt(fs, hp, sp.start)))),
+              Future.sequence(ordered.map(sp => Future(
+                if (bgzf) firstKeyAtBgzf(fs, hp, sp.start, len)
+                else firstKeyAt(fs, hp, sp.start)))),
               Duration.Inf)
           }
           ordered.zipWithIndex.filterNot { case (_, i) =>

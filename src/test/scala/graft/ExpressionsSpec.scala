@@ -103,6 +103,26 @@ class ExpressionsSpec extends SparkSpec {
     assert(r)
   }
 
+  test("mds_pairs packs co-called pairs, skips unknowns and nulls") {
+    graft.functions.GraftFunctions.register(spark)
+    def unpack(v: Long) = ((v >> 40).toInt, ((v >> 16) & 0xffffff).toInt,
+      (v & 0xffff).toInt)
+    // gt_types: s0=hom_ref(0), s1=het(1), s2=unknown(2), s3=hom_alt(3),
+    // s4=null (treated unknown) → co-called pairs among {0, 1, 3} only
+    val got = spark.sql(
+      "SELECT mds_pairs(array(0, 1, 2, 3, CAST(NULL AS INT)))")
+      .collect().head.getSeq[Long](0).map(unpack)
+    assert(got == Seq(
+      (0, 1, 1), // copies 0 vs 1 → 1
+      (0, 3, 4), // copies 0 vs 2 → 4
+      (1, 3, 1)) // copies 1 vs 2 → 1
+    )
+    // empty and all-unknown arrays yield no pairs
+    assert(spark.sql("SELECT size(mds_pairs(CAST(array() AS ARRAY<INT>)))")
+      .collect().head.getInt(0) == 0)
+    assert(spark.sql("SELECT size(mds_pairs(array(2, 2)))").collect().head.getInt(0) == 0)
+  }
+
   test("a non-integral shingles n is rejected, not truncated") {
     graft.functions.GraftFunctions.register(spark)
     val e = intercept[Exception](

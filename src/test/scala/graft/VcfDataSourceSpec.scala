@@ -301,6 +301,28 @@ class VcfPushdownSpec extends SparkSpec {
     assert(q.count() == 4000)
   }
 
+  test("pos-range query prunes block-aligned splits of a sorted BGZF shard") {
+    // same sorted two-chromosome content, one compressed shard: pruning
+    // must now work INSIDE the shard (block-aligned splits sample their
+    // first key by decompressing from the boundary block)
+    val gz = Files.createTempDirectory("vcfpushgz").resolve("sorted.vcf.gz")
+    BgzfTestWriter.write(gz, Files.readString(
+      java.nio.file.Path.of(sortedPath)), chunk = 1024)
+    val df = spark.read.format("vcf")
+      .option("splitSize", "2048").option("sorted", "true")
+      .load(gz.toString)
+    val allParts = df.rdd.getNumPartitions
+    assert(allParts > 10, s"expected many BGZF splits, got $allParts")
+    val q = df.filter("chrom = '1' AND pos >= 600 AND pos <= 900")
+    assert(q.rdd.getNumPartitions < allParts / 2,
+      s"BGZF split pruning ineffective: ${q.rdd.getNumPartitions} of $allParts")
+    assert(q.count() == 101)
+    // chrom-only predicate drops the other chromosome's block ranges
+    val q2 = df.filter("chrom = '2'")
+    assert(q2.rdd.getNumPartitions < allParts)
+    assert(q2.count() == 4000)
+  }
+
   test("pushed filters are reported on the scan") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     val q = read(sorted = true).filter("chrom = '1' AND pos <= 900")

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -394,6 +394,71 @@ object GraftDb {
       prefix: String = "ann_"): DataFrame = {
     val ann = spark.read.format("vcf").load(vcfPath)
     graft.operators.Etl.annotateVcf(variants(spark, dir), ann, prefix)
+  }
+
+  /** VCF EXPORT over a loaded database — the reverse of the load path,
+    * closing the round trip a vcf2db user needs to hand a cohort subset
+    * back to bcftools/IGV (e52 is the fixture-sized oracle form of the
+    * line assembly). Each record is rebuilt from the typed columns the
+    * STORED HEADER declares: INFO fields in header order (Flags by
+    * presence, scalars cast, decomposed R/G arrays re-emitted
+    * comma-joined with `.` for missing elements; the annotation key —
+    * CSQ/ANN — lives in variant_impacts and is not reassembled), and
+    * genotypes re-derived per sample from gt_types in header sample
+    * order (0/0, 0/1, 1/1, ./. — decomposed diploid semantics, the
+    * vt-decompose convention; phasing and other-alt references do not
+    * survive decompose).
+    *
+    * Output is a DIRECTORY of plain-text shards, each carrying the full
+    * header — exactly the sharded-cohort layout `format("vcf")` reads
+    * back — written range-partitioned on (chrom, pos) and sorted within
+    * shards, so the export is itself a `sorted=true` prunable cohort.
+    * Scale shape: per-row codegen string assembly + one range shuffle;
+    * no collect, no driver bottleneck at any cohort size.
+    */
+  def exportVcf(spark: SparkSession, dir: String, outDir: String,
+      shards: Int = 1, codec: String = "auto"): Unit = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rawHeader = vcfHeader(spark, dir).orderBy("line_no")
+      .select("line").collect().map(_.getString(0)).toVector
+      .filterNot(_.startsWith("##graft_blob_codec="))
+    val h = graft.sources.VcfParser.parseHeader(rawHeader)
+    val df = expandGenotypes(spark, dir, codec)
+    val cols = df.columns.toSet
+    val infoParts: Seq[Column] = graft.sources.VcfReader.infoSpecs(h)
+      .map(s => (s, graft.sources.VcfParser.sanitize(s.id)))
+      .filter { case (_, c) => cols.contains(c) }
+      .map { case (s, c) =>
+        val tag = lit(s.id + "=")
+        (s.number, df.schema(c).dataType) match {
+          case ("0", _) => when(col(c), lit(s.id))
+          case (_, _: org.apache.spark.sql.types.ArrayType) =>
+            when(col(c).isNotNull, concat(tag, concat_ws(",",
+              transform(col(c), x => coalesce(x.cast("string"), lit("."))))))
+          case _ =>
+            when(col(c).isNotNull, concat(tag, col(c).cast("string")))
+        }
+      }
+    val info = concat_ws(";", infoParts: _*)
+    val site = Seq(col("chrom"), col("pos").cast("string"),
+      coalesce(col("vid"), lit(".")), col("ref"), col("alt"),
+      coalesce(col("qual").cast("string"), lit(".")),
+      coalesce(col("filter"), lit(".")),
+      when(length(info) > 0, info).otherwise(lit(".")))
+    val fields =
+      if (h.samples.nonEmpty && cols.contains("gt_types"))
+        site ++ Seq(lit("GT"), concat_ws("\t", transform(col("gt_types"),
+          g => when(g === 0, "0/0").when(g === 1, "0/1")
+            .when(g === 3, "1/1").otherwise("./."))))
+      else site
+    val headerText = rawHeader.mkString("\n")
+    df.withColumn("vcf_line", concat_ws("\t", fields: _*))
+      .repartitionByRange(math.max(1, shards), col("chrom"), col("pos"))
+      .sortWithinPartitions("chrom", "pos", "alt")
+      .select("vcf_line").as[String]
+      .mapPartitions(it => Iterator(headerText) ++ it)
+      .write.mode("overwrite").text(outDir)
   }
 
   /** GEMINI `fusions` over a loaded database: breakend (BND) variants

@@ -38,7 +38,12 @@ class VcfDataSource extends TableProvider with DataSourceRegister {
     val stats = fs.globStatus(hp)
     if (stats == null || stats.isEmpty) Seq(p)
     else stats.flatMap { st =>
-      if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile).map(_.getPath.toString)
+      // the standard Hadoop hidden-file convention: _SUCCESS markers and
+      // . temporaries in a Spark-written directory are not data shards
+      if (st.isDirectory) fs.listStatus(st.getPath).toSeq
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+        .map(_.getPath.toString)
       else Seq(st.getPath.toString)
     }.sorted.toSeq
   }

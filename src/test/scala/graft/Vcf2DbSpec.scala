@@ -386,6 +386,42 @@ class Vcf2DbSpec extends SparkSpec {
       ("X", 400L, "C", "regX")))
   }
 
+  test("exportVcf round-trips a loaded database through format(vcf)") {
+    val dir = Files.createTempDirectory("vcf2db_export")
+    val vcf = dir.resolve("in.vcf")
+    Files.writeString(vcf, VcfFixture.lines.mkString("\n") + "\n")
+    val out = dir.resolve("db").toString
+    Vcf2Db.run(spark, vcf.toString, None, out)
+    val exp = dir.resolve("export").toString
+    GraftDb.exportVcf(spark, out, exp, shards = 2)
+
+    // the export is a sharded cohort our own source reads back; every
+    // typed field — scalars, Flags, per-alt A values, reshaped R/G
+    // arrays, and genotype-derived stats — must survive the round trip
+    val keep = Seq("chrom", "pos", "ref", "alt", "qual", "filter", "dp",
+      "af", "db", "type", "aaf", "call_rate", "num_het", "num_hom_alt")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select(keep.map(org.apache.spark.sql.functions.col): _*)
+        .orderBy("chrom", "pos", "alt").collect().map(_.toSeq).toSeq
+    val back = spark.read.format("vcf").load(exp)
+    val orig = graft.sources.VcfReader.fromLines(spark, VcfFixture.lines)._2
+    assert(snap(back) == snap(orig))
+    // gt arrays: the per-alt R/G reshape is stable under re-parse
+    val gtBack = back.orderBy("chrom", "pos", "alt").select("gt_types", "adi", "pl")
+      .collect().map(_.toSeq).toSeq
+    val gtOrig = orig.orderBy("chrom", "pos", "alt").select("gt_types", "adi", "pl")
+      .collect().map(_.toSeq).toSeq
+    assert(gtBack == gtOrig)
+    // every shard is a self-contained VCF (full header first) — the
+    // sharded-cohort layout; Spark's _SUCCESS marker must be ignored
+    val parts = new java.io.File(exp).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(parts.length == 2)
+    parts.foreach { f =>
+      assert(Files.readString(f.toPath).startsWith("##fileformat=VCFv4.2"))
+    }
+  }
+
   test("VCF annotate over a loaded database joins a dbSNP-style source by allele") {
     val dir = Files.createTempDirectory("vcf2db_annvcf")
     val vcf = dir.resolve("in.vcf")

@@ -769,7 +769,71 @@ object Dedup {
       .orderBy($"keep_id")
   }
 
+  /** d13: cross-source CONTAMINATION matrix — pairwise lexical overlap
+    * between sources as shared distinct word-3-gram counts + Jaccard
+    * (the audit a mixture builder runs before trusting per-source
+    * weights: a crawl slice that is 40% shared shingles with a curated
+    * source double-counts that content at whatever t11/t17 decides,
+    * and a high overlap with a benchmark-bearing source is a d08-class
+    * leak at source granularity).
+    *
+    * Scale shape: the per-source distinct gram frame is ONE partial-agg
+    * shuffle keyed on the constant-width md5 gram hash (per-doc
+    * distincts collapse inside the fused `shingles` kernel first, so a
+    * boilerplate-heavy doc contributes each gram once before the
+    * exchange); the pair join is EQUI-keyed on that hash with fan-out
+    * bounded by sources-per-gram ≤ the source-dim size (sources are a
+    * bounded dim — cc/github/books/…, not a scaling axis), and the
+    * final agg key space is sources²/2. The corpus never self-joins;
+    * per-source totals are a dim-sized broadcast. Jaccard divides the
+    * same exact integers in both engines.
+    */
+  def d13(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    val sg = T(s, dir, "documents")
+      .select($"source", split($"text", " ").as("toks"))
+      .select($"source", explode(expr("shingles(toks, 3)")).as("g"))
+      .groupBy($"source", md5($"g").as("gh")).agg(count(lit(1)).as("_n"))
+      .select($"source", $"gh")
+    val n = sg.groupBy($"source").agg(count(lit(1)).as("n_grams"))
+    sg.as("a")
+      .join(sg.as("b"), $"a.gh" === $"b.gh" && $"a.source" < $"b.source")
+      .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .join(broadcast(n.withColumnRenamed("source", "src_a")
+        .withColumnRenamed("n_grams", "grams_a")), "src_a")
+      .join(broadcast(n.withColumnRenamed("source", "src_b")
+        .withColumnRenamed("n_grams", "grams_b")), "src_b")
+      .select($"src_a", $"src_b", $"shared_grams", $"grams_a", $"grams_b",
+        expr("""round(CAST(shared_grams AS DOUBLE) /
+               | (grams_a + grams_b - shared_grams), 6)""".stripMargin)
+          .as("jaccard"))
+      .orderBy($"src_a", $"src_b")
+  }
+
   val oracle: Map[String, String] = Map(
+    "d13_source_overlap" ->
+      s"""WITH toks AS (SELECT source, string_split(text, ' ') AS w
+         |  FROM documents),
+         |idx AS (SELECT source, w,
+         |  unnest(range(1, greatest(len(w) - 1, 1))) AS i FROM toks),
+         |sg AS (SELECT DISTINCT source,
+         |  md5(w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] || ' ' ||
+         |      w[CAST(i AS INT) + 2]) AS gh FROM idx),
+         |n AS (SELECT source, count(*) AS n_grams FROM sg GROUP BY source),
+         |shared AS (SELECT a.source AS src_a, b.source AS src_b,
+         |  count(*) AS shared_grams
+         |  FROM sg a JOIN sg b ON a.gh = b.gh AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT s.src_a, s.src_b, s.shared_grams,
+         |  na.n_grams AS grams_a, nb.n_grams AS grams_b,
+         |  round(CAST(s.shared_grams AS DOUBLE) /
+         |    (na.n_grams + nb.n_grams - s.shared_grams), 6) AS jaccard
+         |FROM shared s
+         |JOIN n na ON na.source = s.src_a
+         |JOIN n nb ON nb.source = s.src_b
+         |ORDER BY src_a, src_b""".stripMargin,
     "d12_dup_downweight" ->
       s"""SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
          | round(1.0 / sqrt(count(*)), 6) AS weight,
@@ -947,6 +1011,7 @@ object Dedup {
     "d09_dedup_survivor" -> (d09 _),
     "d10_substring_dedup" -> (d10 _),
     "d11_semantic_dedup" -> (d11 _),
-    "d12_dup_downweight" -> (d12 _)
+    "d12_dup_downweight" -> (d12 _),
+    "d13_source_overlap" -> (d13 _)
   )
 }

@@ -609,7 +609,57 @@ object Text {
       .orderBy($"source", $"rk")
   }
 
+  /** t18 result size — the report is a bounded top-K, never the full
+    * gram table.
+    */
+  private val HeavyK = 30
+
+  /** t18: corpus-wide HEAVY-HITTER n-gram mining — the top-K most
+    * widespread word 3-grams by document frequency (boilerplate
+    * discovery: cookie banners, license headers, nav chrome surface
+    * here before any dedup pass sees them; the mined list feeds d08's
+    * decontamination shape as a removal dim). Two partial-agg shuffles:
+    * (doc_id, gram) occurrence counts collapse map-side first (a page
+    * repeating its own boilerplate 1000× contributes 1000 to tf but
+    * arrives at the gram key as ONE row), then the gram-keyed rollup
+    * derives tf = Σ per-doc counts and df = row count in a single
+    * pass — document frequency without a count-distinct expand. Top-K
+    * via orderBy+limit = TakeOrderedAndProject (per-partition heap, no
+    * global sort). The gram string itself is the second shuffle key
+    * (bounded: 3 words) — at corpus scale the heavy tail is exactly
+    * what partial aggregation absorbs, and skew cannot concentrate
+    * because a gram's combined row count is its df ≤ corpus docs,
+    * spread over the hash space.
+    */
+  def t18(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = T(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", explode(expr(
+        """CASE WHEN size(toks) >= 3
+          | THEN transform(sequence(0, size(toks) - 3),
+          |   i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))
+          | ELSE array_repeat('', 0) END""".stripMargin)).as("g"))
+    grams.groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+      .groupBy($"g").agg(sum($"c").as("tf"), count(lit(1)).as("df"))
+      .orderBy($"df".desc, $"tf".desc, $"g".asc)
+      .limit(HeavyK)
+  }
+
   val oracle: Map[String, String] = Map(
+    "t18_heavy_hitters" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+         |  FROM documents),
+         |idx AS (SELECT doc_id, w,
+         |  unnest(range(1, greatest(len(w) - 1, 1))) AS i FROM toks),
+         |grams AS (SELECT doc_id,
+         |  w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] || ' ' ||
+         |  w[CAST(i AS INT) + 2] AS g FROM idx),
+         |pg AS (SELECT doc_id, g, count(*) AS c FROM grams
+         |  GROUP BY doc_id, g)
+         |SELECT g, CAST(sum(c) AS BIGINT) AS tf, count(*) AS df
+         |FROM pg GROUP BY g
+         |ORDER BY df DESC, tf DESC, g LIMIT $HeavyK""".stripMargin,
     "t17_temperature_mix" ->
       s"""WITH cnt AS (SELECT source, count(*) AS n_docs
          |  FROM documents GROUP BY source),
@@ -820,6 +870,7 @@ object Text {
     "t14_tfidf" -> (t14 _),
     "t15_gopher_rules" -> (t15 _),
     "t16_hash_split" -> (t16 _),
-    "t17_temperature_mix" -> (t17 _)
+    "t17_temperature_mix" -> (t17 _),
+    "t18_heavy_hitters" -> (t18 _)
   )
 }

@@ -97,6 +97,61 @@ class EventJoinSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_kept")).sum == distinctLines)
   }
 
+  test("t18 heavy hitters match a brute-force gram count") {
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val perDoc = docs.map { case (id, text) =>
+      val w = text.split(" ", -1)
+      id -> w.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+    }
+    val tf = scala.collection.mutable.Map.empty[String, Long]
+    val df = scala.collection.mutable.Map.empty[String, Long]
+    perDoc.foreach { case (_, grams) =>
+      grams.foreach(g => tf(g) = tf.getOrElse(g, 0L) + 1)
+      grams.distinct.foreach(g => df(g) = df.getOrElse(g, 0L) + 1)
+    }
+    val expected = tf.keys.toSeq
+      .map(g => (g, tf(g), df(g)))
+      .sortBy { case (g, t, d) => (-d, -t, g) }
+      .take(30)
+    val out = SparkEntry.queries("t18_heavy_hitters")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == expected)
+  }
+
+  test("d13 source overlap matches brute-force pairwise shingle sets") {
+    val bySource = Tables(spark, dir, "documents")
+      .select("source", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .groupBy(_._1)
+      .map { case (src, rows) =>
+        src -> rows.flatMap { case (_, text) =>
+          text.split(" ", -1).sliding(3).filter(_.length == 3)
+            .map(_.mkString(" "))
+        }.toSet
+      }
+    val out = SparkEntry.queries("d13_source_overlap")(spark, dir).collect()
+    // every overlapping pair present, each row's counts exact
+    val expectedPairs = for {
+      a <- bySource.keys.toSeq; b <- bySource.keys.toSeq
+      if a < b && (bySource(a) & bySource(b)).nonEmpty
+    } yield (a, b)
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSet ==
+      expectedPairs.toSet)
+    out.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val (sa, sb) = (bySource(a), bySource(b))
+      val shared = (sa & sb).size.toLong
+      assert(r.getAs[Long]("shared_grams") == shared)
+      assert(r.getAs[Long]("grams_a") == sa.size.toLong)
+      assert(r.getAs[Long]("grams_b") == sb.size.toLong)
+      val jac = BigDecimal(shared.toDouble / (sa.size + sb.size - shared))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("jaccard") - jac) < 1e-9)
+    }
+  }
+
   test("t12 packing is contiguous per source with in-range offsets") {
     val rows = SparkEntry.queries("t12_seq_pack")(spark, dir).collect()
       .map(r => (r.getString(1), r.getInt(2), r.getLong(3),

@@ -29,7 +29,7 @@ object Bench {
     "q15_cube_status_priority", "q16_funnel", "q17_salted_distinct",
     "q18_topk_per_group",
     "st01_window_agg", "st02_sessionize", "st03_dedup_events",
-    "st04_interval_join",
+    "st04_interval_join", "st06_rate_anomaly",
     "e01_flatten_info", "e08_pack_blob", "e29_windower",
     // GEMINI stats-family representatives: fixture-cohort-sized (their
     // inputs don't scale with sf), tracked so a plan regression — e36's
@@ -42,7 +42,7 @@ object Bench {
     "s07_diversity_sample",
     "t07_stratified_sample", "t08_pii_scrub", "t10_unigram_logprob",
     "t12_seq_pack", "t13_line_dedup", "t14_tfidf", "t15_gopher_rules",
-    "t17_temperature_mix")
+    "t17_temperature_mix", "t18_heavy_hitters", "d13_source_overlap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

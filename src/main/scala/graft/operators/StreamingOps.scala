@@ -125,7 +125,55 @@ object StreamingOps {
       .orderBy($"content_md5")
   }
 
+  /** st06: streaming RATE-ANOMALY monitor — per-type tumbling 5-minute
+    * event counts compared against the trailing average of the previous
+    * three observed windows; a window running at more than twice its
+    * trailing average flags `anomaly` (the ingest-pipeline health check:
+    * a scraper gone hot, a duplicate-delivery storm, a bot burst —
+    * caught at the window level before the corpus absorbs it).
+    *
+    * Batch form (this query): st01's windowed partial-agg shuffle, then
+    * ONE window shuffle keyed on event_type over the window-count frame
+    * — which is timeline/5min × types sized, vanishing next to the raw
+    * stream at any scale. The trailing avg divides exact long sums by
+    * a 1–3 count, IEEE-identical in both engines; the first windows of
+    * each type (no history) report no anomaly. Streaming twin
+    * (StreamingSpec "st06"): the same windowed counts behind a
+    * watermark, then `flatMapGroupsWithState` keyed on event_type
+    * holding only the last three window counts — O(types) state.
+    */
+  def st06(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byType = Window.partitionBy($"event_type").orderBy($"ws")
+    T(s, dir, "events")
+      .groupBy(window($"ts", "5 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"w.start".as("ws"), $"event_type", $"n_events")
+      .withColumn("trailing_avg",
+        avg($"n_events").over(byType.rowsBetween(-3, -1)))
+      .withColumn("anomaly",
+        $"trailing_avg".isNotNull &&
+          $"n_events" > lit(2) * $"trailing_avg")
+      .withColumn("trailing_avg", round($"trailing_avg", 6))
+      .orderBy($"event_type", $"ws")
+  }
+
   val oracle: Map[String, String] = Map(
+    "st06_rate_anomaly" ->
+      """WITH w AS (
+        | SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws, event_type,
+        |  COUNT(*) AS n_events
+        | FROM events GROUP BY 1, 2),
+        |t AS (
+        | SELECT ws, event_type, n_events,
+        |  avg(n_events) OVER (PARTITION BY event_type ORDER BY ws
+        |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS trailing_avg
+        | FROM w)
+        |SELECT ws, event_type, n_events,
+        | (trailing_avg IS NOT NULL AND n_events > 2 * trailing_avg)
+        |   AS anomaly,
+        | round(trailing_avg, 6) AS trailing_avg
+        |FROM t ORDER BY event_type, ws""".stripMargin,
     "st05_stream_curate" ->
       s"""WITH scored AS (
          | SELECT doc_id, md5(text) AS content_md5,
@@ -181,6 +229,7 @@ object StreamingOps {
     "st02_sessionize" -> (st02 _),
     "st03_dedup_events" -> (st03 _),
     "st04_interval_join" -> (st04 _),
-    "st05_stream_curate" -> (st05 _)
+    "st05_stream_curate" -> (st05 _),
+    "st06_rate_anomaly" -> (st06 _)
   )
 }

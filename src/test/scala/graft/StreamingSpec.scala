@@ -388,4 +388,46 @@ class StreamStreamJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st06 streaming twin: RateMonitor flags match the batch trailing rule") {
+    import spark.implicits._
+    import graft.streaming.{RateFlag, RateMonitor, WindowCount}
+    implicit val sqlCtx = spark.sqlContext
+    val batch = graft.operators.StreamingOps
+      .st06(spark, "/root/testdata/sf0.001").collect()
+    def toTs(a: Any): Timestamp = a match {
+      case t: Timestamp => t
+      case l: java.time.LocalDateTime => Timestamp.valueOf(l)
+    }
+    val wcs = batch
+      .map(r => WindowCount(toTs(r.get(0)), r.getString(1), r.getLong(2)))
+      .sortBy(_.ws.getTime)
+    val input = MemoryStream[WindowCount]
+    val q = RateMonitor.flags(input.toDS()).writeStream
+      .format("memory").queryName("rate_out").outputMode("append").start()
+    try {
+      // two micro-batches: state must carry trailing counts across them
+      val (b1, b2) = wcs.splitAt(wcs.length / 2)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      val out = spark.table("rate_out").as[RateFlag].collect()
+        .map(f => (f.event_type, f.ws.getTime) -> f).toMap
+      assert(out.size == batch.length)
+      batch.foreach { r =>
+        val f = out((r.getString(1), toTs(r.get(0)).getTime))
+        assert(f.n_events == r.getLong(2))
+        val bAvg = if (r.isNullAt(3)) None else Some(r.getDouble(3))
+        val sAvg = f.trailing_avg.map(a =>
+          BigDecimal(a).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        assert(sAvg == bAvg, s"trailing_avg mismatch at ${r.get(0)}/${r.getString(1)}")
+        assert(f.anomaly == r.getBoolean(4))
+      }
+      // every type's first window has no history -> never an anomaly
+      wcs.groupBy(_.event_type).foreach { case (tpe, ws) =>
+        val first = ws.minBy(_.ws.getTime)
+        assert(!out((tpe, first.ws.getTime)).anomaly)
+        assert(out((tpe, first.ws.getTime)).trailing_avg.isEmpty)
+      }
+    } finally q.stop()
+  }
+
 }

@@ -57,21 +57,28 @@ object Dedup {
     * docs sharing any band hash become candidates; estimated Jaccard =
     * fraction of equal minhashes. Shuffle key = (band, band-hash).
     */
-  def d02(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val sig = signatures(s, dir)
+  /** 16-band LSH buckets over MinHash signatures, with the ≤50 bucket
+    * cap (a degenerate band bucket — all-identical shingle runs,
+    * boilerplate — would go quadratic in any pair join; at scale such
+    * buckets are dropped: their members are caught by OTHER bands or
+    * flagged for exact dedup instead). Shared by d02 and d14.
+    */
+  private def bandBuckets(sig: DataFrame): DataFrame = {
+    import sig.sparkSession.implicits._
     val bands = sig
       .select($"doc_id", $"sig", explode(expr("sequence(0, 15)")).as("band"))
       .withColumn("bh", expr("xxhash64(band, slice(sig, band * 4 + 1, 4))"))
       .select($"doc_id", $"band", $"bh")
-    // bucket-size cap: a degenerate band bucket (all-identical shingle
-    // runs, boilerplate) would go quadratic in the pair join — at scale
-    // such buckets are dropped (their members are caught by OTHER bands
-    // or flagged for exact dedup instead)
     val keep = bands.groupBy($"band", $"bh")
       .agg(count(lit(1)).as("bsz")).filter($"bsz" <= 50)
       .select($"band", $"bh")
-    val capped = bands.join(keep, Seq("band", "bh"))
+    bands.join(keep, Seq("band", "bh"))
+  }
+
+  def d02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sig = signatures(s, dir)
+    val capped = bandBuckets(sig)
     val cand = capped.as("a")
       .join(capped.as("b"),
         $"a.band" === $"b.band" && $"a.bh" === $"b.bh" &&
@@ -558,7 +565,47 @@ object Dedup {
     * or (flipped) min. Structure mirrors d02 exactly: bucket cap 50,
     * candidate distinct, est_jaccard = matching lanes / 64.
     */
-  private def d02OracleSql: String = {
+  private def d02OracleSql: String = minhashOracleSql(
+    s"""pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM capped a JOIN capped b ON a.band = b.band AND a.bhv = b.bhv AND a.doc_id < b.doc_id),
+       |neq AS (SELECT p.doc_a, p.doc_b, sum(CASE WHEN sa.hv = sb.hv THEN 1 ELSE 0 END) AS n_eq
+       |  FROM pairs p
+       |  JOIN mins sa ON sa.doc_id = p.doc_a
+       |  JOIN mins sb ON sb.doc_id = p.doc_b AND sb.j = sa.j
+       |  GROUP BY p.doc_a, p.doc_b)
+       |SELECT doc_a, doc_b, round(CAST(n_eq AS DOUBLE) / 64.0, 6) AS est_jaccard
+       |FROM neq ORDER BY doc_a, doc_b""".stripMargin)
+
+  private def d14OracleSql: String = minhashOracleSql(
+    s"""cand AS (SELECT DISTINCT e.doc_id AS eval_id, c.doc_id AS doc_id
+       |  FROM capped e JOIN capped c ON e.band = c.band AND e.bhv = c.bhv
+       |  WHERE e.doc_id % 50 = 0 AND c.doc_id % 50 <> 0),
+       |neq AS (SELECT cand.eval_id, cand.doc_id,
+       |    sum(CASE WHEN sa.hv = sb.hv THEN 1 ELSE 0 END) AS n_eq
+       |  FROM cand
+       |  JOIN mins sa ON sa.doc_id = cand.eval_id
+       |  JOIN mins sb ON sb.doc_id = cand.doc_id AND sb.j = sa.j
+       |  GROUP BY 1, 2),
+       |est AS (SELECT eval_id, doc_id,
+       |    round(CAST(n_eq AS DOUBLE) / 64.0, 6) AS est_jaccard FROM neq),
+       |agg AS (SELECT eval_id, count(*) AS n_candidates,
+       |    count(*) FILTER (WHERE est_jaccard >= $D14Tau) AS n_confirmed,
+       |    max(est_jaccard) AS max_est_jaccard,
+       |    min(doc_id) FILTER (WHERE est_jaccard >= $D14Tau) AS first_match
+       |  FROM est GROUP BY 1),
+       |roster AS (SELECT doc_id AS eval_id FROM documents
+       |  WHERE doc_id % 50 = 0 AND len(string_split(text, ' ')) >= 3)
+       |SELECT r.eval_id, coalesce(a.n_candidates, 0) AS n_candidates,
+       |  coalesce(a.n_confirmed, 0) AS n_confirmed,
+       |  a.max_est_jaccard, a.first_match
+       |FROM roster r LEFT JOIN agg a USING (eval_id) ORDER BY eval_id""".stripMargin)
+
+  /** The staged DuckDB XXH64/MinHash/LSH replay shared by d02 and d14:
+    * everything through the capped band buckets (`capped`) and the
+    * per-(doc, lane) signature minima (`mins`) is common; `tail` is the
+    * query-specific final CTE chain + SELECT.
+    */
+  private def minhashOracleSql(tail: String): String = {
     import OracleSql._
 
     def byteAt(pos: String): String =
@@ -645,15 +692,7 @@ object Dedup {
     s"""WITH $withClause,
        |keep AS (SELECT band, bhv FROM ${bh.last} GROUP BY band, bhv HAVING count(*) <= 50),
        |capped AS (SELECT b.doc_id, b.band, b.bhv FROM ${bh.last} b JOIN keep USING (band, bhv)),
-       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM capped a JOIN capped b ON a.band = b.band AND a.bhv = b.bhv AND a.doc_id < b.doc_id),
-       |neq AS (SELECT p.doc_a, p.doc_b, sum(CASE WHEN sa.hv = sb.hv THEN 1 ELSE 0 END) AS n_eq
-       |  FROM pairs p
-       |  JOIN mins sa ON sa.doc_id = p.doc_a
-       |  JOIN mins sb ON sb.doc_id = p.doc_b AND sb.j = sa.j
-       |  GROUP BY p.doc_a, p.doc_b)
-       |SELECT doc_a, doc_b, round(CAST(n_eq AS DOUBLE) / 64.0, 6) AS est_jaccard
-       |FROM neq ORDER BY doc_a, doc_b""".stripMargin
+       |$tail""".stripMargin
   }
 
   /** d10 window geometry: 40-char windows sampled every 20 chars.
@@ -812,7 +851,62 @@ object Dedup {
       .orderBy($"src_a", $"src_b")
   }
 
+  /** d14 confirmation threshold on the estimated (minhash-fraction)
+    * Jaccard. Declared above the oracle map — object init order.
+    */
+  private final val D14Tau = 0.5
+
+  /** d14: FUZZY benchmark decontamination — d08 flags exact n-gram
+    * collisions; d14 catches the paraphrased/reformatted leak (the
+    * whitespace-normalized, re-wrapped, lightly edited benchmark copy
+    * that exact grams miss) by running the eval set through d02's
+    * MinHash+LSH machinery against the corpus. Output is a per-
+    * benchmark-doc LEAKAGE REPORT: bucket-candidate count, confirmed
+    * near-dups (est Jaccard ≥ [[D14Tau]]), the worst estimate, and the
+    * first confirmed corpus doc — eval docs with no collision report
+    * zeros, so the report always covers the whole suite.
+    *
+    * Scale shape: identical to d02 — signatures never shuffle, the
+    * candidate join is EQUI-keyed on the capped (band, bucket-hash)
+    * key, and the confirm join touches only candidate pairs. The eval
+    * side is a bounded suite (~1e5 docs at production scale) so every
+    * post-bucket frame is eval-sized; the corpus is scanned once. The
+    * same staged DuckDB replay as d02 verifies every lane hash, bucket,
+    * and estimate bit for bit.
+    */
+  def d14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sig = signatures(s, dir)
+    val capped = bandBuckets(sig)
+    val cand = capped.filter($"doc_id" % 50 === 0).as("e")
+      .join(capped.filter($"doc_id" % 50 =!= 0).as("c"),
+        $"e.band" === $"c.band" && $"e.bh" === $"c.bh")
+      .select($"e.doc_id".as("eval_id"), $"c.doc_id".as("doc_id"))
+      .distinct()
+    val est = cand
+      .join(sig.select($"doc_id".as("eval_id"), $"sig".as("sig_e")), "eval_id")
+      .join(sig.select($"doc_id", $"sig".as("sig_c")), "doc_id")
+      .select($"eval_id", $"doc_id",
+        expr("round(size(filter(zip_with(sig_e, sig_c, (x, y) -> x = y), v -> v)) / 64.0e0, 6)")
+          .as("est_jaccard"))
+    val agg = est.groupBy($"eval_id")
+      .agg(count(lit(1)).as("n_candidates"),
+        count(when($"est_jaccard" >= D14Tau, 1)).as("n_confirmed"),
+        max($"est_jaccard").as("max_est_jaccard"),
+        min(when($"est_jaccard" >= D14Tau, $"doc_id")).as("first_match"))
+    T(s, dir, "documents")
+      .filter($"doc_id" % 50 === 0 && size(split($"text", " ")) >= 3)
+      .select($"doc_id".as("eval_id"))
+      .join(agg, Seq("eval_id"), "left")
+      .select($"eval_id",
+        coalesce($"n_candidates", lit(0L)).as("n_candidates"),
+        coalesce($"n_confirmed", lit(0L)).as("n_confirmed"),
+        $"max_est_jaccard", $"first_match")
+      .orderBy($"eval_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "d14_fuzzy_decontaminate" -> d14OracleSql,
     "d13_source_overlap" ->
       s"""WITH toks AS (SELECT source, string_split(text, ' ') AS w
          |  FROM documents),
@@ -1012,6 +1106,7 @@ object Dedup {
     "d10_substring_dedup" -> (d10 _),
     "d11_semantic_dedup" -> (d11 _),
     "d12_dup_downweight" -> (d12 _),
-    "d13_source_overlap" -> (d13 _)
+    "d13_source_overlap" -> (d13 _),
+    "d14_fuzzy_decontaminate" -> (d14 _)
   )
 }

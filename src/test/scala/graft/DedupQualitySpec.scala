@@ -34,6 +34,38 @@ class DedupQualitySpec extends SparkSpec {
     assert(errs.sum / errs.length <= 0.10, "mean estimator error too high")
   }
 
+  test("d14 leakage report is consistent with d02's pair view") {
+    import spark.implicits._
+    val d14 = Dedup.queries("d14_fuzzy_decontaminate")(spark, dir).collect()
+    assert(d14.nonEmpty, "eval roster must always report")
+    // the roster is exactly the signature-bearing %50 == 0 docs
+    val roster = Tables(spark, dir, "documents")
+      .filter($"doc_id" % 50 === 0 && size(split($"text", " ")) >= 3)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(d14.map(_.getLong(0)).toSet == roster)
+    d14.foreach { r =>
+      val (nc, conf) = (r.getLong(1), r.getLong(2))
+      assert(conf <= nc)
+      assert((nc == 0) == r.isNullAt(3), "max_est null iff no candidates")
+      assert((conf == 0) == r.isNullAt(4), "first_match null iff none confirmed")
+    }
+    // every d02 pair with exactly one eval-side member and est >= tau
+    // must appear as a confirmed hit for that eval doc
+    val strong = Dedup.queries("d02_dedup_minhash")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .flatMap { case (a, b, j) =>
+        if (a % 50 == 0 ^ b % 50 == 0)
+          Some((if (a % 50 == 0) a else b, j)) else None
+      }
+      .filter(_._2 >= 0.5)
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    val confirmed = d14.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    strong.foreach { case (evalId, n) =>
+      assert(confirmed.getOrElse(evalId, 0L) >= n,
+        s"eval $evalId: d02 sees $n strong pairs, d14 confirmed ${confirmed.get(evalId)}")
+    }
+  }
+
   test("banding surfaces every strong pair (exact jaccard >= 0.5)") {
     import spark.implicits._
     val caught = Dedup.queries("d02_dedup_minhash")(spark, dir)

@@ -58,6 +58,11 @@ class PlanInvariantSpec extends SparkSpec {
     */
   private val shuffleSelfJoinAllowed =
     Set("d02_dedup_minhash", "d03_dedup_simhash", "d04_ngram_jaccard",
+      // eval-vs-corpus candidate join keyed on d02's capped (band,
+      // bucket-hash) — the banded shuffle regime; the eval side is
+      // suite-bounded in production, so AQE may broadcast it, but the
+      // designed key is the bucket, not a dim
+      "d14_fuzzy_decontaminate",
       // corpus-vs-corpus k-NN graph keyed on the LSH bucket — neither
       // side is a broadcastable dim at corpus scale (d02's regime)
       "s06_knn_graph",

@@ -35,6 +35,14 @@ object Similarity {
   /** s07 per-cell keep quota. */
   private final val DivQuota = 3
 
+  /** s08 MMR: candidate-pool width, keep count, and λ in TENTHS
+    * (λ=0.7 → score = 7·rel − 3·maxSim in exact integer micro-cosine
+    * units, so the greedy argmax can never flip on a float ulp).
+    */
+  private final val MmrPoolC = 12
+  private final val MmrK = 5
+  private final val MmrL10 = 7
+
   /** Sequential-fold dot product — same left-to-right double
     * accumulation DuckDB's list_inner_product does, so cosines are
     * bit-comparable across engines. `vec_dot` is the native codegen
@@ -297,6 +305,54 @@ object Similarity {
   }
 
   val oracle: Map[String, String] = Map(
+    "s08_mmr_rerank" -> {
+      // the k greedy steps unrolled as chained CTEs (recursive CTEs
+      // can't aggregate over the full accumulated pick set); all
+      // scoring in the same exact integer micro-cosine units as the
+      // engine, so every pick is hash-verified
+      val steps = (2 to MmrK).map { n =>
+        val prev = (1 until n).map(i => s"SELECT q_id, vec_id FROM s$i")
+          .mkString(" UNION ALL ")
+        s"""pre$n AS ($prev),
+           |ms$n AS (SELECT c.q_id, c.vec_id, c.rel6, MAX(p.sim6) AS msim6
+           |  FROM cand c
+           |  JOIN pair p ON p.q_id = c.q_id AND p.a = c.vec_id
+           |  JOIN pre$n sp ON sp.q_id = p.q_id AND sp.vec_id = p.b
+           |  WHERE NOT EXISTS (SELECT 1 FROM pre$n s2
+           |    WHERE s2.q_id = c.q_id AND s2.vec_id = c.vec_id)
+           |  GROUP BY c.q_id, c.vec_id, c.rel6),
+           |s$n AS (SELECT q_id, $n AS step, vec_id, rel6,
+           |    $MmrL10 * rel6 - ${10 - MmrL10} * msim6 AS mmr6
+           |  FROM (SELECT q_id, vec_id, rel6, msim6,
+           |    ROW_NUMBER() OVER (PARTITION BY q_id
+           |      ORDER BY $MmrL10 * rel6 - ${10 - MmrL10} * msim6 DESC, vec_id) AS rn
+           |  FROM ms$n) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val unionAll = (1 to MmrK).map(i => s"SELECT * FROM s$i")
+        .mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 3),
+         |sc AS (SELECT q_id, vec_id,
+         |  CAST(round(1000000 * list_inner_product(v, qv)
+         |    / sqrt(list_inner_product(v, v) * list_inner_product(qv, qv))) AS BIGINT) AS rel6
+         |  FROM e, q WHERE vec_id <> q_id),
+         |cand AS (SELECT q_id, vec_id, rel6 FROM (SELECT q_id, vec_id, rel6,
+         |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rel6 DESC, vec_id) AS rn
+         |  FROM sc) WHERE rn <= $MmrPoolC),
+         |pair AS (SELECT x.q_id, x.vec_id AS a, y.vec_id AS b,
+         |  CAST(round(1000000 * list_inner_product(ex.v, ey.v)
+         |    / sqrt(list_inner_product(ex.v, ex.v) * list_inner_product(ey.v, ey.v))) AS BIGINT) AS sim6
+         |  FROM cand x JOIN cand y ON x.q_id = y.q_id AND x.vec_id <> y.vec_id
+         |  JOIN e ex ON ex.vec_id = x.vec_id
+         |  JOIN e ey ON ey.vec_id = y.vec_id),
+         |s1 AS (SELECT q_id, 1 AS step, vec_id, rel6, $MmrL10 * rel6 AS mmr6
+         |  FROM (SELECT q_id, vec_id, rel6,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rel6 DESC, vec_id) AS rn
+         |  FROM cand) WHERE rn = 1),
+         |$steps
+         |SELECT q_id, step, vec_id, rel6, mmr6 FROM ($unionAll)
+         |ORDER BY q_id, step""".stripMargin
+    },
     "s07_diversity_sample" -> {
       val planeRows = (0 until NPlanes).map { j =>
         val arr = plane(j, Dims).mkString(", ")
@@ -488,6 +544,77 @@ object Similarity {
       .orderBy($"bucket", $"rn")
   }
 
+  /** s08: MAXIMAL-MARGINAL-RELEVANCE re-rank (Carbonell & Goldstein,
+    * SIGIR'98) — the standard retrieval re-rank that balances relevance
+    * against redundancy: greedily keep the candidate maximizing
+    * λ·sim(q,d) − (1−λ)·max over kept s of sim(d,s), so the final k are
+    * relevant AND mutually diverse (s01 alone returns near-duplicates
+    * of the top hit; s07 diversifies with no query — this is the
+    * query-anchored middle ground every RAG/retrieval stack ships).
+    *
+    * Scale shape: the ONLY corpus-scale work is s01's scan — broadcast
+    * query set, one window for the top-[[MmrPoolC]] pool. Everything
+    * after operates on a (queries × pool)-bounded frame: the pairwise
+    * candidate-candidate cosine join is EQUI-keyed on q_id with ≤C²
+    * rows per query, and the k-step greedy loop is PLAN-side iteration
+    * (a fixed k=[[MmrK]] chain of bounded joins — no collect, no
+    * driver data movement; pool and pair frames are lazily
+    * localCheckpoint'd so each step's double reference re-reads a
+    * 36-row cache, not the corpus). Scoring is exact integer
+    * micro-cosine arithmetic ([[MmrL10]]·rel6 − (10−λ)·msim6 on
+    * round(10⁶·cos) longs), so the greedy argmax is bit-reproducible —
+    * the DuckDB oracle replays all k steps as unrolled CTEs and every
+    * pick is hash-verified.
+    */
+  def s08(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val emb = T(s, dir, "embeddings")
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val wRel = Window.partitionBy($"q_id").orderBy($"rel6".desc, $"vec_id".asc)
+    val cand = emb.crossJoin(broadcast(queries))
+      .filter($"vec_id" =!= $"q_id")
+      .withColumn("rel6", expr(s"CAST(round(1000000 * ${dot("embedding", "q_emb")} " +
+        s"/ sqrt(${dot("embedding", "embedding")} * ${dot("q_emb", "q_emb")})) AS BIGINT)"))
+      .withColumn("rn", row_number().over(wRel))
+      .filter($"rn" <= MmrPoolC)
+      .select($"q_id", $"vec_id", $"rel6", $"embedding")
+      .localCheckpoint(eager = false)
+    val pair = cand.select($"q_id", $"vec_id".as("a"), $"embedding".as("ea"))
+      .join(cand.select($"q_id", $"vec_id".as("b"), $"embedding".as("eb")), Seq("q_id"))
+      .filter($"a" =!= $"b")
+      .withColumn("sim6", expr(s"CAST(round(1000000 * ${dot("ea", "eb")} " +
+        s"/ sqrt(${dot("ea", "ea")} * ${dot("eb", "eb")})) AS BIGINT)"))
+      .select($"q_id", $"a", $"b", $"sim6")
+      .localCheckpoint(eager = false)
+    val first = cand
+      .withColumn("rn", row_number().over(wRel)).filter($"rn" === 1)
+      .select($"q_id", lit(1).as("step"), $"vec_id", $"rel6",
+        ($"rel6" * MmrL10).as("mmr6"))
+      .localCheckpoint(eager = false)
+    // Cumulative greedy fold: step n scores every not-yet-picked pool
+    // member against ALL picks so far and keeps the argmax.
+    var kept = Seq(first)
+    for (step <- 2 to MmrK) {
+      val all = kept.reduce(_ union _)
+      val simToSel = pair
+        .join(all.select($"q_id", $"vec_id".as("b")), Seq("q_id", "b"))
+        .groupBy($"q_id", $"a").agg(max($"sim6").as("msim6"))
+        .withColumnRenamed("a", "vec_id")
+      val wPick = Window.partitionBy($"q_id").orderBy($"mmr6".desc, $"vec_id".asc)
+      val pick = cand.select($"q_id", $"vec_id", $"rel6")
+        .join(all.select($"q_id", $"vec_id"), Seq("q_id", "vec_id"), "left_anti")
+        .join(simToSel, Seq("q_id", "vec_id"))
+        .withColumn("mmr6", $"rel6" * MmrL10 - $"msim6" * (10 - MmrL10))
+        .withColumn("rn", row_number().over(wPick)).filter($"rn" === 1)
+        .select($"q_id", lit(step).as("step"), $"vec_id", $"rel6", $"mmr6")
+        .localCheckpoint(eager = false)
+      kept = kept :+ pick
+    }
+    kept.reduce(_ union _).orderBy($"q_id", $"step")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce_topk" -> (s01 _),
     "s02_ann_lsh" -> (s02 _),
@@ -495,6 +622,7 @@ object Similarity {
     "s04_ann_pq" -> (s04 _),
     "s05_range_search" -> (s05 _),
     "s06_knn_graph" -> (s06 _),
-    "s07_diversity_sample" -> (s07 _)
+    "s07_diversity_sample" -> (s07 _),
+    "s08_mmr_rerank" -> (s08 _)
   )
 }

@@ -160,6 +160,51 @@ class DedupQualitySpec extends SparkSpec {
     assert(out.values.exists(!_._2), "expected at least one semantic duplicate")
   }
 
+  test("s08 MMR picks replay the greedy integer-score selection exactly") {
+    val out = graft.operators.Similarity.queries("s08_mmr_rerank")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(4)))
+      .toMap
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble)).toMap
+    def cos6(a: Array[Double], b: Array[Double]): Long = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      math.round(1e6 * d / math.sqrt(na * nb))
+    }
+    val qIds = emb.keys.filter(_ < 3)
+    assert(out.size == qIds.size * 5, "3 queries x 5 picks expected")
+    qIds.foreach { q =>
+      // replay: pool = top-12 by rel6 (vec_id tie-break), then greedy
+      val rel = emb.collect { case (id, v) if id != q => id -> cos6(emb(q), v) }
+      val pool = rel.toSeq.sortBy { case (id, r) => (-r, id) }.take(12)
+      var picked = Vector(pool.head._1)
+      var scores = Vector(pool.head._2 * 7)
+      while (picked.size < 5) {
+        val best = pool.filterNot(p => picked.contains(p._1)).map { case (id, r) =>
+          val msim = picked.map(s => cos6(emb(id), emb(s))).max
+          (id, 7 * r - 3 * msim)
+        }.minBy { case (id, sc) => (-sc, id) }
+        picked :+= best._1; scores :+= best._2
+      }
+      picked.zip(scores).zipWithIndex.foreach { case ((id, sc), i) =>
+        assert(out((q, i + 1)) == ((id, sc)),
+          s"query $q step ${i + 1}: engine ${out((q, i + 1))} vs replay ($id, $sc)")
+      }
+    }
+    // diversity must bite somewhere: across the query set, at least one
+    // greedy pick sequence departs from pure-relevance rank order
+    // (per-query it may legitimately coincide when the pool is
+    // near-orthogonal and the penalty term can't reorder)
+    val departed = qIds.exists { q =>
+      val rel = emb.collect { case (id, v) if id != q => id -> cos6(emb(q), v) }
+      val pureOrder = rel.toSeq.sortBy { case (id, r) => (-r, id) }.take(5).map(_._1)
+      val mmrOrder = (1 to 5).map(i => out((q, i))._1)
+      mmrOrder != pureOrder
+    }
+    assert(departed, "MMR never departed from pure relevance on any query")
+  }
+
   test("blocked d05 is a subset of exact pairs with identical cosines") {
     val blocked = Dedup.queries("d05_dedup_embedding")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

@@ -646,7 +646,73 @@ object Text {
       .limit(HeavyK)
   }
 
+  /** t19: corpus-level BIGRAM log-prob scoring — t10's perplexity
+    * proxy upgraded to a first-order LM: each adjacent token pair
+    * scores log10(cnt(w1,w2) / ctx(w1)) from the corpus's own top-V
+    * bigram table, out-of-vocab pairs get the same 0.5-count floor.
+    * Catches fluent-vocabulary-but-scrambled-order text that unigram
+    * scoring cannot separate (word-salad spam is t10-high, t19-low).
+    *
+    * Same scale regime as t10: bigram counts are ONE (w1,w2)
+    * partial-agg shuffle (stop-pair heavy hitters absorbed map-side);
+    * the context counts roll up from the ALREADY-AGGREGATED gram table
+    * (vocab-scale, never the corpus), and their join lands on the
+    * post-limit top-V side (4096 rows — broadcastable; at tiny SF AQE
+    * picks the side); top-V via TakeOrderedAndProject; per-doc scoring
+    * = broadcast vocab left-join + exact order-free DECIMAL sum, one
+    * doc_id partial-agg shuffle. Only the single-row total crosses as
+    * a broadcast. Docs with fewer than two tokens have no bigrams and
+    * drop in both engines.
+    */
+  def t19(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = T(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("w"))
+      .filter(size($"w") >= 2)
+      .select($"doc_id", explode(expr(
+        """transform(sequence(0, size(w) - 2),
+          |  i -> named_struct('w1', w[i], 'w2', w[i + 1]))""".stripMargin)).as("p"))
+      .select($"doc_id", $"p.w1".as("w1"), $"p.w2".as("w2"))
+    val counts = pairs.groupBy($"w1", $"w2").agg(count(lit(1)).as("cnt"))
+    val ctx = counts.groupBy($"w1").agg(sum($"cnt").as("ctx"))
+    val total = counts.agg(sum($"cnt").as("n"))
+    val vocab = counts.orderBy($"cnt".desc, $"w1".asc, $"w2".asc).limit(VocabSize)
+      .join(ctx, "w1")
+      .select($"w1", $"w2", expr(
+        "CAST(round(log10(CAST(cnt AS DOUBLE) / CAST(ctx AS DOUBLE)), 6) AS DECIMAL(18,6))")
+        .as("lp"))
+    pairs.join(broadcast(vocab), Seq("w1", "w2"), "left")
+      .crossJoin(broadcast(total))
+      .select($"doc_id", coalesce($"lp", expr(
+        "CAST(round(log10(0.5e0 / CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6))"))
+        .as("lp"))
+      .groupBy($"doc_id")
+      // no final round — see t10: the DECIMAL sum and counts are
+      // bit-identical operands, IEEE division is correctly rounded
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("CAST(CAST(sum(lp) AS DECIMAL(38,6)) AS DOUBLE) / CAST(count(1) AS DOUBLE)")
+          .as("avg_logprob"))
+      .orderBy($"doc_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "t19_bigram_logprob" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |pairs AS (SELECT doc_id, w[CAST(i AS INT)] AS w1, w[CAST(i AS INT) + 1] AS w2
+         |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM w)),
+         |counts AS (SELECT w1, w2, count(*) AS cnt FROM pairs GROUP BY w1, w2),
+         |ctx AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS ctx FROM counts GROUP BY w1),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM counts),
+         |vocab AS (SELECT v.w1, v.w2,
+         |  CAST(round(log10(CAST(v.cnt AS DOUBLE) / CAST(c.ctx AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lp
+         |  FROM (SELECT * FROM counts ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT $VocabSize) v
+         |  JOIN ctx c USING (w1)),
+         |scored AS (SELECT p.doc_id, coalesce(v.lp,
+         |   CAST(round(log10(0.5e0 / CAST((SELECT n FROM tot) AS DOUBLE)), 6) AS DECIMAL(18,6))) AS lp
+         |  FROM pairs p LEFT JOIN vocab v ON p.w1 = v.w1 AND p.w2 = v.w2)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+         | CAST(CAST(sum(lp) AS DECIMAL(38,6)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_logprob
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t18_heavy_hitters" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
          |  FROM documents),
@@ -871,6 +937,7 @@ object Text {
     "t15_gopher_rules" -> (t15 _),
     "t16_hash_split" -> (t16 _),
     "t17_temperature_mix" -> (t17 _),
-    "t18_heavy_hitters" -> (t18 _)
+    "t18_heavy_hitters" -> (t18 _),
+    "t19_bigram_logprob" -> (t19 _)
   )
 }

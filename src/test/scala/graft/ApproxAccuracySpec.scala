@@ -41,4 +41,33 @@ class ApproxAccuracySpec extends SparkSpec {
       }
     }
   }
+
+  test("t19 bigram LM penalizes scrambled word order; t10 unigram cannot") {
+    import spark.implicits._
+    // 30 fluent docs sharing phrase structure build the corpus LM; one
+    // probe doc is a natural member, its twin the SAME token multiset
+    // deterministically reversed — identical unigram stats, broken
+    // bigrams
+    val phrase = "the quick brown fox jumps over the lazy dog near the old stone bridge"
+    val fluent = (0 until 30).map { i =>
+      (i.toLong, s"$phrase in the quiet town number $i", "en", "web",
+        0L)
+    }
+    val natural = (100L, phrase, "en", "web", 0L)
+    val scrambled = (101L, phrase.split(" ").reverse.mkString(" "), "en", "web", 0L)
+    val dir = java.nio.file.Files.createTempDirectory("t19lm").toString
+    (fluent :+ natural :+ scrambled)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val t19 = graft.operators.Text.queries("t19_bigram_logprob")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val t10 = graft.operators.Text.queries("t10_unigram_logprob")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // reversal preserves the token multiset → unigram score identical
+    assert(math.abs(t10(100L) - t10(101L)) < 1e-12,
+      s"unigram must not distinguish: ${t10(100L)} vs ${t10(101L)}")
+    // the bigram LM must cleanly separate fluent from scrambled
+    assert(t19(100L) > t19(101L) + 0.5,
+      s"bigram LM failed to separate: natural ${t19(100L)} vs scrambled ${t19(101L)}")
+  }
 }

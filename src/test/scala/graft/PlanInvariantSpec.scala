@@ -42,6 +42,8 @@ class PlanInvariantSpec extends SparkSpec {
     "q16_funnel" -> 2,
     // single-row doc-count broadcast into the idf term (t10's shape)
     "t14_tfidf" -> 1,
+    // single-row bigram-total broadcast into the OOV floor (t10's shape)
+    "t19_bigram_logprob" -> 1,
     // single-row weight-total broadcast into the per-source quota
     // (t10/t14's count shape)
     "t17_temperature_mix" -> 1,

@@ -266,7 +266,86 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** m07: perceptual-hash image DEDUP — the multimodal counterpart of
+    * d01: decode each image blob → 8×8 luminance grid → dHash
+    * (horizontal gradient sign bits, 8 rows × 7 comparisons = 56 bits,
+    * the standard re-encode-robust fingerprint: JPEG quality, scaling,
+    * and format changes preserve gradient signs) → dedup groups keyed
+    * on the hash. The grid comes from the same md5-chain stub as
+    * m02–m06 (no image libs in this container) — with a REAL decoder
+    * only `fakeDecode`'s grid changes and re-encoded variants collapse
+    * to the same hash; with the stub, groups form on identical blob
+    * content (the synthetic corpus is dup-free, so EventJoinSpec
+    * proves the collapse on injected duplicate blobs).
+    *
+    * Scale shape: hashing is per-row batched mapPartitions (the
+    * vectorized-decoder shape); the dedup is d01's regime — ONE
+    * partial-agg shuffle on the constant-width 56-bit key, then the
+    * count-back join co-partitioned on that key (group dim is
+    * distinct-hash-sized; at 100 TB both sides shuffle once on the
+    * hash — never wider than the corpus). Oracle: DuckDB rebuilds the
+    * md5 row-digest chain and every gradient bit natively, so each
+    * doc's hash, survivor verdict, and group size are hash-verified.
+    */
+  def m07(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashed = T(s, dir, "documents")
+      .select($"doc_id", $"text".cast("binary").as("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(32).flatMap { batch => // one stub "decode+hash call" per 32 blobs
+          batch.map { case (id, bytes) =>
+            val dg = md5hex(bytes)
+            var h = 0L
+            var bit = 0
+            var i = 0
+            while (i < 8) {
+              // row digest = one 8-value luminance row of the stub grid
+              val row = md5hex(s"$dg:r$i".getBytes("UTF-8"))
+              var j = 0
+              while (j < 7) {
+                if (hex4(row, 4 * j) > hex4(row, 4 * (j + 1))) h |= 1L << bit
+                bit += 1
+                j += 1
+              }
+              i += 1
+            }
+            (id, h)
+          }
+        }
+      }
+      .toDF("doc_id", "phash")
+    val groups = hashed.groupBy($"phash")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("grp_size"))
+    hashed.join(groups, "phash")
+      .select($"doc_id", $"phash", ($"doc_id" === $"keep_id").as("keep"),
+        $"grp_size")
+      .orderBy($"doc_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "m07_phash_dedup" -> {
+      // one row per (doc, grid row): 7 gradient-sign bits packed into a
+      // row-local value, scaled into place by a CASE-form 2^(7·i)
+      val bits = (0 until 7).map { j =>
+        s"(CASE WHEN ${sqlHex4("rd", 4 * j + 1)} > ${sqlHex4("rd", 4 * j + 5)} THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      val scale = (0 until 8).map(i => s"WHEN $i THEN ${1L << (7 * i)}")
+        .mkString(" ")
+      s"""WITH rows_ AS (SELECT doc_id, i,
+         |  md5(dg || ':r' || CAST(i AS VARCHAR)) AS rd
+         |  FROM (SELECT doc_id, md5(text) AS dg FROM documents),
+         |       (SELECT unnest(range(0, 8)) AS i)),
+         |rowbits AS (SELECT doc_id,
+         |  ($bits) * (CASE i $scale END) AS rb
+         |  FROM rows_),
+         |h AS (SELECT doc_id, CAST(SUM(rb) AS BIGINT) AS phash
+         |  FROM rowbits GROUP BY doc_id),
+         |g AS (SELECT phash, MIN(doc_id) AS keep_id, count(*) AS grp_size
+         |  FROM h GROUP BY phash)
+         |SELECT h.doc_id, h.phash, h.doc_id = g.keep_id AS keep, g.grp_size
+         |FROM h JOIN g USING (phash) ORDER BY h.doc_id""".stripMargin
+    },
     "m01_multimodal_meta" ->
       """SELECT doc_id,
         | octet_length(text::BLOB) AS n_bytes,
@@ -357,6 +436,7 @@ object Multimodal {
     "m03_feature_extract" -> (m03 _),
     "m04_frame_sample" -> (m04 _),
     "m05_audio_chunk" -> (m05 _),
-    "m06_resize_stub" -> (m06 _)
+    "m06_resize_stub" -> (m06 _),
+    "m07_phash_dedup" -> (m07 _)
   )
 }

@@ -229,4 +229,35 @@ class EventJoinSpec extends SparkSpec {
       assert(idxs.forall(i => i >= 0 && i < n))
     }
   }
+
+  test("m07 phash dedup collapses injected duplicate blobs, keeps min id") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the synthetic corpus is dup-free — inject re-uploads (same blob,
+    // fresh doc_id), the case perceptual dedup exists for
+    val base = Tables(spark, dir, "documents")
+    val dupes = base.orderBy("doc_id").limit(7)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    val tmp = java.nio.file.Files.createTempDirectory("m07").toString
+    base.unionByName(dupes).write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("m07_phash_dedup")(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2), r.getLong(3)))
+      .toMap
+    (0 until 7).map(_.toLong).foreach { id =>
+      // brute-force the intended verdicts from the id pairing itself
+      val (hOrig, kOrig, gOrig) = out(id)
+      val (hDup, kDup, gDup) = out(id + 1000000L)
+      assert(hOrig == hDup, s"doc $id: identical blobs must share a phash")
+      assert(gOrig == 2 && gDup == 2, s"doc $id: group size must be 2")
+      assert(kOrig && !kDup, s"doc $id: min-id survivor rule violated")
+    }
+    // hash quality on the stub grid: distinct content never collides here
+    val uniques = out.filter { case (id, (_, _, g)) => g == 1 }
+    assert(uniques.size == out.size - 14, "unexpected extra collisions")
+    // every group has exactly one survivor
+    out.groupBy(_._2._1).foreach { case (h, members) =>
+      assert(members.count(_._2._2) == 1, s"phash $h: one survivor expected")
+    }
+  }
 }

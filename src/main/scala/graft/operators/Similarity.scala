@@ -304,6 +304,52 @@ object Similarity {
       .orderBy($"q_id", $"vec_id")
   }
 
+  /** s01's oracle pipeline as a named val (above the map per the
+    * init-order rule) so s09's recall eval can nest it verbatim.
+    */
+  private val S01Sql: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
+       |  FROM embeddings WHERE vec_id < 5),
+       |c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |scored AS (SELECT q_id, vec_id,
+       |  list_inner_product(e, qe) / sqrt(list_inner_product(e, e) * list_inner_product(qe, qe)) AS cos
+       |  FROM c, q),
+       |ranked AS (SELECT q_id, vec_id, cos,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+       |  FROM scored)
+       |SELECT q_id, vec_id, round(cos, 6) AS cos, rn
+       |FROM ranked WHERE rn <= $K ORDER BY q_id, rn""".stripMargin
+
+  /** s02's oracle pipeline (the engine's hyperplanes as SQL literals —
+    * d05's technique: DuckDB re-derives the identical sign buckets, so
+    * the bucketed candidate rule is hash-verified, not just the
+    * re-rank), shared verbatim with s09's recall eval.
+    */
+  private val S02Sql: String = {
+    val planeRows = (0 until NPlanes).map { j =>
+      val arr = plane(j, Dims).mkString(", ")
+      s"($j, [$arr]::DOUBLE[])"
+    }.mkString(",\n ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |p(j, pv) AS (VALUES
+       | $planeRows),
+       |b AS (SELECT e.vec_id,
+       |  CAST(SUM(CASE WHEN list_inner_product(e.v, p.pv) > 0 THEN (1 << p.j) ELSE 0 END) AS INTEGER) AS bucket
+       |  FROM e, p GROUP BY e.vec_id),
+       |q AS (SELECT vec_id AS q_id, bucket AS q_bucket FROM b WHERE vec_id < 5),
+       |cand AS (SELECT q.q_id, c.vec_id, c.bucket,
+       |  list_inner_product(ec.v, eq.v) /
+       |    sqrt(list_inner_product(ec.v, ec.v) * list_inner_product(eq.v, eq.v)) AS cos
+       |  FROM q JOIN b c ON bit_count(xor(q.q_bucket, c.bucket)) <= 1
+       |  JOIN e ec ON ec.vec_id = c.vec_id
+       |  JOIN e eq ON eq.vec_id = q.q_id),
+       |ranked AS (SELECT q_id, vec_id, bucket, cos,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+       |  FROM cand)
+       |SELECT q_id, vec_id, bucket, round(cos, 6) AS cos, rn
+       |FROM ranked WHERE rn <= $K ORDER BY q_id, rn""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "s08_mmr_rerank" -> {
       // the k greedy steps unrolled as chained CTEs (recursive CTEs
@@ -391,45 +437,23 @@ object Similarity {
          |  FROM c, q WHERE vec_id <> q_id)
          |SELECT q_id, vec_id, round(cos, 6) AS cos
          |FROM scored WHERE cos >= $RangeTau ORDER BY q_id, vec_id""".stripMargin,
-    "s02_ann_lsh" -> {
-      // the engine's hyperplanes as SQL literals (d05's technique):
-      // DuckDB re-derives the identical sign buckets, so the bucketed
-      // candidate rule is hash-verified, not just the re-rank
-      val planeRows = (0 until NPlanes).map { j =>
-        val arr = plane(j, Dims).mkString(", ")
-        s"($j, [$arr]::DOUBLE[])"
-      }.mkString(",\n ")
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |p(j, pv) AS (VALUES
-         | $planeRows),
-         |b AS (SELECT e.vec_id,
-         |  CAST(SUM(CASE WHEN list_inner_product(e.v, p.pv) > 0 THEN (1 << p.j) ELSE 0 END) AS INTEGER) AS bucket
-         |  FROM e, p GROUP BY e.vec_id),
-         |q AS (SELECT vec_id AS q_id, bucket AS q_bucket FROM b WHERE vec_id < 5),
-         |cand AS (SELECT q.q_id, c.vec_id, c.bucket,
-         |  list_inner_product(ec.v, eq.v) /
-         |    sqrt(list_inner_product(ec.v, ec.v) * list_inner_product(eq.v, eq.v)) AS cos
-         |  FROM q JOIN b c ON bit_count(xor(q.q_bucket, c.bucket)) <= 1
-         |  JOIN e ec ON ec.vec_id = c.vec_id
-         |  JOIN e eq ON eq.vec_id = q.q_id),
-         |ranked AS (SELECT q_id, vec_id, bucket, cos,
-         |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
-         |  FROM cand)
-         |SELECT q_id, vec_id, bucket, round(cos, 6) AS cos, rn
-         |FROM ranked WHERE rn <= $K ORDER BY q_id, rn""".stripMargin
-    },
-    "s01_ann_bruteforce_topk" ->
-      s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
-         |  FROM embeddings WHERE vec_id < 5),
-         |c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         |scored AS (SELECT q_id, vec_id,
-         |  list_inner_product(e, qe) / sqrt(list_inner_product(e, e) * list_inner_product(qe, qe)) AS cos
-         |  FROM c, q),
-         |ranked AS (SELECT q_id, vec_id, cos,
-         |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
-         |  FROM scored)
-         |SELECT q_id, vec_id, round(cos, 6) AS cos, rn
-         |FROM ranked WHERE rn <= $K ORDER BY q_id, rn""".stripMargin,
+    "s02_ann_lsh" -> S02Sql,
+    "s01_ann_bruteforce_topk" -> S01Sql,
+    "s09_ann_recall" ->
+      // the two retrieval paths' FULL oracle pipelines nested as
+      // subquery CTEs, so the recall numbers grade the exact same
+      // result sets the s01/s02 gates verify
+      s"""WITH ex AS ($S01Sql),
+         |ap AS ($S02Sql),
+         |pq AS (SELECT q_id, count(*) AS n_exact FROM ex GROUP BY q_id),
+         |ht AS (SELECT ex.q_id, count(*) AS n_hit FROM ex
+         |  WHERE EXISTS (SELECT 1 FROM ap
+         |    WHERE ap.q_id = ex.q_id AND ap.vec_id = ex.vec_id)
+         |  GROUP BY ex.q_id)
+         |SELECT pq.q_id, CAST(pq.n_exact AS BIGINT) AS n_exact,
+         | CAST(coalesce(ht.n_hit, 0) AS BIGINT) AS n_hit,
+         | CAST(coalesce(ht.n_hit, 0) AS DOUBLE) / CAST(pq.n_exact AS DOUBLE) AS recall
+         |FROM pq LEFT JOIN ht USING (q_id) ORDER BY pq.q_id""".stripMargin,
     "s06_knn_graph" -> {
       // the engine's hyperplanes as SQL literals (s02's technique):
       // DuckDB re-derives the identical sign buckets, so every graph
@@ -615,6 +639,31 @@ object Similarity {
     kept.reduce(_ union _).orderBy($"q_id", $"step")
   }
 
+  /** s09: ANN recall EVALUATION — per-query recall@k of the LSH path
+    * (s02) against exact brute force (s01), the accuracy gauge every
+    * ANN deployment runs before trusting its index parameters (here:
+    * NPlanes/probe-width). Composes the two retrieval operators as
+    * DataFrames — the eval IS the production paths, not a re-model —
+    * and reduces their (queries × k)-bounded outputs with a semi-join
+    * + one tiny aggregation; corpus-scale cost is exactly one run of
+    * each path. At full scale the exact side runs over a fixed query
+    * SAMPLE (recall needs no more), which this shape already is.
+    */
+  def s09(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exact = s01(s, dir).select($"q_id", $"vec_id")
+    val approx = s02(s, dir).select($"q_id", $"vec_id")
+    val perQ = exact.groupBy($"q_id").agg(count(lit(1)).as("n_exact"))
+    val hits = exact.join(approx, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy($"q_id").agg(count(lit(1)).as("n_hit"))
+    perQ.join(hits, Seq("q_id"), "left")
+      .select($"q_id", $"n_exact",
+        coalesce($"n_hit", lit(0L)).as("n_hit"),
+        (coalesce($"n_hit", lit(0L)).cast("double") /
+          $"n_exact".cast("double")).as("recall"))
+      .orderBy($"q_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce_topk" -> (s01 _),
     "s02_ann_lsh" -> (s02 _),
@@ -623,6 +672,7 @@ object Similarity {
     "s05_range_search" -> (s05 _),
     "s06_knn_graph" -> (s06 _),
     "s07_diversity_sample" -> (s07 _),
-    "s08_mmr_rerank" -> (s08 _)
+    "s08_mmr_rerank" -> (s08 _),
+    "s09_ann_recall" -> (s09 _)
   )
 }

@@ -17,6 +17,9 @@ class PlanInvariantSpec extends SparkSpec {
     */
   private val bnljAllowed = Map(
     "s01_ann_bruteforce_topk" -> 1, // broadcast query set × corpus scan
+    // the exact-side s01 subtree (one designed BNLJ) is referenced by
+    // both the per-query total and the hit count, so it prints twice
+    "s09_ann_recall" -> 2,
     "s05_range_search" -> 1, // broadcast query set × corpus scan (s01's shape)
     "s03_ann_ivf" -> 1, // broadcast centroid set × query scan
     "s04_ann_pq" -> 1, // broadcast query set (+ ADC tables) × code scan
@@ -82,7 +85,11 @@ class PlanInvariantSpec extends SparkSpec {
       // runtime, and a shuffle of a 36-row frame is moot regardless.
       // The one corpus-scale stage (s01's scan + pool window) sits
       // BEHIND the checkpoint and keeps s01's plan shape.
-      "s08_mmr_rerank")
+      "s08_mmr_rerank",
+      // the recall eval semi-joins two POST-TOP-K frames (each bounded
+      // at queries × k rows at any corpus size) whose windowed-subtree
+      // stats the static planner can't see; AQE broadcasts at runtime
+      "s09_ann_recall")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plan: no cartesian product, no sort-merge join") {

@@ -439,8 +439,56 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  /** q22: per-nation customer revenue DECILES — each nation's customers
+    * ntile(10)-ranked by lifetime order revenue, rolled up to one row
+    * per (nation, decile) with customer count, decile revenue, and the
+    * decile's share of nation revenue: the "top decile drives X% of
+    * revenue" concentration report.
+    *
+    * Scale shape: per-customer revenue = ONE partial-agg shuffle on
+    * custkey; the ntile window is PARTITIONED BY NATION — never the
+    * global single-partition sort a bare ntile would be (the 100 TB
+    * form shards the rank by the dim, exactly this plan); the decile
+    * rollup and the share window then run on a bounded nations × 10
+    * frame. Money stays in exact integer cents until the final double
+    * cast (house determinism rule).
+    */
+  def q22(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = T(s, dir, "orders").groupBy($"o_custkey")
+      .agg(sum(cents($"o_totalprice")).as("rev_c"))
+    val wTile = Window.partitionBy($"n_name")
+      .orderBy($"rev_c".desc, $"o_custkey".asc)
+    rev.join(T(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .join(broadcast(T(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .withColumn("decile", ntile(10).over(wTile))
+      .groupBy($"n_name", $"decile")
+      .agg(count(lit(1)).as("n_customers"), sum($"rev_c").as("dec_c"))
+      .withColumn("decile_rev", $"dec_c".cast("double") / lit(100.0))
+      .withColumn("rev_share", expr(
+        "round(CAST(dec_c AS DOUBLE) / CAST(SUM(dec_c) OVER (PARTITION BY n_name) AS DOUBLE), 6)"))
+      .select($"n_name", $"decile", $"n_customers", $"decile_rev", $"rev_share")
+      .orderBy($"n_name", $"decile")
+  }
+
   /** Oracle SQL (DuckDB dialect ≈ ANSI) mirroring each query above. */
   val oracle: Map[String, String] = Map(
+    "q22_revenue_deciles" ->
+      """WITH rev AS (SELECT o_custkey,
+        |  SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS rev_c
+        |  FROM orders GROUP BY o_custkey),
+        |t AS (SELECT n_name, o_custkey, rev_c,
+        |  NTILE(10) OVER (PARTITION BY n_name ORDER BY rev_c DESC, o_custkey ASC) AS decile
+        |  FROM rev
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |d AS (SELECT n_name, decile, count(*) AS n_customers,
+        |  CAST(SUM(rev_c) AS BIGINT) AS dec_c
+        |  FROM t GROUP BY n_name, decile)
+        |SELECT n_name, decile, n_customers,
+        | CAST(dec_c AS DOUBLE)/100.0 AS decile_rev,
+        | round(CAST(dec_c AS DOUBLE) / CAST(SUM(dec_c) OVER (PARTITION BY n_name) AS DOUBLE), 6) AS rev_share
+        |FROM d ORDER BY n_name, decile""".stripMargin,
     "q21_trailing_window" ->
       """SELECT o_orderkey, o_custkey, day,
         | CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER w AS DOUBLE)/100.0 AS trailing_90d,
@@ -623,6 +671,7 @@ object Relational {
     "q18_topk_per_group" -> (q18 _),
     "q19_supplier_revenue" -> (q19 _),
     "q20_retention_cohorts" -> (q20 _),
-    "q21_trailing_window" -> (q21 _)
+    "q21_trailing_window" -> (q21 _),
+    "q22_revenue_deciles" -> (q22 _)
   )
 }

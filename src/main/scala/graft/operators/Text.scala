@@ -695,7 +695,59 @@ object Text {
       .orderBy($"doc_id")
   }
 
+  /** t20 keyword set — language-agnostic high-precision code tokens,
+    * shared verbatim with the oracle.
+    */
+  private val codeKeywords = Seq("def", "class", "return", "import",
+    "function", "var", "const", "if", "else", "for", "while", "int",
+    "void", "public", "static")
+
+  /** t20: CODE-vs-PROSE detection — the mixture-weighting signal every
+    * LLM corpus pipeline needs before setting code/prose sampling
+    * ratios (and before routing docs to code-specific filters): symbol
+    * density ({};()= per char), code-keyword hits, camelCase token
+    * fraction, plus the conjunctive flag. Pure per-row codegen regex
+    * counts over one scan — shuffle-free, scan-speed at any corpus
+    * size (t15's regime); every signal recomputed by the oracle.
+    * ApproxAccuracySpec proves the discrimination on injected code.
+    */
+  def t20(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val kw = codeKeywords.map(w => s"'$w'").mkString(", ")
+    T(s, dir, "documents")
+      .withColumn("n_words", expr("size(split(text, ' '))"))
+      .withColumn("n_sym", expr("size(regexp_extract_all(text, '[{}();=]', 0))"))
+      .withColumn("sym_frac", expr(
+        "round(CAST(n_sym AS DOUBLE) / nullif(length(text), 0), 6)"))
+      .withColumn("n_kw", expr(
+        s"size(filter(split(text, ' '), t -> t IN ($kw)))"))
+      .withColumn("camel_frac", expr(
+        "round(CAST(size(filter(split(text, ' '), t -> t RLIKE '^[a-z]+[A-Z]')) AS DOUBLE) / n_words, 6)"))
+      .withColumn("is_code",
+        $"sym_frac" > 0.03 || ($"n_kw" >= 3 && $"sym_frac" > 0.01))
+      .select($"doc_id", $"n_words", $"n_sym", $"sym_frac", $"n_kw",
+        $"camel_frac", $"is_code")
+      .orderBy($"doc_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "t20_code_detect" -> {
+      val kw = codeKeywords.map(w => s"'$w'").mkString(", ")
+      s"""WITH sig AS (SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+         |  CAST(len(regexp_extract_all(text, '[{}();=]')) AS INT) AS n_sym,
+         |  round(CAST(len(regexp_extract_all(text, '[{}();=]')) AS DOUBLE)
+         |    / nullif(length(text), 0), 6) AS sym_frac,
+         |  CAST(len(list_filter(string_split(text, ' '),
+         |      t -> t IN ($kw))) AS INT) AS n_kw,
+         |  round(CAST(len(list_filter(string_split(text, ' '),
+         |      t -> regexp_matches(t, '^[a-z]+[A-Z]'))) AS DOUBLE)
+         |    / len(string_split(text, ' ')), 6) AS camel_frac
+         | FROM documents)
+         |SELECT doc_id, n_words, n_sym, sym_frac, n_kw, camel_frac,
+         | (sym_frac > 0.03 OR (n_kw >= 3 AND sym_frac > 0.01)) AS is_code
+         |FROM sig ORDER BY doc_id""".stripMargin
+    },
     "t19_bigram_logprob" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |pairs AS (SELECT doc_id, w[CAST(i AS INT)] AS w1, w[CAST(i AS INT) + 1] AS w2
@@ -938,6 +990,7 @@ object Text {
     "t16_hash_split" -> (t16 _),
     "t17_temperature_mix" -> (t17 _),
     "t18_heavy_hitters" -> (t18 _),
-    "t19_bigram_logprob" -> (t19 _)
+    "t19_bigram_logprob" -> (t19 _),
+    "t20_code_detect" -> (t20 _)
   )
 }

@@ -70,4 +70,24 @@ class ApproxAccuracySpec extends SparkSpec {
     assert(t19(100L) > t19(101L) + 0.5,
       s"bigram LM failed to separate: natural ${t19(100L)} vs scrambled ${t19(101L)}")
   }
+
+  test("t20 flags injected code, not the prose corpus") {
+    import spark.implicits._
+    val code =
+      "def main(argv): { int x = 0; for (i = 0; i < 10; i++) { x += fooBar(i); } return x; }"
+    val prose = "the committee reviewed the annual report and approved the budget for next year"
+    val docs = Seq((1L, code, "en", "gh", 0L), (2L, prose, "en", "web", 0L))
+    val dir = java.nio.file.Files.createTempDirectory("t20").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Text.queries("t20_code_detect")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    assert(out(1L), "code snippet must flag is_code")
+    assert(!out(2L), "prose must not flag is_code")
+    // the real corpus is prose: no false positives at sf0.001
+    val corpus = graft.operators.Text.queries("t20_code_detect")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(corpus.count(_.getBoolean(6)) == 0,
+      "synthetic prose corpus should carry no code flags")
+  }
 }

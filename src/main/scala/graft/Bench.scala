@@ -40,9 +40,12 @@ object Bench {
     "d12_dup_downweight",
     "s01_ann_bruteforce_topk", "s02_ann_lsh", "s06_knn_graph",
     "s07_diversity_sample",
+    "s08_mmr_rerank", "s09_ann_recall",
     "t07_stratified_sample", "t08_pii_scrub", "t10_unigram_logprob",
     "t12_seq_pack", "t13_line_dedup", "t14_tfidf", "t15_gopher_rules",
-    "t17_temperature_mix", "t18_heavy_hitters", "d13_source_overlap")
+    "t17_temperature_mix", "t18_heavy_hitters", "d13_source_overlap",
+    "t19_bigram_logprob", "t20_code_detect", "m07_phash_dedup",
+    "q22_revenue_deciles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -158,7 +158,86 @@ object StreamingOps {
       .orderBy($"event_type", $"ws")
   }
 
+  /** st07 drift threshold — L1 distance between consecutive window
+    * type-mix distributions above which the mix counts as shifted.
+    */
+  private final val DriftTau = 0.2
+
+  /** st07: streaming DISTRIBUTION-DRIFT monitor — per tumbling 5-min
+    * window, the L1 distance between this window's event-type mix and
+    * the previous (non-empty) window's, flagging shifts > [[DriftTau]].
+    * st06 watches per-type VOLUME bursts; this watches the SHAPE of the
+    * mix — the standard ingest data-drift check (a scraper source going
+    * dark or a new event type flooding in moves the mix long before any
+    * single type's rate alarms).
+    *
+    * Exactness: the L1 numerator stays in integer space —
+    * Σ_t |c_w,t·n_{w-1} − c_{w-1},t·n_w| is an exact BIGINT sum
+    * (order-free), and the ONE division by n_w·n_{w-1} happens on
+    * identical operands in both engines (a per-type share subtraction
+    * would be order-sensitive double math).
+    *
+    * Scale shape: the only corpus-scale work is st01's windowed
+    * partial agg; everything after runs on the (timeline/5min × types)
+    * dim frame (st06's argument) — the dense grid, the per-type lag
+    * window, and the single-partition window over the bounded timeline
+    * dim. Streaming twin = DriftMonitor.flags (flatMapGroupsWithState,
+    * single global key over pre-aggregated window counts — a dim-sized
+    * stream), parity-tested in StreamingSpec.
+    */
+  def st07(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = T(s, dir, "events")
+      .groupBy(window($"ts", "5 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("c"))
+      .select($"w.start".as("ws"), $"event_type", $"c")
+    val grid = counts.select($"ws").distinct()
+      .crossJoin(broadcast(counts.select($"event_type").distinct()))
+      .join(counts, Seq("ws", "event_type"), "left")
+      .na.fill(0L, Seq("c"))
+    val lagged = grid.withColumn("c_prev",
+      lag($"c", 1).over(Window.partitionBy($"event_type").orderBy($"ws")))
+    val tot = grid.groupBy($"ws").agg(sum($"c").as("n"))
+      .withColumn("n_prev", lag($"n", 1).over(Window.orderBy($"ws")))
+    lagged.join(tot, "ws")
+      .filter($"c_prev".isNotNull)
+      .groupBy($"ws", $"n", $"n_prev")
+      .agg(sum(abs($"c" * $"n_prev" - $"c_prev" * $"n")).as("drift_num"))
+      .withColumn("drift", expr(
+        "CAST(drift_num AS DOUBLE) / CAST(n * n_prev AS DOUBLE)"))
+      .withColumn("shifted", $"drift" > DriftTau)
+      .select($"ws", $"n", $"drift_num", $"drift", $"shifted")
+      .orderBy($"ws")
+  }
+
   val oracle: Map[String, String] = Map(
+    "st07_drift_monitor" ->
+      s"""WITH c AS (
+         | SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws, event_type,
+         |  COUNT(*) AS c
+         | FROM events GROUP BY 1, 2),
+         |grid AS (
+         | SELECT w.ws, t.event_type, coalesce(c.c, 0) AS c
+         | FROM (SELECT DISTINCT ws FROM c) w
+         | CROSS JOIN (SELECT DISTINCT event_type FROM c) t
+         | LEFT JOIN c ON c.ws = w.ws AND c.event_type = t.event_type),
+         |lagged AS (
+         | SELECT ws, event_type, c,
+         |  lag(c) OVER (PARTITION BY event_type ORDER BY ws) AS c_prev
+         | FROM grid),
+         |tot AS (
+         | SELECT ws, CAST(SUM(c) AS BIGINT) AS n,
+         |  lag(CAST(SUM(c) AS BIGINT)) OVER (ORDER BY ws) AS n_prev
+         | FROM grid GROUP BY ws),
+         |d AS (
+         | SELECT l.ws, t.n, t.n_prev,
+         |  CAST(SUM(abs(l.c * t.n_prev - l.c_prev * t.n)) AS BIGINT) AS drift_num
+         | FROM lagged l JOIN tot t USING (ws)
+         | WHERE l.c_prev IS NOT NULL GROUP BY 1, 2, 3)
+         |SELECT ws, n, drift_num,
+         | CAST(drift_num AS DOUBLE) / CAST(n * n_prev AS DOUBLE) AS drift,
+         | (CAST(drift_num AS DOUBLE) / CAST(n * n_prev AS DOUBLE) > $DriftTau) AS shifted
+         |FROM d ORDER BY ws""".stripMargin,
     "st06_rate_anomaly" ->
       """WITH w AS (
         | SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws, event_type,
@@ -230,6 +309,7 @@ object StreamingOps {
     "st03_dedup_events" -> (st03 _),
     "st04_interval_join" -> (st04 _),
     "st05_stream_curate" -> (st05 _),
-    "st06_rate_anomaly" -> (st06 _)
+    "st06_rate_anomaly" -> (st06 _),
+    "st07_drift_monitor" -> (st07 _)
   )
 }

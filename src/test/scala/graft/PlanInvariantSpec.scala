@@ -47,6 +47,10 @@ class PlanInvariantSpec extends SparkSpec {
     "t14_tfidf" -> 1,
     // single-row bigram-total broadcast into the OOV floor (t10's shape)
     "t19_bigram_logprob" -> 1,
+    // bounded types-dim broadcast into the dense window×type grid; the
+    // grid subtree is referenced by both the lag and total branches,
+    // so the single designed BNLJ prints twice
+    "st07_drift_monitor" -> 2,
     // single-row weight-total broadcast into the per-source quota
     // (t10/t14's count shape)
     "t17_temperature_mix" -> 1,
@@ -89,7 +93,12 @@ class PlanInvariantSpec extends SparkSpec {
       // the recall eval semi-joins two POST-TOP-K frames (each bounded
       // at queries × k rows at any corpus size) whose windowed-subtree
       // stats the static planner can't see; AQE broadcasts at runtime
-      "s09_ann_recall")
+      "s09_ann_recall",
+      // the drift monitor's grid/total joins land AFTER st01's windowed
+      // agg, on (timeline/5min × types) dim frames whose aggregated-
+      // subtree stats the static planner can't see; AQE broadcasts at
+      // runtime — the raw event stream shuffles exactly once
+      "st07_drift_monitor")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plan: no cartesian product, no sort-merge join") {

@@ -430,4 +430,53 @@ class StreamStreamJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st07 streaming twin: DriftMonitor matches the batch L1 drift rule") {
+    import spark.implicits._
+    import graft.streaming.{DriftFlag, DriftMonitor, WindowCount}
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    def toTs(a: Any): Timestamp = a match {
+      case t: Timestamp => t
+      case l: java.time.LocalDateTime => Timestamp.valueOf(l)
+    }
+    // feed the twin the same pre-aggregated (window, type) counts the
+    // batch query derives internally
+    val wcs = Tables(spark, dir, "events")
+      .groupBy(org.apache.spark.sql.functions.window($"ts", "5 minutes")
+        .as("w"), $"event_type")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("c"))
+      .select($"w.start".as("ws"), $"event_type", $"c")
+      .collect()
+      .map(r => WindowCount(toTs(r.get(0)), r.getString(1), r.getLong(2)))
+      .sortBy(_.ws.getTime)
+    val batch = graft.operators.StreamingOps.st07(spark, dir).collect()
+      .map(r => toTs(r.get(0)).getTime ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    val input = MemoryStream[WindowCount]
+    val q = DriftMonitor.flags(input.toDS()).writeStream
+      .format("memory").queryName("drift_out").outputMode("append").start()
+    try {
+      // split mid-stream: the previous-window histogram must carry
+      // across micro-batches
+      val (b1, b2) = wcs.splitAt(wcs.length / 2)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      val out = spark.table("drift_out").as[DriftFlag].collect()
+        .map(f => f.ws.getTime -> f).toMap
+      // streaming emits every window (first with no drift); batch drops
+      // the history-less first window
+      assert(out.size == batch.size + 1)
+      val firstWs = wcs.map(_.ws.getTime).min
+      assert(out(firstWs).drift.isEmpty && !out(firstWs).shifted)
+      batch.foreach { case (ws, (n, num, drift, shifted)) =>
+        val f = out(ws)
+        assert(f.n == n, s"window $ws: total ${f.n} vs $n")
+        assert(f.drift_num.contains(num), s"window $ws: num ${f.drift_num} vs $num")
+        assert(f.drift.contains(drift), s"window $ws: drift ${f.drift} vs $drift")
+        assert(f.shifted == shifted)
+      }
+    } finally q.stop()
+  }
+
 }

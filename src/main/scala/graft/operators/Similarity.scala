@@ -127,12 +127,35 @@ object Similarity {
     * Oracle-verified end to end: the DuckDB side re-derives the same
     * buckets from the plane literals (d05's technique).
     */
-  def s02(s: SparkSession, dir: String): DataFrame = {
+  def s02(s: SparkSession, dir: String): DataFrame = lshTopK(s, dir, maxHamming = 1)
+
+  /** s10: MULTIPROBE LSH ANN — s02's index probed wider (all buckets
+    * within Hamming distance 2 of the query's: 1+8+28 = 37 probe
+    * buckets instead of 9). The standard recall-vs-cost knob of
+    * hyperplane LSH: probe fan-out is a CONSTANT per query (the probe
+    * masks are plan literals — still an EQUI-join on the bucket id,
+    * never a widening of the join itself), so candidate volume grows
+    * ~4× while recall@10 roughly doubles (s09 measures 0.2–0.4 at
+    * Hamming-1; DedupQualitySpec pins the Hamming-2 lift ≥ that on
+    * every query). Deployments pick the probe radius per their
+    * recall SLO — both radii ship because both sides of that trade
+    * are real.
+    */
+  def s10(s: SparkSession, dir: String): DataFrame = lshTopK(s, dir, maxHamming = 2)
+
+  /** Shared LSH top-k engine for s02/s10: corpus bucketed once, query
+    * set exploded into all probe masks of Hamming weight ≤ maxHamming
+    * (plan literals), candidates via bucket EQUI-join, exact re-rank.
+    * Distinct masks hit distinct buckets, so each (query, candidate)
+    * pair joins at most once.
+    */
+  private def lshTopK(s: SparkSession, dir: String, maxHamming: Int): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
     val emb = T(s, dir, "embeddings")
     val corpus = emb.select($"vec_id", $"embedding", bucketCol("embedding").as("bucket"))
-    val probes = (0 to NPlanes).map(i => if (i == 0) 0 else 1 << (i - 1))
+    val probes = (0 until (1 << NPlanes))
+      .filter(m => Integer.bitCount(m) <= maxHamming)
     val queries = emb.filter($"vec_id" < 5)
       .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
         bucketCol("embedding").as("q_bucket"))
@@ -325,7 +348,7 @@ object Similarity {
     * the bucketed candidate rule is hash-verified, not just the
     * re-rank), shared verbatim with s09's recall eval.
     */
-  private val S02Sql: String = {
+  private def lshSql(maxHamming: Int): String = {
     val planeRows = (0 until NPlanes).map { j =>
       val arr = plane(j, Dims).mkString(", ")
       s"($j, [$arr]::DOUBLE[])"
@@ -340,7 +363,7 @@ object Similarity {
        |cand AS (SELECT q.q_id, c.vec_id, c.bucket,
        |  list_inner_product(ec.v, eq.v) /
        |    sqrt(list_inner_product(ec.v, ec.v) * list_inner_product(eq.v, eq.v)) AS cos
-       |  FROM q JOIN b c ON bit_count(xor(q.q_bucket, c.bucket)) <= 1
+       |  FROM q JOIN b c ON bit_count(xor(q.q_bucket, c.bucket)) <= $maxHamming
        |  JOIN e ec ON ec.vec_id = c.vec_id
        |  JOIN e eq ON eq.vec_id = q.q_id),
        |ranked AS (SELECT q_id, vec_id, bucket, cos,
@@ -349,6 +372,8 @@ object Similarity {
        |SELECT q_id, vec_id, bucket, round(cos, 6) AS cos, rn
        |FROM ranked WHERE rn <= $K ORDER BY q_id, rn""".stripMargin
   }
+
+  private val S02Sql: String = lshSql(1)
 
   val oracle: Map[String, String] = Map(
     "s08_mmr_rerank" -> {
@@ -438,6 +463,7 @@ object Similarity {
          |SELECT q_id, vec_id, round(cos, 6) AS cos
          |FROM scored WHERE cos >= $RangeTau ORDER BY q_id, vec_id""".stripMargin,
     "s02_ann_lsh" -> S02Sql,
+    "s10_ann_multiprobe" -> lshSql(2),
     "s01_ann_bruteforce_topk" -> S01Sql,
     "s09_ann_recall" ->
       // the two retrieval paths' FULL oracle pipelines nested as
@@ -673,6 +699,7 @@ object Similarity {
     "s06_knn_graph" -> (s06 _),
     "s07_diversity_sample" -> (s07 _),
     "s08_mmr_rerank" -> (s08 _),
-    "s09_ann_recall" -> (s09 _)
+    "s09_ann_recall" -> (s09 _),
+    "s10_ann_multiprobe" -> (s10 _)
   )
 }

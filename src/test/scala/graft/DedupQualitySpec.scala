@@ -205,6 +205,27 @@ class DedupQualitySpec extends SparkSpec {
     assert(departed, "MMR never departed from pure relevance on any query")
   }
 
+  test("s10 multiprobe recall@10 dominates s02 single-probe on every query") {
+    val S = graft.operators.Similarity
+    def topk(name: String): Map[Long, Set[Long]] =
+      S.queries(name)(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (q, v) => q -> v.map(_._2).toSet }
+    val exact = topk("s01_ann_bruteforce_topk")
+    val h1 = topk("s02_ann_lsh")
+    val h2 = topk("s10_ann_multiprobe")
+    exact.keys.foreach { q =>
+      val r1 = (exact(q) & h1.getOrElse(q, Set())).size
+      val r2 = (exact(q) & h2.getOrElse(q, Set())).size
+      assert(r2 >= r1, s"query $q: multiprobe recall $r2 < single-probe $r1")
+    }
+    // wider probing must actually buy recall somewhere
+    val total1 = exact.keys.map(q => (exact(q) & h1.getOrElse(q, Set())).size).sum
+    val total2 = exact.keys.map(q => (exact(q) & h2.getOrElse(q, Set())).size).sum
+    assert(total2 > total1,
+      s"Hamming-2 probing bought no recall ($total2 <= $total1)")
+  }
+
   test("blocked d05 is a subset of exact pairs with identical cosines") {
     val blocked = Dedup.queries("d05_dedup_embedding")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

@@ -323,7 +323,49 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** m08: modality ROUTER — classify each blob by its container
+    * signature (magic bytes) BEFORE any decode is attempted: the first
+    * stage of every multimodal ingest pipeline (route to the right
+    * decoder pool, quarantine unknowns, budget per modality). Pure
+    * per-row codegen prefix compares over one scan — shuffle-free.
+    * The rules here cover the ASCII-representable container magics
+    * (RIFF/WAVE, GIF8, %PDF, ftyp@5, OggS, ID3, XML/SVG); binary
+    * magics (JPEG ff d8, PNG 89 50) are the SAME prefix-compare shape
+    * on a hex projection and slot in without changing the plan — kept
+    * out here because this DuckDB build lacks BLOB substring for the
+    * oracle replay. EventJoinSpec proves the routing on injected
+    * container heads; the prose corpus all routes to 'text'.
+    */
+  def m08(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "documents")
+      .select($"doc_id", substring($"text", 1, 8).as("head8"),
+        expr(
+          """CASE
+            | WHEN substring(text, 1, 4) = 'RIFF' AND substring(text, 9, 4) = 'WAVE' THEN 'wav'
+            | WHEN substring(text, 1, 4) = 'GIF8' THEN 'gif'
+            | WHEN substring(text, 1, 4) = '%PDF' THEN 'pdf'
+            | WHEN substring(text, 5, 4) = 'ftyp' THEN 'mp4'
+            | WHEN substring(text, 1, 4) = 'OggS' THEN 'ogg'
+            | WHEN substring(text, 1, 3) = 'ID3' THEN 'mp3'
+            | WHEN substring(text, 1, 5) = '<?xml' OR substring(text, 1, 4) = '<svg' THEN 'xml'
+            | ELSE 'text' END""".stripMargin).as("modality"))
+      .orderBy($"doc_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "m08_modality_route" ->
+      """SELECT doc_id, substr(text, 1, 8) AS head8,
+        | CASE
+        |  WHEN substr(text, 1, 4) = 'RIFF' AND substr(text, 9, 4) = 'WAVE' THEN 'wav'
+        |  WHEN substr(text, 1, 4) = 'GIF8' THEN 'gif'
+        |  WHEN substr(text, 1, 4) = '%PDF' THEN 'pdf'
+        |  WHEN substr(text, 5, 4) = 'ftyp' THEN 'mp4'
+        |  WHEN substr(text, 1, 4) = 'OggS' THEN 'ogg'
+        |  WHEN substr(text, 1, 3) = 'ID3' THEN 'mp3'
+        |  WHEN substr(text, 1, 5) = '<?xml' OR substr(text, 1, 4) = '<svg' THEN 'xml'
+        |  ELSE 'text' END AS modality
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "m07_phash_dedup" -> {
       // one row per (doc, grid row): 7 gradient-sign bits packed into a
       // row-local value, scaled into place by a CASE-form 2^(7·i)
@@ -437,6 +479,7 @@ object Multimodal {
     "m04_frame_sample" -> (m04 _),
     "m05_audio_chunk" -> (m05 _),
     "m06_resize_stub" -> (m06 _),
-    "m07_phash_dedup" -> (m07 _)
+    "m07_phash_dedup" -> (m07 _),
+    "m08_modality_route" -> (m08 _)
   )
 }

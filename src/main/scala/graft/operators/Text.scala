@@ -730,7 +730,50 @@ object Text {
       .orderBy($"doc_id")
   }
 
+  /** t21: READABILITY scoring — Flesch reading-ease and Flesch-Kincaid
+    * grade level from words-per-sentence and syllables-per-word (vowel-
+    * group heuristic: maximal [aeiouy]+ runs; a real syllable counter
+    * slots in without changing the plan). The education-quality signal
+    * of curation mixes (FineWeb-Edu-style filtering ranks docs by
+    * grade-level fit before sampling). Per-row codegen regex counts —
+    * shuffle-free, scan-speed (t15's regime). The score arithmetic
+    * runs UNROUNDED: both engines see identical integer operands and
+    * the same IEEE op tree, so the doubles match bit-for-bit (a final
+    * round() is the one op the engines disagree on — see t10).
+    */
+  def t21(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "documents")
+      .select($"doc_id",
+        expr("size(split(text, ' '))").as("n_words"),
+        expr("greatest(size(regexp_extract_all(text, '[.!?]+', 0)), 1)")
+          .as("n_sents"),
+        expr("size(regexp_extract_all(lower(text), '[aeiouy]+', 0))")
+          .as("n_syll"))
+      .withColumn("flesch", expr(
+        "206.835e0 - 1.015e0 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE)) " +
+          "- 84.6e0 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE))"))
+      .withColumn("fk_grade", expr(
+        "0.39e0 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE)) " +
+          "+ 11.8e0 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)) - 15.59e0"))
+      .orderBy($"doc_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "t21_readability" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+        | CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS INT) AS n_sents,
+        | CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS INT) AS n_syll,
+        | 206.835e0 - 1.015e0 * (CAST(len(string_split(text, ' ')) AS DOUBLE)
+        |     / CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE))
+        |   - 84.6e0 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+        |     / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS flesch,
+        | 0.39e0 * (CAST(len(string_split(text, ' ')) AS DOUBLE)
+        |     / CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE))
+        |   + 11.8e0 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+        |     / CAST(len(string_split(text, ' ')) AS DOUBLE)) - 15.59e0 AS fk_grade
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "t20_code_detect" -> {
       val kw = codeKeywords.map(w => s"'$w'").mkString(", ")
       s"""WITH sig AS (SELECT doc_id,
@@ -991,6 +1034,7 @@ object Text {
     "t17_temperature_mix" -> (t17 _),
     "t18_heavy_hitters" -> (t18 _),
     "t19_bigram_logprob" -> (t19 _),
-    "t20_code_detect" -> (t20 _)
+    "t20_code_detect" -> (t20 _),
+    "t21_readability" -> (t21 _)
   )
 }

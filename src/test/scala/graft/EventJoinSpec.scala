@@ -230,6 +230,32 @@ class EventJoinSpec extends SparkSpec {
     }
   }
 
+  test("m08 routes injected container heads to their modalities") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val heads = Seq(
+      (1L, "RIFF0124WAVEfmt and pcm samples follow", "wav"),
+      (2L, "GIF89a image data", "gif"),
+      (3L, "%PDF-1.7 obj stream", "pdf"),
+      (4L, "0000ftypisom mp4 boxes", "mp4"),
+      (5L, "OggS vorbis page", "ogg"),
+      (6L, "ID3 tag then mpeg frames", "mp3"),
+      (7L, "<?xml version='1.0'?><doc/>", "xml"),
+      (8L, "plain prose document", "text"))
+    val tmp = java.nio.file.Files.createTempDirectory("m08").toString
+    heads.map { case (id, t, _) => (id, t, "en", "mixed", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("m08_modality_route")(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    heads.foreach { case (id, _, want) =>
+      assert(out(id) == want, s"doc $id: routed ${out(id)}, want $want")
+    }
+    // the prose corpus routes entirely to text
+    val corpus = SparkEntry.queries("m08_modality_route")(spark, dir).collect()
+    assert(corpus.forall(_.getString(2) == "text"))
+  }
+
   test("m07 phash dedup collapses injected duplicate blobs, keeps min id") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

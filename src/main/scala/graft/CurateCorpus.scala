@@ -33,10 +33,13 @@ object CurateCorpus {
         length(col("text")).cast(df.schema("n_chars").dataType))
     else df
 
-  /** Per-stage attrition: how many docs survived each cut. */
+  /** Per-stage attrition: how many docs survived each cut. `nCodeRouted`
+    * counts docs the modality router diverted to the code lane (0 when
+    * routing is off).
+    */
   case class Report(nInput: Long, nAfterExactDedup: Long,
       nAfterLineDedup: Long, nAfterNearDedup: Long, nAfterQuality: Long,
-      nAfterDecontam: Long)
+      nAfterDecontam: Long, nCodeRouted: Long = 0L)
 
   /** @param docs       corpus with at least (doc_id: long, text: string)
     * @param outDir     survivors land here as parquet (redacted text)
@@ -49,7 +52,7 @@ object CurateCorpus {
   def run(docs: DataFrame, outDir: String,
       minScore: Double = 0.25, maxDup3: Double = 0.6,
       minJaccard: Double = 0.5, benchmark: Option[DataFrame] = None,
-      ngram: Int = 4): Report = {
+      ngram: Int = 4, routeCode: Boolean = false): Report = {
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -106,9 +109,22 @@ object CurateCorpus {
     // the near frame carries everything downstream; its inputs are dead
     lineD.unpersist(); scored.unpersist()
 
+    // 3.5 (optional) modality routing: t20's oracle-verified code rule
+    //     diverts code docs to their own lane BEFORE the prose-tuned
+    //     quality cut (t02/t15 signals punish code for being code);
+    //     the code lane still gets decontamination + redaction below
+    //     and lands in <outDir>-code. Per-row codegen, shuffle-free.
+    val (prose, codeLane) = if (routeCode) {
+      val flagged = Text.codeSignals(near)
+        .drop("n_words", "n_sym", "sym_frac", "n_kw", "camel_frac")
+      (flagged.filter(!$"is_code").drop("is_code"),
+        Some(flagged.filter($"is_code").drop("is_code").persist()))
+    } else (near, None)
+    val nCode = codeLane.map(_.count()).getOrElse(0L)
+
     // 4. quality + repetition cut (t02/t09 signals) — per-row codegen,
     //    shuffle-free
-    val quality = near
+    val quality = prose
       .filter($"q_score" >= minScore &&
         (coalesce($"q_dup3", lit(0.0)) <= maxDup3))
       .drop("q_score", "q_dup3")
@@ -134,19 +150,38 @@ object CurateCorpus {
     //    consistent with the rewritten text
     val redacted = refreshNChars(clean.withColumn("text", Text.redact($"text")))
     redacted.write.mode("overwrite").parquet(outDir)
+
+    // the code lane runs the same tail (decontaminate, redact) — only
+    // the prose-tuned quality cut was skipped
+    codeLane.foreach { c =>
+      val codeClean = benchmark match {
+        case Some(b) =>
+          val contaminated = Dedup.decontaminate(
+            c.select($"doc_id", split($"text", " ").as("toks")),
+            b.select(split($"text", " ").as("toks")), ngram)
+            .select($"doc_id")
+          c.join(contaminated, Seq("doc_id"), "left_anti")
+        case None => c
+      }
+      refreshNChars(codeClean.withColumn("text", Text.redact($"text")))
+        .write.mode("overwrite").parquet(s"$outDir-code")
+      c.unpersist()
+    }
     quality.unpersist()
     if (benchmark.isDefined) clean.unpersist()
-    Report(nInput, nExact, nLine, nNear, nQuality, nClean)
+    Report(nInput, nExact, nLine, nNear, nQuality, nClean, nCode)
   }
 
   private val usage =
     "usage: CurateCorpus <inParquet> <outDir> [--benchmark=path] " +
-      "[--min-score=0.25] [--max-dup3=0.6] [--min-jaccard=0.5]"
+      "[--min-score=0.25] [--max-dup3=0.6] [--min-jaccard=0.5] " +
+      "[--route-code=false]"
 
   /** CLI twin of [[Vcf2Db.main]]: curate a parquet corpus in one run. */
   def main(args: Array[String]): Unit = {
     val (flag, positional) = Cli.parse(args,
-      Set("benchmark", "min-score", "max-dup3", "min-jaccard"), usage)
+      Set("benchmark", "min-score", "max-dup3", "min-jaccard",
+        "route-code"), usage)
     require(positional.length == 2, usage)
     val spark = GraftSession.build()
     try {
@@ -156,10 +191,12 @@ object CurateCorpus {
         minScore = flag("min-score").map(_.toDouble).getOrElse(0.25),
         maxDup3 = flag("max-dup3").map(_.toDouble).getOrElse(0.6),
         minJaccard = flag("min-jaccard").map(_.toDouble).getOrElse(0.5),
-        benchmark = bench)
+        benchmark = bench,
+        routeCode = flag("route-code").exists(_.toBoolean))
       println(s"[curate] input=${r.nInput} exact=${r.nAfterExactDedup} " +
         s"line=${r.nAfterLineDedup} near=${r.nAfterNearDedup} " +
-        s"quality=${r.nAfterQuality} decontam=${r.nAfterDecontam}")
+        s"quality=${r.nAfterQuality} decontam=${r.nAfterDecontam} " +
+        s"code=${r.nCodeRouted}")
     } finally spark.stop()
   }
 }

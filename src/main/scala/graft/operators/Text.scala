@@ -711,10 +711,13 @@ object Text {
     * size (t15's regime); every signal recomputed by the oracle.
     * ApproxAccuracySpec proves the discrimination on injected code.
     */
-  def t20(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** t20's signal chain over any frame with a `text` column — shared
+    * verbatim by the query and CurateCorpus's modality-routing stage,
+    * so the router's verdict is exactly the oracle-verified rule.
+    */
+  def codeSignals(df: DataFrame): DataFrame = {
     val kw = codeKeywords.map(w => s"'$w'").mkString(", ")
-    T(s, dir, "documents")
+    df
       .withColumn("n_words", expr("size(split(text, ' '))"))
       .withColumn("n_sym", expr("size(regexp_extract_all(text, '[{}();=]', 0))"))
       .withColumn("sym_frac", expr(
@@ -724,7 +727,12 @@ object Text {
       .withColumn("camel_frac", expr(
         "round(CAST(size(filter(split(text, ' '), t -> t RLIKE '^[a-z]+[A-Z]')) AS DOUBLE) / n_words, 6)"))
       .withColumn("is_code",
-        $"sym_frac" > 0.03 || ($"n_kw" >= 3 && $"sym_frac" > 0.01))
+        col("sym_frac") > 0.03 || (col("n_kw") >= 3 && col("sym_frac") > 0.01))
+  }
+
+  def t20(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    codeSignals(T(s, dir, "documents"))
       .select($"doc_id", $"n_words", $"n_sym", $"sym_frac", $"n_kw",
         $"camel_frac", $"is_code")
       .orderBy($"doc_id")

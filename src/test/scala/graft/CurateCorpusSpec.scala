@@ -106,4 +106,34 @@ class CurateCorpusSpec extends SparkSpec {
         s"q_dup3 drifted from t09 for doc ${r.getLong(0)}")
     }
   }
+
+  test("route-code diverts injected code to the code lane, redacted and counted") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val base = Tables(spark, dir, "documents")
+    val snippets = (0 until 5).map { i =>
+      (2000000L + i,
+        s"def job$i(argv): { int x = $i; for (j = 0; j < 9; j++) { x += run(j); } " +
+          "return x; } // contact admin@example.com",
+        "en", "gh", 0L)
+    }
+    val corpus = base.unionByName(
+      snippets.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = java.nio.file.Files.createTempDirectory("route").resolve("out").toString
+    val r = CurateCorpus.run(corpus, out, routeCode = true)
+    assert(r.nCodeRouted == 5, s"expected 5 code docs, got ${r.nCodeRouted}")
+    val code = spark.read.parquet(s"$out-code").collect()
+    assert(code.length == 5)
+    assert(code.forall(_.getLong(0) >= 2000000L))
+    // the code lane still redacts PII
+    assert(code.forall(!_.getString(1).contains("admin@example.com")),
+      "code lane must still redact emails")
+    // the prose output contains no routed doc
+    val prose = spark.read.parquet(out).collect().map(_.getLong(0)).toSet
+    assert(snippets.forall { case (id, _, _, _, _) => !prose(id) })
+    // routing off → report field zero, no code dir semantics change
+    val out2 = java.nio.file.Files.createTempDirectory("route").resolve("out2").toString
+    val r2 = CurateCorpus.run(base, out2)
+    assert(r2.nCodeRouted == 0)
+  }
 }

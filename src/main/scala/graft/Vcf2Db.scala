@@ -97,10 +97,24 @@ object Vcf2Db {
       outDir: String, writerPartitions: Int = 8,
       expand: Seq[String] = Nil, blobCodec: String = "zlib",
       sortedOutput: Int = 0, jdbcUrl: Option[String] = None,
-      jdbcBatchSize: Int = 10000): Unit = {
+      jdbcBatchSize: Int = 10000, passOnly: Boolean = false): Unit = {
     import spark.implicits._
     GraftFunctions.register(spark)
-    val (header, variants, impacts) = VcfReader.fromPath(spark, vcfPath)
+    val (header, rawVariants, rawImpacts) = VcfReader.fromPath(spark, vcfPath)
+    // the reference's --passonly: records whose FILTER failed never
+    // enter the database (PASS or missing '.' survive). A per-row
+    // codegen filter BEFORE denormalization; impacts follow via a
+    // semi-join co-keyed on the 4-part variant key so annotations of
+    // dropped records can't survive as orphans.
+    val variants =
+      if (passOnly)
+        rawVariants.filter(col("filter").isNull || col("filter") === "PASS")
+      else rawVariants
+    val impacts =
+      if (passOnly && header.annKey.isDefined)
+        rawImpacts.join(variants.select("chrom", "pos", "ref", "alt"),
+          Seq("chrom", "pos", "ref", "alt"), "left_semi")
+      else rawImpacts
 
     val denorm = header.annKey match {
       case Some(_) => denormalizeWorstImpact(variants, impacts)
@@ -163,12 +177,12 @@ object Vcf2Db {
   private val usage =
     "usage: Vcf2Db <vcf> [<ped>] <outDir> [--expand=gt_types,...] " +
       "[--blob-codec=zlib|snappy] [--sorted-output=N] " +
-      "[--jdbc-url=jdbc:...] [--jdbc-batch-size=N]"
+      "[--jdbc-url=jdbc:...] [--jdbc-batch-size=N] [--passonly=true]"
 
   def main(args: Array[String]): Unit = {
     val (flag, positional) = Cli.parse(args,
       Set("expand", "blob-codec", "sorted-output", "jdbc-url",
-        "jdbc-batch-size"), usage)
+        "jdbc-batch-size", "passonly"), usage)
     require(positional.length == 2 || positional.length == 3, usage)
     val (vcf, ped, out) =
       if (positional.length == 2) (positional(0), None, positional(1))
@@ -179,7 +193,8 @@ object Vcf2Db {
     val spark = GraftSession.build()
     try run(spark, vcf, ped, out, expand = expand, blobCodec = codec,
       sortedOutput = sorted, jdbcUrl = flag("jdbc-url"),
-      jdbcBatchSize = flag("jdbc-batch-size").map(_.toInt).getOrElse(10000))
+      jdbcBatchSize = flag("jdbc-batch-size").map(_.toInt).getOrElse(10000),
+      passOnly = flag("passonly").exists(_.toBoolean))
     finally spark.stop()
   }
 }
@@ -253,6 +268,32 @@ object GraftDb {
     spark.read.parquet(s"$dir/samples")
   def vcfHeader(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/vcf_header")
+
+  /** GEMINI `amend --sample`: replace the stored samples table from a
+    * corrected PED (fixed phenotypes/sexes/families) WITHOUT reloading
+    * the cohort — pedigree fixes are routine after a load, genotypes
+    * never change with them. The new PED must cover the genotyped
+    * cohort: the gt-array columns are positional in header sample
+    * order, so a PED missing a genotyped sample would silently
+    * misclassify every wildcard gt-filter class built from it.
+    */
+  def amendSamples(spark: SparkSession, dir: String, pedPath: String): Unit = {
+    val ped = graft.sources.PedSource.fromPath(spark, pedPath)
+    val cohort = headerSamples(spark, dir).toSet
+    val pedNames = ped.select("sample_id").collect().map(_.getString(0)).toSet
+    val missing = cohort -- pedNames
+    require(missing.isEmpty,
+      s"amend PED is missing genotyped samples: ${missing.mkString(", ")}")
+    // stage through a temp dir: parquet overwrite deletes the target
+    // before the job reads it when source == sink
+    val tmp = s"$dir/samples__amend_tmp"
+    ped.coalesce(1).write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/samples")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
 
   /** The gt-array sample order = the stored header's #CHROM column
     * line. One driver-side row fetch — header metadata, not data.

@@ -642,4 +642,56 @@ class Vcf2DbSpec extends SparkSpec {
       assert(ids.toSeq == Seq(1L, 2L, 3L))
     } finally q.stop()
   }
+
+  test("--passonly drops failed-filter records and their impact orphans") {
+    val dir = Files.createTempDirectory("passonly")
+    val vcf = dir.resolve("in.vcf")
+    Files.writeString(vcf, VcfFixture.lines.mkString("\n") + "\n")
+    val out = dir.resolve("db").toString
+    Vcf2Db.run(spark, vcf.toString, None, out, passOnly = true)
+    val variants = GraftDb.variants(spark, out)
+    // fixture: pos 100/200 PASS, pos 300 q10 (2 decomposed alts), pos
+    // 400 '.' (missing) — passonly keeps PASS + missing
+    assert(variants.count() == 3)
+    assert(variants.select("pos").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(100L, 200L, 400L))
+    // annotations of the dropped record must not survive as orphans
+    val imp = GraftDb.impacts(spark, out)
+    assert(imp.filter("pos = 300").count() == 0)
+    assert(imp.count() == 3)
+  }
+
+  test("amendSamples replaces the stored PED, rejects a non-covering one") {
+    val dir = Files.createTempDirectory("amend")
+    val vcf = dir.resolve("in.vcf")
+    Files.writeString(vcf, VcfFixture.lines.mkString("\n") + "\n")
+    val ped = dir.resolve("in.ped")
+    Files.writeString(ped,
+      "#family_id sample_id paternal_id maternal_id sex phenotype\n" +
+        "fam1 s1 -9 -9 1 2\nfam1 s2 -9 -9 2 1\nfam1 s3 s1 s2 1 1\nfam1 s4 s1 s2 2 2\n")
+    val out = dir.resolve("db").toString
+    Vcf2Db.run(spark, vcf.toString, Some(ped.toString), out)
+    assert(GraftDb.samples(spark, out)
+      .filter("sample_id = 's2'").head().getAs[String]("phenotype") == "1")
+    // corrected PED: s2 becomes affected
+    val ped2 = dir.resolve("fixed.ped")
+    Files.writeString(ped2,
+      "#family_id sample_id paternal_id maternal_id sex phenotype\n" +
+        "fam1 s1 -9 -9 1 2\nfam1 s2 -9 -9 2 2\nfam1 s3 s1 s2 1 1\nfam1 s4 s1 s2 2 2\n")
+    GraftDb.amendSamples(spark, out, ped2.toString)
+    val amended = GraftDb.samples(spark, out)
+    assert(amended.count() == 4)
+    assert(amended.filter("sample_id = 's2'").head()
+      .getAs[String]("phenotype") == "2")
+    // genotyped cohort coverage is enforced
+    val bad = dir.resolve("bad.ped")
+    Files.writeString(bad,
+      "#family_id sample_id paternal_id maternal_id sex phenotype\n" +
+        "fam1 s1 -9 -9 1 2\n")
+    intercept[IllegalArgumentException] {
+      GraftDb.amendSamples(spark, out, bad.toString)
+    }
+    // a failed amend must not have clobbered the stored table
+    assert(GraftDb.samples(spark, out).count() == 4)
+  }
 }

@@ -471,8 +471,47 @@ object Relational {
       .orderBy($"n_name", $"decile")
   }
 
+  /** q23 result width — co-purchase reports are a bounded top-K. */
+  private final val CoK = 20
+
+  /** q23: CO-PURCHASE pair mining — the top-[[CoK]] part pairs most
+    * often ordered together (frequent-itemset support counting, the
+    * market-basket staple; none of q01–q22 covers within-group PAIR
+    * expansion). Pairs explode WITHIN an order from its sorted distinct
+    * part list — TPC-H-shaped orders carry ≤7 lineitems, so fan-out is
+    * bounded (≤21 pairs per order), never a fact self-join; support is
+    * ONE (a,b)-keyed partial-agg shuffle (popular pairs collapse
+    * map-side); top-K via orderBy+limit = TakeOrderedAndProject. At a
+    * catalog where single orders can be huge, the per-order list gets
+    * a slice cap first — the fan-out bound is the scale contract.
+    */
+  def q23(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(array_sort(collect_set($"l_partkey")).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps,
+          |  (x, i) -> transform(slice(ps, i + 2, size(ps)),
+          |    y -> named_struct('a', x, 'b', y))))""".stripMargin)).as("p"))
+      .groupBy($"p.a".as("a"), $"p.b".as("b"))
+      .agg(count(lit(1)).as("support"))
+      .orderBy($"support".desc, $"a".asc, $"b".asc)
+      .limit(CoK)
+  }
+
   /** Oracle SQL (DuckDB dialect ≈ ANSI) mirroring each query above. */
   val oracle: Map[String, String] = Map(
+    "q23_copurchase_pairs" ->
+      s"""WITH o AS (SELECT l_orderkey,
+         |  list_sort(list_distinct(list(l_partkey))) AS ps
+         |  FROM lineitem GROUP BY l_orderkey),
+         |ix AS (SELECT ps, unnest(range(1, len(ps) + 1)) AS i FROM o),
+         |p AS (SELECT ps[CAST(i AS INT)] AS a, ps[CAST(j AS INT)] AS b
+         |  FROM (SELECT ps, i, unnest(range(i + 1, len(ps) + 1)) AS j FROM ix))
+         |SELECT a, b, count(*) AS support
+         |FROM p GROUP BY a, b
+         |ORDER BY support DESC, a ASC, b ASC LIMIT $CoK""".stripMargin,
     "q22_revenue_deciles" ->
       """WITH rev AS (SELECT o_custkey,
         |  SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS rev_c
@@ -672,6 +711,7 @@ object Relational {
     "q19_supplier_revenue" -> (q19 _),
     "q20_retention_cohorts" -> (q20 _),
     "q21_trailing_window" -> (q21 _),
-    "q22_revenue_deciles" -> (q22 _)
+    "q22_revenue_deciles" -> (q22 _),
+    "q23_copurchase_pairs" -> (q23 _)
   )
 }

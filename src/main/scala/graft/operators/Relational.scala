@@ -500,8 +500,59 @@ object Relational {
       .limit(CoK)
   }
 
+  /** q24: SHIP-DELAY distribution — order-to-ship latency (the TPC-H
+    * Q12-family fulfillment SLA report, re-shaped to the columns this
+    * testdata carries): every lineitem's days-from-order-to-ship,
+    * bucketed into weeks and rolled up per (order priority, week
+    * bucket) with line counts and exact-cents revenue. The operational
+    * "are URGENT orders actually shipping faster?" histogram.
+    *
+    * Scale shape: lineitem⋈orders is the one unavoidable fact-fact
+    * join — both sides scale with sf so neither is broadcast; it is an
+    * equi-join on l_orderkey/o_orderkey (constant-width key, AQE free
+    * to pick sort-merge vs shuffled-hash, co-partitioned if the lake
+    * buckets both tables on orderkey — the 100 TB layout this plan
+    * assumes). Only the two join shuffles plus ONE partial-agg shuffle
+    * over the bounded priorities × weeks key space; delay math is
+    * integer day arithmetic on DATE casts, identical in both engines,
+    * and avg divides the same exact longs once.
+    */
+  def q24(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_shipdate", cents($"l_extendedprice").as("price_c"))
+      .join(T(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderdate", $"o_orderpriority"),
+        $"l_orderkey" === $"o_orderkey")
+      .withColumn("delay_days",
+        datediff($"l_shipdate".cast("date"), $"o_orderdate".cast("date")))
+      // floor division, NOT `div`: this testdata has negative delays
+      // (ship before order), where Spark's `div` truncates toward zero
+      // but DuckDB's `//` floors — floor(x/7.0) is exact for ints
+      // (multiples of 7 divide exactly in double) and identical in both
+      .withColumn("delay_week", expr("CAST(floor(delay_days / 7.0) AS INT)"))
+      .groupBy($"o_orderpriority", $"delay_week")
+      .agg(count(lit(1)).as("n_lines"),
+        (sum($"delay_days").cast("double") / count(lit(1)).cast("double"))
+          .as("avg_delay_days"),
+        unitSum($"price_c", 2).as("revenue"))
+      .orderBy($"o_orderpriority", $"delay_week")
+  }
+
   /** Oracle SQL (DuckDB dialect ≈ ANSI) mirroring each query above. */
   val oracle: Map[String, String] = Map(
+    "q24_ship_delay" ->
+      """WITH j AS (
+        | SELECT o_orderpriority,
+        |  date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS delay_days,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT o_orderpriority,
+        | CAST(floor(delay_days / 7.0) AS INT) AS delay_week,
+        | count(*) AS n_lines,
+        | CAST(sum(delay_days) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_delay_days,
+        | CAST(sum(price_c) AS DOUBLE) / 100.0 AS revenue
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q23_copurchase_pairs" ->
       s"""WITH o AS (SELECT l_orderkey,
          |  list_sort(list_distinct(list(l_partkey))) AS ps
@@ -712,6 +763,7 @@ object Relational {
     "q20_retention_cohorts" -> (q20 _),
     "q21_trailing_window" -> (q21 _),
     "q22_revenue_deciles" -> (q22 _),
-    "q23_copurchase_pairs" -> (q23 _)
+    "q23_copurchase_pairs" -> (q23 _),
+    "q24_ship_delay" -> (q24 _)
   )
 }

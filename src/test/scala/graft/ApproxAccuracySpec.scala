@@ -71,6 +71,55 @@ class ApproxAccuracySpec extends SparkSpec {
       s"bigram LM failed to separate: natural ${t19(100L)} vs scrambled ${t19(101L)}")
   }
 
+  test("t22 strips a per-source template banner, keeps rare lines") {
+    import spark.implicits._
+    // srcA: 10 docs, each = the SAME 10-token banner + unique tail
+    // (banner df = 10/10 docs → boilerplate); srcB: 10 docs, banner in
+    // only ONE (df=1 < BoilerMinDocs → kept). Tails are 10 distinct
+    // tokens so each forms its own chunk and never repeats.
+    val banner = (1 to 10).map(i => s"nav$i").mkString(" ")
+    val a = (0 until 10).map { i =>
+      (i.toLong, banner + " " + (1 to 10).map(j => s"a${i}x$j").mkString(" "),
+        "en", "srcA", 0L)
+    }
+    val b = (10 until 20).map { i =>
+      val body = (1 to 10).map(j => s"b${i}x$j").mkString(" ")
+      val text = if (i == 10) banner + " " + body else body
+      (i.toLong, text, "en", "srcB", 0L)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("t22").toString
+    (a ++ b).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Text.queries("t22_boilerplate_trim")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // every srcA doc loses exactly the banner chunk (1 of its 2 lines)
+    (0L until 10L).foreach { id =>
+      assert(out(id) == ((2L, 1L)), s"srcA doc $id: ${out(id)}")
+    }
+    // srcB's lone banner instance is below the df threshold — all kept
+    (10L until 20L).foreach { id =>
+      assert(out(id)._2 == 0L, s"srcB doc $id must keep all lines")
+    }
+  }
+
+  test("q24 ship-delay histogram partitions the joined fact rows") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val out = Relational.queries("q24_ship_delay")(spark, dir).collect()
+    // bucket counts partition the join: sum of n_lines = |lineitem ⋈ orders|
+    val joined = graft.Tables(spark, dir, "lineitem")
+      .join(graft.Tables(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey")).count()
+    assert(out.map(_.getLong(2)).sum == joined)
+    // every row's avg lies inside its own week bucket's day range
+    out.foreach { r =>
+      val (wk, avg) = (r.getInt(1), r.getDouble(3))
+      assert(avg >= wk * 7.0 && avg < wk * 7.0 + 7.0,
+        s"avg $avg outside week-$wk bounds")
+    }
+  }
+
   test("t20 flags injected code, not the prose corpus") {
     import spark.implicits._
     val code =

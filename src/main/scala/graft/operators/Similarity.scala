@@ -43,6 +43,11 @@ object Similarity {
   private final val MmrK = 5
   private final val MmrL10 = 7
 
+  /** s11 shortlist depth: quantized-score candidates per query kept for
+    * the exact re-rank (3× the final K).
+    */
+  private final val SqCand = 30
+
   /** Sequential-fold dot product — same left-to-right double
     * accumulation DuckDB's list_inner_product does, so cosines are
     * bit-comparable across engines. `vec_dot` is the native codegen
@@ -142,6 +147,54 @@ object Similarity {
     * are real.
     */
   def s10(s: SparkSession, dir: String): DataFrame = lshTopK(s, dir, maxHamming = 2)
+
+  /** s11: SCALAR-QUANTIZED (int8) ANN — the memory-bandwidth scale
+    * path between s01's full floats and s04's PQ codes: each vector is
+    * symmetric-max-abs quantized to 8-bit integers (4× smaller than
+    * float32 — at 100 TB the quantized corpus scan is the win, and the
+    * codes ride in the same parquet layout), candidates are ranked by
+    * QUANTIZED cosine, and the top-[[SqCand]] shortlist gets the exact
+    * re-rank. Quantized cosine is scale-free (the per-vector scales
+    * cancel), so no scale column travels with the scan.
+    *
+    * Exactness: the quantized values are small integers held in
+    * doubles — every dot product is an EXACT sequential fold (no ulp
+    * anywhere until the final normalization divide, identical operands
+    * both engines) — so unlike s03/s04's MLlib-fit quantizers the
+    * whole pipeline is DuckDB-replayable and hash-verified; the
+    * recall floor vs s01 is additionally pinned in DedupQualitySpec.
+    *
+    * Scale shape: s01's regime — ONE quantized-corpus scan against the
+    * broadcast query set, one rank window per stage on query-bounded
+    * frames; composes behind s02's buckets at full scale exactly as
+    * the exact path does.
+    */
+  def s11(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val quant = T(s, dir, "embeddings")
+      .withColumn("e", $"embedding".cast("array<double>"))
+      .withColumn("scale", expr("array_max(transform(e, x -> abs(x)))"))
+      .withColumn("qv", expr(
+        """transform(e, x -> CASE WHEN scale = 0.0D THEN 0.0D
+          | ELSE CAST(round(127.0D * x / scale) AS DOUBLE) END)""".stripMargin))
+    val queries = quant.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"qv".as("qqv"), $"e".as("qe"))
+    val wA = Window.partitionBy($"q_id").orderBy($"qcos".desc, $"vec_id".asc)
+    val wE = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+    quant.crossJoin(broadcast(queries))
+      .withColumn("qcos", expr(
+        s"${dot("qv", "qqv")} / sqrt(${dot("qv", "qv")} * ${dot("qqv", "qqv")})"))
+      .withColumn("arn", row_number().over(wA))
+      .filter($"arn" <= SqCand)
+      .withColumn("cos", expr(
+        s"${dot("e", "qe")} / sqrt(${dot("e", "e")} * ${dot("qe", "qe")})"))
+      .withColumn("rn", row_number().over(wE))
+      .filter($"rn" <= K)
+      .select($"q_id", $"vec_id", expr("round(qcos, 6)").as("qcos"),
+        expr("round(cos, 6)").as("cos"), $"rn")
+      .orderBy($"q_id", $"rn")
+  }
 
   /** Shared LSH top-k engine for s02/s10: corpus bucketed once, query
     * set exploded into all probe masks of Hamming weight ≤ maxHamming
@@ -465,6 +518,32 @@ object Similarity {
     "s02_ann_lsh" -> S02Sql,
     "s10_ann_multiprobe" -> lshSql(2),
     "s01_ann_bruteforce_topk" -> S01Sql,
+    "s11_ann_scalar_quant" ->
+      // the whole quantize → approx-rank → exact-re-rank chain replayed:
+      // quantized codes are small integers in doubles, so every dot is
+      // an exact fold and the shortlist boundary cannot drift
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+         |  list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS scale
+         |  FROM embeddings),
+         |qn AS (SELECT vec_id, e,
+         |  list_transform(e, x -> CASE WHEN scale = 0.0 THEN 0.0
+         |    ELSE CAST(round(127.0 * x / scale) AS DOUBLE) END) AS qv
+         |  FROM e),
+         |q AS (SELECT vec_id AS q_id, e AS qe, qv AS qqv FROM qn WHERE vec_id < 5),
+         |ap AS (SELECT q_id, qn.vec_id, qn.e, qe,
+         |  list_inner_product(qv, qqv)
+         |    / sqrt(list_inner_product(qv, qv) * list_inner_product(qqv, qqv)) AS qcos
+         |  FROM qn, q),
+         |sl AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY qcos DESC, vec_id) AS arn FROM ap),
+         |ex AS (SELECT q_id, vec_id, qcos,
+         |  list_inner_product(e, qe)
+         |    / sqrt(list_inner_product(e, e) * list_inner_product(qe, qe)) AS cos
+         |  FROM sl WHERE arn <= $SqCand),
+         |r AS (SELECT q_id, vec_id, qcos, cos, ROW_NUMBER() OVER (
+         |  PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM ex)
+         |SELECT q_id, vec_id, round(qcos, 6) AS qcos, round(cos, 6) AS cos, rn
+         |FROM r WHERE rn <= $K ORDER BY q_id, rn""".stripMargin,
     "s09_ann_recall" ->
       // the two retrieval paths' FULL oracle pipelines nested as
       // subquery CTEs, so the recall numbers grade the exact same
@@ -700,6 +779,7 @@ object Similarity {
     "s07_diversity_sample" -> (s07 _),
     "s08_mmr_rerank" -> (s08 _),
     "s09_ann_recall" -> (s09 _),
-    "s10_ann_multiprobe" -> (s10 _)
+    "s10_ann_multiprobe" -> (s10 _),
+    "s11_ann_scalar_quant" -> (s11 _)
   )
 }

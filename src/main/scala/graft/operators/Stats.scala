@@ -405,6 +405,54 @@ object Stats {
       .orderBy($"chrom", $"pos", $"alt")
   }
 
+  /** e54: gemini `query --format json` — each decomposed variant row
+    * serialized as a JSON object line (the gemini export consumed by
+    * downstream scripting; key order fixed, missing values as JSON
+    * null). The JSON is assembled by the SAME per-row codegen
+    * concatenation in both engines — not an engine-native to_json,
+    * whose key ordering/number formatting is engine-defined — so the
+    * bytes hash-match. Scan-speed string assembly, no shuffle beyond
+    * the presentation sort (e52's regime).
+    */
+  def e54(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    VcfFixture.variants(s)
+      .withColumn("json_line", concat(
+        lit("{\"chrom\": \""), $"chrom",
+        lit("\", \"pos\": "), $"pos".cast("string"),
+        lit(", \"id\": "),
+        when($"vid".isNotNull, concat(lit("\""), $"vid", lit("\"")))
+          .otherwise(lit("null")),
+        lit(", \"ref\": \""), $"ref",
+        lit("\", \"alt\": \""), $"alt",
+        lit("\", \"qual\": "), coalesce($"qual".cast("string"), lit("null")),
+        lit(", \"filter\": "),
+        when($"filter".isNotNull, concat(lit("\""), $"filter", lit("\"")))
+          .otherwise(lit("null")),
+        lit(", \"dp\": "), coalesce($"dp".cast("string"), lit("null")),
+        lit(", \"af\": "), coalesce($"af".cast("string"), lit("null")),
+        lit("}")))
+      .select($"chrom", $"pos", $"alt", $"json_line")
+      .orderBy($"chrom", $"pos", $"alt")
+  }
+
+  /** e55: gemini `db_info` — the table/column inventory of the loaded
+    * database (table name, column name, 1-based ordinal). A CATALOG
+    * operation: Spark reads only parquet FOOTERS on the driver (no data
+    * scan, no job), exactly as gemini reads sqlite's schema tables; the
+    * result is dim-sized at any data scale. Types are deliberately
+    * omitted — each engine spells them differently, names + positions
+    * are the cross-engine contract.
+    */
+  def e55(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.all.flatMap { t =>
+      s.read.parquet(s"$dir/$t.parquet").schema.fields.toSeq
+        .zipWithIndex.map { case (f, i) => (t, f.name, i + 1) }
+    }.toDF("table_name", "column_name", "ordinal")
+      .orderBy($"table_name", $"ordinal")
+  }
+
   // ---------------------------------------------------------------- oracles
 
   private val gtLong: String =
@@ -432,6 +480,26 @@ object Stats {
       .mkString("(VALUES ", ", ", ") pf(sample, family_id)")
 
   val oracle: Map[String, String] = Map(
+    "e54_json_export" ->
+      s"""SELECT chrom, CAST(pos AS BIGINT) AS pos, alt,
+         | '{"chrom": "' || chrom || '", "pos": ' || CAST(pos AS VARCHAR) ||
+         | ', "id": ' || COALESCE('"' || vid || '"', 'null') ||
+         | ', "ref": "' || ref || '", "alt": "' || alt ||
+         | '", "qual": ' || COALESCE(CAST(CAST(qual AS DOUBLE) AS VARCHAR), 'null') ||
+         | ', "filter": ' || COALESCE('"' || filter || '"', 'null') ||
+         | ', "dp": ' || COALESCE(CAST(dp AS VARCHAR), 'null') ||
+         | ', "af": ' || COALESCE(CAST(CAST(af AS DOUBLE) AS VARCHAR), 'null') ||
+         | '}' AS json_line
+         |FROM ${VcfFixture.variantsValues}
+         |ORDER BY chrom, pos, alt""".stripMargin,
+    "e55_db_info" -> {
+      val names = graft.Tables.all.map(t => s"'$t'").mkString(", ")
+      s"""SELECT table_name, column_name,
+         | CAST(ordinal_position AS INT) AS ordinal
+         |FROM information_schema.columns
+         |WHERE table_name IN ($names)
+         |ORDER BY table_name, ordinal""".stripMargin
+    },
     "e51_tstv_by_impact" ->
       s"""WITH worst AS (
          | SELECT chrom, pos, ref, alt, impact_severity,
@@ -642,6 +710,8 @@ object Stats {
     "e49_tped" -> (e49 _),
     "e50_region_gene" -> (e50 _),
     "e51_tstv_by_impact" -> (e51 _),
-    "e52_vcf_export" -> (e52 _)
+    "e52_vcf_export" -> (e52 _),
+    "e54_json_export" -> (e54 _),
+    "e55_db_info" -> (e55 _)
   )
 }

@@ -210,6 +210,37 @@ object StreamingOps {
       .orderBy($"ws")
   }
 
+  /** st08: CDC LAST-VALUE compaction — each key's (user's) single
+    * latest event under the total (ts, event_id) order: the
+    * materialized-view primitive behind "current state of every
+    * entity" tables (upsert/CDC ingestion, feature stores, profile
+    * stores). st03 suppresses duplicate DELIVERIES of one event; this
+    * collapses a key's whole history to its newest row.
+    *
+    * Batch form (this query): ONE window shuffle keyed on user_id —
+    * rank-1 rows survive; the timestamp is emitted as epoch MICROS
+    * (the nanos parquet clock collapses to micros identically in both
+    * engines — raw ns timestamps do not cross engines losslessly).
+    * Streaming twin (`streaming.LatestState.latest`, StreamingSpec
+    * "st08"): flatMapGroupsWithState keyed on user_id holding ONE row
+    * per key, emitting only winner changes; late/duplicate deliveries
+    * lose the max-order race idempotently.
+    */
+  def st08(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts".desc, $"event_id".desc)
+    T(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_id".as("last_event_id"),
+        // ts is TIMESTAMP_NTZ; the session TZ is pinned UTC, so the
+        // cast to instant is the identity and unix_micros applies
+        unix_micros($"ts".cast("timestamp")).as("last_ts_us"),
+        $"event_type".as("last_type"), $"value".as("last_value"))
+      .orderBy($"user_id")
+  }
+
   val oracle: Map[String, String] = Map(
     "st07_drift_monitor" ->
       s"""WITH c AS (
@@ -264,6 +295,15 @@ object StreamingOps {
          | MIN(score) AS score
          |FROM scored WHERE score >= 0.3
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "st08_latest_state" ->
+      """WITH r AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        | FROM events)
+        |SELECT user_id, event_id AS last_event_id, ts_us AS last_ts_us,
+        | event_type AS last_type, value AS last_value
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "st03_dedup_events" ->
       """SELECT user_id, event_type,
         | CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute,
@@ -310,6 +350,7 @@ object StreamingOps {
     "st04_interval_join" -> (st04 _),
     "st05_stream_curate" -> (st05 _),
     "st06_rate_anomaly" -> (st06 _),
-    "st07_drift_monitor" -> (st07 _)
+    "st07_drift_monitor" -> (st07 _),
+    "st08_latest_state" -> (st08 _)
   )
 }

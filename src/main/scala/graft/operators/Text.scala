@@ -279,16 +279,28 @@ object Text {
     * flagged with the global-first-occurrence keep bit. Shared by the
     * t13 stats query and [[dedupLines]].
     */
+  /** The corpus's synthesized lines ([[LineTokens]]-token chunks, see
+    * note above) keyed by line-content md5; extra per-doc columns named
+    * in `carry` ride along. Shared by t13's global dedup and t22's
+    * per-source boilerplate screen.
+    */
+  private def chunkedLines(docs: DataFrame, carry: String*): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val keep = ($"doc_id" +: carry.map(col))
+    docs
+      .select(keep :+ split($"text", " ").as("toks"): _*)
+      .select(keep :+ posexplode(expr(
+        s"""transform(sequence(0, CAST((size(toks) - 1) div $LineTokens AS INT)),
+           | i -> array_join(slice(toks, i * $LineTokens + 1, $LineTokens), ' '))""".stripMargin)): _*)
+      .withColumnRenamed("pos", "idx").withColumnRenamed("col", "line")
+      .select(keep ++ Seq($"idx", md5($"line").as("h"), $"line"): _*)
+  }
+
   private def flaggedLines(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val lines = docs
-      .select($"doc_id", split($"text", " ").as("toks"))
-      .select($"doc_id", posexplode(expr(
-        s"""transform(sequence(0, CAST((size(toks) - 1) div $LineTokens AS INT)),
-           | i -> array_join(slice(toks, i * $LineTokens + 1, $LineTokens), ' '))""".stripMargin)))
-      .withColumnRenamed("pos", "idx").withColumnRenamed("col", "line")
-      .select($"doc_id", $"idx", md5($"line").as("h"), $"line")
+    val lines = chunkedLines(docs)
     // global first occurrence per line hash; the (doc_id, idx) order
     // key is a FIXED-WIDTH zero-padded string, so lexicographic min =
     // numeric min with no overflow/collision at any doc size or id
@@ -767,7 +779,77 @@ object Text {
       .orderBy($"doc_id")
   }
 
+  /** t22 boilerplate rule: a line is boilerplate within its source when
+    * it appears in ≥ [[BoilerMinDocs]] docs AND ≥ 5% of the source's
+    * docs (df·20 ≥ n_docs — integer compare, no float threshold).
+    * Production web corpora run ~30%/df≥3; the laxer setting exercises
+    * the rule on this synthetic corpus's short tail-chunk repeats.
+    */
+  private final val BoilerMinDocs = 2
+
+  /** t22: per-source BOILERPLATE screen (the RefinedWeb/CCNet template
+    * pass): a line repeated across a large fraction of ONE source's
+    * documents is template chrome — nav bars, cookie banners, footers —
+    * and is removed from EVERY document of that source (unlike t13,
+    * which keeps a global first occurrence of any exact repeat). Per
+    * doc: line counts, boilerplate count, md5 over the kept text, and
+    * the removed fraction.
+    *
+    * Scale shape: lines explode map-side; document frequency is ONE
+    * partial-agg shuffle keyed on (source, md5(line)) — constant-width
+    * key, per-doc repeats collapse in the distinct's partial agg; the
+    * per-source doc totals are a source-dim frame (broadcast); the
+    * boilerplate set joins back on the same (source, h) key,
+    * co-partitioned with the df shuffle; per-doc reassembly is one
+    * doc_id-keyed partial agg. No self-joins, no key whose fan-out
+    * grows with repeat frequency.
+    */
+  def t22(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = T(s, dir, "documents")
+    val lines = chunkedLines(docs, "source")
+    val srcDocs = docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    val dfreq = lines.select($"source", $"h", $"doc_id").distinct()
+      .groupBy($"source", $"h").agg(count(lit(1)).as("df"))
+    val boiler = dfreq.join(broadcast(srcDocs), "source")
+      .filter($"df" >= BoilerMinDocs && $"df" * 20 >= $"n_docs")
+      .select($"source", $"h", lit(true).as("is_boiler"))
+    lines.join(boiler, Seq("source", "h"), "left")
+      .withColumn("keep", $"is_boiler".isNull)
+      .groupBy($"doc_id", $"source")
+      .agg(count(lit(1)).as("n_lines"),
+        count(when(!$"keep", 1)).as("n_boiler"),
+        md5(array_join(transform(
+          array_sort(collect_list(when($"keep", struct($"idx", $"line")))),
+          x => x.getField("line")), "\n")).as("kept_md5"))
+      .withColumn("boiler_frac", expr(
+        "round(CAST(n_boiler AS DOUBLE) / n_lines, 6)"))
+      .orderBy($"doc_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "t22_boilerplate_trim" ->
+      s"""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+         |lines AS (SELECT doc_id, source,
+         |  unnest(generate_series(0, (len(w) - 1) // $LineTokens)) AS idx,
+         |  unnest(list_transform(generate_series(0, (len(w) - 1) // $LineTokens),
+         |    i -> array_to_string(w[i * $LineTokens + 1 : (i + 1) * $LineTokens], ' '))) AS line
+         |  FROM toks),
+         |hashed AS (SELECT doc_id, source, idx, md5(line) AS h, line FROM lines),
+         |ndocs AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+         |dfreq AS (SELECT source, h, count(DISTINCT doc_id) AS df
+         |  FROM hashed GROUP BY 1, 2),
+         |boiler AS (SELECT source, h, TRUE AS is_boiler
+         |  FROM dfreq JOIN ndocs USING (source)
+         |  WHERE df >= $BoilerMinDocs AND df * 20 >= n_docs),
+         |flagged AS (SELECT doc_id, source, idx, line,
+         |  (is_boiler IS NULL) AS keep
+         |  FROM hashed LEFT JOIN boiler USING (source, h))
+         |SELECT doc_id, source, count(*) AS n_lines,
+         | count(*) FILTER (WHERE NOT keep) AS n_boiler,
+         | md5(coalesce(string_agg(line, chr(10) ORDER BY idx) FILTER (WHERE keep), '')) AS kept_md5,
+         | round(CAST(count(*) FILTER (WHERE NOT keep) AS DOUBLE) / count(*), 6) AS boiler_frac
+         |FROM flagged GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
     "t21_readability" ->
       """SELECT doc_id,
         | CAST(len(string_split(text, ' ')) AS INT) AS n_words,
@@ -1043,6 +1125,7 @@ object Text {
     "t18_heavy_hitters" -> (t18 _),
     "t19_bigram_logprob" -> (t19 _),
     "t20_code_detect" -> (t20 _),
-    "t21_readability" -> (t21 _)
+    "t21_readability" -> (t21 _),
+    "t22_boilerplate_trim" -> (t22 _)
   )
 }

@@ -205,6 +205,23 @@ class DedupQualitySpec extends SparkSpec {
     assert(departed, "MMR never departed from pure relevance on any query")
   }
 
+  test("s11 int8-quantized shortlist recalls nearly all of the exact top-10") {
+    val S = graft.operators.Similarity
+    def topk(name: String): Map[Long, Set[Long]] =
+      S.queries(name)(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (q, v) => q -> v.map(_._2).toSet }
+    val exact = topk("s01_ann_bruteforce_topk")
+    val sq = topk("s11_ann_scalar_quant")
+    // int8 symmetric quantization on 64-dim unit-ish vectors perturbs
+    // cosines by ~1e-2 — with a 3×K shortlist the exact re-rank should
+    // recover ≥90% of the true top-10 per query
+    exact.keys.foreach { q =>
+      val r = (exact(q) & sq.getOrElse(q, Set())).size.toDouble / exact(q).size
+      assert(r >= 0.9, s"query $q: int8 recall@10 = $r")
+    }
+  }
+
   test("s10 multiprobe recall@10 dominates s02 single-probe on every query") {
     val S = graft.operators.Similarity
     def topk(name: String): Map[Long, Set[Long]] =

@@ -21,6 +21,7 @@ class PlanInvariantSpec extends SparkSpec {
     // both the per-query total and the hit count, so it prints twice
     "s09_ann_recall" -> 2,
     "s05_range_search" -> 1, // broadcast query set × corpus scan (s01's shape)
+    "s11_ann_scalar_quant" -> 1, // broadcast quantized query set × corpus scan
     "s03_ann_ivf" -> 1, // broadcast centroid set × query scan
     "s04_ann_pq" -> 1, // broadcast query set (+ ADC tables) × code scan
     // single-row count broadcast into the bucket-cap filter; appears

@@ -134,6 +134,51 @@ class StatsSpec extends SparkSpec {
     assert(got(("X", 400L, "C")) == "X\t400\t.\tT\tC\t10.5\t.\tAF=0.75;TYPE=snp")
   }
 
+  test("e54 JSON export lines parse and round-trip the typed fields") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val out = Stats.e54(spark, "")
+    val schema = StructType(Seq(
+      StructField("chrom", StringType), StructField("pos", LongType),
+      StructField("id", StringType), StructField("ref", StringType),
+      StructField("alt", StringType), StructField("qual", DoubleType),
+      StructField("filter", StringType), StructField("dp", LongType),
+      StructField("af", DoubleType)))
+    // every line must be machine-parseable JSON whose fields equal the
+    // source columns (from_json yields null for a corrupt record —
+    // chrom is never null in the fixture, so parsed.chrom catches it)
+    val parsed = out.select(col("pos").as("src_pos"), col("alt").as("src_alt"),
+      from_json(col("json_line"), schema).as("j"))
+    val rows = parsed.collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val j = r.getStruct(2)
+      assert(j.getAs[String]("chrom") != null, s"unparseable JSON in $r")
+      assert(j.getAs[Long]("pos") == r.getLong(0))
+      assert(j.getAs[String]("alt") == r.getString(1))
+    }
+    // null handling: X:400 has no id/filter/dp -> JSON nulls, af present
+    val x = rows.map(_.getStruct(2)).find(_.getAs[String]("chrom") == "X").get
+    assert(x.getAs[String]("id") == null && x.getAs[String]("filter") == null)
+    assert(x.getAs[Double]("af") == 0.75)
+  }
+
+  test("e55 db_info inventories every testdata table and column") {
+    val got = Stats.e55(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(got.map(_._1).distinct.sorted.toSeq == graft.Tables.all.sorted)
+    val li = got.filter(_._1 == "lineitem").sortBy(_._3)
+    assert(li.head == ("lineitem", "l_orderkey", 1))
+    assert(li.map(_._2).toSeq == Seq("l_orderkey", "l_partkey", "l_suppkey",
+      "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+      "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"))
+    // ordinals are 1-based and contiguous per table
+    got.groupBy(_._1).foreach { case (t, cols) =>
+      assert(cols.map(_._3).sorted.toSeq == (1 to cols.length),
+        s"$t ordinals not contiguous")
+    }
+  }
+
   test("e34 annotate-extract aggregates overlapping interval scores") {
     val got = Stats.e34(spark, "").collect().map(r =>
       ((r.getAs[String]("chrom"), r.getAs[Long]("pos"), r.getAs[String]("alt")),

@@ -479,4 +479,45 @@ class StreamStreamJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st08 streaming twin: LatestState converges to the batch compaction") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.unix_micros
+    import graft.streaming.{CdcEvent, LatestRow, LatestState}
+    implicit val sqlCtx = spark.sqlContext
+    val batch = graft.operators.StreamingOps
+      .st08(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))).toMap
+    val raw = graft.Tables(spark, "/root/testdata/sf0.001", "events")
+      .select($"user_id", $"event_id",
+        unix_micros($"ts".cast("timestamp")).as("ts_us"),
+        $"event_type", $"value")
+      .as[CdcEvent].collect().sortBy(e => (e.ts_us, e.event_id))
+    val input = MemoryStream[CdcEvent]
+    val q = LatestState.latest(input.toDS()).writeStream
+      .format("memory").queryName("latest_out").outputMode("append").start()
+    try {
+      // two micro-batches: per-key winners must carry across them
+      val (b1, b2) = raw.splitAt(raw.length / 2)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      val out = spark.table("latest_out").as[LatestRow].collect()
+      // each emission strictly improves a key, so the max-order row per
+      // key is the converged state
+      val fin = out.groupBy(_.user_id).map { case (u, rows) =>
+        u -> rows.maxBy(r => (r.last_ts_us, r.last_event_id)) }
+      assert(fin.keySet == batch.keySet)
+      batch.foreach { case (u, (eid, tsUs, tpe, v)) =>
+        val f = fin(u)
+        assert((f.last_event_id, f.last_ts_us, f.last_type, f.last_value)
+          == ((eid, tsUs, tpe, v)), s"user $u diverged from batch")
+      }
+      // a full replay of the stream is a no-op: every row loses the
+      // max-order race against existing state (CDC idempotence)
+      val before = spark.table("latest_out").count()
+      input.addData(raw.toSeq); q.processAllAvailable()
+      assert(spark.table("latest_out").count() == before)
+    } finally q.stop()
+  }
+
 }

@@ -45,7 +45,12 @@ object Bench {
     "t12_seq_pack", "t13_line_dedup", "t14_tfidf", "t15_gopher_rules",
     "t17_temperature_mix", "t18_heavy_hitters", "d13_source_overlap",
     "t19_bigram_logprob", "t20_code_detect", "m07_phash_dedup",
-    "q22_revenue_deciles")
+    "q22_revenue_deciles",
+    // round-7 additions that shuffle or scale with sf: q24 is the
+    // suite's one fact-fact join; st08 windows the whole event stream;
+    // t22's df shuffle and s11's quantized scan track plan regressions
+    "q24_ship_delay", "st08_latest_state", "t22_boilerplate_trim",
+    "s11_ann_scalar_quant")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -905,7 +905,52 @@ object Dedup {
       .orderBy($"eval_id")
   }
 
+  /** d15: INCREMENTAL (delta) dedup — the production shape at 100 TB:
+    * today's shard dedupes against yesterday's corpus WITHOUT
+    * re-deduping the corpus. The even-doc_id half stands in for the
+    * base snapshot, the odd half for the arriving delta; each delta
+    * doc is verdicted `base_dup` (content hash already in the base),
+    * `delta_dup` (an earlier delta doc owns the hash), or `kept`
+    * (genuinely new — what ships).
+    *
+    * Scale shape: the base side collapses to a DISTINCT md5-key frame
+    * (in production this is the pre-materialized key store, bucketed
+    * on h — never a rescan of the corpus text); the delta's
+    * first-occurrence frame is ONE partial-agg shuffle on the same
+    * constant-width h key, and both joins are co-partitioned on it.
+    * d01's shuffle regime end to end — no fan-out depends on how hot
+    * a duplicate is.
+    */
+  def d15(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = T(s, dir, "documents").withColumn("h", md5($"text"))
+    val base = docs.filter($"doc_id" % 2 === 0).select($"h").distinct()
+      .withColumn("in_base", lit(true))
+    val delta = docs.filter($"doc_id" % 2 === 1)
+    val firsts = delta.groupBy($"h").agg(min($"doc_id").as("first_id"))
+    delta.join(base, Seq("h"), "left")
+      .join(firsts, "h")
+      .withColumn("verdict",
+        when($"in_base".isNotNull, lit("base_dup"))
+          .when($"doc_id" =!= $"first_id", lit("delta_dup"))
+          .otherwise(lit("kept")))
+      .select($"doc_id", $"h", $"verdict")
+      .orderBy($"doc_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "d15_delta_dedup" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |base AS (SELECT DISTINCT h FROM d WHERE doc_id % 2 = 0),
+        |delta AS (SELECT doc_id, h FROM d WHERE doc_id % 2 = 1),
+        |firsts AS (SELECT h, min(doc_id) AS first_id FROM delta GROUP BY h)
+        |SELECT delta.doc_id, delta.h,
+        | CASE WHEN base.h IS NOT NULL THEN 'base_dup'
+        |      WHEN delta.doc_id <> f.first_id THEN 'delta_dup'
+        |      ELSE 'kept' END AS verdict
+        |FROM delta LEFT JOIN base ON delta.h = base.h
+        |JOIN firsts f ON delta.h = f.h
+        |ORDER BY delta.doc_id""".stripMargin,
     "d14_fuzzy_decontaminate" -> d14OracleSql,
     "d13_source_overlap" ->
       s"""WITH toks AS (SELECT source, string_split(text, ' ') AS w
@@ -1107,6 +1152,7 @@ object Dedup {
     "d11_semantic_dedup" -> (d11 _),
     "d12_dup_downweight" -> (d12 _),
     "d13_source_overlap" -> (d13 _),
-    "d14_fuzzy_decontaminate" -> (d14 _)
+    "d14_fuzzy_decontaminate" -> (d14 _),
+    "d15_delta_dedup" -> (d15 _)
   )
 }

@@ -539,8 +539,55 @@ object Relational {
       .orderBy($"o_orderpriority", $"delay_week")
   }
 
+  /** q25: VALUE-CONCENTRATION report (the TPC-H Q11 shape): parts
+    * whose discounted revenue exceeds 1.3× the MEAN part revenue — the
+    * HAVING-against-a-global-scalar pattern (q22's shares are windowed
+    * per nation; this gates each group against one corpus-wide
+    * aggregate; Q11's fixed fraction-of-total cut is mean-relative
+    * here so the gate bites at every sf of this uniform testdata).
+    *
+    * Scale shape: per-part revenue is ONE partial-agg shuffle on
+    * l_partkey; the global total+count re-aggregate that part-dim
+    * frame (never the fact) to a SINGLE row, which broadcasts into the
+    * threshold filter (the sanctioned single-row BNLJ, t10/t14's
+    * shape); the part dim joins broadcast. The threshold compare is
+    * exact integer cross-multiplication — no float share is computed
+    * until the surviving dim-sized rows.
+    */
+  def q25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byPart = T(s, dir, "lineitem").groupBy($"l_partkey")
+      .agg(sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount")))
+        .as("val_c4"))
+    val tot = byPart.agg(sum($"val_c4").as("tot_c4"),
+      count(lit(1)).as("n_parts"))
+    byPart.crossJoin(broadcast(tot))
+      .filter($"val_c4" * $"n_parts" * 10 > $"tot_c4" * 13)
+      .join(broadcast(T(s, dir, "part").select($"p_partkey", $"p_name")),
+        $"l_partkey" === $"p_partkey")
+      .select($"p_partkey", $"p_name",
+        ($"val_c4".cast("double") / lit(1e4)).as("part_value"),
+        expr("round(CAST(val_c4 AS DOUBLE) / CAST(tot_c4 AS DOUBLE), 6)")
+          .as("share"))
+      .orderBy($"part_value".desc, $"p_partkey")
+  }
+
   /** Oracle SQL (DuckDB dialect ≈ ANSI) mirroring each query above. */
   val oracle: Map[String, String] = Map(
+    "q25_value_concentration" ->
+      """WITH bp AS (SELECT l_partkey,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS val_c4
+        | FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(val_c4) AS BIGINT) AS tot_c4,
+        |  count(*) AS n_parts FROM bp)
+        |SELECT p_partkey, p_name,
+        | CAST(val_c4 AS DOUBLE) / 10000.0 AS part_value,
+        | round(CAST(val_c4 AS DOUBLE) / CAST(tot_c4 AS DOUBLE), 6) AS share
+        |FROM bp CROSS JOIN tot
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE val_c4 * n_parts * 10 > tot_c4 * 13
+        |ORDER BY part_value DESC, p_partkey""".stripMargin,
     "q24_ship_delay" ->
       """WITH j AS (
         | SELECT o_orderpriority,
@@ -764,6 +811,7 @@ object Relational {
     "q21_trailing_window" -> (q21 _),
     "q22_revenue_deciles" -> (q22 _),
     "q23_copurchase_pairs" -> (q23 _),
-    "q24_ship_delay" -> (q24 _)
+    "q24_ship_delay" -> (q24 _),
+    "q25_value_concentration" -> (q25 _)
   )
 }

@@ -205,6 +205,24 @@ class DedupQualitySpec extends SparkSpec {
     assert(departed, "MMR never departed from pure relevance on any query")
   }
 
+  test("d15 delta dedup verdicts: base_dup, delta_dup, kept") {
+    import spark.implicits._
+    // base (even ids): doc 0 carries content X; delta (odd ids):
+    // 1 repeats X (base_dup), 3 and 5 share fresh content Y (3 keeps,
+    // 5 is delta_dup), 7 is unique (kept)
+    val docs = Seq(
+      (0L, "x x x", "en", "s", 0L), (2L, "base only", "en", "s", 0L),
+      (1L, "x x x", "en", "s", 0L), (3L, "y y y", "en", "s", 0L),
+      (5L, "y y y", "en", "s", 0L), (7L, "fresh z", "en", "s", 0L))
+    val dir = java.nio.file.Files.createTempDirectory("d15").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Dedup.queries("d15_delta_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out == Map(1L -> "base_dup", 3L -> "kept",
+      5L -> "delta_dup", 7L -> "kept"))
+  }
+
   test("s11 int8-quantized shortlist recalls nearly all of the exact top-10") {
     val S = graft.operators.Similarity
     def topk(name: String): Map[Long, Set[Long]] =

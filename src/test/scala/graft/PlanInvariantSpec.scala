@@ -55,6 +55,8 @@ class PlanInvariantSpec extends SparkSpec {
     // single-row weight-total broadcast into the per-source quota
     // (t10/t14's count shape)
     "t17_temperature_mix" -> 1,
+    // single-row global-revenue total broadcast into the HAVING gate
+    "q25_value_concentration" -> 1,
     // broadcast tumor-normal pair dim × one variants scan: the depth/
     // frequency predicate is non-equi by construction (e17's trio shape)
     "e43_set_somatic" -> 1,

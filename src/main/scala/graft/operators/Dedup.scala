@@ -938,7 +938,59 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** d16: MinHash ESTIMATE AUDIT — d02's per-pair estimated Jaccard
+    * against the exact 3-shingle Jaccard of the same pair (s09's
+    * "measure the approximation" move, applied to dedup): the
+    * calibration table an operator reads before trusting a 64-lane
+    * signature at a given dedup threshold. Composes d02 AS A
+    * DATAFRAME — the audit grades the production path, not a
+    * re-model.
+    *
+    * Scale shape: the only additions over d02 are two joins keyed on
+    * doc id bringing each candidate's full distinct-shingle set to its
+    * pair (candidate-bounded — the LSH bucket cap keeps the pair list
+    * tiny relative to the corpus) and per-row intersection arithmetic.
+    * The DuckDB oracle nests d02's full staged-XXH64 replay as a CTE,
+    * so estimate, exact value, and error are all hash-verified.
+    */
+  def d16(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    val grams = T(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("w"))
+      .filter(size($"w") >= 3)
+      .withColumn("gs", expr("shingles(w, 3)"))
+      .select($"doc_id", $"gs")
+    d02(s, dir)
+      .join(grams.select($"doc_id".as("doc_a"), $"gs".as("gs_a")), "doc_a")
+      .join(grams.select($"doc_id".as("doc_b"), $"gs".as("gs_b")), "doc_b")
+      .withColumn("c", expr("size(array_intersect(gs_a, gs_b))"))
+      .withColumn("jaccard", expr(
+        "round(CAST(c AS DOUBLE) / (size(gs_a) + size(gs_b) - c), 6)"))
+      .withColumn("err", expr(
+        "round(abs(est_jaccard - CAST(c AS DOUBLE) / (size(gs_a) + size(gs_b) - c)), 6)"))
+      .select($"doc_a", $"doc_b", $"est_jaccard", $"jaccard", $"err")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val oracle: Map[String, String] = Map(
+    "d16_minhash_audit" ->
+      s"""WITH lsh AS ($d02OracleSql),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |grams AS (SELECT doc_id,
+         |  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |    FOR i IN generate_series(1, len(w) - 2)]) AS gs
+         |  FROM toks WHERE len(w) >= 3),
+         |j AS (SELECT doc_a, doc_b, est_jaccard,
+         |  len(list_intersect(ga.gs, gb.gs)) AS c,
+         |  len(ga.gs) AS na, len(gb.gs) AS nb
+         |  FROM lsh
+         |  JOIN grams ga ON ga.doc_id = doc_a
+         |  JOIN grams gb ON gb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, est_jaccard,
+         | round(CAST(c AS DOUBLE) / (na + nb - c), 6) AS jaccard,
+         | round(abs(est_jaccard - CAST(c AS DOUBLE) / (na + nb - c)), 6) AS err
+         |FROM j ORDER BY doc_a, doc_b""".stripMargin,
     "d15_delta_dedup" ->
       """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
         |base AS (SELECT DISTINCT h FROM d WHERE doc_id % 2 = 0),
@@ -1153,6 +1205,7 @@ object Dedup {
     "d12_dup_downweight" -> (d12 _),
     "d13_source_overlap" -> (d13 _),
     "d14_fuzzy_decontaminate" -> (d14 _),
-    "d15_delta_dedup" -> (d15 _)
+    "d15_delta_dedup" -> (d15 _),
+    "d16_minhash_audit" -> (d16 _)
   )
 }

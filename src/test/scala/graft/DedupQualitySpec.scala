@@ -223,6 +223,19 @@ class DedupQualitySpec extends SparkSpec {
       5L -> "delta_dup", 7L -> "kept"))
   }
 
+  test("d16 audit: 64-lane minhash estimates track exact jaccard") {
+    val rows = graft.operators.Dedup.queries("d16_minhash_audit")(spark, dir)
+      .collect().map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // 64 lanes → the estimate's std error is sqrt(j(1-j)/64) ≤ 0.0625;
+    // allow 4 sigma per pair and a much tighter mean across pairs
+    rows.foreach { case (est, exact, err) =>
+      assert(err <= 0.25, s"estimate $est vs exact $exact (err $err)")
+    }
+    val meanErr = rows.map(_._3).sum / rows.length
+    assert(meanErr <= 0.10, s"mean |est - exact| = $meanErr")
+  }
+
   test("s11 int8-quantized shortlist recalls nearly all of the exact top-10") {
     val S = graft.operators.Similarity
     def topk(name: String): Map[Long, Set[Long]] =

@@ -148,6 +148,39 @@ object Similarity {
     */
   def s10(s: SparkSession, dir: String): DataFrame = lshTopK(s, dir, maxHamming = 2)
 
+  /** s12: FILTERED ANN (hybrid search) — exact cosine top-k restricted
+    * to corpus vectors sharing the query's label: the
+    * metadata-predicate-plus-vector-search combination every
+    * production vector store serves (pre-filtering, not
+    * post-filtering — a post-filter of an unfiltered top-k returns
+    * FEWER than k when the filter is selective; the spec pins the
+    * difference).
+    *
+    * Scale shape: s01's regime with the label equality folded into the
+    * scan predicate BEFORE any scoring — the filter reaches the
+    * parquet scan when the label is a literal, and here (label =
+    * query's label) rides the broadcast join condition, so Catalyst
+    * evaluates it before the dot product. At full scale the same
+    * predicate composes with s02's buckets (filter first, probe the
+    * survivors' buckets).
+    */
+  def s12(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val emb = T(s, dir, "embeddings")
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+        $"label".as("q_label"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+    emb.join(broadcast(queries), $"label" === $"q_label")
+      .withColumn("cos", expr(
+        s"${dot("embedding", "q_emb")} / sqrt(${dot("embedding", "embedding")} * ${dot("q_emb", "q_emb")})"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= K)
+      .select($"q_id", $"label", $"vec_id", expr("round(cos, 6)").as("cos"), $"rn")
+      .orderBy($"q_id", $"rn")
+  }
+
   /** s11: SCALAR-QUANTIZED (int8) ANN — the memory-bandwidth scale
     * path between s01's full floats and s04's PQ codes: each vector is
     * symmetric-max-abs quantized to 8-bit integers (4× smaller than
@@ -518,6 +551,19 @@ object Similarity {
     "s02_ann_lsh" -> S02Sql,
     "s10_ann_multiprobe" -> lshSql(2),
     "s01_ann_bruteforce_topk" -> S01Sql,
+    "s12_filtered_ann" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe, label AS q_label
+         |  FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings),
+         |scored AS (SELECT q_id, q_label AS label, vec_id,
+         |  list_inner_product(e, qe)
+         |    / sqrt(list_inner_product(e, e) * list_inner_product(qe, qe)) AS cos
+         |  FROM c JOIN q ON c.label = q.q_label),
+         |ranked AS (SELECT q_id, label, vec_id, cos,
+         |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+         |  FROM scored)
+         |SELECT q_id, label, vec_id, round(cos, 6) AS cos, rn
+         |FROM ranked WHERE rn <= $K ORDER BY q_id, rn""".stripMargin,
     "s11_ann_scalar_quant" ->
       // the whole quantize → approx-rank → exact-re-rank chain replayed:
       // quantized codes are small integers in doubles, so every dot is
@@ -780,6 +826,7 @@ object Similarity {
     "s08_mmr_rerank" -> (s08 _),
     "s09_ann_recall" -> (s09 _),
     "s10_ann_multiprobe" -> (s10 _),
-    "s11_ann_scalar_quant" -> (s11 _)
+    "s11_ann_scalar_quant" -> (s11 _),
+    "s12_filtered_ann" -> (s12 _)
   )
 }

@@ -241,7 +241,55 @@ object StreamingOps {
       .orderBy($"user_id")
   }
 
+  /** st09 lateness tolerance: 10 minutes of event-time disorder. */
+  private final val DisorderTolUs = 600000000L
+
+  /** st09: event-time DISORDER audit — per key (user), how far events
+    * arrive BEHIND the maximum event time already seen on that key's
+    * stream (arrival order = event_id): count beyond the
+    * [[DisorderTolUs]] tolerance and the worst regression. This is the
+    * measurement that SIZES a watermark — `withWatermark(d)` drops
+    * exactly the events this audit counts at tolerance d, so you run
+    * it batch over history before committing a streaming delay
+    * (st01–st08's watermarks are assumptions; this is the data).
+    *
+    * Scale shape: ONE user-keyed window shuffle (running max over the
+    * arrival order), and the per-user rollup reuses the SAME
+    * hash-partitioning — Catalyst inserts no second Exchange; the
+    * disorder rule is integer micros spelled identically in both
+    * engines.
+    */
+  def st09(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    T(s, dir, "events")
+      .withColumn("ts_us", unix_micros($"ts".cast("timestamp")))
+      .withColumn("prev_max", max($"ts_us").over(w))
+      .withColumn("disorder_us", expr(
+        """CASE WHEN prev_max IS NULL OR prev_max <= ts_us THEN 0L
+          | ELSE prev_max - ts_us END""".stripMargin))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        count(when($"disorder_us" > DisorderTolUs, 1)).as("n_late"),
+        max($"disorder_us").as("max_disorder_us"))
+      .orderBy($"user_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "st09_disorder_audit" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+         |m AS (SELECT user_id, event_id, ts_us,
+         |  max(ts_us) OVER (PARTITION BY user_id ORDER BY event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+         |  FROM e),
+         |d AS (SELECT user_id,
+         |  CASE WHEN prev_max IS NULL OR prev_max <= ts_us THEN 0
+         |       ELSE prev_max - ts_us END AS disorder_us FROM m)
+         |SELECT user_id, count(*) AS n_events,
+         | count(*) FILTER (WHERE disorder_us > $DisorderTolUs) AS n_late,
+         | CAST(max(disorder_us) AS BIGINT) AS max_disorder_us
+         |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
     "st07_drift_monitor" ->
       s"""WITH c AS (
          | SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws, event_type,
@@ -351,6 +399,7 @@ object StreamingOps {
     "st05_stream_curate" -> (st05 _),
     "st06_rate_anomaly" -> (st06 _),
     "st07_drift_monitor" -> (st07 _),
-    "st08_latest_state" -> (st08 _)
+    "st08_latest_state" -> (st08 _),
+    "st09_disorder_audit" -> (st09 _)
   )
 }

@@ -223,6 +223,25 @@ class DedupQualitySpec extends SparkSpec {
       5L -> "delta_dup", 7L -> "kept"))
   }
 
+  test("s12 filtered ANN pre-filters: label-pure results post-filter can't give") {
+    val S = graft.operators.Similarity
+    val emb = graft.Tables(spark, dir, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.get(2)).toMap
+    val filtered = S.queries("s12_filtered_ann")(spark, dir).collect()
+    // every hit carries its query's label (the predicate actually gates)
+    filtered.foreach { r =>
+      assert(emb(r.getLong(2)) == r.get(1),
+        s"vec ${r.getLong(2)} broke the label filter")
+    }
+    // pre-filter vs post-filter: the filtered top-10 must reach vectors
+    // the UNfiltered top-10 never surfaces (a post-filter of s01 would
+    // return fewer than k for selective labels)
+    val unfiltered = S.queries("s01_ann_bruteforce_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val beyond = filtered.count(r => !unfiltered((r.getLong(0), r.getLong(2))))
+    assert(beyond > 0, "filtered search never looked past the global top-10")
+  }
+
   test("d16 audit: 64-lane minhash estimates track exact jaccard") {
     val rows = graft.operators.Dedup.queries("d16_minhash_audit")(spark, dir)
       .collect().map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4)))

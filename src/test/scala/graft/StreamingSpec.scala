@@ -520,4 +520,28 @@ class StreamStreamJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st09 disorder audit matches a hand-rolled per-user replay") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.operators.StreamingOps.st09(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val events = graft.Tables(spark, dir, "events")
+      .select($"user_id", $"event_id",
+        org.apache.spark.sql.functions.unix_micros($"ts".cast("timestamp")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byUser = events.groupBy(_._1)
+    assert(out.keySet == byUser.keySet)
+    byUser.foreach { case (u, evs) =>
+      var prevMax = Long.MinValue
+      var late = 0L; var worst = 0L
+      evs.sortBy(_._2).foreach { case (_, _, us) =>
+        val d = if (prevMax == Long.MinValue || prevMax <= us) 0L else prevMax - us
+        if (d > 600000000L) late += 1
+        worst = math.max(worst, d)
+        prevMax = math.max(prevMax, us)
+      }
+      assert(out(u) == ((evs.length.toLong, late, worst)), s"user $u")
+    }
+  }
+
 }

@@ -353,7 +353,62 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** m09 shard byte budget — sized so the synthetic corpus yields a few
+    * shards per source; production uses ~100 MB–1 GB tar shards.
+    */
+  private final val ShardBudget = 4096L
+
+  /** m09: WebDataset-style SHARD PACKING manifest — blobs greedily
+    * packed into byte-budgeted shards per source (the tar-shard layout
+    * multimodal training data actually ships in: sequential reads, no
+    * per-sample object-store round trips), emitting one manifest row
+    * per shard: item count, byte total, and an order-sensitive digest
+    * chain over the members (what an integrity check of the written
+    * shard verifies against). t12 packs token streams into training
+    * sequences; this packs BINARY blobs into I/O-sized containers —
+    * same discipline, different axis.
+    *
+    * Scale shape: t12's regime — ONE window shuffle keyed on source
+    * (each source's shard sequence packs independently, exactly how a
+    * 100 TB corpus shards per prefix), assignment by integer
+    * prior-bytes division (exact, both engines), and the shard rollup
+    * reuses the same source partitioning. The blob itself never moves
+    * — only (id, size, digest) triples flow through the shuffle; the
+    * writer tasks would stream the bytes shard-locally.
+    */
+  def m09(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    T(s, dir, "documents")
+      .select($"doc_id", $"source",
+        octet_length($"text".cast("binary")).as("nb"),
+        md5($"text".cast("binary")).as("dg"))
+      .withColumn("prior", coalesce(sum($"nb").over(w), lit(0L)))
+      .withColumn("shard", expr(s"CAST(prior div $ShardBudget AS INT)"))
+      .groupBy($"source", $"shard")
+      .agg(count(lit(1)).as("n_items"),
+        sum($"nb").as("shard_bytes"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct($"doc_id", $"dg"))),
+          x => x.getField("dg")), ",")).as("manifest_md5"))
+      .orderBy($"source", $"shard")
+  }
+
   val oracle: Map[String, String] = Map(
+    "m09_shard_pack" ->
+      s"""WITH b AS (SELECT doc_id, source, strlen(text) AS nb, md5(text) AS dg
+         |  FROM documents),
+         |c AS (SELECT *, CAST(coalesce(sum(nb) OVER (PARTITION BY source
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    0) AS BIGINT) AS prior FROM b),
+         |sh AS (SELECT source, doc_id, dg, nb,
+         |  CAST(prior // $ShardBudget AS INT) AS shard FROM c)
+         |SELECT source, shard, count(*) AS n_items,
+         | CAST(sum(nb) AS BIGINT) AS shard_bytes,
+         | md5(string_agg(dg, ',' ORDER BY doc_id)) AS manifest_md5
+         |FROM sh GROUP BY 1, 2 ORDER BY source, shard""".stripMargin,
     "m08_modality_route" ->
       """SELECT doc_id, substr(text, 1, 8) AS head8,
         | CASE
@@ -480,6 +535,7 @@ object Multimodal {
     "m05_audio_chunk" -> (m05 _),
     "m06_resize_stub" -> (m06 _),
     "m07_phash_dedup" -> (m07 _),
-    "m08_modality_route" -> (m08 _)
+    "m08_modality_route" -> (m08 _),
+    "m09_shard_pack" -> (m09 _)
   )
 }

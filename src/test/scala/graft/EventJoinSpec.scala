@@ -286,4 +286,29 @@ class EventJoinSpec extends SparkSpec {
       assert(members.count(_._2._2) == 1, s"phash $h: one survivor expected")
     }
   }
+  test("m09 shard packing: contiguous shards, conserved bytes, greedy budget") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.operators.Multimodal.queries("m09_shard_pack")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val docs = graft.Tables(spark, dir, "documents").collect()
+      .map(r => (r.getString(3), r.getString(1).getBytes("UTF-8").length.toLong))
+    // bytes are conserved: shard totals partition the corpus bytes
+    assert(out.map(_._4).sum == docs.map(_._2).sum)
+    out.groupBy(_._1).foreach { case (src0, shards) =>
+      val ids = shards.map(_._2).sorted
+      // shard ids are contiguous from 0 (no empty shard in the chain)
+      assert(ids.toSeq == (0 until ids.length), s"$src0 shard ids: ${ids.toSeq}")
+      // floor(prior/budget) assignment ⇒ the first member of shard i+1
+      // has prior bytes in [(i+1)·B, (i+2)·B): the PREFIX sum through
+      // shard i must land in that band (per-shard bytes alone can
+      // undershoot B when one item straddles the boundary)
+      val byId = shards.map(s => s._2 -> s._4).toMap
+      var prefix = 0L
+      ids.dropRight(1).foreach { i =>
+        prefix += byId(i)
+        assert(prefix >= (i + 1) * 4096L && prefix < (i + 2) * 4096L,
+          s"$src0 prefix through shard $i = $prefix outside its band")
+      }
+    }
+  }
 }

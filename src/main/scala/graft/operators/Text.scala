@@ -827,7 +827,73 @@ object Text {
       .orderBy($"doc_id")
   }
 
+  /** t23: WORD-ENTROPY lexical-diversity scoring — per-doc Shannon
+    * entropy of the token distribution, H = log2 n − (Σ c·log2 c)/n,
+    * plus the 0–1 diversity ratio H / log2 n and a low-diversity flag
+    * (< 0.5): the curation signal that catches token-loop spam and
+    * template chatter whose LENGTH passes t15's Gopher rules and whose
+    * VOCABULARY passes t01 (a doc repeating 5 words forever has fine
+    * stopword ratios; its entropy collapses). t03 counts distinct
+    * tokens; entropy weighs them by mass.
+    *
+    * Exactness: t10's decimal-stabilized log pattern — each c·log2 c
+    * term is rounded to 6 decimals and cast DECIMAL so the per-doc sum
+    * is EXACT and order-free (a raw double Σ would be
+    * partition-order-sensitive); the final subtraction/division runs
+    * on identical operands in both engines.
+    *
+    * Scale shape: tokens explode map-side; (doc, tok) counts collapse
+    * in ONE partial-agg shuffle (the per-doc key keeps hot tokens from
+    * concentrating — fan-in is per-document, not corpus-wide), and the
+    * per-doc rollup re-shuffles only the counted rows on doc_id.
+    */
+  def t23(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      .withColumn("term", expr(
+        "CAST(round(c * log2(CAST(c AS DOUBLE)), 6) AS DECIMAL(18,6))"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_toks"), count(lit(1)).as("n_distinct"),
+        expr("CAST(CAST(sum(term) AS DECIMAL(38,6)) AS DOUBLE)").as("s6"))
+      .withColumn("entropy", expr(
+        "CAST(CAST(round(log2(CAST(n_toks AS DOUBLE)), 6) AS DECIMAL(18,6)) AS DOUBLE)" +
+          " - s6 / CAST(n_toks AS DOUBLE)"))
+      .withColumn("diversity", expr(
+        """CASE WHEN n_toks = 1 THEN 0.0e0 ELSE entropy /
+          | CAST(CAST(round(log2(CAST(n_toks AS DOUBLE)), 6) AS DECIMAL(18,6)) AS DOUBLE) END""".stripMargin))
+      .withColumn("low_diversity", $"diversity" < 0.5)
+      .select($"doc_id", $"n_toks", $"n_distinct", $"entropy",
+        $"diversity", $"low_diversity")
+      .orderBy($"doc_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "t23_word_entropy" ->
+      """WITH c AS (SELECT doc_id, tok, count(*) AS c
+        | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |   FROM documents)
+        | GROUP BY 1, 2),
+        |t AS (SELECT doc_id, c,
+        |  CAST(round(c * log2(CAST(c AS DOUBLE)), 6) AS DECIMAL(18,6)) AS term
+        | FROM c),
+        |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
+        |  count(*) AS n_distinct,
+        |  CAST(CAST(sum(term) AS DECIMAL(38,6)) AS DOUBLE) AS s6
+        | FROM t GROUP BY doc_id),
+        |h AS (SELECT doc_id, n_toks, n_distinct,
+        |  CAST(CAST(round(log2(CAST(n_toks AS DOUBLE)), 6) AS DECIMAL(18,6)) AS DOUBLE)
+        |    - s6 / CAST(n_toks AS DOUBLE) AS entropy,
+        |  CASE WHEN n_toks = 1 THEN 0.0 ELSE
+        |   (CAST(CAST(round(log2(CAST(n_toks AS DOUBLE)), 6) AS DECIMAL(18,6)) AS DOUBLE)
+        |     - s6 / CAST(n_toks AS DOUBLE))
+        |   / CAST(CAST(round(log2(CAST(n_toks AS DOUBLE)), 6) AS DECIMAL(18,6)) AS DOUBLE)
+        |  END AS diversity
+        | FROM agg)
+        |SELECT doc_id, n_toks, n_distinct, entropy, diversity,
+        | (diversity < 0.5) AS low_diversity
+        |FROM h ORDER BY doc_id""".stripMargin,
     "t22_boilerplate_trim" ->
       s"""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
          |lines AS (SELECT doc_id, source,
@@ -1126,6 +1192,7 @@ object Text {
     "t19_bigram_logprob" -> (t19 _),
     "t20_code_detect" -> (t20 _),
     "t21_readability" -> (t21 _),
-    "t22_boilerplate_trim" -> (t22 _)
+    "t22_boilerplate_trim" -> (t22 _),
+    "t23_word_entropy" -> (t23 _)
   )
 }

@@ -120,6 +120,28 @@ class ApproxAccuracySpec extends SparkSpec {
     }
   }
 
+  test("t23 entropy flags token-loop spam the length/stopword gates pass") {
+    import spark.implicits._
+    // spam: 60 tokens but only 3 distinct, arranged so stopwords appear
+    // (t01/t15-passable); diverse: 60 distinct tokens
+    val spam = (0 until 20).flatMap(_ => Seq("the", "buy", "now")).mkString(" ")
+    val diverse = (0 until 60).map(i => s"w$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("t23").toString
+    Seq((1L, spam, "en", "s", 0L), (2L, diverse, "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Text.queries("t23_word_entropy")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(out(1L)._2, s"spam must flag low_diversity: ${out(1L)}")
+    assert(!out(2L)._2 && out(2L)._1 > 0.99,
+      s"60 distinct tokens ~ maximal diversity: ${out(2L)}")
+    // entropy of the 3-symbol loop is log2(3) = 1.585 bits
+    val spamH = graft.operators.Text.queries("t23_word_entropy")(spark, dir)
+      .collect().find(_.getLong(0) == 1L).get.getDouble(3)
+    assert(math.abs(spamH - math.log(3) / math.log(2)) < 1e-4, s"H=$spamH")
+  }
+
   test("t20 flags injected code, not the prose corpus") {
     import spark.implicits._
     val code =

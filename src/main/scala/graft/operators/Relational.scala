@@ -572,8 +572,43 @@ object Relational {
       .orderBy($"part_value".desc, $"p_partkey")
   }
 
+  /** q26: relative STANDING — each order's percent_rank and cume_dist
+    * of total price within its priority class (the "is this order in
+    * the top decile of URGENT orders?" lookup; q22 buckets into
+    * deciles and rolls up — this emits every row's exact standing, the
+    * other half of the distributional-window family).
+    *
+    * Scale shape: ONE window shuffle keyed on o_orderpriority (a
+    * bounded partitioning — at 100 TB the per-priority sort is the
+    * cost, and a pre-bucketed lake layout on priority removes the
+    * shuffle entirely); both measures are rank arithmetic on exact
+    * integer cents — (rank−1)/(N−1) and peers/N divide identical
+    * integers in both engines, no float compare anywhere in the sort.
+    */
+  def q26(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"price_c")
+    T(s, dir, "orders")
+      .withColumn("price_c", cents($"o_totalprice"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .select($"o_orderkey", $"o_orderpriority",
+        ($"price_c".cast("double") / lit(100.0)).as("price"),
+        $"pr", $"cd")
+      .orderBy($"o_orderkey")
+  }
+
   /** Oracle SQL (DuckDB dialect ≈ ANSI) mirroring each query above. */
   val oracle: Map[String, String] = Map(
+    "q26_price_standing" ->
+      """WITH r AS (SELECT o_orderkey, o_orderpriority,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        | FROM orders)
+        |SELECT o_orderkey, o_orderpriority,
+        | CAST(price_c AS DOUBLE) / 100.0 AS price,
+        | percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY price_c) AS pr,
+        | cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY price_c) AS cd
+        |FROM r ORDER BY o_orderkey""".stripMargin,
     "q25_value_concentration" ->
       """WITH bp AS (SELECT l_partkey,
         |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
@@ -812,6 +847,7 @@ object Relational {
     "q22_revenue_deciles" -> (q22 _),
     "q23_copurchase_pairs" -> (q23 _),
     "q24_ship_delay" -> (q24 _),
-    "q25_value_concentration" -> (q25 _)
+    "q25_value_concentration" -> (q25 _),
+    "q26_price_standing" -> (q26 _)
   )
 }

@@ -276,7 +276,45 @@ object StreamingOps {
       .orderBy($"user_id")
   }
 
+  /** st10: OUTER interval join — st04's attribution pairs with the
+    * unmatched purchases KEPT (null view columns): "which conversions
+    * had no preceding touchpoint" is the business question an inner
+    * join silently deletes. In streaming form this is Spark's
+    * watermarked stream-stream LEFT OUTER join, whose null-padded
+    * rows emit only when the watermark proves no match can still
+    * arrive (StreamingSpec "st10" pins exactly that).
+    *
+    * Scale shape: st04's — equi-join keyed on user (ONE shuffle pair;
+    * the time-range predicate rides the equi-join, never a range-only
+    * join); outer polarity adds no shuffle, only per-key retention of
+    * unmatched build rows until the bound passes.
+    */
+  def st10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = T(s, dir, "events")
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("p_event_id"), $"ts".as("p_ts"))
+    val v = ev.filter($"event_type" === "view")
+      .select($"user_id".as("v_user_id"), $"event_id".as("v_event_id"), $"ts".as("v_ts"))
+    p.join(v, $"user_id" === $"v_user_id" &&
+        $"v_ts" >= $"p_ts" - expr("INTERVAL 24 HOURS") && $"v_ts" <= $"p_ts",
+      "left_outer")
+      .withColumn("attributed", $"v_event_id".isNotNull)
+      .select($"user_id", $"p_event_id", $"p_ts", $"v_event_id", $"v_ts",
+        $"attributed")
+      .orderBy($"user_id", $"p_event_id", $"v_event_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "st10_attribution_outer" ->
+      """SELECT p.user_id, p.event_id AS p_event_id, p.ts AS p_ts,
+        | v.event_id AS v_event_id, v.ts AS v_ts,
+        | (v.event_id IS NOT NULL) AS attributed
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id
+        | AND v.ts >= p.ts - INTERVAL '24 hours' AND v.ts <= p.ts
+        |ORDER BY p.user_id, p_event_id, v_event_id""".stripMargin,
     "st09_disorder_audit" ->
       s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
          |m AS (SELECT user_id, event_id, ts_us,
@@ -400,6 +438,7 @@ object StreamingOps {
     "st06_rate_anomaly" -> (st06 _),
     "st07_drift_monitor" -> (st07 _),
     "st08_latest_state" -> (st08 _),
-    "st09_disorder_audit" -> (st09 _)
+    "st09_disorder_audit" -> (st09 _),
+    "st10_attribution_outer" -> (st10 _)
   )
 }

@@ -544,4 +544,45 @@ class StreamStreamJoinSpec extends SparkSpec {
     }
   }
 
+  test("st10 stream-stream LEFT OUTER join emits null-padded rows on watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    val purchases = MemoryStream[graft.streaming.Event]
+    val views = MemoryStream[graft.streaming.Event]
+    val p = purchases.toDS().withWatermark("ts", "10 minutes")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"), $"event_id".as("p_id"))
+    val v = views.toDS().withWatermark("ts", "10 minutes")
+      .select($"user_id".as("v_user"), $"ts".as("v_ts"), $"event_id".as("v_id"))
+    val joined = p.join(v,
+      expr("p_user = v_user AND v_ts BETWEEN p_ts - INTERVAL 30 minutes AND p_ts"),
+      "leftOuter")
+    val q = joined.writeStream.format("memory").queryName("st10_out")
+      .outputMode("append").start()
+    try {
+      purchases.addData(
+        graft.streaming.Event(1, ts(40), 7, "purchase"),  // view 5 min before
+        graft.streaming.Event(2, ts(40), 8, "purchase"))  // no view at all
+      views.addData(graft.streaming.Event(10, ts(35), 7, "view"))
+      q.processAllAvailable()
+      // matched row emits immediately; the unmatched one must WAIT
+      val early = spark.table("st10_out").collect()
+      assert(early.exists(r => r.getAs[Long]("p_id") == 1L
+        && r.getAs[Long]("v_id") == 10L))
+      assert(!early.exists(r => r.getAs[Long]("p_id") == 2L),
+        "outer row emitted before the watermark proved no match")
+      // push the watermark far past purchase 2's join bound on BOTH
+      // streams -> the null-padded outer row flushes
+      purchases.addData(graft.streaming.Event(3, ts(600), 9, "purchase"))
+      views.addData(graft.streaming.Event(11, ts(600), 9, "view"))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val out = spark.table("st10_out").collect()
+      val unmatched = out.filter(r => r.getAs[Long]("p_id") == 2L)
+      assert(unmatched.length == 1 && unmatched.head.isNullAt(
+        unmatched.head.fieldIndex("v_id")),
+        s"expected one null-padded row for purchase 2, got ${out.toSeq}")
+    } finally q.stop()
+  }
 }

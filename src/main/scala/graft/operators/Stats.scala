@@ -453,6 +453,41 @@ object Stats {
       .orderBy($"table_name", $"ordinal")
   }
 
+  /** Embedded GTF gene-model fixture for e56: an explicit `gene` row
+    * (BRCA1), a gene known only through transcript/exon rows (TP53 —
+    * exercises the feature-hull path), a second-chrom gene and an
+    * uncovered one.
+    */
+  val gtfLines: Vector[String] = Vector(
+    "#!genome-build fixture",
+    "1\thavana\tgene\t50\t150\t.\t+\t.\tgene_id \"ENSG1\"; gene_name \"BRCA1\";",
+    "1\thavana\ttranscript\t180\t250\t.\t-\t.\tgene_id \"ENSG2\"; gene_name \"TP53\";",
+    "1\thavana\texon\t190\t260\t.\t-\t.\tgene_id \"ENSG2\"; gene_name \"TP53\";",
+    "2\thavana\tgene\t250\t350\t.\t+\t.\tgene_id \"ENSG3\"; gene_name \"EGFR\";",
+    "X\thavana\texon\t500\t600\t.\t+\t.\tgene_id \"ENSG4\"; gene_name \"DMD\";")
+
+  /** e56: gene-model annotation from GTF — each variant labeled with
+    * the gene span(s) covering its position, the refGene-style gene
+    * table GEMINI's `region --gene` is served from, here ingested from
+    * the PUBLIC interchange format (Ensembl/GENCODE GTF; 1-based
+    * inclusive, unlike BED — `sources.GtfSource` handles both row
+    * shapes: explicit gene rows and transcript/exon hulls).
+    *
+    * Scale shape: gene models are a DIM (~20k genes) at any cohort
+    * size — the span collapse is one dim-sized agg and the annotation
+    * is e14's binned BROADCAST equi-join (never a chrom-keyed join:
+    * 24-key skew); one variants scan.
+    */
+  def e56(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val genes = graft.sources.GtfSource.genes(
+      graft.sources.GtfSource.fromLines(s, gtfLines))
+    Etl.annotateIntervals(VcfFixture.variants(s), genes)
+      .select($"chrom", $"pos", $"alt", $"gene_id", $"gene_name",
+        $"strand", $"r_start", $"r_end")
+      .orderBy($"chrom", $"pos", $"alt", $"gene_id")
+  }
+
   // ---------------------------------------------------------------- oracles
 
   private val gtLong: String =
@@ -480,6 +515,20 @@ object Stats {
       .mkString("(VALUES ", ", ", ") pf(sample, family_id)")
 
   val oracle: Map[String, String] = Map(
+    "e56_gtf_genes" ->
+      s"""WITH g(r_chrom, gene_id, r_start, r_end, gene_name, strand) AS (VALUES
+         | ('1', 'ENSG1',  50, 150, 'BRCA1', '+'),
+         | ('1', 'ENSG2', 180, 260, 'TP53',  '-'),
+         | ('2', 'ENSG3', 250, 350, 'EGFR',  '+'),
+         | ('X', 'ENSG4', 500, 600, 'DMD',   '+'))
+         |SELECT v.chrom, CAST(v.pos AS BIGINT) AS pos, v.alt,
+         | g.gene_id, g.gene_name, g.strand,
+         | CAST(g.r_start AS BIGINT) AS r_start,
+         | CAST(g.r_end AS BIGINT) AS r_end
+         |FROM ${VcfFixture.variantsValues}
+         |JOIN g ON g.r_chrom = v.chrom
+         | AND v.pos >= g.r_start AND v.pos <= g.r_end
+         |ORDER BY v.chrom, v.pos, v.alt, g.gene_id""".stripMargin,
     "e54_json_export" ->
       s"""SELECT chrom, CAST(pos AS BIGINT) AS pos, alt,
          | '{"chrom": "' || chrom || '", "pos": ' || CAST(pos AS VARCHAR) ||
@@ -712,6 +761,7 @@ object Stats {
     "e51_tstv_by_impact" -> (e51 _),
     "e52_vcf_export" -> (e52 _),
     "e54_json_export" -> (e54 _),
-    "e55_db_info" -> (e55 _)
+    "e55_db_info" -> (e55 _),
+    "e56_gtf_genes" -> (e56 _)
   )
 }

@@ -179,6 +179,29 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("e56 GTF parsing: attribute extraction, gene-row precedence, hulls") {
+    import graft.sources.GtfSource
+    val rows = GtfSource.parse(Stats.gtfLines)
+    // comments skipped; attributes parsed from the quoted key-value list
+    assert(rows.length == 5)
+    assert(rows.head.getString(5) == "ENSG1" && rows.head.getString(6) == "BRCA1")
+    val genes = GtfSource.genes(GtfSource.fromLines(spark, Stats.gtfLines))
+      .collect().map(r => r.getAs[String]("gene_id") ->
+        ((r.getAs[Long]("r_start"), r.getAs[Long]("r_end"),
+          r.getAs[String]("strand")))).toMap
+    // explicit gene row wins verbatim
+    assert(genes("ENSG1") == ((50L, 150L, "+")))
+    // no gene row -> transcript/exon hull (min start 180, max end 260)
+    assert(genes("ENSG2") == ((180L, 260L, "-")))
+    // a gene_name-less record falls back to gene_id
+    val bare = GtfSource.parse(Vector(
+      "3\tx\tgene\t1\t9\t.\t+\t.\tgene_id \"G9\";")).head
+    assert(bare.getString(6) == "G9")
+    // the e56 join itself: X:400 sits in no gene span and must not appear
+    val out = Stats.e56(spark, "").collect()
+    assert(out.length == 4 && !out.exists(_.getString(0) == "X"))
+  }
+
   test("e34 annotate-extract aggregates overlapping interval scores") {
     val got = Stats.e34(spark, "").collect().map(r =>
       ((r.getAs[String]("chrom"), r.getAs[Long]("pos"), r.getAs[String]("alt")),

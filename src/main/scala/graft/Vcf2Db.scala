@@ -424,6 +424,19 @@ object GraftDb {
       variants(spark, dir),
       graft.sources.BedSource.fromPath(spark, bedPath), binW)
 
+  /** Gene-model annotation from a GTF file (Ensembl/GENCODE): each
+    * variant labeled with its covering gene spans — the refGene-style
+    * table `region --gene` is served from, via the same binned
+    * broadcast interval join as BED annotate (gene models are a
+    * ~20k-row dim at any cohort size).
+    */
+  def annotateGtf(spark: SparkSession, dir: String, gtfPath: String,
+      binW: Long = 100000L): DataFrame =
+    graft.operators.Etl.annotateIntervals(
+      variants(spark, dir),
+      graft.sources.GtfSource.genes(
+        graft.sources.GtfSource.fromPath(spark, gtfPath)), binW)
+
   /** GEMINI `annotate` from a VCF annotation source (dbSNP/ClinVar
     * style): exact allele-keyed left join of the loaded cohort against
     * a second VCF's decomposed records — see

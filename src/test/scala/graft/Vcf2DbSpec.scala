@@ -364,6 +364,23 @@ class Vcf2DbSpec extends SparkSpec {
       ("FAM", "c", "mendel_error", 2L)))
   }
 
+  test("GTF annotate over a loaded database labels variants with gene spans") {
+    val dir = Files.createTempDirectory("vcf2db_gtf")
+    val vcf = dir.resolve("in.vcf")
+    Files.writeString(vcf, VcfFixture.lines.mkString("\n") + "\n")
+    val out = dir.resolve("db").toString
+    Vcf2Db.run(spark, vcf.toString, None, out)
+    val gtf = dir.resolve("genes.gtf")
+    Files.writeString(gtf, graft.operators.Stats.gtfLines.mkString("\n") + "\n")
+    val hits = GraftDb.annotateGtf(spark, out, gtf.toString, binW = 100L)
+      .select("chrom", "pos", "alt", "gene_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(hits == Set(
+      ("1", 100L, "G", "BRCA1"), ("1", 200L, "T", "TP53"),
+      ("2", 300L, "A", "EGFR"), ("2", 300L, "T", "EGFR")))
+  }
+
   test("BED annotate over a loaded database labels overlapping variants") {
     val dir = Files.createTempDirectory("vcf2db_bed")
     val vcf = dir.resolve("in.vcf")

@@ -39,7 +39,8 @@ object CurateCorpus {
     */
   case class Report(nInput: Long, nAfterExactDedup: Long,
       nAfterLineDedup: Long, nAfterNearDedup: Long, nAfterQuality: Long,
-      nAfterDecontam: Long, nCodeRouted: Long = 0L)
+      nAfterDecontam: Long, nCodeRouted: Long = 0L,
+      nAfterBoilerTrim: Option[Long] = None)
 
   /** @param docs       corpus with at least (doc_id: long, text: string)
     * @param outDir     survivors land here as parquet (redacted text)
@@ -52,7 +53,8 @@ object CurateCorpus {
   def run(docs: DataFrame, outDir: String,
       minScore: Double = 0.25, maxDup3: Double = 0.6,
       minJaccard: Double = 0.5, benchmark: Option[DataFrame] = None,
-      ngram: Int = 4, routeCode: Boolean = false): Report = {
+      ngram: Int = 4, routeCode: Boolean = false,
+      trimBoilerplate: Boolean = false): Report = {
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -75,14 +77,28 @@ object CurateCorpus {
     val nExact = exact.count()
     input.unpersist() // dead once the exact stage materialized
 
+    // 1.5 (optional) per-source BOILERPLATE trim (t22 rewrite rule):
+    //     template chrome repeated across one source's docs is removed
+    //     from every doc of that source BEFORE line dedup (which would
+    //     otherwise keep each template's arbitrary first occurrence)
+    //     and before clustering (which template lines would glue).
+    //     Requires a `source` column.
+    val (trimmed, nTrim) = if (trimBoilerplate) {
+      require(exact.columns.contains("source"),
+        "--trim-boilerplate needs a source column")
+      val t = refreshNChars(Text.trimBoilerplate(exact)).persist()
+      (t, Some(t.count()))
+    } else (exact, None)
+
     // 2. LINE-level dedup (t13 rewrite rule): corpus-duplicated lines
     //    keep only their global first occurrence; docs losing every
     //    line drop. Runs BEFORE near-dup clustering so boilerplate
     //    lines can't glue unrelated documents into one cluster.
     //    Token-derived metadata refreshes with the rewritten text.
-    val lineD = refreshNChars(Text.dedupLines(exact)).persist()
+    val lineD = refreshNChars(Text.dedupLines(trimmed)).persist()
     val nLine = lineD.count()
     exact.unpersist()
+    if (trimBoilerplate) trimmed.unpersist()
 
     // quality signals computed ONCE on the line-deduped text — the
     // survivor rule below and the quality cut both read them
@@ -169,19 +185,19 @@ object CurateCorpus {
     }
     quality.unpersist()
     if (benchmark.isDefined) clean.unpersist()
-    Report(nInput, nExact, nLine, nNear, nQuality, nClean, nCode)
+    Report(nInput, nExact, nLine, nNear, nQuality, nClean, nCode, nTrim)
   }
 
   private val usage =
     "usage: CurateCorpus <inParquet> <outDir> [--benchmark=path] " +
       "[--min-score=0.25] [--max-dup3=0.6] [--min-jaccard=0.5] " +
-      "[--route-code=false]"
+      "[--route-code=false] [--trim-boilerplate=false]"
 
   /** CLI twin of [[Vcf2Db.main]]: curate a parquet corpus in one run. */
   def main(args: Array[String]): Unit = {
     val (flag, positional) = Cli.parse(args,
       Set("benchmark", "min-score", "max-dup3", "min-jaccard",
-        "route-code"), usage)
+        "route-code", "trim-boilerplate"), usage)
     require(positional.length == 2, usage)
     val spark = GraftSession.build()
     try {
@@ -192,8 +208,10 @@ object CurateCorpus {
         maxDup3 = flag("max-dup3").map(_.toDouble).getOrElse(0.6),
         minJaccard = flag("min-jaccard").map(_.toDouble).getOrElse(0.5),
         benchmark = bench,
-        routeCode = flag("route-code").exists(_.toBoolean))
+        routeCode = flag("route-code").exists(_.toBoolean),
+        trimBoilerplate = flag("trim-boilerplate").exists(_.toBoolean))
       println(s"[curate] input=${r.nInput} exact=${r.nAfterExactDedup} " +
+        r.nAfterBoilerTrim.map(n => s"boiler=$n ").getOrElse("") +
         s"line=${r.nAfterLineDedup} near=${r.nAfterNearDedup} " +
         s"quality=${r.nAfterQuality} decontam=${r.nAfterDecontam} " +
         s"code=${r.nCodeRouted}")

@@ -804,17 +804,47 @@ object Text {
     * doc_id-keyed partial agg. No self-joins, no key whose fan-out
     * grows with repeat frequency.
     */
-  def t22(s: SparkSession, dir: String): DataFrame = {
+  /** The per-source boilerplate line set (t22's rule) — shared by the
+    * t22 stats query and [[trimBoilerplate]].
+    */
+  private def boilerLines(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val docs = T(s, dir, "documents")
     val lines = chunkedLines(docs, "source")
     val srcDocs = docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
     val dfreq = lines.select($"source", $"h", $"doc_id").distinct()
       .groupBy($"source", $"h").agg(count(lit(1)).as("df"))
-    val boiler = dfreq.join(broadcast(srcDocs), "source")
+    dfreq.join(broadcast(srcDocs), "source")
       .filter($"df" >= BoilerMinDocs && $"df" * 20 >= $"n_docs")
       .select($"source", $"h", lit(true).as("is_boiler"))
-    lines.join(boiler, Seq("source", "h"), "left")
+  }
+
+  /** t22's REWRITING form for pipeline use (CurateCorpus's optional
+    * boilerplate-trim stage): every per-source boilerplate line is
+    * removed from EVERY doc of that source, text reassembled in line
+    * order; docs losing every line drop out. Non-text columns pass
+    * through; token-derived metadata is the caller's to refresh
+    * (dedupLines' contract).
+    */
+  def trimBoilerplate(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val kept = chunkedLines(docs.select($"doc_id", $"source", $"text"), "source")
+      .join(boilerLines(docs), Seq("source", "h"), "left")
+      .filter($"is_boiler".isNull)
+      .groupBy($"doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct($"idx", $"line"))),
+        x => x.getField("line")), " ").as("_new_text"))
+    docs.join(kept, "doc_id")
+      .withColumn("text", $"_new_text").drop("_new_text")
+  }
+
+  def t22(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = T(s, dir, "documents")
+    val lines = chunkedLines(docs, "source")
+    lines.join(boilerLines(docs), Seq("source", "h"), "left")
       .withColumn("keep", $"is_boiler".isNull)
       .groupBy($"doc_id", $"source")
       .agg(count(lit(1)).as("n_lines"),

@@ -136,4 +136,36 @@ class CurateCorpusSpec extends SparkSpec {
     val r2 = CurateCorpus.run(base, out2)
     assert(r2.nCodeRouted == 0)
   }
+  test("trim-boilerplate strips a source-wide banner before line dedup") {
+    import spark.implicits._
+    val banner = (1 to 10).map(i => s"nav$i").mkString(" ")
+    // srcA: every doc opens with the banner; each body CHUNK carries a
+    // doc-unique token so only the banner trips the df rule (quality /
+    // near-dup knobs are neutralized — this test targets the trim stage)
+    def body(i: Int) =
+      s"the cat and the dog are in house$i with extra$i words about it"
+    val docs = (0 until 10).map { i =>
+      (i.toLong, s"$banner ${body(i)}", "en", "srcA", 0L)
+    }
+    val out = Files.createTempDirectory("curate_trim").resolve("o").toString
+    val r = CurateCorpus.run(
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars"), out,
+      minScore = 0.0, maxDup3 = 1.0, minJaccard = 0.99,
+      trimBoilerplate = true)
+    assert(r.nAfterBoilerTrim.contains(10L), s"report: $r")
+    val survivors = spark.read.parquet(out).collect()
+    assert(survivors.nonEmpty)
+    survivors.foreach { row =>
+      val t = row.getAs[String]("text")
+      assert(!t.contains("nav1"), s"banner survived: $t")
+      assert(t.contains("cat"), s"body lost: $t")
+    }
+    // control: without the stage the banner survives line dedup in ONE doc
+    val out2 = Files.createTempDirectory("curate_trim").resolve("o2").toString
+    CurateCorpus.run(docs.toDF("doc_id", "text", "lang", "source", "n_chars"),
+      out2, minScore = 0.0, maxDup3 = 1.0, minJaccard = 0.99)
+    val kept2 = spark.read.parquet(out2).collect().map(_.getAs[String]("text"))
+    assert(kept2.exists(_.contains("nav1")),
+      "control run should keep the banner's first occurrence")
+  }
 }

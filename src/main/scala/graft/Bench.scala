@@ -50,7 +50,10 @@ object Bench {
     // suite's one fact-fact join; st08 windows the whole event stream;
     // t22's df shuffle and s11's quantized scan track plan regressions
     "q24_ship_delay", "st08_latest_state", "t22_boilerplate_trim",
-    "s11_ann_scalar_quant")
+    "s11_ann_scalar_quant",
+    "q25_value_concentration", "q26_price_standing", "st09_disorder_audit",
+    "st10_attribution_outer", "d15_delta_dedup", "t23_word_entropy",
+    "m09_shard_pack")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -598,8 +598,62 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  /** q27: NATION TRADE MATRIX (the TPC-H Q7 shape): discounted revenue
+    * between every (customer nation, supplier nation) pair — the
+    * suite's one DOUBLE-ROLE dim join: the same nation table joins
+    * twice under different aliases, once through the customer leg and
+    * once through the supplier leg of a single fact chain.
+    *
+    * Scale shape: q24's fact-fact lineitem⋈orders spine plus the
+    * customer and supplier legs (both scale with sf — constant-width
+    * key shuffles, AQE picks the strategy); BOTH nation roles
+    * broadcast (a 25-row dim twice is still two tiny hash relations);
+    * final partial agg over the bounded nations² key space. Money in
+    * exact integer 10⁻⁴ units until the single final division.
+    */
+  def q27(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cn = T(s, dir, "nation")
+      .select($"n_nationkey".as("cn_key"), $"n_name".as("cust_nation"))
+    val sn = T(s, dir, "nation")
+      .select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))
+    T(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_suppkey",
+        (cents($"l_extendedprice") * (lit(100L) - cents($"l_discount")))
+          .as("rev_c4"))
+      .join(T(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(T(s, dir, "customer").select($"c_custkey", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(cn), $"c_nationkey" === $"cn_key")
+      .join(T(s, dir, "supplier").select($"s_suppkey", $"s_nationkey"),
+        $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(sn), $"s_nationkey" === $"sn_key")
+      .filter($"cust_nation" =!= $"supp_nation")
+      .groupBy($"cust_nation", $"supp_nation")
+      .agg(unitSum($"rev_c4", 4).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"cust_nation", $"supp_nation")
+  }
+
   /** Oracle SQL (DuckDB dialect ≈ ANSI) mirroring each query above. */
   val oracle: Map[String, String] = Map(
+    "q27_nation_trade" ->
+      """WITH f AS (
+        | SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_c4
+        | FROM lineitem
+        | JOIN orders   ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation cn ON c_nationkey = cn.n_nationkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation sn ON s_nationkey = sn.n_nationkey
+        | WHERE cn.n_name <> sn.n_name)
+        |SELECT cust_nation, supp_nation,
+        | CAST(CAST(SUM(rev_c4) AS BIGINT) AS DOUBLE) / 10000.0 AS revenue,
+        | count(*) AS n_lines
+        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q26_price_standing" ->
       """WITH r AS (SELECT o_orderkey, o_orderpriority,
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
@@ -848,6 +902,7 @@ object Relational {
     "q23_copurchase_pairs" -> (q23 _),
     "q24_ship_delay" -> (q24 _),
     "q25_value_concentration" -> (q25 _),
-    "q26_price_standing" -> (q26 _)
+    "q26_price_standing" -> (q26 _),
+    "q27_nation_trade" -> (q27 _)
   )
 }

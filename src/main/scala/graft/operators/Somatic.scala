@@ -88,6 +88,42 @@ object Somatic {
       .orderBy($"chrom", $"pos", $"alt", $"gene", $"consequence", $"tumor")
   }
 
+  /** e57's tumor→normal pairing (distinct from [[pairRows]]: LOH needs
+    * a HET normal, which the fixture provides for these orientations);
+    * VALUES mirror in the oracle.
+    */
+  private val lohPairRows = Seq(("s2", "s1"), ("s1", "s3"))
+
+  /** e57: somatic LOSS OF HETEROZYGOSITY — sites where the matched
+    * normal is HET but the tumor has collapsed to a single allele
+    * (HOM-REF or HOM-ALT), labeled with the retained allele: the
+    * second hit of the two-hit model and the standard tumor-suppressor
+    * screen gemini's somatic family pairs with `set_somatic`. A
+    * genotype-TRANSITION call — e43's depth/frequency gating composes
+    * in front when ADs are present (the fixture's GT-only rows are
+    * exactly the records a depth gate would silently drop).
+    *
+    * Scale shape: e43's regime verbatim — broadcast pair dim × ONE
+    * variants scan, per-sample classes by array index, no explode.
+    */
+  def e57(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (h, variants, _) = VcfReader.fromLines(s, VcfFixture.lines)
+    val pairs = lohPairRows.toDF("tumor", "normal")
+      .select($"tumor", $"normal", typedLit(h.samples).as("smp"))
+      .select($"tumor", $"normal",
+        array_position($"smp", $"tumor").cast("int").as("t_ix"),
+        array_position($"smp", $"normal").cast("int").as("n_ix"))
+    def at(arr: String, ix: Column) = element_at(col(arr), ix)
+    val tGt = at("gt_types", $"t_ix")
+    val nGt = at("gt_types", $"n_ix")
+    variants
+      .join(broadcast(pairs), nGt === 1 && (tGt === 0 || tGt === 3))
+      .select($"chrom", $"pos", $"alt", $"tumor", $"normal",
+        when(tGt === 3, lit("alt")).otherwise(lit("ref")).as("retained"))
+      .orderBy($"chrom", $"pos", $"alt", $"tumor")
+  }
+
   // ---------------------------------------------------------------- oracles
 
   private val pairValues: String = pairRows
@@ -119,7 +155,28 @@ object Somatic {
        | AND CAST(n.alt_d AS DOUBLE) / CAST(n.ref_d + n.alt_d AS DOUBLE)
        |   <= $maxNormalFreq""".stripMargin
 
+  private val lohPairValues: String = lohPairRows
+    .map { case (t, n) => s"(${t.drop(1)}, ${n.drop(1)})" }
+    .mkString("(VALUES ", ", ", ") p(t_ix, n_ix)")
+
   val oracle: Map[String, String] = Map(
+    "e57_loh" -> {
+      val gtLong =
+        s"""(SELECT chrom, pos, alt, 1 AS six, gt_s1 AS gt FROM ${VcfFixture.gtValues}
+           | UNION ALL SELECT chrom, pos, alt, 2, gt_s2 FROM ${VcfFixture.gtValues}
+           | UNION ALL SELECT chrom, pos, alt, 3, gt_s3 FROM ${VcfFixture.gtValues}
+           | UNION ALL SELECT chrom, pos, alt, 4, gt_s4 FROM ${VcfFixture.gtValues})""".stripMargin
+      s"""SELECT t.chrom, CAST(t.pos AS BIGINT) AS pos, t.alt,
+         | 's' || CAST(p.t_ix AS VARCHAR) AS tumor,
+         | 's' || CAST(p.n_ix AS VARCHAR) AS normal,
+         | CASE WHEN t.gt = 3 THEN 'alt' ELSE 'ref' END AS retained
+         |FROM $lohPairValues
+         |JOIN $gtLong t ON t.six = p.t_ix
+         |JOIN $gtLong n ON n.six = p.n_ix AND n.chrom = t.chrom
+         |  AND n.pos = t.pos AND n.alt = t.alt
+         |WHERE n.gt = 1 AND t.gt IN (0, 3)
+         |ORDER BY t.chrom, t.pos, t.alt, tumor""".stripMargin
+    },
     "e43_set_somatic" ->
       s"""SELECT * FROM ($somaticSql)
          |ORDER BY chrom, pos, alt, tumor""".stripMargin,
@@ -138,6 +195,7 @@ object Somatic {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e43_set_somatic" -> (e43 _),
-    "e44_actionable" -> (e44 _)
+    "e44_actionable" -> (e44 _),
+    "e57_loh" -> (e57 _)
   )
 }

@@ -804,6 +804,28 @@ object Text {
     * doc_id-keyed partial agg. No self-joins, no key whose fan-out
     * grows with repeat frequency.
     */
+  /** t24: LANGUAGE-ID EVALUATION — the confusion matrix of t01's
+    * predictions against each document's declared language: per
+    * (declared, predicted) pair, document count, the row-normalized
+    * share, and the diagonal flag (s09's "grade the production path"
+    * move applied to language ID — the number read before trusting
+    * t01's routing for per-language mixture weights). Composes t01 AS
+    * A DATAFRAME.
+    *
+    * Scale shape: t01's shuffle-free scan + ONE partial-agg shuffle
+    * over the bounded langs² key space; the share window runs on that
+    * dim-sized frame.
+    */
+  def t24(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t01(s, dir)
+      .groupBy($"lang", $"pred").agg(count(lit(1)).as("n_docs"))
+      .withColumn("share", expr(
+        "round(CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER (PARTITION BY lang) AS DOUBLE), 6)"))
+      .withColumn("hit", $"lang" === $"pred")
+      .orderBy($"lang", $"pred")
+  }
+
   /** The per-source boilerplate line set (t22's rule) — shared by the
     * t22 stats query and [[trimBoilerplate]].
     */
@@ -900,6 +922,20 @@ object Text {
   }
 
   val oracle: Map[String, String] = Map(
+    "t24_langid_eval" -> {
+      val hitCols = stopwords
+        .map { case (l, ws) => s"${hitsSql(ws)} AS h_$l" }.mkString(",\n  ")
+      s"""WITH p AS (SELECT lang, $predCase AS pred
+         |  FROM (SELECT doc_id, lang,
+         |   $hitCols
+         |   FROM documents)),
+         |c AS (SELECT lang, pred, count(*) AS n_docs FROM p GROUP BY 1, 2)
+         |SELECT lang, pred, n_docs,
+         | round(CAST(n_docs AS DOUBLE)
+         |   / CAST(SUM(n_docs) OVER (PARTITION BY lang) AS DOUBLE), 6) AS share,
+         | (lang = pred) AS hit
+         |FROM c ORDER BY lang, pred""".stripMargin
+    },
     "t23_word_entropy" ->
       """WITH c AS (SELECT doc_id, tok, count(*) AS c
         | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -1223,6 +1259,7 @@ object Text {
     "t20_code_detect" -> (t20 _),
     "t21_readability" -> (t21 _),
     "t22_boilerplate_trim" -> (t22 _),
-    "t23_word_entropy" -> (t23 _)
+    "t23_word_entropy" -> (t23 _),
+    "t24_langid_eval" -> (t24 _)
   )
 }

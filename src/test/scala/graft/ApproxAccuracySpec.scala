@@ -142,6 +142,19 @@ class ApproxAccuracySpec extends SparkSpec {
     assert(math.abs(spamH - math.log(3) / math.log(2)) < 1e-4, s"H=$spamH")
   }
 
+  test("t24 confusion matrix partitions the corpus with unit row shares") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.operators.Text.queries("t24_langid_eval")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    val total = graft.Tables(spark, dir, "documents").count()
+    assert(rows.map(_._3).sum == total, "matrix must partition the corpus")
+    rows.groupBy(_._1).foreach { case (lang, cells) =>
+      val s = cells.map(_._4).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"$lang shares sum to $s")
+    }
+  }
+
   test("t20 flags injected code, not the prose corpus") {
     import spark.implicits._
     val code =

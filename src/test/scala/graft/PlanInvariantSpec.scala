@@ -60,7 +60,9 @@ class PlanInvariantSpec extends SparkSpec {
     // broadcast tumor-normal pair dim × one variants scan: the depth/
     // frequency predicate is non-equi by construction (e17's trio shape)
     "e43_set_somatic" -> 1,
-    "e44_actionable" -> 1)
+    "e44_actionable" -> 1,
+    // broadcast LOH pair dim × one variants scan (e43's non-equi shape)
+    "e57_loh" -> 1)
 
   /** Queries whose bucket-key SELF-join is designed as a shuffle join
     * (SURVEY §5.4: "band-bucket keys are the shuffle key") — neither

@@ -30,4 +30,15 @@ class SomaticSpec extends SparkSpec {
     assert(got.toSeq ==
       Seq(("1", 100L, "G", "BRCA1", "missense_variant", "MED", "s1")))
   }
+  test("e57 LOH calls HET normals collapsing in the tumor, both directions") {
+    val got = graft.operators.Somatic.queries("e57_loh")(spark, "")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getString(5))).toSet
+    // s1 HET at 1:100 and 2:300(T) collapses to REF in tumor s2; s3 HET
+    // at X:400 collapses to ALT in tumor s1
+    assert(got == Set(
+      ("1", 100L, "G", "s2", "ref"),
+      ("2", 300L, "T", "s2", "ref"),
+      ("X", 400L, "C", "s1", "alt")))
+  }
 }

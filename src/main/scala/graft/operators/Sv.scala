@@ -94,6 +94,12 @@ object Sv {
         "SVTYPE=BND;MATEID=bnd2", "GT", "0/1", "0/0").mkString("\t"),
       Seq("2", "100500", "bnd3", "T", "T]2:100800]", "55.0", "PASS",
         "SVTYPE=BND;MATEID=bnd4", "GT", "0/1", "0/0").mkString("\t"),
+      // intra-chromosomal DEL- and DUP-orientation junctions (both ends
+      // inside GENE_A, so the fusion tool ignores them by design)
+      Seq("2", "100200", "bnd6", "A", "A[2:100650[", "50.0", "PASS",
+        "SVTYPE=BND;MATEID=bnd7", "GT", "0/1", "0/0").mkString("\t"),
+      Seq("2", "100250", "bnd8", "G", "]2:100900]G", "50.0", "PASS",
+        "SVTYPE=BND", "GT", "0/1", "0/0").mkString("\t"),
       Seq("2", "100700", "del1", "G", "<DEL>", "40.0", "PASS",
         "SVTYPE=DEL;END=100900", "GT", "0/1", "0/0").mkString("\t"),
       Seq("5", "50000", "bnd5", "C", "C[2:100300[", "45.0", "PASS",
@@ -106,10 +112,26 @@ object Sv {
       """(VALUES
         | ('2', 100100, 'A[17:200200['),
         | ('2', 100500, 'T]2:100800]'),
+        | ('2', 100200, 'A[2:100650['),
+        | ('2', 100250, ']2:100900]G'),
         | ('2', 100700, '<DEL>'),
         | ('5', 50000, 'C[2:100300['),
         | ('17', 200200, ']2:100100]G')
         |) r(chrom, pos, alt)""".stripMargin
+
+    /** The same rows with the symbolic END payload (NULL on breakends)
+      * for the e58 classifier oracle.
+      */
+    val svRecordValues: String =
+      """(VALUES
+        | ('2', 100100, 'A[17:200200[', NULL),
+        | ('2', 100500, 'T]2:100800]', NULL),
+        | ('2', 100200, 'A[2:100650[', NULL),
+        | ('2', 100250, ']2:100900]G', NULL),
+        | ('2', 100700, '<DEL>', 100900),
+        | ('5', 50000, 'C[2:100300[', NULL),
+        | ('17', 200200, ']2:100100]G', NULL)
+        |) r(chrom, pos, alt, end_)""".stripMargin
 
     val geneRows = Seq(
       ("2", 100000L, 101000L, "GENE_A"),
@@ -140,7 +162,70 @@ object Sv {
       .orderBy($"chrom", $"pos", $"alt")
   }
 
+  /** The breakend-orientation → SV-class rule (the delly/svtools-style
+    * heuristic over VCF 4.2 bracket grammar): `t[p[` and its mirror
+    * `]p]t` are DEL- or DUP-type junctions depending on which side is
+    * upstream; `t]p]` and `[p[t` are INV-type; a mate on another
+    * chromosome is a translocation. Bracket-shape tests are plain
+    * substring compares (no regex escaping divergence between
+    * engines); spelled with `pos`/`mate_pos`/`mate_chrom`/`chrom`
+    * column names so the IDENTICAL text runs in Spark and DuckDB.
+    */
+  private val svClassCase: String =
+    """CASE
+      | WHEN mate_chrom <> chrom THEN 'TRA'
+      | WHEN substr(alt, 1, 1) = ']' THEN
+      |   CASE WHEN mate_pos > pos THEN 'DUP' ELSE 'DEL' END
+      | WHEN substr(alt, 1, 1) = '[' THEN 'INV'
+      | WHEN alt LIKE '%[%' THEN
+      |   CASE WHEN mate_pos > pos THEN 'DEL' ELSE 'DUP' END
+      | ELSE 'INV' END""".stripMargin
+
+  /** e58: SV CLASSIFICATION — every structural record typed from what
+    * the VCF actually encodes: symbolic alts (`<DEL>`, `<DUP>`, …)
+    * keep their symbol with an END-derived span; breakends classify
+    * from bracket orientation + mate side ([[svClassCase]]) with the
+    * junction span for intra-chromosomal events. The triage step
+    * before any downstream SV tool (e45 consumes only the TRA-capable
+    * subset; interval tools take the symbolic spans).
+    *
+    * Scale shape: pure per-row codegen parsing + CASE over one scan —
+    * no join, no shuffle beyond the presentation sort.
+    */
+  def e58(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (_, variants, _) = VcfReader.fromLines(s, SvFixture.lines)
+    variants
+      .withColumn("mate_chrom", regexp_extract($"alt", MateRe, 1))
+      // guarded cast: symbolic alts extract '' (ANSI cast would throw)
+      .withColumn("mate_pos", when($"mate_chrom" =!= "",
+        regexp_extract($"alt", MateRe, 2).cast("long")))
+      .filter($"alt".startsWith("<") || $"mate_chrom" =!= "")
+      .withColumn("sv_type", when($"alt".startsWith("<"),
+        expr("trim(BOTH '<>' FROM alt)")).otherwise(expr(svClassCase)))
+      .withColumn("span", expr(
+        """CASE WHEN alt LIKE '<%' THEN end_ - pos + 1
+          | WHEN mate_chrom = chrom THEN abs(mate_pos - pos)
+          | ELSE NULL END""".stripMargin).cast("long"))
+      .select($"chrom", $"pos", $"alt", $"sv_type", $"span")
+      .orderBy($"chrom", $"pos", $"alt")
+  }
+
   val oracle: Map[String, String] = Map(
+    "e58_sv_classify" ->
+      s"""WITH b AS (
+         | SELECT chrom, pos, alt, end_,
+         |   regexp_extract(alt, '$MateRe', 1) AS mate_chrom,
+         |   CAST(nullif(regexp_extract(alt, '$MateRe', 2), '') AS BIGINT) AS mate_pos
+         | FROM ${SvFixture.svRecordValues}
+         | WHERE alt LIKE '<%' OR regexp_extract(alt, '$MateRe', 1) <> '')
+         |SELECT chrom, CAST(pos AS BIGINT) AS pos, alt,
+         | CASE WHEN alt LIKE '<%' THEN trim(alt, '<>')
+         |      ELSE ($svClassCase) END AS sv_type,
+         | CAST(CASE WHEN alt LIKE '<%' THEN end_ - pos + 1
+         |      WHEN mate_chrom = chrom THEN abs(mate_pos - pos)
+         |      ELSE NULL END AS BIGINT) AS span
+         |FROM b ORDER BY chrom, pos, alt""".stripMargin,
     "e45_fusions" ->
       s"""WITH b AS (
          | SELECT chrom, pos, alt,
@@ -160,6 +245,7 @@ object Sv {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "e45_fusions" -> (e45 _)
+    "e45_fusions" -> (e45 _),
+    "e58_sv_classify" -> (e58 _)
   )
 }

@@ -18,6 +18,8 @@ class SvSpec extends SparkSpec {
     assert(got == Set(
       ("2", 100100L, "A[17:200200[", "17", 200200L),
       ("2", 100500L, "T]2:100800]", "2", 100800L),
+      ("2", 100200L, "A[2:100650[", "2", 100650L),
+      ("2", 100250L, "]2:100900]G", "2", 100900L),
       ("5", 50000L, "C[2:100300[", "2", 100300L),
       ("17", 200200L, "]2:100100]G", "2", 100100L)))
   }
@@ -44,5 +46,17 @@ class SvSpec extends SparkSpec {
     assert(got.length == 1 &&
       got(0).getAs[String]("gene_a") == "G1" &&
       got(0).getAs[String]("gene_b") == "G2")
+  }
+  test("e58 classifies symbolic and breakend records with spans") {
+    val got = graft.operators.Sv.queries("e58_sv_classify")(spark, "")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getString(3), if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(got(("2", 100100L)) == (("TRA", -1L)))  // inter-chrom junction
+    assert(got(("2", 100200L)) == (("DEL", 450L))) // t[p[ downstream mate
+    assert(got(("2", 100250L)) == (("DUP", 650L))) // ]p]t upstream anchor
+    assert(got(("2", 100500L)) == (("INV", 300L))) // t]p] same-side join
+    assert(got(("2", 100700L)) == (("DEL", 201L))) // symbolic END span
+    assert(got(("5", 50000L)) == (("TRA", -1L)))
+    assert(got(("17", 200200L)) == (("TRA", -1L)))
   }
 }

@@ -636,8 +636,60 @@ object Relational {
       .orderBy($"cust_nation", $"supp_nation")
   }
 
+  /** q28 trailing window width in days (the WAU window). */
+  private final val ActiveWindowDays = 7
+
+  /** q28: ROLLING ACTIVE USERS — per day, the distinct users active in
+    * the trailing [[ActiveWindowDays]]-day window (the DAU/WAU
+    * engagement metric). Sliding COUNT DISTINCT is the classic
+    * windowed-aggregation trap: count-distinct doesn't decompose over
+    * sliding frames, and a day×history range join explodes. The
+    * Spark-first shape: collapse to distinct (day, user) pairs first,
+    * then expand each pair into its BOUNDED cover set (the ≤7 window
+    * days it contributes to — a plan-literal sequence, never a range
+    * join), and count distinct per covered day. Emitted days are
+    * restricted to the observed timeline (a trailing window needs no
+    * days the data never saw).
+    *
+    * Scale shape: ONE partial-agg shuffle collapses the raw stream to
+    * (day, user) pairs (the distinct's map-side combine absorbs every
+    * user's intra-day volume); the ×7 explode is a constant fan-out of
+    * that already-collapsed dim-ish frame; the per-day count-distinct
+    * re-shuffles only pair rows. At biobank/feed scale the sketch path
+    * swaps in per-day HLLs (q12's machinery) merged associatively —
+    * this is the exact form.
+    */
+  def q28(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = T(s, dir, "events")
+      .select(date_trunc("day", $"ts").as("day"), $"user_id")
+      .distinct()
+    val observed = pairs.select($"day").distinct()
+      .withColumnRenamed("day", "cover_day")
+    pairs
+      .select($"user_id", explode(expr(
+        s"""transform(sequence(0, ${ActiveWindowDays - 1}),
+           | i -> day + make_interval(0, 0, 0, i))""".stripMargin))
+        .as("cover_day"))
+      .join(observed, "cover_day")
+      .groupBy($"cover_day")
+      .agg(countDistinct($"user_id").as("active_users"))
+      .orderBy($"cover_day")
+  }
+
   /** Oracle SQL (DuckDB dialect ≈ ANSI) mirroring each query above. */
   val oracle: Map[String, String] = Map(
+    "q28_rolling_actives" ->
+      s"""WITH pairs AS (
+         | SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
+         | FROM events),
+         |observed AS (SELECT DISTINCT day AS cover_day FROM pairs),
+         |cover AS (
+         | SELECT user_id, day + INTERVAL (i) DAY AS cover_day
+         | FROM pairs, generate_series(0, ${ActiveWindowDays - 1}) AS t(i))
+         |SELECT o.cover_day, count(DISTINCT c.user_id) AS active_users
+         |FROM cover c JOIN observed o ON c.cover_day = o.cover_day
+         |GROUP BY o.cover_day ORDER BY o.cover_day""".stripMargin,
     "q27_nation_trade" ->
       """WITH f AS (
         | SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
@@ -903,6 +955,7 @@ object Relational {
     "q24_ship_delay" -> (q24 _),
     "q25_value_concentration" -> (q25 _),
     "q26_price_standing" -> (q26 _),
-    "q27_nation_trade" -> (q27 _)
+    "q27_nation_trade" -> (q27 _),
+    "q28_rolling_actives" -> (q28 _)
   )
 }

@@ -311,4 +311,24 @@ class EventJoinSpec extends SparkSpec {
       }
     }
   }
+  test("q28 rolling actives match a brute-force trailing-window scan") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q28_rolling_actives")(spark, dir).collect()
+      .map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+    val pairs = graft.Tables(spark, dir, "events")
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .distinct().collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1)))
+    val days = pairs.map(_._1).distinct
+    val week = 7L * 24 * 3600 * 1000
+    val expected = days.map { d =>
+      d -> pairs.filter(p => p._1 <= d && p._1 > d - week).map(_._2).distinct.length.toLong
+    }.toMap
+    assert(got == expected)
+    // the window actually accumulates: some day must exceed its own-day count
+    val daily = pairs.groupBy(_._1).map { case (d, v) => d -> v.length.toLong }
+    assert(days.exists(d => got(d) > daily(d)),
+      "trailing window never exceeded single-day actives")
+  }
 }

@@ -53,7 +53,7 @@ object Bench {
     "s11_ann_scalar_quant",
     "q25_value_concentration", "q26_price_standing", "st09_disorder_audit",
     "st10_attribution_outer", "d15_delta_dedup", "t23_word_entropy",
-    "m09_shard_pack", "q27_nation_trade")
+    "m09_shard_pack", "q27_nation_trade", "q28_rolling_actives")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

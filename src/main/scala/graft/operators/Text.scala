@@ -826,6 +826,41 @@ object Text {
       .orderBy($"lang", $"pred")
   }
 
+  /** t25's quality floor — CurateCorpus's default `minScore`, so the
+    * report predicts exactly what that job's quality cut will drop.
+    */
+  private final val QualityFloor = 0.25
+
+  /** t25: per-source QUALITY PROFILE — each source's t02 score
+    * distribution (count, exact median/p95, and the count + fraction
+    * below [[QualityFloor]]): the pre-flight report read before
+    * running CurateCorpus's quality cut or setting t11/t17 mixture
+    * weights (a source shipping 40% sub-floor docs gets fixed or
+    * down-weighted, not sampled as-is). Composes t02 AS A DATAFRAME.
+    *
+    * Scale shape: t02's shuffle-free scan, a doc_id-keyed broadcast-
+    * free join back to the source column (co-partitioned scans of the
+    * same table — Catalyst collapses it to one pass), then ONE
+    * partial-agg shuffle on the bounded source dim; exact percentiles
+    * per group are q11's single shared-buffer `percentile(…, array)`
+    * aggregate.
+    */
+  def t25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = t02(s, dir).select($"doc_id", $"score")
+      .join(T(s, dir, "documents").select($"doc_id", $"source"), "doc_id")
+    scored.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("percentile(score, array(0.5e0, 0.95e0))").as("ps"),
+        count(when($"score" < QualityFloor, 1)).as("n_below"))
+      .select($"source", $"n_docs",
+        expr("round(ps[0], 6)").as("median_score"),
+        expr("round(ps[1], 6)").as("p95_score"),
+        $"n_below",
+        expr("round(CAST(n_below AS DOUBLE) / n_docs, 6)").as("below_frac"))
+      .orderBy($"source")
+  }
+
   /** The per-source boilerplate line set (t22's rule) — shared by the
     * t22 stats query and [[trimBoilerplate]].
     */
@@ -922,6 +957,19 @@ object Text {
   }
 
   val oracle: Map[String, String] = Map(
+    "t25_source_quality" ->
+      s"""WITH sc AS (SELECT doc_id, source,
+         |  round(0.5e0 * least(len(string_split(text, ' ')), 100) / 100.0e0
+         |    + 0.5e0 * (CAST(${hitsSql(stopwords.head._2)} AS DOUBLE)
+         |      / len(string_split(text, ' '))), 6) AS score
+         | FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         | round(quantile_cont(score, 0.5e0), 6) AS median_score,
+         | round(quantile_cont(score, 0.95e0), 6) AS p95_score,
+         | count(*) FILTER (WHERE score < $QualityFloor) AS n_below,
+         | round(CAST(count(*) FILTER (WHERE score < $QualityFloor) AS DOUBLE)
+         |   / count(*), 6) AS below_frac
+         |FROM sc GROUP BY source ORDER BY source""".stripMargin,
     "t24_langid_eval" -> {
       val hitCols = stopwords
         .map { case (l, ws) => s"${hitsSql(ws)} AS h_$l" }.mkString(",\n  ")
@@ -1260,6 +1308,7 @@ object Text {
     "t21_readability" -> (t21 _),
     "t22_boilerplate_trim" -> (t22 _),
     "t23_word_entropy" -> (t23 _),
-    "t24_langid_eval" -> (t24 _)
+    "t24_langid_eval" -> (t24 _),
+    "t25_source_quality" -> (t25 _)
   )
 }

@@ -53,7 +53,8 @@ object Bench {
     "s11_ann_scalar_quant",
     "q25_value_concentration", "q26_price_standing", "st09_disorder_audit",
     "st10_attribution_outer", "d15_delta_dedup", "t23_word_entropy",
-    "m09_shard_pack", "q27_nation_trade", "q28_rolling_actives")
+    "m09_shard_pack", "q27_nation_trade", "q28_rolling_actives",
+    "t25_source_quality")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -6,7 +6,9 @@ import org.apache.spark.sql.SparkSession
   * (JIT + codegen + broadcast build amortized out, the steady-state a
   * long-lived cluster job actually runs at) then MULTIPLE timed passes,
   * fully materialized through the noop sink (every column computed —
-  * `count()` would let Spark skip work).
+  * `count()` would let Spark skip work). Every OTHER registered query
+  * gets one cold tier-2 pass, so the whole surface has recorded
+  * numbers each round.
   *
   * Every pass (warmup included) is reported in the JSON so environment
   * contention is distinguishable from a real plan regression: `queries`
@@ -100,6 +102,19 @@ object Bench {
     val best = bench.map(n => n -> passes.map(_.toMap.apply(n)).min)
     val total = best.map(_._2).sum
     val passesJson = passes.map(jsonMap).mkString("[", ",", "]")
+    // TIER 2: every registered query outside the 3-pass headline set
+    // gets ONE timed run (cold — includes codegen/broadcast build), so
+    // no operator ships without at least one recorded number. Skipped
+    // in SPARK_GRAFT_BENCH_ONLY dev runs; SPARK_GRAFT_BENCH_TIER2=0
+    // disables it explicitly.
+    val tier2on = only.isEmpty &&
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_TIER2", "1") != "0"
+    val tier2 =
+      if (tier2on)
+        SparkEntry.queries.keys.toSeq.sorted
+          .filterNot(headline.toSet).map(n => n -> run(n))
+      else Seq.empty
+    val tier2Total = tier2.map(_._2).sum
     // Stop Spark BEFORE printing so its shutdown logging can't land
     // after the JSON: the driver reads the bench line from the END of
     // stdout, and anything printed below it breaks the parse.
@@ -108,7 +123,12 @@ object Bench {
     // that truncate the line's head or tail keep either the headline
     // total (front) or the per-query mins (back) — the noisy raw
     // passes sit in the middle.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","warmup":${jsonMap(warmup)},"passes":$passesJson,"queries":${jsonMap(best)}}""")
+    val tier2Json =
+      if (tier2on)
+        s""""tier2_total":${String.format(java.util.Locale.ROOT, "%.3f",
+          Double.box(tier2Total))},"tier2":${jsonMap(tier2)},"""
+      else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","warmup":${jsonMap(warmup)},"passes":$passesJson,$tier2Json"queries":${jsonMap(best)}}""")
     System.out.flush()
   }
 }

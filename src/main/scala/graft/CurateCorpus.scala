@@ -13,7 +13,9 @@ import graft.operators.{Dedup, Text}
   * quality/repetition filtering, PII redaction, benchmark
   * decontamination — and writes the survivors plus a per-stage
   * attrition report. Every stage is one of the library's verified
-  * kernels (d01/t13/d04+d07+d09/t02/t09/t08/d08 semantics); this
+  * kernels (d01/t13/d02+d07+d09/t02/t09/t08/d08 semantics — near-dup
+  * pairs default to d02's MinHash+LSH scale path, d04's exact-Jaccard
+  * self-join stays available via `nearDup = "exact"`); this
   * object only sequences them.
   *
   * Scale notes: each stage is the operator's own documented shape (no
@@ -46,15 +48,27 @@ object CurateCorpus {
     * @param outDir     survivors land here as parquet (redacted text)
     * @param minScore   t02 composite-quality floor
     * @param maxDup3    t09 duplicate-3-gram-fraction ceiling
-    * @param minJaccard near-dup pair threshold (d04 semantics)
+    * @param minJaccard near-dup pair threshold (exact Jaccard in
+    *                   `exact` mode, signature-estimate in `minhash`)
     * @param benchmark  optional eval set (doc_id, text) — survivors
     *                   sharing an `ngram`-gram with it are dropped
+    * @param nearDup    pair generator for stage 3: "minhash" (default
+    *                   — d02's LSH engine, the SURVEY §5.4 scale path:
+    *                   candidate cost grows with corpus size, not
+    *                   shingle frequency) or "exact" (d04's
+    *                   shared-shingle self-join with exact Jaccard —
+    *                   opt-in for small corpora where exact pair
+    *                   recall at the threshold matters more than the
+    *                   self-join's df-driven fan-out)
     */
   def run(docs: DataFrame, outDir: String,
       minScore: Double = 0.25, maxDup3: Double = 0.6,
       minJaccard: Double = 0.5, benchmark: Option[DataFrame] = None,
       ngram: Int = 4, routeCode: Boolean = false,
-      trimBoilerplate: Boolean = false): Report = {
+      trimBoilerplate: Boolean = false,
+      nearDup: String = "minhash"): Report = {
+    require(nearDup == "minhash" || nearDup == "exact",
+      s"nearDup must be 'minhash' or 'exact', got '$nearDup'")
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -109,7 +123,10 @@ object CurateCorpus {
     //    (d09 rule: q_score desc, doc_id tie-break), not the arbitrary
     //    min-id. Unclustered docs pass through untouched (kept out of
     //    the window so NULL cluster ids never pile into one partition).
-    val pairs = Dedup.jaccardPairs(lineD.select($"doc_id", $"text"), minJaccard)
+    val pairTexts = lineD.select($"doc_id", $"text")
+    val pairs = (if (nearDup == "minhash")
+        Dedup.minhashPairs(pairTexts, minJaccard)
+      else Dedup.jaccardPairs(pairTexts, minJaccard))
       .select($"doc_a".as("u"), $"doc_b".as("v"))
     val labels = Dedup.connectedComponents(spark, pairs)
     val labeled = scored.join(labels, Seq("doc_id"), "left")
@@ -191,13 +208,14 @@ object CurateCorpus {
   private val usage =
     "usage: CurateCorpus <inParquet> <outDir> [--benchmark=path] " +
       "[--min-score=0.25] [--max-dup3=0.6] [--min-jaccard=0.5] " +
-      "[--route-code=false] [--trim-boilerplate=false]"
+      "[--route-code=false] [--trim-boilerplate=false] " +
+      "[--near-dup=minhash|exact]"
 
   /** CLI twin of [[Vcf2Db.main]]: curate a parquet corpus in one run. */
   def main(args: Array[String]): Unit = {
     val (flag, positional) = Cli.parse(args,
       Set("benchmark", "min-score", "max-dup3", "min-jaccard",
-        "route-code", "trim-boilerplate"), usage)
+        "route-code", "trim-boilerplate", "near-dup"), usage)
     require(positional.length == 2, usage)
     val spark = GraftSession.build()
     try {
@@ -209,7 +227,8 @@ object CurateCorpus {
         minJaccard = flag("min-jaccard").map(_.toDouble).getOrElse(0.5),
         benchmark = bench,
         routeCode = flag("route-code").exists(_.toBoolean),
-        trimBoilerplate = flag("trim-boilerplate").exists(_.toBoolean))
+        trimBoilerplate = flag("trim-boilerplate").exists(_.toBoolean),
+        nearDup = flag("near-dup").getOrElse("minhash"))
       println(s"[curate] input=${r.nInput} exact=${r.nAfterExactDedup} " +
         r.nAfterBoilerTrim.map(n => s"boiler=$n ").getOrElse("") +
         s"line=${r.nAfterLineDedup} near=${r.nAfterNearDedup} " +

@@ -42,15 +42,54 @@ object Dedup {
     * MinHash hot loop at corpus scale). Signature computation never
     * shuffles.
     */
-  private def signatures(s: SparkSession, dir: String): DataFrame = {
+  private def signatures(s: SparkSession, dir: String): DataFrame =
+    minhashSignatures(T(s, dir, "documents"))
+
+  /** Per-doc MinHash signatures over any (doc_id, text) frame — d02's
+    * signature stage generalized for pipeline use (CurateCorpus).
+    * Docs under 3 tokens have no 3-shingle and carry no signature.
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     GraftFunctions.register(s)
-    T(s, dir, "documents")
+    docs
       .select($"doc_id", split($"text", " ").as("toks"))
       .filter(size($"toks") >= 3)
       .withColumn("shingles", expr("shingles(toks, 3)"))
       .withColumn("sig", expr("minhash_sig(shingles)"))
       .select($"doc_id", $"sig")
+  }
+
+  /** MinHash+LSH near-dup pairs over any (doc_id, text) frame — d02's
+    * engine generalized (SURVEY §5.4's SCALE path: candidates come
+    * from 16-band LSH buckets — cost grows with corpus size, not with
+    * shingle document frequency — where [[jaccardPairs]]' exact
+    * shared-shingle self-join is the small-corpus/verification path).
+    * `minJaccard` gates on the signature-agreement ESTIMATE of
+    * Jaccard; band recall at the threshold is the standard
+    * 1−(1−J⁴)¹⁶ curve, so pairs far above the cut are near-certain
+    * candidates while borderline ones may sample out — the documented
+    * LSH trade.
+    */
+  def minhashPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val sig = minhashSignatures(docs)
+    val capped = bandBuckets(sig)
+    val cand = capped.as("a")
+      .join(capped.as("b"),
+        $"a.band" === $"b.band" && $"a.bh" === $"b.bh" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    cand
+      .join(sig.select($"doc_id".as("doc_a"), $"sig".as("sig_a")), "doc_a")
+      .join(sig.select($"doc_id".as("doc_b"), $"sig".as("sig_b")), "doc_b")
+      .withColumn("est_jaccard",
+        expr("round(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / 64.0e0, 6)"))
+      .filter($"est_jaccard" >= lit(minJaccard))
+      .select($"doc_a", $"doc_b", $"est_jaccard")
   }
 
   /** d02 (rows-only): MinHash+LSH near-dup pairs — 16 bands × 4 rows;
@@ -75,24 +114,9 @@ object Dedup {
     bands.join(keep, Seq("band", "bh"))
   }
 
-  def d02(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val sig = signatures(s, dir)
-    val capped = bandBuckets(sig)
-    val cand = capped.as("a")
-      .join(capped.as("b"),
-        $"a.band" === $"b.band" && $"a.bh" === $"b.bh" &&
-          $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .distinct()
-    cand
-      .join(sig.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a"), "doc_a")
-      .join(sig.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sig_b"), "doc_b")
-      .select($"doc_a", $"doc_b",
-        expr("round(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / 64.0e0, 6)")
-          .as("est_jaccard"))
-      .orderBy($"doc_a", $"doc_b")
-  }
+  def d02(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(T(s, dir, "documents"), 0.0)
+      .orderBy(col("doc_a"), col("doc_b"))
 
   /** d03: SimHash near-dup pairs — 64-bit fingerprint via the custom
     * codegen expression, bucketed by its four 16-bit chunks (a near-dup

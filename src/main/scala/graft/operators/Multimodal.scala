@@ -81,6 +81,76 @@ object Multimodal {
       digest = dg)
   }
 
+  /** Image-container magic sniff (m08's router move applied inside the
+    * decoder): only blobs opening with a PNG/JPEG/BMP/GIF signature
+    * ever reach ImageIO, so the text-corpus hot path stays at one
+    * 8-byte prefix compare per row — no stream/reader setup per blob.
+    */
+  private def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length >= 8 && (
+      (b(0) == 0x89.toByte && b(1) == 'P'.toByte && b(2) == 'N'.toByte &&
+        b(3) == 'G'.toByte) ||
+      (b(0) == 0xff.toByte && b(1) == 0xd8.toByte) ||
+      (b(0) == 'B'.toByte && b(1) == 'M'.toByte) ||
+      (b(0) == 'G'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte))
+
+  /** REAL decode branch: javax.imageio — the PNG/BMP/GIF/JPEG readers
+    * that ship inside the JDK, no external dependency. Returns None
+    * when the bytes are not a decodable image, which routes the blob
+    * to [[fakeDecode]] — the synthetic corpus's text blobs all take
+    * that path, keeping the DuckDB oracle able to replay the m02/m06/
+    * m07 digest chains, while a corpus with real images exercises this
+    * branch (EventJoinSpec decodes a real PNG/BMP pair through it).
+    */
+  private def tryDecodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (!looksLikeImage(bytes)) None
+    else
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: java.io.IOException => None }
+
+  /** 8×8 mean-luminance grid by block averaging — the real counterpart
+    * of the stub's md5-chain grid. Cell (r,c) integer-averages the
+    * Rec.601 luma (299R+587G+114B)/1000 of its pixel block, so any two
+    * containers that decode to the same pixels (PNG↔BMP, PNG
+    * compression levels) yield the SAME grid — which is exactly what
+    * makes the dHash below re-encode-robust.
+    */
+  private def lumaGrid8(img: java.awt.image.BufferedImage): Array[Array[Int]] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    Array.tabulate(8, 8) { (r, c) =>
+      val y0 = r * h / 8; val y1 = math.max(y0 + 1, (r + 1) * h / 8)
+      val x0 = c * w / 8; val x1 = math.max(x0 + 1, (c + 1) * w / 8)
+      var sum = 0L; var n = 0L
+      var y = y0
+      while (y < y1 && y < h) {
+        var x = x0
+        while (x < x1 && x < w) {
+          val p = img.getRGB(x, y)
+          sum += (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+            114 * (p & 0xff)) / 1000
+          n += 1; x += 1
+        }
+        y += 1
+      }
+      (sum / math.max(n, 1L)).toInt
+    }
+  }
+
+  /** Unified decode: real images (by magic + successful ImageIO read)
+    * get true geometry and a PIXEL-content digest (md5 over the luma
+    * grid bytes — stable across container re-encodes of the same
+    * pixels, unlike the blob digest); everything else falls back to
+    * the deterministic stub.
+    */
+  private def decode(id: Long, bytes: Array[Byte]): MediaMeta =
+    tryDecodeImage(bytes) match {
+      case Some(img) =>
+        val grid = lumaGrid8(img)
+        MediaMeta(id, bytes.length, img.getWidth, img.getHeight, 1,
+          md5hex(grid.flatten.map(_.toByte)))
+      case None => fakeDecode(id, bytes)
+    }
+
   /** m02: decode plumbing — binary batches per partition
     * (batch size 32, the shape a GPU/vectorized decoder wants), typed
     * struct out. `mapPartitions` is the Scala analog of mapInPandas:
@@ -88,18 +158,28 @@ object Multimodal {
     */
   def m02(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    T(s, dir, "documents")
-      .select($"doc_id", $"text".cast("binary").as("blob"))
+    mediaMeta(T(s, dir, "documents")
+      .select($"doc_id", $"text".cast("binary").as("blob")))
+      .orderBy($"doc_id")
+  }
+
+  /** m02 core over any (doc_id, blob: binary) frame — factored so
+    * specs (and image-bearing corpora) can feed REAL image bytes that
+    * a parquet string column could not carry.
+    */
+  def mediaMeta(blobs: DataFrame): DataFrame = {
+    val s = blobs.sparkSession
+    import s.implicits._
+    blobs.select($"doc_id", $"blob")
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(32).flatMap { batch =>
           // batch boundary = where a real decoder would invoke its
           // vectorized kernel once per 32 blobs
-          batch.map { case (id, bytes) => fakeDecode(id, bytes) }
+          batch.map { case (id, bytes) => decode(id, bytes) }
         }
       }
       .toDF()
-      .orderBy($"doc_id")
   }
 
   /** m03: feature-extract plumbing — binary blob → dense embedding
@@ -240,22 +320,33 @@ object Multimodal {
     */
   def m06(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    resizeGeometry(T(s, dir, "documents")
+      .select($"doc_id", $"text".cast("binary").as("blob")))
+      .orderBy($"doc_id")
+  }
+
+  /** m06 core over any (doc_id, blob: binary) frame. Real images get
+    * their true decoded geometry (the stub supplies it otherwise); the
+    * letterbox math is identical either way.
+    */
+  def resizeGeometry(blobs: DataFrame): DataFrame = {
+    val s = blobs.sparkSession
+    import s.implicits._
     val (tw, th) = (224, 224)
-    T(s, dir, "documents")
-      .select($"doc_id", $"text".cast("binary").as("blob"))
+    blobs.select($"doc_id", $"blob")
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(32).flatMap { batch => // one stub "resize kernel call" per 32 blobs
           batch.map { case (id, bytes) =>
-            val meta = fakeDecode(id, bytes)
+            val meta = decode(id, bytes)
             // fit-inside scale preserving aspect ratio, letterboxed
             val scale = math.min(tw.toDouble / meta.width, th.toDouble / meta.height)
             val (ow, oh) = (math.max(1, (meta.width * scale).round.toInt),
               math.max(1, (meta.height * scale).round.toInt))
             val padX = (tw - ow) / 2
             val padY = (th - oh) / 2
-            // stub digest: geometry mixed into the blob digest stands in
-            // for hashing the resampled pixels
+            // geometry mixed into the content digest stands in for
+            // hashing the resampled pixels
             val h = md5hex(s"${meta.digest}:${ow}x$oh".getBytes("UTF-8"))
             (id, meta.width, meta.height, ow, oh, padX, padY, h)
           }
@@ -263,7 +354,6 @@ object Multimodal {
       }
       .toDF("doc_id", "src_w", "src_h", "out_w", "out_h", "pad_x", "pad_y",
         "resized_hash")
-      .orderBy($"doc_id")
   }
 
   /** m07: perceptual-hash image DEDUP — the multimodal counterpart of
@@ -289,29 +379,57 @@ object Multimodal {
     */
   def m07(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val hashed = T(s, dir, "documents")
-      .select($"doc_id", $"text".cast("binary").as("blob"))
+    phashDedup(T(s, dir, "documents")
+      .select($"doc_id", $"text".cast("binary").as("blob")))
+  }
+
+  /** The 56-bit dHash of one blob: decodable images go through the
+    * REAL path (8×8 block-averaged luma grid → horizontal gradient
+    * signs), so re-encodes of the same pixels — PNG↔BMP, compression
+    * levels — collapse to one hash; non-images keep the md5-chain stub
+    * grid (same bit layout, deterministic on blob content).
+    */
+  private def dHash56(bytes: Array[Byte]): Long = {
+    var h = 0L
+    var bit = 0
+    tryDecodeImage(bytes) match {
+      case Some(img) =>
+        val g = lumaGrid8(img)
+        var i = 0
+        while (i < 8) {
+          var j = 0
+          while (j < 7) {
+            if (g(i)(j) > g(i)(j + 1)) h |= 1L << bit
+            bit += 1; j += 1
+          }
+          i += 1
+        }
+      case None =>
+        val dg = md5hex(bytes)
+        var i = 0
+        while (i < 8) {
+          // row digest = one 8-value luminance row of the stub grid
+          val row = md5hex(s"$dg:r$i".getBytes("UTF-8"))
+          var j = 0
+          while (j < 7) {
+            if (hex4(row, 4 * j) > hex4(row, 4 * (j + 1))) h |= 1L << bit
+            bit += 1; j += 1
+          }
+          i += 1
+        }
+    }
+    h
+  }
+
+  /** m07 core over any (doc_id, blob: binary) frame. */
+  def phashDedup(blobs: DataFrame): DataFrame = {
+    val s = blobs.sparkSession
+    import s.implicits._
+    val hashed = blobs.select($"doc_id", $"blob")
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.grouped(32).flatMap { batch => // one stub "decode+hash call" per 32 blobs
-          batch.map { case (id, bytes) =>
-            val dg = md5hex(bytes)
-            var h = 0L
-            var bit = 0
-            var i = 0
-            while (i < 8) {
-              // row digest = one 8-value luminance row of the stub grid
-              val row = md5hex(s"$dg:r$i".getBytes("UTF-8"))
-              var j = 0
-              while (j < 7) {
-                if (hex4(row, 4 * j) > hex4(row, 4 * (j + 1))) h |= 1L << bit
-                bit += 1
-                j += 1
-              }
-              i += 1
-            }
-            (id, h)
-          }
+        it.grouped(32).flatMap { batch => // one "decode+hash call" per 32 blobs
+          batch.map { case (id, bytes) => (id, dHash56(bytes)) }
         }
       }
       .toDF("doc_id", "phash")

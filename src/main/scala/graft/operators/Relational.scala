@@ -551,18 +551,22 @@ object Relational {
     * frame (never the fact) to a SINGLE row, which broadcasts into the
     * threshold filter (the sanctioned single-row BNLJ, t10/t14's
     * shape); the part dim joins broadcast. The threshold compare is
-    * exact integer cross-multiplication — no float share is computed
-    * until the surviving dim-sized rows.
+    * exact integer cross-multiplication in DECIMAL(38,0) — Long would
+    * wrap silently around sf~300 (tot_c4*13 > Long.MaxValue) while
+    * DuckDB raises, so both the global sum and the compare run in
+    * 38-digit decimals (dim-sized frame, negligible cost); no float
+    * share is computed until the surviving dim-sized rows.
     */
   def q25(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val byPart = T(s, dir, "lineitem").groupBy($"l_partkey")
       .agg(sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount")))
         .as("val_c4"))
-    val tot = byPart.agg(sum($"val_c4").as("tot_c4"),
+    val tot = byPart.agg(sum($"val_c4".cast("decimal(38,0)")).as("tot_c4"),
       count(lit(1)).as("n_parts"))
     byPart.crossJoin(broadcast(tot))
-      .filter($"val_c4" * $"n_parts" * 10 > $"tot_c4" * 13)
+      .filter($"val_c4".cast("decimal(38,0)") * $"n_parts" * 10 >
+        $"tot_c4" * 13)
       .join(broadcast(T(s, dir, "part").select($"p_partkey", $"p_name")),
         $"l_partkey" === $"p_partkey")
       .select($"p_partkey", $"p_name",
@@ -720,14 +724,14 @@ object Relational {
         |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
         |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS val_c4
         | FROM lineitem GROUP BY 1),
-        |tot AS (SELECT CAST(SUM(val_c4) AS BIGINT) AS tot_c4,
+        |tot AS (SELECT CAST(SUM(val_c4) AS HUGEINT) AS tot_c4,
         |  count(*) AS n_parts FROM bp)
         |SELECT p_partkey, p_name,
         | CAST(val_c4 AS DOUBLE) / 10000.0 AS part_value,
         | round(CAST(val_c4 AS DOUBLE) / CAST(tot_c4 AS DOUBLE), 6) AS share
         |FROM bp CROSS JOIN tot
         |JOIN part ON l_partkey = p_partkey
-        |WHERE val_c4 * n_parts * 10 > tot_c4 * 13
+        |WHERE CAST(val_c4 AS HUGEINT) * n_parts * 10 > tot_c4 * 13
         |ORDER BY part_value DESC, p_partkey""".stripMargin,
     "q24_ship_delay" ->
       """WITH j AS (

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -83,10 +83,43 @@ object Stats {
     mdsDistances(s, variants, h.samples)
   }
 
+  /** Pairwise mean-squared-genotype-distance matrix (`stats --mds`).
+    *
+    * `maxSites` is the biobank-scale remedy AS A PARAMETER: the
+    * cohort²/2 aggregate key space is inherent to the statistic, but
+    * the per-pair cost is linear in SITES, so capping sites bounds the
+    * whole job. The subsample is DETERMINISTIC (smallest-k by
+    * xxhash64 site key — (chrom, pos) when present, else the packed
+    * gt_types row — via orderBy+limit = one TakeOrderedAndProject
+    * per-partition heap, no full sort, no RNG): reruns and both
+    * engines of any oracle see the same site set. Distances stay
+    * unbiased estimates of the all-sites mean — PROVIDED the key is a
+    * site identity: the gt_types fallback ties on repeated identical
+    * rows (a corpus where many sites share one genotype pattern would
+    * sample whole pattern classes, biasing the estimate), so frames
+    * with (chrom, pos) always key on them.
+    */
   def mdsDistances(s: SparkSession, variants: DataFrame,
-                   samples: Seq[String]): DataFrame = {
+                   samples: Seq[String],
+                   maxSites: Option[Int] = None): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
+    val sites = maxSites match {
+      case Some(k) =>
+        val key =
+          if (variants.columns.contains("chrom") && variants.columns.contains("pos"))
+            xxhash64($"chrom", $"pos")
+          else xxhash64($"gt_types")
+        variants.withColumn("_sk", key).orderBy($"_sk").limit(k).drop("_sk")
+      case None => variants
+    }
+    mdsPairsAgg(sites, samples)
+  }
+
+  private def mdsPairsAgg(variants: DataFrame,
+                          samples: Seq[String]): DataFrame = {
+    val s = variants.sparkSession
+    import s.implicits._
     // co-called pairs + squared copy diffs fused into ONE codegen
     // kernel (mds_pairs, packed (i << 40 | j << 16 | sq) longs): the
     // equivalent nested transform×transform comprehension runs its
@@ -405,10 +438,19 @@ object Stats {
       .orderBy($"chrom", $"pos", $"alt")
   }
 
+  /** JSON string-field escaping shared by e54's two engines: backslash
+    * first, then double quote — literal replace() (not regex), same op
+    * order in the DuckDB oracle (which spells the characters as
+    * chr(92)/chr(34) to dodge SQL-literal escaping).
+    */
+  private[graft] def jsonEscape(c: Column): Column =
+    replace(replace(c, lit("\\"), lit("\\\\")), lit("\""), lit("\\\""))
+
   /** e54: gemini `query --format json` — each decomposed variant row
     * serialized as a JSON object line (the gemini export consumed by
     * downstream scripting; key order fixed, missing values as JSON
-    * null). The JSON is assembled by the SAME per-row codegen
+    * null, string fields backslash/quote-escaped via [[jsonEscape]]).
+    * The JSON is assembled by the SAME per-row codegen
     * concatenation in both engines — not an engine-native to_json,
     * whose key ordering/number formatting is engine-defined — so the
     * bytes hash-match. Scan-speed string assembly, no shuffle beyond
@@ -418,16 +460,18 @@ object Stats {
     import s.implicits._
     VcfFixture.variants(s)
       .withColumn("json_line", concat(
-        lit("{\"chrom\": \""), $"chrom",
+        lit("{\"chrom\": \""), jsonEscape($"chrom"),
         lit("\", \"pos\": "), $"pos".cast("string"),
         lit(", \"id\": "),
-        when($"vid".isNotNull, concat(lit("\""), $"vid", lit("\"")))
+        when($"vid".isNotNull,
+          concat(lit("\""), jsonEscape($"vid"), lit("\"")))
           .otherwise(lit("null")),
-        lit(", \"ref\": \""), $"ref",
-        lit("\", \"alt\": \""), $"alt",
+        lit(", \"ref\": \""), jsonEscape($"ref"),
+        lit("\", \"alt\": \""), jsonEscape($"alt"),
         lit("\", \"qual\": "), coalesce($"qual".cast("string"), lit("null")),
         lit(", \"filter\": "),
-        when($"filter".isNotNull, concat(lit("\""), $"filter", lit("\"")))
+        when($"filter".isNotNull,
+          concat(lit("\""), jsonEscape($"filter"), lit("\"")))
           .otherwise(lit("null")),
         lit(", \"dp\": "), coalesce($"dp".cast("string"), lit("null")),
         lit(", \"af\": "), coalesce($"af".cast("string"), lit("null")),
@@ -529,18 +573,24 @@ object Stats {
          |JOIN g ON g.r_chrom = v.chrom
          | AND v.pos >= g.r_start AND v.pos <= g.r_end
          |ORDER BY v.chrom, v.pos, v.alt, g.gene_id""".stripMargin,
-    "e54_json_export" ->
+    "e54_json_export" -> {
+      // replace(replace(x, '\', '\\'), '"', '\"') with the characters
+      // spelled as chr() so no SQL-literal escaping is involved.
+      def js(col: String): String =
+        s"replace(replace($col, chr(92), chr(92) || chr(92)), " +
+          s"chr(34), chr(92) || chr(34))"
       s"""SELECT chrom, CAST(pos AS BIGINT) AS pos, alt,
-         | '{"chrom": "' || chrom || '", "pos": ' || CAST(pos AS VARCHAR) ||
-         | ', "id": ' || COALESCE('"' || vid || '"', 'null') ||
-         | ', "ref": "' || ref || '", "alt": "' || alt ||
+         | '{"chrom": "' || ${js("chrom")} || '", "pos": ' || CAST(pos AS VARCHAR) ||
+         | ', "id": ' || COALESCE('"' || ${js("vid")} || '"', 'null') ||
+         | ', "ref": "' || ${js("ref")} || '", "alt": "' || ${js("alt")} ||
          | '", "qual": ' || COALESCE(CAST(CAST(qual AS DOUBLE) AS VARCHAR), 'null') ||
-         | ', "filter": ' || COALESCE('"' || filter || '"', 'null') ||
+         | ', "filter": ' || COALESCE('"' || ${js("filter")} || '"', 'null') ||
          | ', "dp": ' || COALESCE(CAST(dp AS VARCHAR), 'null') ||
          | ', "af": ' || COALESCE(CAST(CAST(af AS DOUBLE) AS VARCHAR), 'null') ||
          | '}' AS json_line
          |FROM ${VcfFixture.variantsValues}
-         |ORDER BY chrom, pos, alt""".stripMargin,
+         |ORDER BY chrom, pos, alt""".stripMargin
+    },
     "e55_db_info" -> {
       val names = graft.Tables.all.map(t => s"'$t'").mkString(", ")
       s"""SELECT table_name, column_name,

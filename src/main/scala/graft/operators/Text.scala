@@ -787,23 +787,6 @@ object Text {
     */
   private final val BoilerMinDocs = 2
 
-  /** t22: per-source BOILERPLATE screen (the RefinedWeb/CCNet template
-    * pass): a line repeated across a large fraction of ONE source's
-    * documents is template chrome — nav bars, cookie banners, footers —
-    * and is removed from EVERY document of that source (unlike t13,
-    * which keeps a global first occurrence of any exact repeat). Per
-    * doc: line counts, boilerplate count, md5 over the kept text, and
-    * the removed fraction.
-    *
-    * Scale shape: lines explode map-side; document frequency is ONE
-    * partial-agg shuffle keyed on (source, md5(line)) — constant-width
-    * key, per-doc repeats collapse in the distinct's partial agg; the
-    * per-source doc totals are a source-dim frame (broadcast); the
-    * boilerplate set joins back on the same (source, h) key,
-    * co-partitioned with the df shuffle; per-doc reassembly is one
-    * doc_id-keyed partial agg. No self-joins, no key whose fan-out
-    * grows with repeat frequency.
-    */
   /** t24: LANGUAGE-ID EVALUATION — the confusion matrix of t01's
     * predictions against each document's declared language: per
     * (declared, predicted) pair, document count, the row-normalized
@@ -897,6 +880,23 @@ object Text {
       .withColumn("text", $"_new_text").drop("_new_text")
   }
 
+  /** t22: per-source BOILERPLATE screen (the RefinedWeb/CCNet template
+    * pass): a line repeated across a large fraction of ONE source's
+    * documents is template chrome — nav bars, cookie banners, footers —
+    * and is removed from EVERY document of that source (unlike t13,
+    * which keeps a global first occurrence of any exact repeat). Per
+    * doc: line counts, boilerplate count, md5 over the kept text, and
+    * the removed fraction.
+    *
+    * Scale shape: lines explode map-side; document frequency is ONE
+    * partial-agg shuffle keyed on (source, md5(line)) — constant-width
+    * key, per-doc repeats collapse in the distinct's partial agg; the
+    * per-source doc totals are a source-dim frame (broadcast); the
+    * boilerplate set joins back on the same (source, h) key,
+    * co-partitioned with the df shuffle; per-doc reassembly is one
+    * doc_id-keyed partial agg. No self-joins, no key whose fan-out
+    * grows with repeat frequency.
+    */
   def t22(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = T(s, dir, "documents")

@@ -57,6 +57,10 @@ object GtfSource {
     * only through transcript/exon rows get their feature hull. A
     * gene-model file is dim-sized (~20k genes / ~3M exon rows), so
     * this collapse is driver-adjacent work feeding a broadcast join.
+    * Name/strand use the same gene-row-wins coalesce as the span
+    * columns (max, not first — first() is partition-order-dependent,
+    * so a multi-partition GTF with attribute-discordant feature rows
+    * would otherwise vary run to run).
     */
   def genes(gtf: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -68,8 +72,12 @@ object GtfSource {
         coalesce(
           max(when(col("feature") === "gene", col("r_end"))),
           max(col("r_end"))).as("r_end"),
-        first(col("gene_name")).as("gene_name"),
-        first(col("strand")).as("strand"))
+        coalesce(
+          max(when(col("feature") === "gene", col("gene_name"))),
+          max(col("gene_name"))).as("gene_name"),
+        coalesce(
+          max(when(col("feature") === "gene", col("strand"))),
+          max(col("strand"))).as("strand"))
   }
 
   /** Driver-side read with transparent gunzip (BedSource's path — a

@@ -49,10 +49,11 @@ class CurateCorpusSpec extends SparkSpec {
         org.apache.spark.sql.functions.min(col("doc_id"))
           .over(org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))))
       .filter(col("doc_id") === col("_keep")).drop("_keep")
-    // the pair stage ran on the LINE-DEDUPED text — re-derive that frame
+    // the pair stage ran on the LINE-DEDUPED text — re-derive that
+    // frame and the pipeline's OWN pair rule (d02 MinHash, the default)
     val lineDeduped = Text.dedupLines(exactSurvivors)
     val survivorIds = survivors.select("doc_id").collect().map(_.getLong(0)).toSet
-    val edges = Dedup.jaccardPairs(
+    val edges = Dedup.minhashPairs(
       lineDeduped.select(col("doc_id"), col("text")), 0.5)
       .collect().map(r2 => (r2.getLong(0), r2.getLong(1)))
     assert(edges.nonEmpty, "corpus has no near-dup pairs to cut")
@@ -68,6 +69,26 @@ class CurateCorpusSpec extends SparkSpec {
     assert(Dedup.decontaminate(
       survivors.select(col("doc_id"), split(col("text"), " ").as("toks")),
       bench.select(split(col("text"), " ").as("toks")), 4).isEmpty)
+  }
+
+  test("near-dup parity: minhash default and exact opt-in agree on this corpus") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val outM = Files.createTempDirectory("curateM").resolve("out").toString
+    val outE = Files.createTempDirectory("curateE").resolve("out").toString
+    val rM = CurateCorpus.run(docs, outM) // default nearDup = "minhash"
+    val rE = CurateCorpus.run(docs, outE, nearDup = "exact")
+    // identical attrition at every stage: the corpus's true near-dups
+    // sit far above the 0.5 threshold, where 16x4 LSH band recall is
+    // ~certain, so the scale path and the exact path pick the same
+    // clusters (per-pair divergence is only expected AT the threshold)
+    assert(rM == rE, s"attrition reports diverged: minhash=$rM exact=$rE")
+    val idsM = spark.read.parquet(outM).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val idsE = spark.read.parquet(outE).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(idsM == idsE,
+      s"survivor sets diverged: only-minhash=${(idsM -- idsE).toSeq.sorted.take(5)} " +
+        s"only-exact=${(idsE -- idsM).toSeq.sorted.take(5)}")
   }
 
   test("dedupLines removes later copies of a shared line, keeps the first doc intact") {

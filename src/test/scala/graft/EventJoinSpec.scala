@@ -286,6 +286,61 @@ class EventJoinSpec extends SparkSpec {
       assert(members.count(_._2._2) == 1, s"phash $h: one survivor expected")
     }
   }
+  test("m02/m06/m07 real-image branch: javax.imageio decode, dHash collapses a re-encode") {
+    import spark.implicits._
+    // a real 64x48 gradient image, encoded twice with DIFFERENT bytes
+    // but identical pixels: PNG (compressed) and BMP (raw) — the
+    // re-encoded-duplicate case perceptual hashing exists for
+    val img = new java.awt.image.BufferedImage(
+      64, 48, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 48; x <- 0 until 64) {
+      val lum = if (x < 32) (x * 4) min 255 else 255 - ((x - 32) * 4 min 255)
+      img.setRGB(x, y, (lum << 16) | (lum << 8) | lum)
+    }
+    def enc(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val png = enc("png"); val bmp = enc("bmp")
+    assert(!java.util.Arrays.equals(png, bmp), "containers must differ")
+    val blobs = Seq((1L, png), (2L, bmp),
+      (3L, "just prose bytes, not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "blob")
+
+    // m02 core: true geometry for both containers, same PIXEL digest
+    val meta = graft.operators.Multimodal.mediaMeta(blobs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("width"), r.getAs[Int]("height"), r.getAs[String]("digest")))
+      .toMap
+    assert(meta(1L)._1 == 64 && meta(1L)._2 == 48, "PNG must decode to true WxH")
+    assert(meta(2L)._1 == 64 && meta(2L)._2 == 48, "BMP must decode to true WxH")
+    assert(meta(1L)._3 == meta(2L)._3,
+      "same pixels must yield the same content digest across containers")
+    assert(meta(3L)._3 != meta(1L)._3, "prose routes to the stub path")
+
+    // m06 core: letterbox geometry from the REAL dims — 64x48 fits
+    // 224x224 at scale 3.5 -> 224x168, padY 28
+    val geo = graft.operators.Multimodal.resizeGeometry(blobs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("out_w"), r.getAs[Int]("out_h"), r.getAs[Int]("pad_y")))
+      .toMap
+    assert(geo(1L) == ((224, 168, 28)), s"unexpected letterbox: ${geo(1L)}")
+    assert(geo(2L) == ((224, 168, 28)))
+
+    // m07 core: the PNG and BMP collapse to ONE dHash group (min-id
+    // survives); the prose blob stays its own group
+    val ded = graft.operators.Multimodal.phashDedup(blobs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("phash"), r.getAs[Boolean]("keep"), r.getAs[Long]("grp_size")))
+      .toMap
+    assert(ded(1L)._1 == ded(2L)._1,
+      "re-encoded duplicate must share the real-decode dHash")
+    assert(ded(1L)._3 == 2 && ded(2L)._3 == 2)
+    assert(ded(1L)._2 && !ded(2L)._2, "min-id survivor rule")
+    assert(ded(3L)._3 == 1 && ded(3L)._1 != ded(1L)._1)
+  }
+
   test("m09 shard packing: contiguous shards, conserved bytes, greedy budget") {
     val dir = "/root/testdata/sf0.001"
     val out = graft.operators.Multimodal.queries("m09_shard_pack")(spark, dir)

@@ -104,11 +104,16 @@ class ScaleSpec extends SparkSpec {
     val samples = (0 until n).map(i => f"p$i%02d")
     // classes drawn from {0,1,3} (no unknowns → every pair sees all m
     // sites); samples 0 and 1 get IDENTICAL genotypes → distance 0
-    val variants = spark.range(m).select(expr(
-      s"""transform(sequence(0, ${n - 1}), s ->
-         |  element_at(array(0, 1, 3),
-         |    CAST(pmod(id * 31 + greatest(s, 1) * 7919, 3) AS INT) + 1))"""
-        .stripMargin).as("gt_types"))
+    // carries (chrom, pos) so the maxSites knob below keys its sample
+    // on site IDENTITY — this fixture has only 3 distinct gt_types
+    // patterns, where a content-hash key would tie pathologically
+    val variants = spark.range(m).select(
+      lit("1").as("chrom"), col("id").as("pos"),
+      expr(
+        s"""transform(sequence(0, ${n - 1}), s ->
+           |  element_at(array(0, 1, 3),
+           |    CAST(pmod(id * 31 + greatest(s, 1) * 7919, 3) AS INT) + 1))"""
+          .stripMargin).as("gt_types"))
     val t0 = System.nanoTime()
     val got = graft.operators.Stats.mdsDistances(spark, variants, samples)
       .collect()
@@ -119,5 +124,30 @@ class ScaleSpec extends SparkSpec {
       r.getAs[String]("sample_b") == "p01").get.getAs[Double]("distance")
     assert(d01 == 0.0)
     assert(got.exists(_.getAs[Double]("distance") > 0.5))
+
+    // the biobank remedy AS A KNOB: maxSites bounds the per-pair cost
+    // deterministically. At two rates: full pair matrix retained, each
+    // pair sees exactly k sites, identical-genotype pair stays at 0,
+    // the subsampled estimate tracks the exact all-sites distance, and
+    // a rerun reproduces the same numbers (no RNG in the sample).
+    val exact = got.map(r => (r.getString(0), r.getString(1)) ->
+      r.getAs[Double]("distance")).toMap
+    for (k <- Seq(500, 1000)) {
+      val sub = graft.operators.Stats
+        .mdsDistances(spark, variants, samples, maxSites = Some(k)).collect()
+      assert(sub.length == n * (n - 1) / 2)
+      assert(sub.forall(_.getAs[Long]("n_sites") == k.toLong))
+      val s01 = sub.find(r => r.getString(0) == "p00" && r.getString(1) == "p01")
+        .get.getAs[Double]("distance")
+      assert(s01 == 0.0, s"identical pair must stay 0 at maxSites=$k")
+      val maxDrift = sub.iterator.map(r =>
+        math.abs(r.getAs[Double]("distance") -
+          exact((r.getString(0), r.getString(1))))).max
+      assert(maxDrift < 0.5, f"maxSites=$k estimate drifted $maxDrift%.3f")
+      val rerun = graft.operators.Stats
+        .mdsDistances(spark, variants, samples, maxSites = Some(k)).collect()
+      assert(rerun.map(_.toSeq).sameElements(sub.map(_.toSeq)),
+        s"maxSites=$k subsample must be deterministic across runs")
+    }
   }
 }

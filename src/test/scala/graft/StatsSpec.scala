@@ -163,6 +163,24 @@ class StatsSpec extends SparkSpec {
     assert(x.getAs[Double]("af") == 0.75)
   }
 
+  test("e54 jsonEscape survives quotes and backslashes in string fields") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // hostile field values a real VCF can carry (ID/FILTER free text)
+    val hostile = Seq("""plain""", """has "quotes" inside""",
+      """back\slash""", """both \" mixed \\ ends\""").toDF("v")
+    val rt = hostile
+      .select($"v", concat(lit("{\"v\": \""),
+        graft.operators.Stats.jsonEscape($"v"), lit("\"}")).as("line"))
+      .select($"v", get_json_object($"line", "$.v").as("parsed"))
+      .collect()
+    rt.foreach { r =>
+      assert(r.getString(1) != null, s"unparseable JSON for ${r.getString(0)}")
+      assert(r.getString(1) == r.getString(0),
+        s"round-trip mismatch: '${r.getString(0)}' -> '${r.getString(1)}'")
+    }
+  }
+
   test("e55 db_info inventories every testdata table and column") {
     val got = Stats.e55(spark, "/root/testdata/sf0.001").collect()
       .map(r => (r.getString(0), r.getString(1), r.getInt(2)))

@@ -158,6 +158,17 @@ private[sources] class BgzfLineReader(in: FSDataInputStream, startBlock: Long,
     }
   }
 
+  /** Position the reader at a tabix virtual offset's in-block byte:
+    * skips `n` decompressed bytes of the FIRST block. The index
+    * guarantees that lands on a record start, so no first-line
+    * discard applies (tabix chunk offsets are exact, unlike split
+    * boundaries).
+    */
+  def seekInFirstBlock(n: Int): Unit = if (n > 0) {
+    ensure()
+    if (!eof) bufPos = math.min(n, buf.length)
+  }
+
   /** Ownership offset of the next unread byte (see class doc);
     * Long.MaxValue at EOF so any `pos > end` gate stops cleanly.
     */

@@ -338,12 +338,72 @@ private[sources] class VcfScan(paths: Seq[String], header: Vector[String],
     } finally in.close()
   }
 
+  /** Tabix-indexed split planning: when the shard has a sibling .tbi
+    * and the pushed region names its chromosomes, the index alone
+    * yields the BGZF block ranges that can contain matching records —
+    * NO head-reads (neither firstKey boundary sampling nor shard-head
+    * keys), and chunk virtual offsets start readers at exact record
+    * boundaries. Ranges at block granularity merge when overlapping
+    * or adjacent (see Tabix.mergeByBlock's double-read rationale);
+    * ranges longer than splitSize subdivide at real block starts so a
+    * whole-chromosome region over one huge shard still fans out.
+    * Returns None — fall back to sampling-based planning — when the
+    * index is absent or unparseable, or the region has no chrom list
+    * to look up.
+    */
+  private def tabixSplits(p: String, fs: FileSystem, hp: Path,
+      len: Long): Option[Seq[VcfInputPartition]] = {
+    if (region.isTrivial) return None
+    val chroms = region.chromIn.getOrElse(return None)
+    val tbi = new Path(p + ".tbi")
+    try {
+      if (!fs.exists(tbi)) return None
+      val idx = { val in = fs.open(tbi); try Tabix.read(in) finally in.close() }
+      val in = fs.open(hp)
+      try {
+        if (!Bgzf.isBgzf(in, len)) return None
+        val ranges = Tabix.mergeByBlock(chroms.toSeq.sorted.flatMap(c =>
+          Tabix.chunkRanges(idx, c, region.posMin, region.posMax)))
+        Some(ranges.flatMap { case (vs, ve) =>
+          val startBlock = vs >>> 16
+          val uoff = (vs & 0xffff).toInt
+          val endOff = (ve >>> 16) + 1 // end block's lines stay owned here
+          val one = Seq(VcfInputPartition(p, startBlock, endOff,
+            bgzf = true, uoff = uoff, indexed = true))
+          if (endOff - startBlock <= splitSize) one
+          else {
+            val n = (endOff - startBlock + splitSize - 1) / splitSize
+            val raw = (1L until n).map(i =>
+              Bgzf.nextBlockStart(in, startBlock + i * splitSize, len))
+            if (raw.contains(-1L)) one
+            else {
+              val bounds = raw.filter(b => b > startBlock && b < endOff)
+                .distinct.sorted
+              val starts = startBlock +: bounds
+              starts.zipWithIndex.map { case (s0, i) =>
+                VcfInputPartition(p, s0,
+                  if (i + 1 < starts.length) starts(i + 1) else endOff,
+                  bgzf = true, uoff = if (i == 0) uoff else -1,
+                  indexed = true)
+              }
+            }
+          }
+        })
+      } finally in.close()
+    } catch {
+      // malformed/truncated index: plan WITHOUT it (sampling path) —
+      // a bad .tbi must never change results
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val all = pruneShards(paths).flatMap { p =>
       if (p.endsWith(".gz") || p.endsWith(".bgz")) {
         val hp = new Path(p)
         val fs = FileSystem.get(hp.toUri, conf.value)
-        bgzfSplits(p, fs, hp, fs.getFileStatus(hp).getLen)
+        val len = fs.getFileStatus(hp).getLen
+        tabixSplits(p, fs, hp, len).getOrElse(bgzfSplits(p, fs, hp, len))
       } else {
         val hp = new Path(p)
         val len = FileSystem.get(hp.toUri, conf.value).getFileStatus(hp).getLen
@@ -358,8 +418,11 @@ private[sources] class VcfScan(paths: Seq[String], header: Vector[String],
       else all.groupBy(_.path).toSeq.flatMap { case (p, splits) =>
         // splittable BGZF shards prune like text splits (keys sampled
         // by decompressing from the boundary block); only an UNSPLIT
-        // compressed shard has nothing to prune below shard level
-        if (splits.length <= 1) splits
+        // compressed shard has nothing to prune below shard level.
+        // Index-planned splits are ALREADY block-range-pruned by the
+        // .tbi — sampling their keys would re-pay the head-reads the
+        // index exists to avoid
+        if (splits.length <= 1 || splits.head.indexed) splits
         else {
           val hp = new Path(p)
           val fs = FileSystem.get(hp.toUri, conf.value)
@@ -423,8 +486,16 @@ private[sources] object VcfScan {
     }
 }
 
+/** `uoff >= 0` marks a tabix-derived split: `start` is the BGZF block
+  * of a chunk's virtual start offset and `uoff` its in-block byte —
+  * an EXACT record boundary (htslib wrote it), so the reader seeks to
+  * it and does NOT discard a first line. `indexed` marks every split
+  * of an index-planned shard so planning skips first-key boundary
+  * sampling for them.
+  */
 private[sources] case class VcfInputPartition(path: String, start: Long,
-    end: Long, bgzf: Boolean = false) extends InputPartition
+    end: Long, bgzf: Boolean = false, uoff: Int = -1,
+    indexed: Boolean = false) extends InputPartition
 
 /** Line reader that reports the EXACT bytes each line consumed,
   * terminator included — LF, CRLF, and lone CR all count correctly, so
@@ -527,7 +598,15 @@ private[sources] class VcfPartitionReader(part: VcfInputPartition,
     case Left(r) => r.readLine()
     case Right(r) => r.readLine()
   }
-  private var primed = part.start == 0
+  // a tabix-derived split (uoff >= 0) starts at an exact record
+  // boundary — no partial first line exists to discard
+  private var primed = part.start == 0 || part.uoff >= 0
+  locally {
+    if (part.uoff > 0) stream match {
+      case Right(r) => r.seekInFirstBlock(part.uoff)
+      case Left(_) =>
+    }
+  }
   private var pending: Iterator[InternalRow] = Iterator.empty
   private var current: InternalRow = _
 

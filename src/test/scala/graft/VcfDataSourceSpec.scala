@@ -77,17 +77,89 @@ object BgzfTestWriter {
     out.write(Array[Byte](len.toByte, (len >> 8).toByte, (len >> 16).toByte, (len >> 24).toByte))
   }
 
-  def write(path: java.nio.file.Path, text: String, chunk: Int): Unit = {
-    val out = new java.io.BufferedOutputStream(Files.newOutputStream(path))
+  /** Writes the shard and returns the block table: (plain-text start
+    * offset, compressed block start offset) per block — what a tabix
+    * builder needs to map record byte offsets to virtual offsets.
+    */
+  def write(path: java.nio.file.Path, text: String,
+      chunk: Int): Vector[(Long, Long)] = {
+    val fileOut = Files.newOutputStream(path)
+    val counting = new java.io.OutputStream {
+      var count = 0L
+      override def write(b: Int): Unit = { fileOut.write(b); count += 1 }
+      override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+        fileOut.write(b, off, len); count += len
+      }
+    }
+    val out = new java.io.BufferedOutputStream(counting)
     val bytes = text.getBytes("UTF-8")
+    val table = Vector.newBuilder[(Long, Long)]
     var i = 0
     while (i < bytes.length) {
+      out.flush()
+      table += ((i.toLong, counting.count))
       val n = math.min(chunk, bytes.length - i)
       writeBlock(out, bytes, i, n)
       i += n
     }
     out.write(EofBlock)
     out.close()
+    table.result()
+  }
+
+  /** Virtual offset (block << 16 | in-block byte) of plain offset `o`
+    * under the block table `write` returned.
+    */
+  def voffset(table: Vector[(Long, Long)], o: Long): Long = {
+    val (plainStart, co) = table.takeWhile(_._1 <= o).last
+    (co << 16) | (o - plainStart)
+  }
+}
+
+/** Minimal spec-conformant .tbi writer for tests: one chunk per
+  * record, UCSC binning via the production reg2bins, 16 kb linear
+  * index, gzip container (GZIPInputStream reads gzip and BGZF alike).
+  */
+object TabixTestWriter {
+  /** records: (chrom, 0-based beg, 0-based-exclusive end, virtual
+    * start, virtual end) in file order.
+    */
+  def write(path: java.nio.file.Path, names: Seq[String],
+      records: Seq[(String, Long, Long, Long, Long)]): Unit = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val b = new java.io.DataOutputStream(bos)
+    def i32(v: Int): Unit = {
+      b.write(v & 0xff); b.write((v >> 8) & 0xff)
+      b.write((v >> 16) & 0xff); b.write((v >> 24) & 0xff)
+    }
+    def i64(v: Long): Unit = { i32(v.toInt); i32((v >>> 32).toInt) }
+    b.write('T'); b.write('B'); b.write('I'); b.write(1)
+    i32(names.length)
+    i32(2); i32(1); i32(2); i32(0); i32('#'); i32(0) // VCF preset
+    val nm = names.map(_ + "\u0000").mkString.getBytes("UTF-8")
+    i32(nm.length); b.write(nm)
+    names.foreach { name =>
+      val rs = records.filter(_._1 == name)
+      // one chunk per record, grouped into its reg2bin (the smallest
+      // bin containing it — reg2bins of a point returns it last)
+      val byBin = rs.groupBy(r =>
+        graft.sources.Tabix.reg2bins(r._2, r._3).last)
+      i32(byBin.size)
+      byBin.toSeq.sortBy(_._1).foreach { case (bin, chunks) =>
+        i32(bin); i32(chunks.length)
+        chunks.foreach { c => i64(c._4); i64(c._5) }
+      }
+      val nIntv = if (rs.isEmpty) 0
+        else (rs.map(r => (r._3 - 1) >> 14).max + 1).toInt
+      i32(nIntv)
+      (0 until nIntv).foreach { w =>
+        val overlapping = rs.filter(r => (r._2 >> 14) <= w && ((r._3 - 1) >> 14) >= w)
+        i64(if (overlapping.isEmpty) 0L else overlapping.map(_._4).min)
+      }
+    }
+    b.flush()
+    val gz = new java.util.zip.GZIPOutputStream(Files.newOutputStream(path))
+    gz.write(bos.toByteArray); gz.close()
   }
 }
 
@@ -457,5 +529,130 @@ class VcfSplitSpec extends SparkSpec {
     val a = whole.select("chrom", "pos", "dp").collect().map(_.toSeq).sortBy(_.toString)
     val b = split.select("chrom", "pos", "dp").collect().map(_.toSeq).sortBy(_.toString)
     assert(a.toSeq == b.toSeq)
+  }
+}
+
+/** Tabix interop: a sibling .tbi drives block-range pruning for region
+  * queries over an indexed BGZF shard — no first-key head-reads, exact
+  * results, graceful fallback on a corrupt index.
+  */
+class VcfTabixSpec extends SparkSpec {
+  import java.nio.file.Files
+  import org.apache.spark.sql.functions.col
+
+  /** Indexed shard fixture: 400 SNV records at 400 bp spacing (chrom 1
+    * pos 400..80000, chrom 2 pos 80400..160000 — each chrom spans ~5
+    * of tabix's 16 kb leaf-bin windows, so binning can actually
+    * discriminate regions), many small BGZF blocks, spec-built .tbi
+    * from the writer's block table.
+    */
+  private lazy val fixture: (String, String, java.nio.file.Path) = {
+    val dir = Files.createTempDirectory("vcftabix")
+    val header = Vector(
+      "##fileformat=VCFv4.2",
+      "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"Depth\">",
+      Seq("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO",
+        "FORMAT", "sA").mkString("\t"))
+    val bodies = (1 to 400).map { i =>
+      val chrom = if (i <= 200) "1" else "2"
+      val pos = (if (i <= 200) i else i - 200) * 400
+      Seq(chrom, pos.toString, ".", "A", "G", "9.0", "PASS",
+        s"DP=$i", "GT", "0/1").mkString("\t")
+    }
+    val text = (header ++ bodies).mkString("\n") + "\n"
+    val gz = dir.resolve("indexed.vcf.gz")
+    val table = BgzfTestWriter.write(gz, text, chunk = 256)
+    // plain-offset of each body line -> virtual offsets
+    var off = header.map(_.length + 1).sum.toLong
+    val records = bodies.map { line =>
+      val f = line.split("\t")
+      val pos = f(1).toLong
+      val vs = BgzfTestWriter.voffset(table, off)
+      val ve = BgzfTestWriter.voffset(table, off + line.length + 1)
+      off += line.length + 1
+      (f(0), pos - 1, pos, vs, ve)
+    }
+    TabixTestWriter.write(dir.resolve("indexed.vcf.gz.tbi"),
+      Seq("1", "2"), records)
+    val plain = dir.resolve("indexed.vcf")
+    Files.writeString(plain, text)
+    (gz.toString, plain.toString, dir)
+  }
+
+  private def regionRows(path: String, opts: Map[String, String],
+      chrom: String, lo: Long, hi: Long) = {
+    var r = spark.read.format("vcf")
+    opts.foreach { case (k, v) => r = r.option(k, v) }
+    r.load(path)
+      .filter(col("chrom") === chrom && col("pos") >= lo && col("pos") <= hi)
+      .select("chrom", "pos", "dp")
+  }
+
+  test("region query over an indexed shard opens only intersecting block ranges") {
+    val (gz, plain, dir) = fixture
+    val opts = Map("splitSize" -> "1024")
+    val unindexed = regionRows(plain, opts, "1", 33000, 34000)
+    // the same COMPRESSED shard without its index: every block-aligned
+    // split is opened (un-sorted planner has nothing to prune)
+    val noIdx = dir.resolve("noindex.vcf.gz")
+    Files.copy(java.nio.file.Path.of(gz), noIdx,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val allGzSplits = spark.read.format("vcf").option("splitSize", "1024")
+      .load(noIdx.toString).rdd.getNumPartitions
+    assert(allGzSplits >= 6, s"fixture too small to prove pruning ($allGzSplits)")
+    // the indexed shard resolves the region from the .tbi alone: only
+    // the one 16 kb-window block range that intersects it is opened
+    val indexed = regionRows(gz, opts, "1", 33000, 34000)
+    val nParts = indexed.rdd.getNumPartitions
+    assert(nParts <= 2,
+      s"tabix pruning should open ~1 merged block range, got $nParts")
+    assert(nParts * 3 <= allGzSplits,
+      s"index opened $nParts of $allGzSplits splits — not pruning")
+    assert(indexed.collect().map(_.toSeq).sortBy(_.toString).toSeq ==
+      unindexed.collect().map(_.toSeq).sortBy(_.toString).toSeq)
+    assert(indexed.count() == 3) // pos 33200, 33600, 34000
+  }
+
+  test("indexed region results are exact across region shapes") {
+    val (gz, plain, _) = fixture
+    val opts = Map("splitSize" -> "1024")
+    val shapes = Seq(("1", 400L, 80000L), ("2", 400L, 2000L),
+      ("1", 79800L, 80000L), ("2", 79600L, 80000L), ("1", 1L, 399L))
+    shapes.foreach { case (c, lo, hi) =>
+      val a = regionRows(gz, opts, c, lo, hi).collect()
+        .map(_.toSeq).sortBy(_.toString).toSeq
+      val b = regionRows(plain, opts, c, lo, hi).collect()
+        .map(_.toSeq).sortBy(_.toString).toSeq
+      assert(a == b, s"region $c:$lo-$hi diverged (indexed=${a.length}, plain=${b.length})")
+    }
+    // chrom absent from the index: exact empty, zero partitions opened
+    val none = regionRows(gz, opts, "3", 1, 5000)
+    assert(none.rdd.getNumPartitions == 0)
+    assert(none.count() == 0)
+  }
+
+  test("corrupt .tbi falls back to sampling-based planning, results unchanged") {
+    val (gz, plain, dir) = fixture
+    val bad = dir.resolve("bad.vcf.gz")
+    Files.copy(java.nio.file.Path.of(gz), bad,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // truncated garbage index: unparseable, must be IGNORED not fatal
+    Files.write(dir.resolve("bad.vcf.gz.tbi"), Array[Byte](0x1f, 0x8b.toByte, 1, 2, 3))
+    val opts = Map("splitSize" -> "1024")
+    val a = regionRows(bad.toString, opts, "1", 500, 600).collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    val b = regionRows(plain, opts, "1", 500, 600).collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    assert(a == b)
+  }
+
+  test("full scan of an indexed shard ignores the index (trivial region)") {
+    val (gz, plain, _) = fixture
+    val a = spark.read.format("vcf").option("splitSize", "1024").load(gz)
+      .select("chrom", "pos", "dp").collect().map(_.toSeq).sortBy(_.toString)
+    val b = spark.read.format("vcf").load(plain)
+      .select("chrom", "pos", "dp").collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == 400)
   }
 }

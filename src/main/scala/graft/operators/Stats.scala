@@ -350,16 +350,20 @@ object Stats {
     * shuffle beyond the final presentation sort) — export runs at scan
     * speed at any cohort size.
     */
-  def e49(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    VcfFixture.variants(s)
-      .select($"chrom",
-        coalesce($"vid", concat($"chrom", lit(":"), $"pos")).as("snp_id"),
-        lit(0).as("cm"), $"pos",
-        expr(s"concat_ws(' ', transform(arrays_zip(gts, gt_types), p -> $tpedCell))")
-          .as("genotypes"))
-      .orderBy($"chrom", $"pos", $"genotypes")
-  }
+  def e49(s: SparkSession, dir: String): DataFrame =
+    tpedExportLines(VcfFixture.variants(s))
+      .orderBy(col("chrom"), col("pos"), col("genotypes"))
+
+  /** e49's line builder over any variants frame carrying unpacked
+    * `gts`/`gt_types` arrays — the CLI `export --format=tped` path.
+    */
+  def tpedExportLines(v: DataFrame): DataFrame =
+    v.select(col("chrom"),
+      coalesce(colOr(v, "vid", "string"),
+        concat(col("chrom"), lit(":"), col("pos"))).as("snp_id"),
+      lit(0).as("cm"), col("pos"),
+      expr(s"concat_ws(' ', transform(arrays_zip(gts, gt_types), p -> $tpedCell))")
+        .as("genotypes"))
 
   /** e50: gemini `region --gene TP53` — every variant whose impact
     * annotation lands in the named gene. The gene filter is a
@@ -420,22 +424,36 @@ object Stats {
     * null-skipping builds the INFO field without a single branch tree
     * per combination).
     */
-  def e52(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    VcfFixture.variants(s)
-      .withColumn("info", concat_ws(";",
-        when($"dp".isNotNull, concat(lit("DP="), $"dp".cast("string"))),
-        when($"af".isNotNull, concat(lit("AF="), $"af".cast("string"))),
-        when($"db", lit("DB")),
-        when($"type".isNotNull, concat(lit("TYPE="), $"type"))))
+  def e52(s: SparkSession, dir: String): DataFrame =
+    vcfExportLines(VcfFixture.variants(s))
+      .orderBy(col("chrom"), col("pos"), col("alt"))
+
+  /** `col(n)` when the frame carries it, else a typed NULL — what lets
+    * the export line builders run over ANY variants frame (a loaded
+    * GraftDb flattens only the INFO fields its header declared).
+    */
+  private def colOr(v: DataFrame, n: String, tpe: String): Column =
+    if (v.columns.contains(n)) col(n) else lit(null).cast(tpe)
+
+  /** e52's line builder over any variants frame — the CLI `export
+    * --format=vcf` path routes here (same expressions, no new logic).
+    */
+  def vcfExportLines(v: DataFrame): DataFrame = {
+    val (dp, af, db, tpe) = (colOr(v, "dp", "long"), colOr(v, "af", "double"),
+      colOr(v, "db", "boolean"), colOr(v, "type", "string"))
+    v.withColumn("info", concat_ws(";",
+        when(dp.isNotNull, concat(lit("DP="), dp.cast("string"))),
+        when(af.isNotNull, concat(lit("AF="), af.cast("string"))),
+        when(db, lit("DB")),
+        when(tpe.isNotNull, concat(lit("TYPE="), tpe))))
       .withColumn("vcf_line", concat_ws("\t",
-        $"chrom", $"pos".cast("string"), coalesce($"vid", lit(".")),
-        $"ref", $"alt",
-        coalesce($"qual".cast("string"), lit(".")),
-        coalesce($"filter", lit(".")),
-        when(length($"info") > 0, $"info").otherwise(lit("."))))
-      .select($"chrom", $"pos", $"alt", $"vcf_line")
-      .orderBy($"chrom", $"pos", $"alt")
+        col("chrom"), col("pos").cast("string"),
+        coalesce(colOr(v, "vid", "string"), lit(".")),
+        col("ref"), col("alt"),
+        coalesce(colOr(v, "qual", "double").cast("string"), lit(".")),
+        coalesce(colOr(v, "filter", "string"), lit(".")),
+        when(length(col("info")) > 0, col("info")).otherwise(lit("."))))
+      .select(col("chrom"), col("pos"), col("alt"), col("vcf_line"))
   }
 
   /** JSON string-field escaping shared by e54's two engines: backslash
@@ -456,28 +474,36 @@ object Stats {
     * bytes hash-match. Scan-speed string assembly, no shuffle beyond
     * the presentation sort (e52's regime).
     */
-  def e54(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    VcfFixture.variants(s)
-      .withColumn("json_line", concat(
-        lit("{\"chrom\": \""), jsonEscape($"chrom"),
-        lit("\", \"pos\": "), $"pos".cast("string"),
+  def e54(s: SparkSession, dir: String): DataFrame =
+    jsonExportLines(VcfFixture.variants(s))
+      .orderBy(col("chrom"), col("pos"), col("alt"))
+
+  /** e54's line builder over any variants frame — the CLI `export
+    * --format=json` path (same expressions, absent columns emit JSON
+    * null exactly like absent values).
+    */
+  def jsonExportLines(v: DataFrame): DataFrame = {
+    val vid = colOr(v, "vid", "string")
+    val filt = colOr(v, "filter", "string")
+    v.withColumn("json_line", concat(
+        lit("{\"chrom\": \""), jsonEscape(col("chrom")),
+        lit("\", \"pos\": "), col("pos").cast("string"),
         lit(", \"id\": "),
-        when($"vid".isNotNull,
-          concat(lit("\""), jsonEscape($"vid"), lit("\"")))
+        when(vid.isNotNull, concat(lit("\""), jsonEscape(vid), lit("\"")))
           .otherwise(lit("null")),
-        lit(", \"ref\": \""), jsonEscape($"ref"),
-        lit("\", \"alt\": \""), jsonEscape($"alt"),
-        lit("\", \"qual\": "), coalesce($"qual".cast("string"), lit("null")),
+        lit(", \"ref\": \""), jsonEscape(col("ref")),
+        lit("\", \"alt\": \""), jsonEscape(col("alt")),
+        lit("\", \"qual\": "),
+        coalesce(colOr(v, "qual", "double").cast("string"), lit("null")),
         lit(", \"filter\": "),
-        when($"filter".isNotNull,
-          concat(lit("\""), jsonEscape($"filter"), lit("\"")))
+        when(filt.isNotNull, concat(lit("\""), jsonEscape(filt), lit("\"")))
           .otherwise(lit("null")),
-        lit(", \"dp\": "), coalesce($"dp".cast("string"), lit("null")),
-        lit(", \"af\": "), coalesce($"af".cast("string"), lit("null")),
+        lit(", \"dp\": "),
+        coalesce(colOr(v, "dp", "long").cast("string"), lit("null")),
+        lit(", \"af\": "),
+        coalesce(colOr(v, "af", "double").cast("string"), lit("null")),
         lit("}")))
-      .select($"chrom", $"pos", $"alt", $"json_line")
-      .orderBy($"chrom", $"pos", $"alt")
+      .select(col("chrom"), col("pos"), col("alt"), col("json_line"))
   }
 
   /** e55: gemini `db_info` — the table/column inventory of the loaded

@@ -56,7 +56,10 @@ object Bench {
     "q25_value_concentration", "q26_price_standing", "st09_disorder_audit",
     "st10_attribution_outer", "d15_delta_dedup", "t23_word_entropy",
     "m09_shard_pack", "q27_nation_trade", "q28_rolling_actives",
-    "t25_source_quality")
+    "t25_source_quality",
+    // round-8 additions that scale with sf: q29's fact collapse +
+    // order-keyed window, st11's windowed counts over the event stream
+    "q29_sole_return_supplier", "st11_window_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

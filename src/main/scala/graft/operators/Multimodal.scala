@@ -421,11 +421,13 @@ object Multimodal {
     h
   }
 
-  /** m07 core over any (doc_id, blob: binary) frame. */
-  def phashDedup(blobs: DataFrame): DataFrame = {
+  /** The (doc_id, phash) dHash frame m07 and m10 share — per-row
+    * batched mapPartitions (the vectorized-decoder shape), no shuffle.
+    */
+  def phashes(blobs: DataFrame): DataFrame = {
     val s = blobs.sparkSession
     import s.implicits._
-    val hashed = blobs.select($"doc_id", $"blob")
+    blobs.select($"doc_id", $"blob")
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(32).flatMap { batch => // one "decode+hash call" per 32 blobs
@@ -433,12 +435,73 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "phash")
+  }
+
+  /** m07 core over any (doc_id, blob: binary) frame. */
+  def phashDedup(blobs: DataFrame): DataFrame = {
+    val s = blobs.sparkSession
+    import s.implicits._
+    val hashed = phashes(blobs)
     val groups = hashed.groupBy($"phash")
       .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("grp_size"))
     hashed.join(groups, "phash")
       .select($"doc_id", $"phash", ($"doc_id" === $"keep_id").as("keep"),
         $"grp_size")
       .orderBy($"doc_id")
+  }
+
+  /** m10's report size — the K closest candidate pairs. */
+  private val NearDupK = 10
+
+  /** m10: NEAR-duplicate image search by perceptual-hash Hamming
+    * distance — the production image-dedup form m07's exact-hash
+    * groups feed into: a re-encode that flips a few gradient bits
+    * (crop sliver, watermark, recompression artifact) breaks exact
+    * equality but stays within a small Hamming radius. d03's banding
+    * move applied to the 56-bit dHash: each hash splits into four
+    * 14-bit chunks, hashes sharing ANY chunk become candidates (a pair
+    * within Hamming ≤ 3 is GUARANTEED a shared chunk by pigeonhole;
+    * farther pairs are caught with LSH-style probability), and the
+    * report is the [[NearDupK]] closest candidate pairs.
+    *
+    * Scale shape: hashing is the shuffle-free scan above; the
+    * candidate join shuffles on the (chunk-index, chunk-value) key
+    * with d03's adaptive bucket cap (8× expected occupancy, floor 50)
+    * so a flat-image corpus (uniform chrome, one dominant grid) can't
+    * drive one bucket quadratic; top-K is TakeOrderedAndProject. The
+    * DuckDB oracle replays the full chain — stub grid bits, chunks,
+    * cap, Hamming, top-K — exactly.
+    */
+  def m10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    phashNearDup(T(s, dir, "documents")
+      .select($"doc_id", $"text".cast("binary").as("blob")))
+  }
+
+  /** m10 core over any (doc_id, blob: binary) frame. */
+  def phashNearDup(blobs: DataFrame): DataFrame = {
+    val s = blobs.sparkSession
+    import s.implicits._
+    val h = phashes(blobs)
+    val chunks = h
+      .select($"doc_id", $"phash", explode(expr("sequence(0, 3)")).as("c"))
+      .withColumn("chunk", expr("(phash >> (c * 14)) & 16383"))
+    val total = h.select(count(lit(1)).as("n_docs"))
+    val keep = chunks.groupBy($"c", $"chunk")
+      .agg(count(lit(1)).as("bsz"))
+      .crossJoin(broadcast(total))
+      .filter($"bsz" <= greatest(lit(50L), lit(8L) * $"n_docs" / 16384L))
+      .select($"c", $"chunk")
+    val capped = chunks.join(keep, Seq("c", "chunk"))
+    capped.as("a")
+      .join(capped.as("b"),
+        $"a.c" === $"b.c" && $"a.chunk" === $"b.chunk" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        expr("bit_count(a.phash ^ b.phash)").as("hamming"))
+      .distinct()
+      .orderBy($"hamming", $"doc_a", $"doc_b")
+      .limit(NearDupK)
   }
 
   /** m08: modality ROUTER — classify each blob by its container
@@ -514,6 +577,27 @@ object Multimodal {
       .orderBy($"source", $"shard")
   }
 
+  /** The m07/m10-shared DuckDB replay of the stub dHash: one row per
+    * (doc, grid row), 7 gradient-sign bits packed row-locally and
+    * scaled into place by a CASE-form 2^(7·i); yields h(doc_id, phash).
+    */
+  private def phashCte: String = {
+    val bits = (0 until 7).map { j =>
+      s"(CASE WHEN ${sqlHex4("rd", 4 * j + 1)} > ${sqlHex4("rd", 4 * j + 5)} THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    val scale = (0 until 8).map(i => s"WHEN $i THEN ${1L << (7 * i)}")
+      .mkString(" ")
+    s"""rows_ AS (SELECT doc_id, i,
+       |  md5(dg || ':r' || CAST(i AS VARCHAR)) AS rd
+       |  FROM (SELECT doc_id, md5(text) AS dg FROM documents),
+       |       (SELECT unnest(range(0, 8)) AS i)),
+       |rowbits AS (SELECT doc_id,
+       |  ($bits) * (CASE i $scale END) AS rb
+       |  FROM rows_),
+       |h AS (SELECT doc_id, CAST(SUM(rb) AS BIGINT) AS phash
+       |  FROM rowbits GROUP BY doc_id)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "m09_shard_pack" ->
       s"""WITH b AS (SELECT doc_id, source, strlen(text) AS nb, md5(text) AS dg
@@ -539,28 +623,29 @@ object Multimodal {
         |  WHEN substr(text, 1, 5) = '<?xml' OR substr(text, 1, 4) = '<svg' THEN 'xml'
         |  ELSE 'text' END AS modality
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "m07_phash_dedup" -> {
-      // one row per (doc, grid row): 7 gradient-sign bits packed into a
-      // row-local value, scaled into place by a CASE-form 2^(7·i)
-      val bits = (0 until 7).map { j =>
-        s"(CASE WHEN ${sqlHex4("rd", 4 * j + 1)} > ${sqlHex4("rd", 4 * j + 5)} THEN ${1L << j} ELSE 0 END)"
-      }.mkString(" + ")
-      val scale = (0 until 8).map(i => s"WHEN $i THEN ${1L << (7 * i)}")
-        .mkString(" ")
-      s"""WITH rows_ AS (SELECT doc_id, i,
-         |  md5(dg || ':r' || CAST(i AS VARCHAR)) AS rd
-         |  FROM (SELECT doc_id, md5(text) AS dg FROM documents),
-         |       (SELECT unnest(range(0, 8)) AS i)),
-         |rowbits AS (SELECT doc_id,
-         |  ($bits) * (CASE i $scale END) AS rb
-         |  FROM rows_),
-         |h AS (SELECT doc_id, CAST(SUM(rb) AS BIGINT) AS phash
-         |  FROM rowbits GROUP BY doc_id),
+    "m07_phash_dedup" ->
+      s"""WITH $phashCte,
          |g AS (SELECT phash, MIN(doc_id) AS keep_id, count(*) AS grp_size
          |  FROM h GROUP BY phash)
          |SELECT h.doc_id, h.phash, h.doc_id = g.keep_id AS keep, g.grp_size
-         |FROM h JOIN g USING (phash) ORDER BY h.doc_id""".stripMargin
-    },
+         |FROM h JOIN g USING (phash) ORDER BY h.doc_id""".stripMargin,
+    "m10_phash_near_dup" ->
+      s"""WITH $phashCte,
+         |chunks AS (SELECT doc_id, phash, c,
+         |  (phash >> (CAST(c AS INT) * 14)) & 16383 AS chunk
+         |  FROM h, (SELECT unnest(range(0, 4)) AS c)),
+         |n AS (SELECT count(*) AS n_docs FROM h),
+         |keep AS (SELECT c, chunk FROM (
+         |  SELECT c, chunk, count(*) AS bsz FROM chunks GROUP BY 1, 2), n
+         |  WHERE bsz <= greatest(50, 8 * n_docs // 16384)),
+         |capped AS (SELECT ch.doc_id, ch.phash, ch.c, ch.chunk
+         |  FROM chunks ch JOIN keep USING (c, chunk)),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+         |  FROM capped a JOIN capped b
+         |  ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM pairs
+         |ORDER BY hamming, doc_a, doc_b LIMIT $NearDupK""".stripMargin,
     "m01_multimodal_meta" ->
       """SELECT doc_id,
         | octet_length(text::BLOB) AS n_bytes,
@@ -654,6 +739,7 @@ object Multimodal {
     "m06_resize_stub" -> (m06 _),
     "m07_phash_dedup" -> (m07 _),
     "m08_modality_route" -> (m08 _),
-    "m09_shard_pack" -> (m09 _)
+    "m09_shard_pack" -> (m09 _),
+    "m10_phash_near_dup" -> (m10 _)
   )
 }

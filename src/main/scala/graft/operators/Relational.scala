@@ -681,8 +681,68 @@ object Relational {
       .orderBy($"cover_day")
   }
 
+  /** q29: SOLE-BLAME SUPPLIER (the TPC-H Q21 shape on this schema's
+    * columns): per multi-supplier order, when EXACTLY ONE of its
+    * suppliers shipped returned ('R') lines, that supplier takes the
+    * blame; report each supplier's blamed-order count with their
+    * nation. The distinctive relational form: an exclusivity gate that
+    * needs both an EXISTS (this supplier returned) and a NOT-EXISTS
+    * (no other supplier did) over the same fact — expressed here as
+    * counts over one grouped frame instead of two correlated
+    * subqueries.
+    *
+    * Scale shape: ONE partial-agg shuffle collapses lineitem to the
+    * (order, supplier) grain (map-side combine absorbs per-supplier
+    * line volume); the order-level supplier/return tallies are ONE
+    * window shuffle keyed on l_orderkey over that collapsed frame (no
+    * self-join, no correlated re-scan of the fact); the blame roll-up
+    * re-aggregates the supplier-dim-sized survivor set; supplier and
+    * nation dims broadcast. The fact is scanned once.
+    */
+  def q29(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perSupp = T(s, dir, "lineitem")
+      .groupBy($"l_orderkey", $"l_suppkey")
+      .agg(max(when($"l_returnflag" === "R", 1).otherwise(0)).as("ret"))
+    val w = Window.partitionBy($"l_orderkey")
+    perSupp
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_ret_supp", sum($"ret").over(w))
+      .filter($"ret" === 1 && $"n_supp" >= 2 && $"n_ret_supp" === 1)
+      .groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("n_blamed_orders"))
+      .join(broadcast(T(s, dir, "supplier")
+        .select($"s_suppkey", $"s_name", $"s_nationkey")),
+        $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(T(s, dir, "nation")
+        .select($"n_nationkey", $"n_name")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_name", $"n_name".as("nation"),
+        $"n_blamed_orders")
+      .orderBy($"n_blamed_orders".desc, $"s_suppkey")
+  }
+
   /** Oracle SQL (DuckDB dialect ≈ ANSI) mirroring each query above. */
   val oracle: Map[String, String] = Map(
+    "q29_sole_return_supplier" ->
+      """WITH per AS (
+        | SELECT l_orderkey, l_suppkey,
+        |  MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
+        | FROM lineitem GROUP BY 1, 2),
+        |gated AS (
+        | SELECT l_suppkey FROM (
+        |  SELECT l_suppkey, ret,
+        |   count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+        |   SUM(ret) OVER (PARTITION BY l_orderkey) AS n_ret_supp
+        |  FROM per)
+        | WHERE ret = 1 AND n_supp >= 2 AND n_ret_supp = 1)
+        |SELECT s_suppkey, s_name, n_name AS nation,
+        | count(*) AS n_blamed_orders
+        |FROM gated
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2, 3
+        |ORDER BY n_blamed_orders DESC, s_suppkey""".stripMargin,
     "q28_rolling_actives" ->
       s"""WITH pairs AS (
          | SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
@@ -960,6 +1020,7 @@ object Relational {
     "q25_value_concentration" -> (q25 _),
     "q26_price_standing" -> (q26 _),
     "q27_nation_trade" -> (q27 _),
-    "q28_rolling_actives" -> (q28 _)
+    "q28_rolling_actives" -> (q28 _),
+    "q29_sole_return_supplier" -> (q29 _)
   )
 }

@@ -305,7 +305,49 @@ object StreamingOps {
       .orderBy($"user_id", $"p_event_id", $"v_event_id")
   }
 
+  /** st11's K — types reported per window. */
+  private final val TopKTypes = 3
+
+  /** st11: per-window TOP-K event types — the streaming leaderboard
+    * ("what's trending this 5 minutes") every ingest dashboard runs;
+    * t18's heavy-hitters question asked per TIME WINDOW instead of
+    * corpus-wide. Batch form: st01's tumbling counts, then rank within
+    * each window. Streaming twin (StreamingSpec "st11"): the windowed
+    * counts run behind a watermark and the dim-sized rank applies
+    * per emitted result set (foreachBatch) — ranking is not
+    * incremental across un-closed windows, so it rides the OUTPUT of
+    * the stateful agg, never inside it.
+    *
+    * Scale shape: ONE windowed partial-agg shuffle over the stream
+    * (map-side combine absorbs per-type volume); the rank window runs
+    * on the windows×types dim frame. Ties break lexicographically so
+    * both engines and every rerun emit the same K.
+    */
+  def st11(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rk = Window.partitionBy($"ws")
+      .orderBy($"n_events".desc, $"event_type".asc)
+    T(s, dir, "events")
+      .groupBy(window($"ts", "5 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"w.start".as("ws"), $"event_type", $"n_events")
+      .withColumn("rank", row_number().over(rk))
+      .filter($"rank" <= TopKTypes)
+      .orderBy($"ws", $"rank")
+  }
+
   val oracle: Map[String, String] = Map(
+    "st11_window_topk" ->
+      s"""WITH w AS (
+         | SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws, event_type,
+         |  COUNT(*) AS n_events
+         | FROM events GROUP BY 1, 2),
+         |r AS (SELECT ws, event_type, n_events,
+         |  row_number() OVER (PARTITION BY ws
+         |    ORDER BY n_events DESC, event_type ASC) AS rank
+         | FROM w)
+         |SELECT ws, event_type, n_events, CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= $TopKTypes ORDER BY ws, rank""".stripMargin,
     "st10_attribution_outer" ->
       """SELECT p.user_id, p.event_id AS p_event_id, p.ts AS p_ts,
         | v.event_id AS v_event_id, v.ts AS v_ts,
@@ -439,6 +481,7 @@ object StreamingOps {
     "st07_drift_monitor" -> (st07 _),
     "st08_latest_state" -> (st08 _),
     "st09_disorder_audit" -> (st09 _),
-    "st10_attribution_outer" -> (st10 _)
+    "st10_attribution_outer" -> (st10 _),
+    "st11_window_topk" -> (st11 _)
   )
 }

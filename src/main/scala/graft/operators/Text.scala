@@ -432,6 +432,17 @@ object Text {
     * (divide, log10, round) happens on identical operands in both
     * engines.
     */
+  /** t10's top-V vocabulary stage, shared with t26: token frequencies
+    * (one partial-agg shuffle), TakeOrderedAndProject top-V — the
+    * (tok, cnt) frame every vocab-relative scorer broadcasts.
+    */
+  private def topVocab(toks: DataFrame): DataFrame = {
+    val s = toks.sparkSession
+    import s.implicits._
+    toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"tok".asc).limit(VocabSize)
+  }
+
   def t10(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val toks = T(s, dir, "documents")
@@ -956,7 +967,54 @@ object Text {
       .orderBy($"doc_id")
   }
 
+  /** t26: VOCABULARY-COVERAGE report — per source, how well t10's
+    * top-[[VocabSize]] corpus vocabulary covers the token stream (the
+    * "will a vocab/LM built on this corpus serve each source"
+    * pre-flight: a source with a high OOV rate is domain-shifted —
+    * another language, code, ID noise — and needs its own vocab budget
+    * or a t11/t17 mixture reweight before training). Per source: token
+    * count, OOV token count, exact OOV rate, and distinct OOV types
+    * (gap WIDTH vs raw OOV mass — one exotic token repeated a million
+    * times is a different problem than a million singletons).
+    *
+    * Scale shape: t10's frequency stage (ONE token-keyed partial-agg
+    * shuffle + TakeOrderedAndProject top-V, broadcast back); the
+    * scoring pass left-joins the broadcast vocab and partial-aggs on
+    * the bounded source dim — the token stream shuffles once for the
+    * frequencies and once (source-keyed, map-side combined) for the
+    * rollup; the distinct-type count re-keys only OOV tokens.
+    */
+  def t26(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = T(s, dir, "documents")
+      .select($"source", explode(split($"text", " ")).as("tok"))
+    val vocab = topVocab(toks.select($"tok"))
+      .select($"tok", lit(true).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_toks"),
+        count(when($"in_vocab".isNull, 1)).as("n_oov"),
+        countDistinct(when($"in_vocab".isNull, $"tok")).as("n_oov_types"))
+      .withColumn("oov_rate", expr(
+        "round(CAST(n_oov AS DOUBLE) / CAST(n_toks AS DOUBLE), 6)"))
+      .select($"source", $"n_toks", $"n_oov", $"n_oov_types", $"oov_rate")
+      .orderBy($"source")
+  }
+
   val oracle: Map[String, String] = Map(
+    "t26_vocab_coverage" ->
+      s"""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |vocab AS (SELECT tok FROM (
+         |  SELECT tok, count(*) AS cnt FROM toks GROUP BY tok)
+         |  ORDER BY cnt DESC, tok ASC LIMIT $VocabSize)
+         |SELECT source, count(*) AS n_toks,
+         | count(*) FILTER (WHERE v.tok IS NULL) AS n_oov,
+         | count(DISTINCT CASE WHEN v.tok IS NULL THEN t.tok END) AS n_oov_types,
+         | round(CAST(count(*) FILTER (WHERE v.tok IS NULL) AS DOUBLE)
+         |   / count(*), 6) AS oov_rate
+         |FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+         |GROUP BY source ORDER BY source""".stripMargin,
     "t25_source_quality" ->
       s"""WITH sc AS (SELECT doc_id, source,
          |  round(0.5e0 * least(len(string_split(text, ' ')), 100) / 100.0e0
@@ -1309,6 +1367,7 @@ object Text {
     "t22_boilerplate_trim" -> (t22 _),
     "t23_word_entropy" -> (t23 _),
     "t24_langid_eval" -> (t24 _),
-    "t25_source_quality" -> (t25 _)
+    "t25_source_quality" -> (t25 _),
+    "t26_vocab_coverage" -> (t26 _)
   )
 }

@@ -57,6 +57,10 @@ class PlanInvariantSpec extends SparkSpec {
     "t17_temperature_mix" -> 1,
     // single-row global-revenue total broadcast into the HAVING gate
     "q25_value_concentration" -> 1,
+    // single-row doc-count broadcast into the chunk-bucket cap (d03's
+    // count shape); the capped subtree sits on BOTH sides of the pair
+    // self-join, so it prints twice (e19's duplication)
+    "m10_phash_near_dup" -> 2,
     // broadcast tumor-normal pair dim × one variants scan: the depth/
     // frequency predicate is non-equi by construction (e17's trio shape)
     "e43_set_somatic" -> 1,
@@ -77,6 +81,10 @@ class PlanInvariantSpec extends SparkSpec {
       // suite-bounded in production, so AQE may broadcast it, but the
       // designed key is the bucket, not a dim
       "d14_fuzzy_decontaminate",
+      // phash-chunk bucket self-join — d03's banded regime on the
+      // 56-bit dHash; neither side is a broadcastable dim at corpus
+      // scale (AQE may convert at tiny SF)
+      "m10_phash_near_dup",
       // corpus-vs-corpus k-NN graph keyed on the LSH bucket — neither
       // side is a broadcastable dim at corpus scale (d02's regime)
       "s06_knn_graph",

@@ -585,4 +585,52 @@ class StreamStreamJoinSpec extends SparkSpec {
         s"expected one null-padded row for purchase 2, got ${out.toSeq}")
     } finally q.stop()
   }
+
+  test("st11 streaming twin: watermarked window counts + downstream rank match the batch rule") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // st11's documented streaming shape: the stateful windowed count
+    // runs behind the watermark (append mode — windows emit once
+    // closed); the dim-sized rank applies to the EMITTED frame, never
+    // inside the stateful agg
+    val counts = input.toDS().withWatermark("ts", "1 minute")
+      .groupBy(window($"ts", "5 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"w.start".as("ws"), $"event_type", $"n_events")
+    val q = counts.writeStream.format("memory").queryName("st11_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // window A (min 0-5): view x4, click x3, purchase x2, scroll x1
+      // window B (min 5-10): click x5, scroll x4, buy x1, view x1 (tie)
+      var id = 0L
+      def ev(m: Long, t: String): Event = { id += 1; Event(id, ts(m), 1, t) }
+      input.addData(
+        (Seq.fill(4)("view") ++ Seq.fill(3)("click") ++
+          Seq.fill(2)("purchase") ++ Seq("scroll")).map(ev(1, _)) ++
+        (Seq.fill(5)("click") ++ Seq.fill(4)("scroll") ++
+          Seq("buy", "view")).map(ev(6, _)): _*)
+      q.processAllAvailable()
+      input.addData(ev(30, "flush")) // watermark 29 min: closes A and B
+      q.processAllAvailable()
+      val rk = org.apache.spark.sql.expressions.Window
+        .partitionBy($"ws").orderBy($"n_events".desc, $"event_type".asc)
+      val ranked = spark.table("st11_out")
+        .withColumn("rank", row_number().over(rk))
+        .filter($"rank" <= 3)
+        .select($"ws", $"event_type", $"n_events", $"rank")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getInt(3)) ->
+          (r.getString(1), r.getLong(2))).toMap
+      assert(ranked((ts(0), 1)) == ("view", 4L))
+      assert(ranked((ts(0), 2)) == ("click", 3L))
+      assert(ranked((ts(0), 3)) == ("purchase", 2L))
+      assert(ranked((ts(5), 1)) == ("click", 5L))
+      assert(ranked((ts(5), 2)) == ("scroll", 4L))
+      // the 1-count tie breaks lexicographically: 'buy' beats 'view'
+      assert(ranked((ts(5), 3)) == ("buy", 1L))
+      assert(ranked.size == 6, s"exactly top-3 per closed window: $ranked")
+    } finally q.stop()
+  }
 }

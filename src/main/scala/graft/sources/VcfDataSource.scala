@@ -351,14 +351,28 @@ private[sources] class VcfScan(paths: Seq[String], header: Vector[String],
     * index is absent or unparseable, or the region has no chrom list
     * to look up.
     */
+  /** ##contig header order — the .csi name fallback (bcftools-style
+    * indexes carry no names; htslib resolves refs by header order).
+    */
+  private def headerContigs: Seq[String] = {
+    val re = """##contig=<[^>]*\bID=([^,>]+)""".r
+    header.flatMap(l => re.findFirstMatchIn(l).map(_.group(1)))
+  }
+
   private def tabixSplits(p: String, fs: FileSystem, hp: Path,
       len: Long): Option[Seq[VcfInputPartition]] = {
     if (region.isTrivial) return None
     val chroms = region.chromIn.getOrElse(return None)
     val tbi = new Path(p + ".tbi")
+    val csi = new Path(p + ".csi")
     try {
-      if (!fs.exists(tbi)) return None
-      val idx = { val in = fs.open(tbi); try Tabix.read(in) finally in.close() }
+      val idx =
+        if (fs.exists(tbi)) {
+          val in = fs.open(tbi); try Tabix.read(in) finally in.close()
+        } else if (fs.exists(csi)) {
+          val in = fs.open(csi)
+          try Tabix.readCsi(in, headerContigs) finally in.close()
+        } else return None
       val in = fs.open(hp)
       try {
         if (!Bgzf.isBgzf(in, len)) return None

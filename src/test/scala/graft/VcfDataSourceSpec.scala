@@ -163,6 +163,51 @@ object TabixTestWriter {
   }
 }
 
+/** Minimal spec-conformant .csi writer for tests: one chunk per
+  * record, generalized (min_shift, depth) binning via the production
+  * reg2bins, per-bin loffset lower bounds, gzip container. With
+  * `auxNames` it emulates `tabix --csi` (tabix config + names in the
+  * aux block); without, a bcftools-style bare index whose refs
+  * resolve from the data file's ##contig order.
+  */
+object CsiTestWriter {
+  def write(path: java.nio.file.Path, names: Seq[String],
+      records: Seq[(String, Long, Long, Long, Long)],
+      minShift: Int = 14, depth: Int = 5, auxNames: Boolean = true): Unit = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val b = new java.io.DataOutputStream(bos)
+    def i32(v: Int): Unit = {
+      b.write(v & 0xff); b.write((v >> 8) & 0xff)
+      b.write((v >> 16) & 0xff); b.write((v >> 24) & 0xff)
+    }
+    def i64(v: Long): Unit = { i32(v.toInt); i32((v >>> 32).toInt) }
+    b.write('C'); b.write('S'); b.write('I'); b.write(1)
+    i32(minShift); i32(depth)
+    if (auxNames) {
+      val nm = names.map(_ + "\u0000").mkString.getBytes("UTF-8")
+      i32(28 + nm.length) // l_aux: 6 config ints + l_nm + names
+      i32(2); i32(1); i32(2); i32(0); i32('#'); i32(0)
+      i32(nm.length); b.write(nm)
+    } else i32(0)
+    i32(names.length)
+    names.foreach { name =>
+      val rs = records.filter(_._1 == name)
+      val byBin = rs.groupBy(r =>
+        graft.sources.Tabix.reg2bins(r._2, r._3, minShift, depth).last)
+      i32(byBin.size)
+      byBin.toSeq.sortBy(_._1).foreach { case (bin, chunks) =>
+        i32(bin); i64(chunks.map(_._4).min) // loffset = min virtual start
+        i32(chunks.length)
+        chunks.foreach { c => i64(c._4); i64(c._5) }
+      }
+    }
+    b.flush()
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(path))
+    gz.write(bos.toByteArray); gz.close()
+  }
+}
+
 /** Splittable BGZF shard: ONE compressed file fans out across
   * partitions with zero duplicated or lost records — the 100 TB bound
   * removed this round (a single huge shard used to serialize on one
@@ -546,25 +591,29 @@ class VcfTabixSpec extends SparkSpec {
     * discriminate regions), many small BGZF blocks, spec-built .tbi
     * from the writer's block table.
     */
-  private lazy val fixture: (String, String, java.nio.file.Path) = {
-    val dir = Files.createTempDirectory("vcftabix")
-    val header = Vector(
-      "##fileformat=VCFv4.2",
-      "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"Depth\">",
-      Seq("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO",
-        "FORMAT", "sA").mkString("\t"))
-    val bodies = (1 to 400).map { i =>
-      val chrom = if (i <= 200) "1" else "2"
-      val pos = (if (i <= 200) i else i - 200) * 400
-      Seq(chrom, pos.toString, ".", "A", "G", "9.0", "PASS",
-        s"DP=$i", "GT", "0/1").mkString("\t")
-    }
-    val text = (header ++ bodies).mkString("\n") + "\n"
-    val gz = dir.resolve("indexed.vcf.gz")
-    val table = BgzfTestWriter.write(gz, text, chunk = 256)
-    // plain-offset of each body line -> virtual offsets
-    var off = header.map(_.length + 1).sum.toLong
-    val records = bodies.map { line =>
+  private val fixtureHeader = Vector(
+    "##fileformat=VCFv4.2",
+    "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"Depth\">",
+    Seq("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO",
+      "FORMAT", "sA").mkString("\t"))
+
+  private val fixtureBodies: Seq[String] = (1 to 400).map { i =>
+    val chrom = if (i <= 200) "1" else "2"
+    val pos = (if (i <= 200) i else i - 200) * 400
+    Seq(chrom, pos.toString, ".", "A", "G", "9.0", "PASS",
+      s"DP=$i", "GT", "0/1").mkString("\t")
+  }
+
+  private val fixtureText: String =
+    (fixtureHeader ++ fixtureBodies).mkString("\n") + "\n"
+
+  /** Record tuples (chrom, beg0, end0, vstart, vend) for the shared
+    * fixture under a given block table.
+    */
+  private def fixtureRecords(
+      table: Vector[(Long, Long)]): Seq[(String, Long, Long, Long, Long)] = {
+    var off = fixtureHeader.map(_.length + 1).sum.toLong
+    fixtureBodies.map { line =>
       val f = line.split("\t")
       val pos = f(1).toLong
       val vs = BgzfTestWriter.voffset(table, off)
@@ -572,10 +621,16 @@ class VcfTabixSpec extends SparkSpec {
       off += line.length + 1
       (f(0), pos - 1, pos, vs, ve)
     }
+  }
+
+  private lazy val fixture: (String, String, java.nio.file.Path) = {
+    val dir = Files.createTempDirectory("vcftabix")
+    val gz = dir.resolve("indexed.vcf.gz")
+    val table = BgzfTestWriter.write(gz, fixtureText, chunk = 256)
     TabixTestWriter.write(dir.resolve("indexed.vcf.gz.tbi"),
-      Seq("1", "2"), records)
+      Seq("1", "2"), fixtureRecords(table))
     val plain = dir.resolve("indexed.vcf")
-    Files.writeString(plain, text)
+    Files.writeString(plain, fixtureText)
     (gz.toString, plain.toString, dir)
   }
 
@@ -644,6 +699,70 @@ class VcfTabixSpec extends SparkSpec {
     val b = regionRows(plain, opts, "1", 500, 600).collect()
       .map(_.toSeq).sortBy(_.toString).toSeq
     assert(a == b)
+  }
+
+  test("csi index (tabix --csi style, names in aux) prunes like tbi") {
+    val (gz, plain, dir) = fixture
+    // same shard bytes, .csi instead of .tbi
+    val czPath = dir.resolve("csistyle.vcf.gz")
+    Files.copy(java.nio.file.Path.of(gz), czPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // rebuild the records from the shared fixture (same layout)
+    val table = BgzfTestWriter.write(czPath, fixtureText, chunk = 256)
+    CsiTestWriter.write(dir.resolve("csistyle.vcf.gz.csi"),
+      Seq("1", "2"), fixtureRecords(table))
+    val opts = Map("splitSize" -> "1024")
+    val indexed = regionRows(czPath.toString, opts, "1", 33000, 34000)
+    assert(indexed.rdd.getNumPartitions <= 2,
+      s"csi pruning should open ~1 range, got ${indexed.rdd.getNumPartitions}")
+    val a = indexed.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val b = regionRows(plain, opts, "1", 33000, 34000).collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    assert(a == b)
+  }
+
+  test("bcftools-style csi (no aux names) resolves refs from ##contig order") {
+    val dir = Files.createTempDirectory("vcfcsi2")
+    val header = Vector(
+      "##fileformat=VCFv4.2",
+      "##contig=<ID=1,length=100000>",
+      "##contig=<ID=2,length=100000>",
+      "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"Depth\">",
+      Seq("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO",
+        "FORMAT", "sA").mkString("\t"))
+    val bodies = (1 to 100).map { i =>
+      val chrom = if (i <= 50) "1" else "2"
+      val pos = (if (i <= 50) i else i - 50) * 800
+      Seq(chrom, pos.toString, ".", "A", "G", "9.0", "PASS",
+        s"DP=$i", "GT", "0/1").mkString("\t")
+    }
+    val text = (header ++ bodies).mkString("\n") + "\n"
+    val gz = dir.resolve("bare.vcf.gz")
+    val table = BgzfTestWriter.write(gz, text, chunk = 200)
+    var off = header.map(_.length + 1).sum.toLong
+    val records = bodies.map { line =>
+      val f = line.split("\t")
+      val pos = f(1).toLong
+      val vs = BgzfTestWriter.voffset(table, off)
+      val ve = BgzfTestWriter.voffset(table, off + line.length + 1)
+      off += line.length + 1
+      (f(0), pos - 1, pos, vs, ve)
+    }
+    // NON-default geometry (min_shift 12, depth 4) + no names in aux:
+    // both the generalized binning and the header-contig fallback
+    CsiTestWriter.write(dir.resolve("bare.vcf.gz.csi"), Seq("1", "2"),
+      records, minShift = 12, depth = 4, auxNames = false)
+    val plain = dir.resolve("bare.vcf")
+    Files.writeString(plain, text)
+    val opts = Map("splitSize" -> "1024")
+    for ((c, lo, hi) <- Seq(("1", 8000L, 12000L), ("2", 800L, 40000L),
+        ("1", 1L, 799L))) {
+      val a = regionRows(gz.toString, opts, c, lo, hi).collect()
+        .map(_.toSeq).sortBy(_.toString).toSeq
+      val b = regionRows(plain.toString, opts, c, lo, hi).collect()
+        .map(_.toSeq).sortBy(_.toString).toSeq
+      assert(a == b, s"region $c:$lo-$hi diverged under bare csi")
+    }
   }
 
   test("full scan of an indexed shard ignores the index (trivial region)") {

@@ -722,8 +722,141 @@ object Relational {
       .orderBy($"n_blamed_orders".desc, $"s_suppkey")
   }
 
+  /** q30: EXCESS-SHARE SUPPLIER (the TPC-H Q20 shape on this schema —
+    * Q20 gates suppliers on availqty > ½ the year's shipped volume;
+    * with no partsupp table the share itself is the gate): within the
+    * 1996 ship-year and a part-name slice, suppliers who alone shipped
+    * MORE THAN HALF of a part's total shipped quantity — the
+    * single-source-risk report. The relational form Q20 exercises: an
+    * aggregate-derived threshold applied back to the same aggregate's
+    * finer grain, expressed as one window over the collapsed frame
+    * instead of a correlated subquery.
+    *
+    * Exactness: quantities are exact integer units both engines (the
+    * generator emits whole doubles; `CAST(l_quantity AS BIGINT)`), so
+    * the half-share gate is integer cross-multiplication `2·q > tot`,
+    * no double division anywhere.
+    *
+    * Scale shape: the part-name slice broadcasts into the fact scan
+    * (dim broadcast join + year predicate pushed to parquet), ONE
+    * partial-agg shuffle collapses the sliced fact to (part, supplier)
+    * grain, the part-total is ONE window shuffle on l_partkey over
+    * that collapsed frame, and the supplier dim broadcasts onto the
+    * dim-sized survivor set. The fact is scanned once.
+    */
+  def q30(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sliced = T(s, dir, "lineitem")
+      .filter(year($"l_shipdate") === 1996)
+      .join(broadcast(T(s, dir, "part")
+        .filter($"p_name".endsWith("widget"))
+        .select($"p_partkey", $"p_name")),
+        $"l_partkey" === $"p_partkey")
+    val perSupp = sliced
+      .groupBy($"l_partkey", $"p_name", $"l_suppkey")
+      .agg(sum($"l_quantity".cast("bigint")).as("supp_qty"))
+    perSupp
+      .withColumn("part_qty",
+        sum($"supp_qty").over(Window.partitionBy($"l_partkey")))
+      .filter($"supp_qty" * 2 > $"part_qty")
+      .join(broadcast(T(s, dir, "supplier")
+        .select($"s_suppkey", $"s_name")),
+        $"l_suppkey" === $"s_suppkey")
+      .select($"l_partkey".as("partkey"), $"p_name", $"s_suppkey",
+        $"s_name", $"supp_qty", $"part_qty")
+      .orderBy($"partkey", $"s_suppkey")
+  }
+
+  /** q31: CHEAPEST-SOURCE PER PART (the TPC-H Q2 shape — Q2 picks the
+    * min-supplycost supplier per part via a correlated MIN subquery;
+    * with no partsupp table the observed per-unit price plays the
+    * cost): for each part in a size slice, the supplier(s) whose
+    * average realized unit price over their shipments of that part is
+    * the part's minimum. The Q2 form: a per-group MIN re-applied as an
+    * equality gate at the finer grain — one window, no correlated
+    * re-scan — plus the multi-dim decoration join (supplier → nation).
+    *
+    * Exactness: the min gate runs on `cents/qty` as an IEEE-754
+    * double division of identical BIGINT operands — correctly rounded
+    * to the SAME bits in both engines (JVM and C++ both implement
+    * IEEE divide), so the window MIN and the equality gate select the
+    * same survivor set; the reported avg is that same division.
+    *
+    * Scale shape: size-sliced part dim broadcasts into the fact scan,
+    * ONE partial-agg shuffle to (part, supplier) grain, ONE window
+    * shuffle on partkey for the min gate, dims broadcast after.
+    */
+  def q31(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perSupp = T(s, dir, "lineitem")
+      .join(broadcast(T(s, dir, "part")
+        .filter($"p_size" <= 10).select($"p_partkey", $"p_name")),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"l_partkey", $"p_name", $"l_suppkey")
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+        .as("cents"),
+        sum($"l_quantity".cast("bigint")).as("qty"))
+    val w = Window.partitionBy($"l_partkey")
+    perSupp
+      .withColumn("unit",
+        $"cents".cast("double") / $"qty".cast("double"))
+      .withColumn("min_unit", min($"unit").over(w))
+      .filter($"unit" === $"min_unit")
+      .join(broadcast(T(s, dir, "supplier")
+        .select($"s_suppkey", $"s_name", $"s_nationkey")),
+        $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(T(s, dir, "nation")
+        .select($"n_nationkey", $"n_name")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"l_partkey".as("partkey"), $"p_name",
+        $"s_suppkey", $"s_name", $"n_name".as("nation"),
+        $"cents", $"qty",
+        ($"cents".cast("double") / $"qty".cast("double"))
+          .as("avg_unit_price_cents"))
+      .orderBy($"partkey", $"s_suppkey")
+  }
+
   /** Oracle SQL (DuckDB dialect ≈ ANSI) mirroring each query above. */
   val oracle: Map[String, String] = Map(
+    "q30_excess_share_supplier" ->
+      """WITH sliced AS (
+        | SELECT l_partkey, p_name, l_suppkey,
+        |  CAST(l_quantity AS BIGINT) AS q
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE year(l_shipdate) = 1996 AND p_name LIKE '%widget'),
+        |per AS (
+        | SELECT l_partkey, p_name, l_suppkey, SUM(q) AS supp_qty
+        | FROM sliced GROUP BY 1, 2, 3),
+        |gated AS (
+        | SELECT *, SUM(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
+        | FROM per)
+        |SELECT l_partkey AS partkey, p_name, s_suppkey, s_name,
+        | supp_qty, part_qty
+        |FROM gated JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE supp_qty * 2 > part_qty
+        |ORDER BY partkey, s_suppkey""".stripMargin,
+    "q31_min_cost_supplier" ->
+      """WITH per AS (
+        | SELECT l_partkey, p_name, l_suppkey,
+        |  SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents,
+        |  SUM(CAST(l_quantity AS BIGINT)) AS qty
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE p_size <= 10
+        | GROUP BY 1, 2, 3),
+        |ranked AS (
+        | SELECT *,
+        |  CAST(cents AS DOUBLE) / CAST(qty AS DOUBLE) AS unit,
+        |  MIN(CAST(cents AS DOUBLE) / CAST(qty AS DOUBLE))
+        |    OVER (PARTITION BY l_partkey) AS min_unit
+        | FROM per)
+        |SELECT l_partkey AS partkey, p_name, s_suppkey, s_name,
+        | n_name AS nation, cents, qty,
+        | CAST(cents AS DOUBLE) / CAST(qty AS DOUBLE) AS avg_unit_price_cents
+        |FROM ranked
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE unit = min_unit
+        |ORDER BY partkey, s_suppkey""".stripMargin,
     "q29_sole_return_supplier" ->
       """WITH per AS (
         | SELECT l_orderkey, l_suppkey,
@@ -1021,6 +1154,8 @@ object Relational {
     "q26_price_standing" -> (q26 _),
     "q27_nation_trade" -> (q27 _),
     "q28_rolling_actives" -> (q28 _),
-    "q29_sole_return_supplier" -> (q29 _)
+    "q29_sole_return_supplier" -> (q29 _),
+    "q30_excess_share_supplier" -> (q30 _),
+    "q31_min_cost_supplier" -> (q31 _)
   )
 }

@@ -1001,7 +1001,118 @@ object Text {
       .orderBy($"source")
   }
 
+  /** t27: DOMAIN-DIVERGENCE matrix — pairwise Jensen–Shannon
+    * divergence (base-2, so 0 = identical, 1 = disjoint) between each
+    * source's unigram distribution over the shared top-[[VocabSize]]
+    * corpus vocabulary: the quantitative form of t26's domain-shift
+    * question ("which sources are the SAME kind of text?") and the
+    * input a t11/t17 mixture designer actually wants — near-zero pairs
+    * are interchangeable and can share a mixture weight, near-one
+    * pairs are distinct domains that each need their own. JS over the
+    * bounded vocab (not raw KL) because it is symmetric, finite when a
+    * token is missing on one side, and bounded [0,1].
+    *
+    * Exactness: distributions are p = c/n doubles on identical BIGINT
+    * operands (IEEE divide, bit-equal both engines); each per-token JS
+    * term is rounded to 6 decimals and summed as DECIMAL (t23's
+    * order-free pattern); tokens present on only one side contribute
+    * their raw mass (log2(2p/p) = 1), folded in CLOSED FORM as
+    * (1 − Σ_shared p) — never materializing the one-sided rows; the
+    * final (term + gap_a + gap_b) stays EXACT in DECIMAL, is cast once
+    * to double (correctly rounded to the same bits both engines), and
+    * halved by `* 0.5` — an exact binary scaling, so no final round()
+    * whose half-way ties the engines could break differently (a
+    * round(0.5·x, 6) here DID diverge at a 7th-decimal tie in
+    * development: Spark's shortest-repr HALF_UP vs DuckDB's
+    * binary-value rounding).
+    *
+    * Scale shape: the token stream shuffles ONCE for vocab frequencies
+    * (TakeOrderedAndProject top-V, broadcast back) and ONCE for the
+    * (source, token) counts (map-side combine absorbs hot tokens
+    * per-source); everything after is source×vocab-bounded: the shared
+    * frame is an equi-join on token between two copies of that bounded
+    * frame (fan-out = sources² per token, a dim² constant), and the
+    * pair skeleton is a sources-dim self-join (BNLJ on a
+    * broadcast-dim-sized side, ceilinged in PlanInvariantSpec) so
+    * token-disjoint pairs still report js = 1.
+    */
+  def t27(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = T(s, dir, "documents")
+      .select($"source", explode(split($"text", " ")).as("tok"))
+    val vocab = topVocab(toks.select($"tok")).select($"tok")
+    val sc = toks.join(broadcast(vocab), Seq("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+    val totals = sc.groupBy($"source").agg(sum($"c").as("n"))
+    val dist = sc.join(broadcast(totals), Seq("source"))
+      .withColumn("p", $"c".cast("double") / $"n".cast("double"))
+      .select($"source", $"tok", $"p")
+    // dist is bounded at sources × VocabSize rows at ANY corpus scale
+    // (both factors are design constants), so the build side broadcasts
+    // — the post-agg frame has no stats for the static planner to see.
+    val shared = dist.as("a").join(broadcast(dist.as("b")),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        col("a.p").as("pa"), col("b.p").as("pb"))
+      .withColumn("term", expr(
+        "CAST(round(pa * log2(2.0e0 * pa / (pa + pb))" +
+          " + pb * log2(2.0e0 * pb / (pa + pb)), 6) AS DECIMAL(18,6))"))
+      .withColumn("pa6", expr("CAST(round(pa, 6) AS DECIMAL(18,6))"))
+      .withColumn("pb6", expr("CAST(round(pb, 6) AS DECIMAL(18,6))"))
+      .groupBy($"src_a", $"src_b")
+      .agg(count(lit(1)).as("n_shared"),
+        expr("CAST(sum(term) AS DECIMAL(38,6))").as("st"),
+        expr("CAST(sum(pa6) AS DECIMAL(38,6))").as("sp"),
+        expr("CAST(sum(pb6) AS DECIMAL(38,6))").as("sq"))
+    val pairs = totals.as("x").join(broadcast(totals.as("y")),
+        col("x.source") < col("y.source"))
+      .select(col("x.source").as("src_a"), col("y.source").as("src_b"))
+    pairs.join(broadcast(shared), Seq("src_a", "src_b"), "left")
+      .select($"src_a", $"src_b",
+        coalesce($"n_shared", lit(0L)).as("n_shared_tokens"),
+        expr("CAST(coalesce(st, CAST(0 AS DECIMAL(38,6)))" +
+          " + (CAST(2 AS DECIMAL(18,6))" +
+          " - coalesce(sp, CAST(0 AS DECIMAL(38,6)))" +
+          " - coalesce(sq, CAST(0 AS DECIMAL(38,6)))) AS DOUBLE) * 0.5e0")
+          .as("js_div"))
+      .orderBy($"src_a", $"src_b")
+  }
+
   val oracle: Map[String, String] = Map(
+    "t27_domain_divergence" ->
+      s"""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |vocab AS (SELECT tok FROM (
+         |  SELECT tok, count(*) AS cnt FROM toks GROUP BY tok)
+         |  ORDER BY cnt DESC, tok ASC LIMIT $VocabSize),
+         |sc AS (SELECT source, t.tok, count(*) AS c
+         |  FROM toks t JOIN vocab v ON t.tok = v.tok GROUP BY 1, 2),
+         |tot AS (SELECT source, sum(c) AS n FROM sc GROUP BY 1),
+         |dist AS (SELECT sc.source, tok,
+         |  CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS p
+         | FROM sc JOIN tot ON sc.source = tot.source),
+         |shared AS (SELECT a.source AS src_a, b.source AS src_b,
+         |  count(*) AS n_shared,
+         |  CAST(sum(CAST(round(a.p * log2(2.0e0 * a.p / (a.p + b.p))
+         |    + b.p * log2(2.0e0 * b.p / (a.p + b.p)), 6)
+         |    AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS st,
+         |  CAST(sum(CAST(round(a.p, 6) AS DECIMAL(18,6)))
+         |    AS DECIMAL(38,6)) AS sp,
+         |  CAST(sum(CAST(round(b.p, 6) AS DECIMAL(18,6)))
+         |    AS DECIMAL(38,6)) AS sq
+         | FROM dist a JOIN dist b
+         |   ON a.tok = b.tok AND a.source < b.source GROUP BY 1, 2),
+         |pairs AS (SELECT x.source AS src_a, y.source AS src_b
+         |  FROM tot x JOIN tot y ON x.source < y.source)
+         |SELECT p.src_a, p.src_b,
+         | coalesce(n_shared, CAST(0 AS BIGINT)) AS n_shared_tokens,
+         | CAST(coalesce(st, CAST(0 AS DECIMAL(38,6)))
+         |   + (CAST(2 AS DECIMAL(18,6))
+         |   - coalesce(sp, CAST(0 AS DECIMAL(38,6)))
+         |   - coalesce(sq, CAST(0 AS DECIMAL(38,6)))) AS DOUBLE) * 0.5e0 AS js_div
+         |FROM pairs p LEFT JOIN shared s
+         |  ON p.src_a = s.src_a AND p.src_b = s.src_b
+         |ORDER BY p.src_a, p.src_b""".stripMargin,
     "t26_vocab_coverage" ->
       s"""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok
          |  FROM documents),
@@ -1368,6 +1479,7 @@ object Text {
     "t23_word_entropy" -> (t23 _),
     "t24_langid_eval" -> (t24 _),
     "t25_source_quality" -> (t25 _),
-    "t26_vocab_coverage" -> (t26 _)
+    "t26_vocab_coverage" -> (t26 _),
+    "t27_domain_divergence" -> (t27 _)
   )
 }

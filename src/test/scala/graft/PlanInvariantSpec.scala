@@ -61,6 +61,9 @@ class PlanInvariantSpec extends SparkSpec {
     // count shape); the capped subtree sits on BOTH sides of the pair
     // self-join, so it prints twice (e19's duplication)
     "m10_phash_near_dup" -> 2,
+    // source-pair skeleton: sources-dim self-join on a non-equi (<)
+    // ordering predicate — both sides are the bounded source dim
+    "t27_domain_divergence" -> 1,
     // broadcast tumor-normal pair dim × one variants scan: the depth/
     // frequency predicate is non-equi by construction (e17's trio shape)
     "e43_set_somatic" -> 1,

@@ -997,7 +997,44 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Thresholds d17 sweeps — all at or above d04's 0.12 candidate
+    * floor, so every counted pair is actually materialized.
+    */
+  private val SweepTaus: Seq[Double] = Seq(0.2, 0.4, 0.6, 0.8)
+
+  /** d17: DEDUP THRESHOLD SWEEP — the yield curve a dedup operator is
+    * TUNED with: for each candidate Jaccard cutoff, how many pairs
+    * survive and how many docs would be flagged for removal (distinct
+    * right-side, d01's keep-lowest convention). Answering "what does
+    * τ=0.8 vs τ=0.6 cost me?" with one pass over the ALREADY-VERIFIED
+    * pair frame instead of re-running the dedup per candidate τ — at
+    * 100 TB the pair materialization is hours and the sweep is
+    * seconds, so the knob turns on the cached frame, never the corpus.
+    *
+    * Scale shape: d04's banded candidate machinery (its shuffles are
+    * the cost); the sweep itself is a constant ×|taus| row fan-out of
+    * the pair frame and one partial-agg shuffle on the 4-row τ key.
+    */
+  def d17(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    d04Pairs(s, dir)
+      .select($"doc_b", $"jaccard",
+        explode(typedLit(SweepTaus)).as("tau"))
+      .filter($"jaccard" >= $"tau")
+      .groupBy($"tau")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct($"doc_b").as("n_docs_flagged"))
+      .orderBy($"tau")
+  }
+
   val oracle: Map[String, String] = Map(
+    "d17_threshold_sweep" ->
+      s"""WITH pairs AS ($d04PairsSql),
+         |sweep(tau) AS (VALUES ${SweepTaus.map(t => s"(${t}e0)").mkString(", ")})
+         |SELECT tau, count(*) AS n_pairs,
+         | count(DISTINCT doc_b) AS n_docs_flagged
+         |FROM pairs JOIN sweep ON jaccard >= tau
+         |GROUP BY tau ORDER BY tau""".stripMargin,
     "d16_minhash_audit" ->
       s"""WITH lsh AS ($d02OracleSql),
          |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -1230,6 +1267,7 @@ object Dedup {
     "d13_source_overlap" -> (d13 _),
     "d14_fuzzy_decontaminate" -> (d14 _),
     "d15_delta_dedup" -> (d15 _),
-    "d16_minhash_audit" -> (d16 _)
+    "d16_minhash_audit" -> (d16 _),
+    "d17_threshold_sweep" -> (d17 _)
   )
 }

@@ -636,7 +636,65 @@ object Inheritance {
       .orderBy($"family_id", $"child", $"class")
   }
 
+  /** e59: GENERATION DEPTH over a pedigree forest by POINTER DOUBLING —
+    * each member's generation number (founders = 0) via the
+    * parent-jump technique: every round each node's ancestor pointer
+    * jumps to its ancestor's ancestor while accumulating the hop
+    * count, so after r rounds the pointer covers 2^r generations. Six
+    * rounds therefore resolve ANY pedigree 63 generations deep — a
+    * CONSTANT round count with no driver-side fixpoint probe at all,
+    * unlike d07's star contraction whose O(log n) rounds each sync on
+    * a convergence count. This is gemini's `--families` depth question
+    * generalized (kinship tooling's "kindepth"), and the second
+    * distributed-graph regime in the engine (d07 contracts components;
+    * e59 measures ancestor chains).
+    *
+    * Test harness: the deterministic complete pedigree over the
+    * customer keys — member m = c_custkey + 1, parent(m) = m div 2
+    * (keys are contiguous from 0, so every ancestor chain is closed) —
+    * which gives the oracle a CLOSED FORM, depth = floor(log2(m)): the
+    * iterative distributed algorithm is verified against exact
+    * arithmetic, not against another iteration of itself.
+    *
+    * Scale shape: each round is ONE equi-join of the jump frame with
+    * itself on the ancestor key (co-partitioned after the first
+    * shuffle) + a lineage-truncating checkpoint; the depth histogram
+    * rollup is one partial agg. 6 rounds × 1 shuffle, whatever the
+    * cohort size.
+    */
+  def e59(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val members = graft.Tables(s, dir, "customer")
+      .select(($"c_custkey" + 1L).as("node"))
+    var jump = members.filter($"node" >= 2L)
+      .select($"node", expr("node div 2").as("anc"), lit(1L).as("d"))
+      .localCheckpoint(eager = false)
+    (1 to 6).foreach { _ =>
+      val b = jump.select($"node".as("b_node"), $"anc".as("b_anc"),
+        $"d".as("b_d"))
+      jump = jump.join(b, $"anc" === $"b_node", "left")
+        .select($"node",
+          coalesce($"b_anc", $"anc").as("anc"),
+          ($"d" + coalesce($"b_d", lit(0L))).as("d"))
+        .localCheckpoint(eager = false)
+    }
+    jump.select($"node", $"d".as("depth"))
+      .union(members.filter($"node" === 1L)
+        .select($"node", lit(0L).as("depth")))
+      .groupBy($"depth")
+      .agg(count(lit(1)).as("n_members"),
+        min($"node").as("min_member"), max($"node").as("max_member"))
+      .orderBy($"depth")
+  }
+
   val oracle: Map[String, String] = Map(
+    "e59_generation_depth" ->
+      """WITH m AS (SELECT c_custkey + 1 AS node,
+        |  CAST(floor(log2(c_custkey + 1)) AS BIGINT) AS depth
+        | FROM customer)
+        |SELECT depth, count(*) AS n_members,
+        | min(node) AS min_member, max(node) AS max_member
+        |FROM m GROUP BY depth ORDER BY depth""".stripMargin,
     "e27_mendel_summary" ->
       s"""SELECT 'FAM' AS family_id, 'c' AS child, class,
          | count(*) AS n_variants
@@ -707,6 +765,7 @@ object Inheritance {
     "e22_xlinked" -> (e22 _),
     "e25_auto_dom" -> (e25 _),
     "e26_xlinked_dom" -> (e26 _),
-    "e27_mendel_summary" -> (e27 _)
+    "e27_mendel_summary" -> (e27 _),
+    "e59_generation_depth" -> (e59 _)
   )
 }

@@ -521,17 +521,82 @@ object Multimodal {
     import s.implicits._
     T(s, dir, "documents")
       .select($"doc_id", substring($"text", 1, 8).as("head8"),
-        expr(
-          """CASE
-            | WHEN substring(text, 1, 4) = 'RIFF' AND substring(text, 9, 4) = 'WAVE' THEN 'wav'
-            | WHEN substring(text, 1, 4) = 'GIF8' THEN 'gif'
-            | WHEN substring(text, 1, 4) = '%PDF' THEN 'pdf'
-            | WHEN substring(text, 5, 4) = 'ftyp' THEN 'mp4'
-            | WHEN substring(text, 1, 4) = 'OggS' THEN 'ogg'
-            | WHEN substring(text, 1, 3) = 'ID3' THEN 'mp3'
-            | WHEN substring(text, 1, 5) = '<?xml' OR substring(text, 1, 4) = '<svg' THEN 'xml'
-            | ELSE 'text' END""".stripMargin).as("modality"))
+        expr(ModalityCase).as("modality"))
       .orderBy($"doc_id")
+  }
+
+  /** m08's magic-byte routing CASE (Spark SQL text), shared with m11's
+    * interleave costing so the two can never disagree on what counts
+    * as media; [[ModalityCaseDuck]] is the byte-identical DuckDB form
+    * (substr vs substring is the only dialect delta).
+    */
+  private val ModalityCase: String =
+    """CASE
+      | WHEN substring(text, 1, 4) = 'RIFF' AND substring(text, 9, 4) = 'WAVE' THEN 'wav'
+      | WHEN substring(text, 1, 4) = 'GIF8' THEN 'gif'
+      | WHEN substring(text, 1, 4) = '%PDF' THEN 'pdf'
+      | WHEN substring(text, 5, 4) = 'ftyp' THEN 'mp4'
+      | WHEN substring(text, 1, 4) = 'OggS' THEN 'ogg'
+      | WHEN substring(text, 1, 3) = 'ID3' THEN 'mp3'
+      | WHEN substring(text, 1, 5) = '<?xml' OR substring(text, 1, 4) = '<svg' THEN 'xml'
+      | ELSE 'text' END""".stripMargin
+
+  private val ModalityCaseDuck: String =
+    """CASE
+      |  WHEN substr(text, 1, 4) = 'RIFF' AND substr(text, 9, 4) = 'WAVE' THEN 'wav'
+      |  WHEN substr(text, 1, 4) = 'GIF8' THEN 'gif'
+      |  WHEN substr(text, 1, 4) = '%PDF' THEN 'pdf'
+      |  WHEN substr(text, 5, 4) = 'ftyp' THEN 'mp4'
+      |  WHEN substr(text, 1, 4) = 'OggS' THEN 'ogg'
+      |  WHEN substr(text, 1, 3) = 'ID3' THEN 'mp3'
+      |  WHEN substr(text, 1, 5) = '<?xml' OR substr(text, 1, 4) = '<svg' THEN 'xml'
+      |  ELSE 'text' END""".stripMargin
+
+  /** Fixed-length training-sequence budget for m11 (tokens) and the
+    * per-image slot cost (a 24×24-patch vision encoder's output
+    * length — the constant a multimodal LM reserves per image).
+    */
+  private final val SeqBudget = 2048L
+  private final val ImageSlotTokens = 576L
+
+  /** m11: INTERLEAVED multimodal sequence packing — t12's fixed-length
+    * training-sequence packer extended to mixed text+media streams:
+    * every doc costs its text tokens (chars/4, the standard BPE rule
+    * of thumb), media docs (m08's router says non-'text') additionally
+    * reserve a fixed [[ImageSlotTokens]]-token slot for the vision
+    * encoder's output; docs pack greedily into [[SeqBudget]]-token
+    * sequences per source in doc_id order (m09's running-cumsum
+    * assignment — deterministic, one window). Per (source, sequence):
+    * doc/media counts and the token composition — the shape an
+    * interleaved-pretraining dataloader consumes.
+    *
+    * Scale shape: costing is per-row codegen over one scan; the ONLY
+    * shuffle is the per-source window (+ its map-side-combined
+    * rollup); at 100 TB the source partitions are the parallel unit
+    * and a skewed mega-source splits by AQE skew handling on the
+    * window's range partitioning.
+    */
+  def m11(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    T(s, dir, "documents")
+      .select($"doc_id", $"source", $"n_chars",
+        expr(ModalityCase).as("modality"))
+      .withColumn("text_toks", expr("(n_chars + 3) div 4"))
+      .withColumn("img_toks",
+        when($"modality" =!= "text", lit(ImageSlotTokens)).otherwise(lit(0L)))
+      .withColumn("cost", $"text_toks" + $"img_toks")
+      .withColumn("prior", coalesce(sum($"cost").over(w), lit(0L)))
+      .withColumn("seq", expr(s"CAST(prior div $SeqBudget AS INT)"))
+      .groupBy($"source", $"seq")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when($"modality" =!= "text", 1)).as("n_media"),
+        sum($"text_toks").as("text_tokens"),
+        sum($"img_toks").as("image_tokens"),
+        sum($"cost").as("seq_tokens"))
+      .orderBy($"source", $"seq")
   }
 
   /** m09 shard byte budget — sized so the synthetic corpus yields a few
@@ -599,6 +664,25 @@ object Multimodal {
   }
 
   val oracle: Map[String, String] = Map(
+    "m11_interleave_pack" ->
+      s"""WITH b AS (SELECT doc_id, source, n_chars,
+         |  $ModalityCaseDuck AS modality
+         |  FROM documents),
+         |c AS (SELECT doc_id, source, modality,
+         |  (n_chars + 3) // 4 AS text_toks,
+         |  CASE WHEN modality <> 'text' THEN $ImageSlotTokens ELSE 0 END AS img_toks
+         |  FROM b),
+         |d AS (SELECT *, text_toks + img_toks AS cost FROM c),
+         |e AS (SELECT *, CAST(coalesce(sum(cost) OVER (PARTITION BY source
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    0) AS BIGINT) AS prior FROM d),
+         |f AS (SELECT *, CAST(prior // $SeqBudget AS INT) AS seq FROM e)
+         |SELECT source, seq, count(*) AS n_docs,
+         | count(*) FILTER (WHERE modality <> 'text') AS n_media,
+         | CAST(sum(text_toks) AS BIGINT) AS text_tokens,
+         | CAST(sum(img_toks) AS BIGINT) AS image_tokens,
+         | CAST(sum(cost) AS BIGINT) AS seq_tokens
+         |FROM f GROUP BY 1, 2 ORDER BY source, seq""".stripMargin,
     "m09_shard_pack" ->
       s"""WITH b AS (SELECT doc_id, source, strlen(text) AS nb, md5(text) AS dg
          |  FROM documents),
@@ -740,6 +824,7 @@ object Multimodal {
     "m07_phash_dedup" -> (m07 _),
     "m08_modality_route" -> (m08 _),
     "m09_shard_pack" -> (m09 _),
-    "m10_phash_near_dup" -> (m10 _)
+    "m10_phash_near_dup" -> (m10 _),
+    "m11_interleave_pack" -> (m11 _)
   )
 }

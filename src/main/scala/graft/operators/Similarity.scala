@@ -461,7 +461,67 @@ object Similarity {
 
   private val S02Sql: String = lshSql(1)
 
+  /** s13: LSH INDEX HEALTH — the occupancy profile of s02/s10's bucket
+    * index in one row: bucket count, fill rate of the 2^[[NPlanes]]
+    * key space, min/max/p50/p90 occupancy, and skew (max/mean). This
+    * is the operational pre-flight for every banded join in the
+    * engine: a skewed index means one bucket's candidate join does all
+    * the work (the d03/m10 cap exists precisely for that tail), and a
+    * near-empty fill means the planes are misaligned with the data
+    * (recall collapses — s09 would measure it AFTER the damage). Run
+    * it before committing a multi-hour candidate join at scale.
+    *
+    * Scale shape: ONE scan computing the codegen'd sign bucket,
+    * map-side combine into ≤2^NPlanes keys (a CONSTANT), then a
+    * single-row rollup — the whole profile costs one pass regardless
+    * of corpus size; exact percentiles are over the constant-sized
+    * occupancy frame, never the corpus.
+    */
+  def s13(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val occ = T(s, dir, "embeddings")
+      .select(bucketCol("embedding").as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("n"))
+    occ.agg(
+        count(lit(1)).as("n_buckets"),
+        sum($"n").as("n_vectors"),
+        min($"n").as("min_occupancy"),
+        max($"n").as("max_occupancy"),
+        expr("percentile(n, array(0.5e0, 0.9e0))").as("ps"))
+      .select($"n_buckets", $"n_vectors", $"min_occupancy",
+        $"max_occupancy",
+        expr("round(ps[0], 6)").as("p50_occupancy"),
+        expr("round(ps[1], 6)").as("p90_occupancy"),
+        expr(s"round(CAST(n_buckets AS DOUBLE) / CAST(${1 << NPlanes} AS DOUBLE), 6)")
+          .as("fill_rate"),
+        expr("round(CAST(max_occupancy AS DOUBLE) * CAST(n_buckets AS DOUBLE) / CAST(n_vectors AS DOUBLE), 6)")
+          .as("skew"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "s13_lsh_bucket_stats" -> {
+      val planeRows = (0 until NPlanes).map { j =>
+        val arr = plane(j, Dims).mkString(", ")
+        s"($j, [$arr]::DOUBLE[])"
+      }.mkString(",\n ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p(j, pv) AS (VALUES
+         | $planeRows),
+         |b AS (SELECT e.vec_id,
+         |  CAST(SUM(CASE WHEN list_inner_product(e.v, p.pv) > 0 THEN (1 << p.j) ELSE 0 END) AS INTEGER) AS bucket
+         |  FROM e, p GROUP BY e.vec_id),
+         |occ AS (SELECT bucket, count(*) AS n FROM b GROUP BY 1)
+         |SELECT count(*) AS n_buckets,
+         | CAST(sum(n) AS BIGINT) AS n_vectors,
+         | min(n) AS min_occupancy,
+         | max(n) AS max_occupancy,
+         | round(quantile_cont(n, 0.5e0), 6) AS p50_occupancy,
+         | round(quantile_cont(n, 0.9e0), 6) AS p90_occupancy,
+         | round(CAST(count(*) AS DOUBLE) / CAST(${1 << NPlanes} AS DOUBLE), 6) AS fill_rate,
+         | round(CAST(max(n) AS DOUBLE) * CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6) AS skew
+         |FROM occ""".stripMargin
+    },
     "s08_mmr_rerank" -> {
       // the k greedy steps unrolled as chained CTEs (recursive CTEs
       // can't aggregate over the full accumulated pick set); all
@@ -827,6 +887,7 @@ object Similarity {
     "s09_ann_recall" -> (s09 _),
     "s10_ann_multiprobe" -> (s10 _),
     "s11_ann_scalar_quant" -> (s11 _),
-    "s12_filtered_ann" -> (s12 _)
+    "s12_filtered_ann" -> (s12 _),
+    "s13_lsh_bucket_stats" -> (s13 _)
   )
 }

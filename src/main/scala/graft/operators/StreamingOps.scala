@@ -336,7 +336,95 @@ object StreamingOps {
       .orderBy($"ws", $"rank")
   }
 
+  /** st12's per-session stage frame, shared with the streaming twin's
+    * parity spec: st02's gap sessionization plus the ORDERED funnel
+    * stage times — first view, first click AFTER that view, first
+    * purchase AFTER that click (q16's lifetime funnel asks "did the
+    * user ever convert"; this asks "did the session", the form
+    * attribution and UX work actually use). The three stage windows
+    * and the session rollup all share st02's user_id clustering, so
+    * the whole derivation rides ONE exchange.
+    */
+  private[graft] def sessionStages(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val bySess = Window.partitionBy($"user_id", $"session_id")
+    T(s, dir, "events")
+      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .withColumn("new_sess",
+        when($"prev_ts".isNull ||
+          $"ts" > $"prev_ts" + expr("INTERVAL 30 MINUTES"), 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum($"new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("t_view",
+        min(when($"event_type" === "view", $"ts")).over(bySess))
+      .withColumn("t_click",
+        min(when($"event_type" === "click" && $"ts" > $"t_view", $"ts")).over(bySess))
+      .withColumn("t_purchase",
+        min(when($"event_type" === "purchase" && $"ts" > $"t_click", $"ts")).over(bySess))
+      .groupBy($"user_id", $"session_id")
+      .agg(max($"t_view").as("t_view"), max($"t_click").as("t_click"),
+        max($"t_purchase").as("t_purchase"))
+  }
+
+  /** st12: SESSION-FUNNEL conversion — how many sessions saw a view,
+    * a view→click, a view→click→purchase (strictly ordered within the
+    * session), and the end-to-end conversion rate. The sessionized
+    * counterpart of q16: a returning user converts once per SESSION
+    * here, not once per lifetime, which is what funnel dashboards and
+    * attribution models consume. Streaming twin:
+    * [[graft.streaming.SessionFunnel]] tracks the stage times in the
+    * per-user session state and emits the same per-session stage row
+    * at session close (parity-pinned in the spec).
+    *
+    * Scale shape: [[sessionStages]]'s single user-keyed exchange, then
+    * a single-row rollup (partial aggs combine map-side); the final
+    * conversion division is one double op on identical BIGINT counts
+    * in both engines.
+    */
+  def st12(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    sessionStages(s, dir)
+      .agg(count(lit(1)).as("n_sessions"),
+        count($"t_view").as("n_view"),
+        count($"t_click").as("n_view_click"),
+        count($"t_purchase").as("n_full_funnel"))
+      .withColumn("conv_rate", expr(
+        "round(CAST(n_full_funnel AS DOUBLE) / CAST(n_sessions AS DOUBLE), 6)"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "st12_session_funnel" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1
+        |         ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (
+        |  SELECT user_id, ts, event_type,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM marked),
+        |v AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+        |    OVER (PARTITION BY user_id, session_id) AS t_view FROM numbered),
+        |c AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+        |    OVER (PARTITION BY user_id, session_id) AS t_click FROM v),
+        |p AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+        |    OVER (PARTITION BY user_id, session_id) AS t_purchase FROM c),
+        |sess AS (SELECT user_id, session_id,
+        |  max(t_view) AS t_view, max(t_click) AS t_click,
+        |  max(t_purchase) AS t_purchase
+        | FROM p GROUP BY 1, 2)
+        |SELECT count(*) AS n_sessions,
+        | count(t_view) AS n_view,
+        | count(t_click) AS n_view_click,
+        | count(t_purchase) AS n_full_funnel,
+        | round(CAST(count(t_purchase) AS DOUBLE)
+        |   / CAST(count(*) AS DOUBLE), 6) AS conv_rate
+        |FROM sess""".stripMargin,
     "st11_window_topk" ->
       s"""WITH w AS (
          | SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws, event_type,
@@ -482,6 +570,7 @@ object StreamingOps {
     "st08_latest_state" -> (st08 _),
     "st09_disorder_audit" -> (st09 _),
     "st10_attribution_outer" -> (st10 _),
-    "st11_window_topk" -> (st11 _)
+    "st11_window_topk" -> (st11 _),
+    "st12_session_funnel" -> (st12 _)
   )
 }

@@ -633,4 +633,59 @@ class StreamStreamJoinSpec extends SparkSpec {
       assert(ranked.size == 6, s"exactly top-3 per closed window: $ranked")
     } finally q.stop()
   }
+
+  test("SessionFunnel streaming twin matches batch st12's stage frame") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{SessionFunnel, SessionFunnelRow}
+    // user 10: full funnel, then a second session with no click (its
+    // purchase must NOT count); user 11: view only; user 12: a click
+    // BEFORE any view (must not count) then view→click→purchase
+    val evs = Seq(
+      Event(1, ts(0), 10, "view"), Event(2, ts(5), 10, "click"),
+      Event(3, ts(9), 10, "purchase"),
+      Event(4, ts(120), 10, "view"), Event(5, ts(125), 10, "purchase"),
+      Event(6, ts(0), 11, "view"),
+      Event(7, ts(0), 12, "click"), Event(8, ts(3), 12, "view"),
+      Event(9, ts(6), 12, "click"), Event(10, ts(8), 12, "purchase"))
+
+    val dir = java.nio.file.Files.createTempDirectory("st12_parity").toString
+    evs.toDS().write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.operators.StreamingOps.sessionStages(spark, dir)
+      .select($"user_id", $"session_id", $"t_view", $"t_click", $"t_purchase")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (Option(r.getTimestamp(2)), Option(r.getTimestamp(3)),
+          Option(r.getTimestamp(4)))).toMap
+
+    val input = MemoryStream[Event]
+    val q = SessionFunnel.funnels(
+      input.toDS().withWatermark("ts", "1 minute")).writeStream
+      .format("memory").queryName("st12_twin_out")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      input.addData(evs: _*)
+      q.processAllAvailable()
+      input.addData(Event(90, ts(600), 99, "view")) // watermark → 599
+      q.processAllAvailable()
+      input.addData(Event(91, ts(601), 99, "view")) // flush timed-out state
+      q.processAllAvailable()
+      val streamed = spark.table("st12_twin_out").as[SessionFunnelRow]
+        .collect().filter(_.user_id != 99)
+        .map(r => (r.user_id, r.session_id) ->
+          (r.t_view, r.t_click, r.t_purchase)).toMap
+      assert(streamed.keySet == batch.keySet,
+        s"closed sessions: $streamed vs batch $batch")
+      streamed.foreach { case (k, v) =>
+        assert(v == batch(k), s"stage times for $k: $v vs ${batch(k)}")
+      }
+      // spot-pin the semantics the fixture encodes
+      assert(batch((10L, 1L))._3.isDefined) // full funnel
+      assert(batch((10L, 2L))._3.isEmpty) // purchase without click
+      assert(batch((12L, 1L)) ==
+        (Some(ts(3)), Some(ts(6)), Some(ts(8)))) // pre-view click skipped
+    } finally q.stop()
+  }
 }

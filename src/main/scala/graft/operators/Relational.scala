@@ -816,8 +816,69 @@ object Relational {
       .orderBy($"partkey", $"s_suppkey")
   }
 
+  /** q32: DORMANT HIGH-VALUE CUSTOMERS (the TPC-H Q22 shape on this
+    * schema): customers whose balance exceeds the positive-balance
+    * average but who have placed no order since 2000 — per nation, how
+    * many and how much capital sits idle. The Q22 relational form: a
+    * whole-table aggregate gating the same table (expressed as an
+    * exact integer cross-multiplication `cents·n > tot` against the
+    * single-row broadcast aggregate — never a double average), then an
+    * ANTI-join against the recency-sliced fact (Q22's "no orders ever"
+    * is vacuous on this generator — every customer orders — so the
+    * recency slice carries the same relational shape with a non-empty
+    * answer, and pushes its date predicate to the orders scan).
+    *
+    * Scale shape: the gate is ONE single-row broadcast (BNLJ,
+    * ceilinged) against the customer dim scan; the anti-join shuffles
+    * orders collapsed to its DISTINCT custkeys (partial-agg map-side
+    * first — never raw order rows) against the gated dim; nation
+    * decorates by broadcast. Exactness: DECIMAL(38,0) / HUGEINT
+    * cross-multiplication (q25's regime), cents stay integers until
+    * the one final display division.
+    */
+  def q32(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = T(s, dir, "customer")
+      .withColumn("cents", expr("CAST(round(c_acctbal * 100) AS BIGINT)"))
+    val pos = cust.filter($"cents" > 0)
+      .agg(sum($"cents").as("tot"), count(lit(1)).as("n"))
+    cust.crossJoin(broadcast(pos))
+      .filter($"cents".cast("decimal(38,0)") * $"n" > $"tot")
+      .join(T(s, dir, "orders")
+        .filter($"o_orderdate" >= lit("2000-01-01").cast("timestamp"))
+        .select($"o_custkey").distinct(),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_customers"),
+        sum($"cents").as("total_bal_cents"))
+      .join(broadcast(T(s, dir, "nation")
+        .select($"n_nationkey", $"n_name")),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"n_name".as("nation"), $"n_customers", $"total_bal_cents",
+        ($"total_bal_cents".cast("double") / lit(100.0)).as("total_balance"))
+      .orderBy($"nation")
+  }
+
   /** Oracle SQL (DuckDB dialect ≈ ANSI) mirroring each query above. */
   val oracle: Map[String, String] = Map(
+    "q32_dormant_capital" ->
+      """WITH cust AS (
+        | SELECT c_custkey, c_nationkey,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        | FROM customer),
+        |gate AS (SELECT CAST(SUM(cents) AS HUGEINT) AS tot,
+        |  count(*) AS n FROM cust WHERE cents > 0),
+        |rich AS (
+        | SELECT c.* FROM cust c, gate
+        | WHERE CAST(cents AS HUGEINT) * n > tot
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |     AND o.o_orderdate >= TIMESTAMP '2000-01-01'))
+        |SELECT n_name AS nation, count(*) AS n_customers,
+        | CAST(SUM(cents) AS BIGINT) AS total_bal_cents,
+        | CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE) / 100.0 AS total_balance
+        |FROM rich JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY nation""".stripMargin,
     "q30_excess_share_supplier" ->
       """WITH sliced AS (
         | SELECT l_partkey, p_name, l_suppkey,
@@ -1156,6 +1217,7 @@ object Relational {
     "q28_rolling_actives" -> (q28 _),
     "q29_sole_return_supplier" -> (q29 _),
     "q30_excess_share_supplier" -> (q30 _),
-    "q31_min_cost_supplier" -> (q31 _)
+    "q31_min_cost_supplier" -> (q31 _),
+    "q32_dormant_capital" -> (q32 _)
   )
 }

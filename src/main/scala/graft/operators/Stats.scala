@@ -584,7 +584,59 @@ object Stats {
       .map { l => val f = l.split("\\s+"); s"('${f(1)}', '${f(0)}')" }
       .mkString("(VALUES ", ", ", ") pf(sample, family_id)")
 
+  /** e60: SEX-CHECK QC (plink `--check-sex` / peddy's sex inference on
+    * this engine's tables): per sample, the X-chromosome heterozygosity
+    * profile against the PED's declared sex — males carry ONE X, so an
+    * X het rate near the autosomal rate means a sample swap, a
+    * contamination, or a pedigree recording error; every cohort QC
+    * pipeline runs this before any inheritance query (e17–e27 all
+    * silently mislead on a swapped sample). Inference rule: X het rate
+    * > 0.5 → female (2), else male (1); mismatch = inferred ≠
+    * declared. The fixture's s4 (declared male, het on X) trips it.
+    *
+    * Scale shape: ONE posexplode of the X-sliced variants (the chrom
+    * predicate prunes first — at biobank scale X is ~5% of sites) into
+    * a sample-keyed partial agg; the PED sex dim broadcasts onto the
+    * sample-dim result. No corpus-wide shuffle.
+    */
+  def e60(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (h, variants, _) = VcfReader.fromLines(s, VcfFixture.lines)
+    val sexes = VcfFixture.pedLines.filterNot(_.startsWith("#"))
+      .map { l => val f = l.split("\\s+"); (f(1), f(4).toInt) }
+      .toDF("sample", "declared_sex")
+    gtBySample(s, variants.filter($"chrom" === "X"), h.samples)
+      .groupBy($"sample")
+      .agg(sum(when($"gt_class" =!= 2, 1L).otherwise(0L)).as("n_x_calls"),
+        sum(when($"gt_class" === 1, 1L).otherwise(0L)).as("n_x_het"))
+      .join(broadcast(sexes), Seq("sample"))
+      .withColumn("x_het_rate", expr(
+        "round(CAST(n_x_het AS DOUBLE) / nullif(CAST(n_x_calls AS DOUBLE), 0.0e0), 6)"))
+      .withColumn("inferred_sex",
+        when($"x_het_rate" > 0.5, 2).otherwise(1))
+      .withColumn("sex_mismatch", $"inferred_sex" =!= $"declared_sex")
+      .select($"sample", $"declared_sex", $"n_x_calls", $"n_x_het",
+        $"x_het_rate", $"inferred_sex", $"sex_mismatch")
+      .orderBy($"sample")
+  }
+
   val oracle: Map[String, String] = Map(
+    "e60_sex_check" ->
+      s"""WITH sx(sample, declared_sex) AS (VALUES
+         |  ('s1', 1), ('s2', 1), ('s3', 2), ('s4', 1)),
+         |x AS (SELECT 's' || CAST(six AS VARCHAR) AS sample,
+         |  CAST(SUM(CASE WHEN gt <> 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_x_calls,
+         |  CAST(SUM(CASE WHEN gt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_x_het
+         | FROM $gtLong WHERE chrom = 'X' GROUP BY 1),
+         |r AS (SELECT x.sample, declared_sex, n_x_calls, n_x_het,
+         |  round(CAST(n_x_het AS DOUBLE)
+         |    / nullif(CAST(n_x_calls AS DOUBLE), 0.0e0), 6) AS x_het_rate
+         | FROM x JOIN sx ON x.sample = sx.sample)
+         |SELECT sample, declared_sex, n_x_calls, n_x_het, x_het_rate,
+         | CASE WHEN x_het_rate > 0.5e0 THEN 2 ELSE 1 END AS inferred_sex,
+         | (CASE WHEN x_het_rate > 0.5e0 THEN 2 ELSE 1 END <> declared_sex)
+         |   AS sex_mismatch
+         |FROM r ORDER BY sample""".stripMargin,
     "e56_gtf_genes" ->
       s"""WITH g(r_chrom, gene_id, r_start, r_end, gene_name, strand) AS (VALUES
          | ('1', 'ENSG1',  50, 150, 'BRCA1', '+'),
@@ -838,6 +890,7 @@ object Stats {
     "e52_vcf_export" -> (e52 _),
     "e54_json_export" -> (e54 _),
     "e55_db_info" -> (e55 _),
-    "e56_gtf_genes" -> (e56 _)
+    "e56_gtf_genes" -> (e56 _),
+    "e60_sex_check" -> (e60 _)
   )
 }

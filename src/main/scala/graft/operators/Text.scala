@@ -1078,7 +1078,63 @@ object Text {
       .orderBy($"src_a", $"src_b")
   }
 
+  /** t28: LENGTH-OUTLIER screen — docs whose character length sits
+    * more than 1.8 population standard deviations from their SOURCE's
+    * mean: the distribution-relative companion to t15's absolute
+    * Gopher length gates (a 50-word post is normal in a chat source
+    * and an anomaly in a books source; fixed thresholds can't say
+    * both). Truncation artifacts, concatenation bugs, and scrape junk
+    * land in the tails per-source, not per-corpus.
+    *
+    * Exactness: the flag NEVER computes mean/stddev in floating
+    * point — |x − S1/n| > (9/5)σ is squared into the fully-integer
+    * form 25·(n·x − S1)² > 81·(n·S2 − S1²) on DECIMAL(38,0)/HUGEINT
+    * operands (q25's regime — the rational threshold stays a pair of
+    * integer factors), so both engines flag the identical doc set; the
+    * REPORTED z is then one double expression on identical integer
+    * operands.
+    *
+    * Scale shape: the moment frame (n, Σx, Σx²) is ONE partial-agg
+    * shuffle to the source dim, broadcast back over a second scan;
+    * flagged rows are the only output. No window, no sort of the
+    * corpus — the screen is two codegen scans + a dim join.
+    */
+  def t28(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = T(s, dir, "documents").select($"doc_id", $"source", $"n_chars")
+    // DECIMAL sums, not BIGINT: a corpus-scale Σx² wraps int64 silently
+    // in Spark while DuckDB raises — the q25 divergence class
+    val moments = docs.groupBy($"source")
+      .agg(count(lit(1)).as("n"),
+        sum($"n_chars".cast("decimal(38,0)")).as("s1"),
+        sum(($"n_chars" * $"n_chars").cast("decimal(38,0)")).as("s2"))
+    docs.join(broadcast(moments), Seq("source"))
+      .withColumn("dev", expr(
+        "CAST(n AS DECIMAL(38,0)) * CAST(n_chars AS DECIMAL(38,0)) - CAST(s1 AS DECIMAL(38,0))"))
+      .withColumn("varx", expr(
+        "CAST(n AS DECIMAL(38,0)) * CAST(s2 AS DECIMAL(38,0)) - CAST(s1 AS DECIMAL(38,0)) * CAST(s1 AS DECIMAL(38,0))"))
+      .filter(expr("25 * dev * dev > 81 * varx"))
+      .withColumn("z", expr(
+        "round(CAST(dev AS DOUBLE) / sqrt(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)), 6)"))
+      .select($"doc_id", $"source", $"n_chars", $"z")
+      .orderBy($"doc_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "t28_length_outliers" ->
+      """WITH m AS (SELECT source, count(*) AS n,
+        |  CAST(sum(n_chars) AS HUGEINT) AS s1,
+        |  CAST(sum(n_chars * n_chars) AS HUGEINT) AS s2
+        | FROM documents GROUP BY 1),
+        |j AS (SELECT doc_id, d.source, n_chars, n, s1, s2,
+        |  CAST(n AS HUGEINT) * n_chars - s1 AS dev,
+        |  CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS varx
+        | FROM documents d JOIN m ON d.source = m.source)
+        |SELECT doc_id, source, n_chars,
+        | round(CAST(dev AS DOUBLE) / sqrt(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)), 6) AS z
+        |FROM j WHERE 25 * dev * dev > 81 * varx
+        |ORDER BY doc_id""".stripMargin,
     "t27_domain_divergence" ->
       s"""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok
          |  FROM documents),
@@ -1480,6 +1536,7 @@ object Text {
     "t24_langid_eval" -> (t24 _),
     "t25_source_quality" -> (t25 _),
     "t26_vocab_coverage" -> (t26 _),
-    "t27_domain_divergence" -> (t27 _)
+    "t27_domain_divergence" -> (t27 _),
+    "t28_length_outliers" -> (t28 _)
   )
 }

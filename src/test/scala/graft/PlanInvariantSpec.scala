@@ -57,6 +57,9 @@ class PlanInvariantSpec extends SparkSpec {
     "t17_temperature_mix" -> 1,
     // single-row global-revenue total broadcast into the HAVING gate
     "q25_value_concentration" -> 1,
+    // single-row positive-balance (total, count) broadcast into the
+    // above-average gate (q25's shape)
+    "q32_dormant_capital" -> 1,
     // single-row doc-count broadcast into the chunk-bucket cap (d03's
     // count shape); the capped subtree sits on BOTH sides of the pair
     // self-join, so it prints twice (e19's duplication)

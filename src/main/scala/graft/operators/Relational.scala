@@ -859,8 +859,51 @@ object Relational {
       .orderBy($"nation")
   }
 
+  /** q33: MONTH-OVER-MONTH revenue growth — the reporting backbone
+    * every BI layer asks of a fact table: monthly revenue, previous
+    * month, and the growth rate via a LAG window over the month
+    * sequence (first month's growth is NULL, not 0 — absence of a
+    * basis, not zero change). Revenue stays in exact integer cents
+    * until the one final growth division (a truncating integer
+    * division would diverge between engines on NEGATIVE growth —
+    * Spark `div` truncates toward zero, DuckDB `//` floors — so the
+    * growth is the double ratio on identical cent operands).
+    *
+    * Scale shape: ONE partial-agg shuffle collapses the fact to the
+    * month grain (map-side combine absorbs everything); the LAG window
+    * runs UNPARTITIONED by design over the collapsed frame — months
+    * are calendar-bounded (~10² rows for decades of data), so the
+    * single-partition window is a dim-sized constant, never a
+    * corpus-scale sort.
+    */
+  def q33(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.orderBy($"month")
+    T(s, dir, "lineitem")
+      .groupBy(date_trunc("month", $"l_shipdate").as("month"))
+      .agg(sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+        .as("rev_cents"))
+      .withColumn("prev_cents", lag($"rev_cents", 1).over(w))
+      .withColumn("growth", expr(
+        "round((CAST(rev_cents AS DOUBLE) - CAST(prev_cents AS DOUBLE)) / CAST(prev_cents AS DOUBLE), 6)"))
+      .select($"month", $"rev_cents", $"prev_cents", $"growth")
+      .orderBy($"month")
+  }
+
   /** Oracle SQL (DuckDB dialect ≈ ANSI) mirroring each query above. */
   val oracle: Map[String, String] = Map(
+    "q33_mom_growth" ->
+      """WITH m AS (
+        | SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+        |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        | FROM lineitem GROUP BY 1),
+        |g AS (SELECT month, rev_cents,
+        |  lag(rev_cents) OVER (ORDER BY month) AS prev_cents
+        | FROM m)
+        |SELECT month, rev_cents, prev_cents,
+        | round((CAST(rev_cents AS DOUBLE) - CAST(prev_cents AS DOUBLE))
+        |   / CAST(prev_cents AS DOUBLE), 6) AS growth
+        |FROM g ORDER BY month""".stripMargin,
     "q32_dormant_capital" ->
       """WITH cust AS (
         | SELECT c_custkey, c_nationkey,
@@ -1218,6 +1261,7 @@ object Relational {
     "q29_sole_return_supplier" -> (q29 _),
     "q30_excess_share_supplier" -> (q30 _),
     "q31_min_cost_supplier" -> (q31 _),
-    "q32_dormant_capital" -> (q32 _)
+    "q32_dormant_capital" -> (q32 _),
+    "q33_mom_growth" -> (q33 _)
   )
 }

@@ -620,7 +620,58 @@ object Stats {
       .orderBy($"sample")
   }
 
+  /** e61: Ts/Tv BY SAMPLE — the transition/transversion ratio computed
+    * per sample over its called non-ref genotypes (e20 reports the
+    * cohort ratio; the PER-SAMPLE form is the QC that catches ONE bad
+    * library: a sample whose Ts/Tv sags toward 0.5 while the cohort
+    * holds ~2 has artifact calls concentrated in it, invisible in the
+    * pooled number). Transitions are the purine↔purine /
+    * pyrimidine↔pyrimidine pairs (A↔G, C↔T); everything else
+    * transverts.
+    *
+    * Scale shape: ONE posexplode of the variants into the sample-keyed
+    * partial agg (gtBySample's regime — the per-variant ref/alt ride
+    * the exploded row, no second join against the sites), result is
+    * sample-dim-sized; the ratio is one double division on identical
+    * BIGINT counts.
+    */
+  def e61(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (h, variants, _) = VcfReader.fromLines(s, VcfFixture.lines)
+    val isTi = ($"ref" === "A" && $"alt" === "G") ||
+      ($"ref" === "G" && $"alt" === "A") ||
+      ($"ref" === "C" && $"alt" === "T") ||
+      ($"ref" === "T" && $"alt" === "C")
+    gtBySample(s, variants, h.samples)
+      .join(broadcast(variants.select($"chrom", $"pos", $"alt", $"ref")),
+        Seq("chrom", "pos", "alt"))
+      .filter($"gt_class".isin(1, 3))
+      .groupBy($"sample")
+      .agg(sum(when(isTi, 1L).otherwise(0L)).as("n_ts"),
+        sum(when(!isTi, 1L).otherwise(0L)).as("n_tv"))
+      .withColumn("ts_tv", expr(
+        "round(CAST(n_ts AS DOUBLE) / nullif(CAST(n_tv AS DOUBLE), 0.0e0), 6)"))
+      .select($"sample", $"n_ts", $"n_tv", $"ts_tv")
+      .orderBy($"sample")
+  }
+
   val oracle: Map[String, String] = Map(
+    "e61_tstv_by_sample" ->
+      s"""WITH j AS (
+         | SELECT 's' || CAST(six AS VARCHAR) AS sample, g.gt, v.ref, v.alt,
+         |  CASE WHEN (v.ref = 'A' AND v.alt = 'G') OR (v.ref = 'G' AND v.alt = 'A')
+         |        OR (v.ref = 'C' AND v.alt = 'T') OR (v.ref = 'T' AND v.alt = 'C')
+         |   THEN 1 ELSE 0 END AS is_ti
+         | FROM $gtLong g
+         | JOIN ${VcfFixture.variantsValues}
+         |   ON g.chrom = v.chrom AND g.pos = v.pos AND g.alt = v.alt
+         | WHERE g.gt IN (1, 3))
+         |SELECT sample,
+         | CAST(SUM(is_ti) AS BIGINT) AS n_ts,
+         | CAST(SUM(1 - is_ti) AS BIGINT) AS n_tv,
+         | round(CAST(SUM(is_ti) AS DOUBLE)
+         |   / nullif(CAST(SUM(1 - is_ti) AS DOUBLE), 0.0e0), 6) AS ts_tv
+         |FROM j GROUP BY sample ORDER BY sample""".stripMargin,
     "e60_sex_check" ->
       s"""WITH sx(sample, declared_sex) AS (VALUES
          |  ('s1', 1), ('s2', 1), ('s3', 2), ('s4', 1)),
@@ -891,6 +942,7 @@ object Stats {
     "e54_json_export" -> (e54 _),
     "e55_db_info" -> (e55 _),
     "e56_gtf_genes" -> (e56 _),
-    "e60_sex_check" -> (e60 _)
+    "e60_sex_check" -> (e60 _),
+    "e61_tstv_by_sample" -> (e61 _)
   )
 }

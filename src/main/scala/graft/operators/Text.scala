@@ -1120,7 +1120,51 @@ object Text {
       .orderBy($"doc_id")
   }
 
+  /** t29: N-GRAM NOVELTY scoring — per doc, the fraction of its
+    * distinct word 3-grams whose FIRST corpus occurrence (lowest
+    * doc_id, the ingestion-order proxy) is this doc: the marginal-
+    * contribution question a curation pipeline asks when deciding what
+    * a new slice adds ("novelty ≈ 0" = the doc restates the corpus;
+    * d04 asks "is there one other doc like this", t29 asks "does this
+    * doc add ANY phrasing the corpus hasn't seen"). The per-doc score
+    * is what dedup can't give: a graded redundancy measure even for
+    * docs with no single near-duplicate partner.
+    *
+    * Scale shape: distinct 3-grams per doc via the codegen shingles
+    * kernel (map-side), first-occurrence frame is ONE gram-keyed
+    * partial-agg shuffle (min doc_id), and the score join is a shuffle
+    * join on the gram key BY DESIGN — the gram vocabulary of a
+    * corpus-scale input is itself corpus-scale, t14's declared regime
+    * (AQE broadcasts it at tiny SF); the rollup re-keys on doc_id.
+    */
+  def t29(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    val grams = T(s, dir, "documents")
+      .select($"doc_id", explode(expr("shingles(split(text, ' '), 3)")).as("g"))
+    val first = grams.groupBy($"g").agg(min($"doc_id").as("first_doc"))
+    grams.join(first, Seq("g"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", expr(
+        "round(CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)"))
+      .orderBy($"doc_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "t29_ngram_novelty" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |grams AS (SELECT doc_id, unnest(list_distinct(
+        |  [w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN generate_series(1, len(w) - 2)])) AS g
+        | FROM toks),
+        |first AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_grams,
+        | CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        | round(CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / CAST(count(*) AS DOUBLE), 6) AS novelty
+        |FROM grams JOIN first USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t28_length_outliers" ->
       """WITH m AS (SELECT source, count(*) AS n,
         |  CAST(sum(n_chars) AS HUGEINT) AS s1,
@@ -1537,6 +1581,7 @@ object Text {
     "t25_source_quality" -> (t25 _),
     "t26_vocab_coverage" -> (t26 _),
     "t27_domain_divergence" -> (t27 _),
-    "t28_length_outliers" -> (t28 _)
+    "t28_length_outliers" -> (t28 _),
+    "t29_ngram_novelty" -> (t29 _)
   )
 }

@@ -59,7 +59,13 @@ object Bench {
     "t25_source_quality",
     // round-8 additions that scale with sf: q29's fact collapse +
     // order-keyed window, st11's windowed counts over the event stream
-    "q29_sole_return_supplier", "st11_window_topk")
+    "q29_sole_return_supplier", "st11_window_topk",
+    // late round-8 additions: the Q20/Q2/Q22/MoM fact collapses, the
+    // sessionized funnel's event-stream windows, t29's gram-keyed
+    // novelty join, e59's iterative pointer-doubling joins
+    "q30_excess_share_supplier", "q31_min_cost_supplier",
+    "q32_dormant_capital", "q33_mom_growth", "st12_session_funnel",
+    "t29_ngram_novelty", "e59_generation_depth")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

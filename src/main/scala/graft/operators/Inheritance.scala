@@ -650,11 +650,15 @@ object Inheritance {
     * e59 measures ancestor chains).
     *
     * Test harness: the deterministic complete pedigree over the
-    * customer keys — member m = c_custkey + 1, parent(m) = m div 2
-    * (keys are contiguous from 0, so every ancestor chain is closed) —
-    * which gives the oracle a CLOSED FORM, depth = floor(log2(m)): the
+    * customer DIM — member m = rank(c_custkey) (dense 1..N at ANY key
+    * distribution; raw keys break at sf≥1 where replica offsets leave
+    * gaps and ancestor chains dangle), parent(m) = m div 2 — which
+    * gives the oracle a CLOSED FORM, depth = floor(log2(m)): the
     * iterative distributed algorithm is verified against exact
-    * arithmetic, not against another iteration of itself.
+    * arithmetic, not against another iteration of itself. The ranking
+    * window is a single-partition sort BY DESIGN of the member DIM
+    * (q33's calendar-frame argument: the pedigree membership table is
+    * dim-sized, never the fact).
     *
     * Scale shape: each round is ONE equi-join of the jump frame with
     * itself on the ancestor key (co-partitioned after the first
@@ -665,7 +669,8 @@ object Inheritance {
   def e59(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val members = graft.Tables(s, dir, "customer")
-      .select(($"c_custkey" + 1L).as("node"))
+      .select(row_number().over(Window.orderBy($"c_custkey"))
+        .cast("long").as("node"))
     var jump = members.filter($"node" >= 2L)
       .select($"node", expr("node div 2").as("anc"), lit(1L).as("d"))
       .localCheckpoint(eager = false)
@@ -689,9 +694,11 @@ object Inheritance {
 
   val oracle: Map[String, String] = Map(
     "e59_generation_depth" ->
-      """WITH m AS (SELECT c_custkey + 1 AS node,
-        |  CAST(floor(log2(c_custkey + 1)) AS BIGINT) AS depth
-        | FROM customer)
+      """WITH r AS (SELECT CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT)
+        |   AS node FROM customer),
+        |m AS (SELECT node,
+        |  CAST(floor(log2(node)) AS BIGINT) AS depth
+        | FROM r)
         |SELECT depth, count(*) AS n_members,
         | min(node) AS min_member, max(node) AS max_member
         |FROM m GROUP BY depth ORDER BY depth""".stripMargin,

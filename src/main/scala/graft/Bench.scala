@@ -65,7 +65,10 @@ object Bench {
     // novelty join, e59's iterative pointer-doubling joins
     "q30_excess_share_supplier", "q31_min_cost_supplier",
     "q32_dormant_capital", "q33_mom_growth", "st12_session_funnel",
-    "t29_ngram_novelty", "e59_generation_depth")
+    "t29_ngram_novelty", "e59_generation_depth",
+    // final round-8 batch: q34's fact⋈growing-dim mode, st13's
+    // session→day rollup, t30's token-shuffle + per-source rank window
+    "q34_modal_priority", "st13_bounce_rate", "t30_zipf_slope")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -890,8 +890,64 @@ object Relational {
       .orderBy($"month")
   }
 
+  /** q34: MODAL VALUE PER GROUP — each nation's most common order
+    * priority and its share: the "mode" aggregate SQL lacks natively,
+    * expressed as the top-1-per-group form (q18's regime) over a
+    * COLLAPSED counts frame instead of raw rows. Deterministic
+    * tie-break (count desc, priority asc) so reruns and both engines
+    * pick the same mode.
+    *
+    * Scale shape: orders⋈customer is a fact⋈growing-dim join (q02's
+    * discipline: no broadcast hint — AQE broadcasts while customer
+    * fits, degrades to co-partitioned shuffle at cohort scale); ONE
+    * partial-agg shuffle collapses to the (nation × priority) grain
+    * (≤125 rows at ANY sf), and the mode/total windows run on that
+    * constant-sized frame; nation broadcast decorates.
+    */
+  def q34(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = T(s, dir, "orders")
+      .join(T(s, dir, "customer").select($"c_custkey", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+    val w = Window.partitionBy($"c_nationkey")
+      .orderBy($"n_orders".desc, $"o_orderpriority".asc)
+    counts
+      .withColumn("nation_total",
+        sum($"n_orders").over(Window.partitionBy($"c_nationkey")))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .join(broadcast(T(s, dir, "nation")
+        .select($"n_nationkey", $"n_name")),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"n_name".as("nation"),
+        $"o_orderpriority".as("modal_priority"),
+        $"n_orders", $"nation_total",
+        expr("round(CAST(n_orders AS DOUBLE) / CAST(nation_total AS DOUBLE), 6)")
+          .as("modal_share"))
+      .orderBy($"nation")
+  }
+
   /** Oracle SQL (DuckDB dialect ≈ ANSI) mirroring each query above. */
   val oracle: Map[String, String] = Map(
+    "q34_modal_priority" ->
+      """WITH counts AS (
+        | SELECT c_nationkey, o_orderpriority, count(*) AS n_orders
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        | GROUP BY 1, 2),
+        |ranked AS (
+        | SELECT *,
+        |  SUM(n_orders) OVER (PARTITION BY c_nationkey) AS nation_total,
+        |  ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |    ORDER BY n_orders DESC, o_orderpriority ASC) AS rk
+        | FROM counts)
+        |SELECT n_name AS nation, o_orderpriority AS modal_priority,
+        | n_orders, CAST(nation_total AS BIGINT) AS nation_total,
+        | round(CAST(n_orders AS DOUBLE) / CAST(nation_total AS DOUBLE), 6)
+        |   AS modal_share
+        |FROM ranked JOIN nation ON c_nationkey = n_nationkey
+        |WHERE rk = 1 ORDER BY nation""".stripMargin,
     "q33_mom_growth" ->
       """WITH m AS (
         | SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
@@ -1262,6 +1318,7 @@ object Relational {
     "q30_excess_share_supplier" -> (q30 _),
     "q31_min_cost_supplier" -> (q31 _),
     "q32_dormant_capital" -> (q32 _),
-    "q33_mom_growth" -> (q33 _)
+    "q33_mom_growth" -> (q33 _),
+    "q34_modal_priority" -> (q34 _)
   )
 }

@@ -655,7 +655,75 @@ object Stats {
       .orderBy($"sample")
   }
 
+  /** e62: CASE/CONTROL BURDEN ASSOCIATION — per gene, the 2×2 carrier
+    * table (affected vs unaffected × carrier vs non-carrier) and its
+    * odds ratio: gemini's `burden` tool carried to the association
+    * question ("is carrying ANY variant in this gene enriched in
+    * cases?"), the rare-variant collapsing test's contingency stage
+    * (e33's C-alpha is the dispersion companion). The OR numerator and
+    * denominator ship as EXACT integer cross-products (a·d and b·c) so
+    * downstream exact tests never re-derive them from a rounded float;
+    * the reported OR is one double division.
+    *
+    * Scale shape: carriers collapse in ONE (gene, sample) partial agg
+    * off the posexploded variants (gene labels ride the broadcast
+    * impacts dim); the phenotype dim broadcasts; the 2×2 rollup is
+    * gene-dim-sized.
+    */
+  def e62(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (h, variants, impacts) = VcfReader.fromLines(s, VcfFixture.lines)
+    val genes = impacts.select($"chrom", $"pos", $"alt",
+      Etl.geneCol(impacts).as("gene")).distinct()
+    val carriers = gtBySample(s, variants, h.samples)
+      .join(broadcast(genes), Seq("chrom", "pos", "alt"))
+      .groupBy($"gene", $"sample")
+      .agg(max(when($"gt_class".isin(1, 3), 1).otherwise(0)).as("carrier"))
+    val cohort = carriers
+      .join(broadcast(phenotypes(s)), Seq("sample"))
+      .groupBy($"gene")
+      .agg(
+        sum(when($"phenotype" === 2 && $"carrier" === 1, 1L).otherwise(0L)).as("aff_carrier"),
+        sum(when($"phenotype" === 2 && $"carrier" === 0, 1L).otherwise(0L)).as("aff_noncarrier"),
+        sum(when($"phenotype" === 1 && $"carrier" === 1, 1L).otherwise(0L)).as("unaff_carrier"),
+        sum(when($"phenotype" === 1 && $"carrier" === 0, 1L).otherwise(0L)).as("unaff_noncarrier"))
+    cohort
+      .withColumn("or_num", $"aff_carrier" * $"unaff_noncarrier")
+      .withColumn("or_den", $"aff_noncarrier" * $"unaff_carrier")
+      .withColumn("odds_ratio", expr(
+        "round(CAST(or_num AS DOUBLE) / nullif(CAST(or_den AS DOUBLE), 0.0e0), 6)"))
+      .select($"gene", $"aff_carrier", $"aff_noncarrier",
+        $"unaff_carrier", $"unaff_noncarrier", $"or_num", $"or_den",
+        $"odds_ratio")
+      .orderBy($"gene")
+  }
+
   val oracle: Map[String, String] = Map(
+    "e62_burden_assoc" ->
+      s"""WITH ph(sample, phenotype) AS (VALUES
+         |  ('s1', 2), ('s2', 1), ('s3', 1), ('s4', 1)),
+         |genes AS (SELECT DISTINCT chrom, pos, alt, symbol AS gene
+         |  FROM ${VcfFixture.impactsValues}),
+         |car AS (SELECT gene, 's' || CAST(six AS VARCHAR) AS sample,
+         |  MAX(CASE WHEN gt IN (1, 3) THEN 1 ELSE 0 END) AS carrier
+         | FROM $gtLong g
+         | JOIN genes ON g.chrom = genes.chrom AND g.pos = genes.pos
+         |   AND g.alt = genes.alt
+         | GROUP BY 1, 2),
+         |tab AS (SELECT gene,
+         |  CAST(SUM(CASE WHEN phenotype = 2 AND carrier = 1 THEN 1 ELSE 0 END) AS BIGINT) AS aff_carrier,
+         |  CAST(SUM(CASE WHEN phenotype = 2 AND carrier = 0 THEN 1 ELSE 0 END) AS BIGINT) AS aff_noncarrier,
+         |  CAST(SUM(CASE WHEN phenotype = 1 AND carrier = 1 THEN 1 ELSE 0 END) AS BIGINT) AS unaff_carrier,
+         |  CAST(SUM(CASE WHEN phenotype = 1 AND carrier = 0 THEN 1 ELSE 0 END) AS BIGINT) AS unaff_noncarrier
+         | FROM car JOIN ph ON car.sample = ph.sample GROUP BY gene)
+         |SELECT gene, aff_carrier, aff_noncarrier, unaff_carrier,
+         | unaff_noncarrier,
+         | aff_carrier * unaff_noncarrier AS or_num,
+         | aff_noncarrier * unaff_carrier AS or_den,
+         | round(CAST(aff_carrier * unaff_noncarrier AS DOUBLE)
+         |   / nullif(CAST(aff_noncarrier * unaff_carrier AS DOUBLE), 0.0e0), 6)
+         |   AS odds_ratio
+         |FROM tab ORDER BY gene""".stripMargin,
     "e61_tstv_by_sample" ->
       s"""WITH j AS (
          | SELECT 's' || CAST(six AS VARCHAR) AS sample, g.gt, v.ref, v.alt,
@@ -943,6 +1011,7 @@ object Stats {
     "e55_db_info" -> (e55 _),
     "e56_gtf_genes" -> (e56 _),
     "e60_sex_check" -> (e60 _),
-    "e61_tstv_by_sample" -> (e61 _)
+    "e61_tstv_by_sample" -> (e61 _),
+    "e62_burden_assoc" -> (e62 _)
   )
 }

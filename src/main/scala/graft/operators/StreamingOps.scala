@@ -394,7 +394,51 @@ object StreamingOps {
         "round(CAST(n_full_funnel AS DOUBLE) / CAST(n_sessions AS DOUBLE), 6)"))
   }
 
+  /** st13: DAILY BOUNCE RATE — per day (of session start), how many
+    * sessions closed with a single event: the engagement-health trend
+    * product teams watch beside st12's conversion funnel (a bounce
+    * spike with steady traffic = landing-page or latency regression).
+    * Composes st02's session frame — the sessionization is defined
+    * ONCE and every session-grain metric reuses it.
+    *
+    * Scale shape: st02's single user-keyed exchange, then one
+    * partial-agg shuffle from the session grain to the calendar-
+    * bounded day grain (map-side combine absorbs the sessions); the
+    * bounce rate is one double division on identical BIGINT counts.
+    */
+  def st13(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    st02(s, dir)
+      .groupBy(date_trunc("day", $"t_start").as("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        count(when($"n_events" === 1, 1)).as("n_bounces"))
+      .withColumn("bounce_rate", expr(
+        "round(CAST(n_bounces AS DOUBLE) / CAST(n_sessions AS DOUBLE), 6)"))
+      .orderBy($"day")
+  }
+
   val oracle: Map[String, String] = Map(
+    "st13_bounce_rate" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1
+        |         ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM marked),
+        |sess AS (SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(ts) AS t_start FROM numbered GROUP BY 1, 2)
+        |SELECT CAST(date_trunc('day', t_start) AS TIMESTAMP) AS day,
+        | count(*) AS n_sessions,
+        | count(*) FILTER (WHERE n_events = 1) AS n_bounces,
+        | round(CAST(count(*) FILTER (WHERE n_events = 1) AS DOUBLE)
+        |   / CAST(count(*) AS DOUBLE), 6) AS bounce_rate
+        |FROM sess GROUP BY 1 ORDER BY day""".stripMargin,
     "st12_session_funnel" ->
       """WITH marked AS (
         |  SELECT user_id, event_id, ts, event_type,
@@ -571,6 +615,7 @@ object StreamingOps {
     "st09_disorder_audit" -> (st09 _),
     "st10_attribution_outer" -> (st10 _),
     "st11_window_topk" -> (st11 _),
-    "st12_session_funnel" -> (st12 _)
+    "st12_session_funnel" -> (st12 _),
+    "st13_bounce_rate" -> (st13 _)
   )
 }

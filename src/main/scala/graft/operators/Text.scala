@@ -1152,7 +1152,94 @@ object Text {
       .orderBy($"doc_id")
   }
 
+  /** Per-source rank depth for t30's Zipf fit — deep enough that the
+    * fit sees the power-law tail, bounded so the regression frame is a
+    * sources×256 constant.
+    */
+  private val ZipfTopK = 256
+
+  /** t30: ZIPF-SLOPE fit — per source, ordinary least squares of
+    * log10(freq) on log10(rank) over the source's top-[[ZipfTopK]]
+    * tokens: natural language sits near slope −1 (Zipf's law); a flat
+    * slope means ID/tag noise (uniform junk vocabulary), a cliff means
+    * template spam (few tokens carry everything). The corpus-level
+    * sanity gauge t01/t15 can't give: those score DOCUMENTS, this
+    * scores the SOURCE's whole frequency structure.
+    *
+    * Exactness: the regression NEVER iterates — closed-form OLS from
+    * four decimal-stabilized sums (x, y, xy, x² each rounded to 6
+    * decimals and summed as DECIMAL, t23's order-free pattern); slope
+    * and intercept are then single double expressions on identical
+    * operands in both engines.
+    *
+    * Scale shape: ONE (source, token)-keyed partial-agg shuffle; the
+    * per-source rank is q18's top-k-per-group window (the one
+    * per-source sort, filtered to 256 immediately); the regression
+    * runs on the sources×256 constant frame.
+    */
+  def t30(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = T(s, dir, "documents")
+      .select($"source", explode(split($"text", " ")).as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"source").orderBy($"cnt".desc, $"tok".asc)
+    counts.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= ZipfTopK)
+      .withColumn("x", expr(
+        "CAST(round(log10(CAST(rank AS DOUBLE)), 6) AS DECIMAL(18,6))"))
+      .withColumn("y", expr(
+        "CAST(round(log10(CAST(cnt AS DOUBLE)), 6) AS DECIMAL(18,6))"))
+      .withColumn("xy", expr(
+        "CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 6) AS DECIMAL(18,6))"))
+      .withColumn("xx", expr(
+        "CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 6) AS DECIMAL(18,6))"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("CAST(sum(x) AS DECIMAL(38,6))").as("sx"),
+        expr("CAST(sum(y) AS DECIMAL(38,6))").as("sy"),
+        expr("CAST(sum(xy) AS DECIMAL(38,6))").as("sxy"),
+        expr("CAST(sum(xx) AS DECIMAL(38,6))").as("sxx"))
+      .select($"source", $"n_tokens",
+        expr("round((CAST(n_tokens AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))" +
+          " / (CAST(n_tokens AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)")
+          .as("zipf_slope"),
+        expr("round((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))" +
+          " / (CAST(n_tokens AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)")
+          .as("zipf_intercept"))
+      .orderBy($"source")
+  }
+
   val oracle: Map[String, String] = Map(
+    "t30_zipf_slope" ->
+      s"""WITH counts AS (
+         | SELECT source, tok, count(*) AS cnt
+         | FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+         |   FROM documents)
+         | GROUP BY 1, 2),
+         |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+         |   ORDER BY cnt DESC, tok ASC) AS rank FROM counts),
+         |terms AS (SELECT source,
+         |  CAST(round(log10(CAST(rank AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+         |  CAST(round(log10(CAST(cnt AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+         | FROM ranked WHERE rank <= $ZipfTopK),
+         |t2 AS (SELECT source, x, y,
+         |  CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 6) AS DECIMAL(18,6)) AS xy,
+         |  CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 6) AS DECIMAL(18,6)) AS xx
+         | FROM terms),
+         |agg AS (SELECT source, count(*) AS n_tokens,
+         |  CAST(sum(x) AS DECIMAL(38,6)) AS sx,
+         |  CAST(sum(y) AS DECIMAL(38,6)) AS sy,
+         |  CAST(sum(xy) AS DECIMAL(38,6)) AS sxy,
+         |  CAST(sum(xx) AS DECIMAL(38,6)) AS sxx
+         | FROM t2 GROUP BY 1)
+         |SELECT source, n_tokens,
+         | round((CAST(n_tokens AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |   / (CAST(n_tokens AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+         |   AS zipf_slope,
+         | round((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+         |   / (CAST(n_tokens AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+         |   AS zipf_intercept
+         |FROM agg ORDER BY source""".stripMargin,
     "t29_ngram_novelty" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |grams AS (SELECT doc_id, unnest(list_distinct(
@@ -1582,6 +1669,7 @@ object Text {
     "t26_vocab_coverage" -> (t26 _),
     "t27_domain_divergence" -> (t27 _),
     "t28_length_outliers" -> (t28 _),
-    "t29_ngram_novelty" -> (t29 _)
+    "t29_ngram_novelty" -> (t29 _),
+    "t30_zipf_slope" -> (t30 _)
   )
 }

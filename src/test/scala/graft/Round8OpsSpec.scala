@@ -102,6 +102,59 @@ class Round8OpsSpec extends SparkSpec {
     assert(out(("src0", 1)) == ((2L, 1L, 26L, 576L, 602L)), s"got $out")
   }
 
+  test("t30 Zipf fit recovers the exact slope of synthetic power-law text") {
+    // source where token w_r appears round(1024 / r) times: an exact
+    // Zipf corpus whose log-log points are colinear with slope -1
+    val words = (1 to 32).flatMap { r =>
+      Seq.fill(math.round(1024.0 / r).toInt)(f"w$r%02d")
+    }
+    val dir = tmpTables("t30") { d =>
+      Seq((1L, words.mkString(" "), "en", "zipf", 10L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$d/documents.parquet")
+    }
+    val r = graft.operators.Text.queries("t30_zipf_slope")(spark, dir)
+      .collect().head
+    assert(r.getString(0) == "zipf" && r.getLong(1) == 32L)
+    val slope = r.getDouble(2)
+    // rounding 1024/r to integer counts perturbs the tail slightly —
+    // the fitted slope must sit within 2% of the true -1
+    assert(math.abs(slope + 1.0) < 0.02, s"slope $slope")
+  }
+
+  test("st13: a single-event session bounces, a two-event session does not") {
+    import graft.streaming.Event
+    val dir = tmpTables("st13") { d =>
+      Seq(
+        Event(1, java.sql.Timestamp.valueOf("2024-03-01 10:00:00"), 1, "view"),
+        Event(2, java.sql.Timestamp.valueOf("2024-03-01 10:05:00"), 1, "click"),
+        Event(3, java.sql.Timestamp.valueOf("2024-03-01 12:00:00"), 2, "view"),
+        Event(4, java.sql.Timestamp.valueOf("2024-03-02 09:00:00"), 1, "view"))
+        .toDF().withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+        .write.parquet(s"$d/events.parquet")
+    }
+    val out = graft.operators.StreamingOps.queries("st13_bounce_rate")(spark, dir)
+      .collect().map(r => r.getTimestamp(0).toString.take(10) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("2024-03-01") == ((2L, 1L, 0.5)), s"got $out") // u1 engaged, u2 bounced
+    assert(out("2024-03-02") == ((1L, 1L, 1.0)), s"got $out")
+  }
+
+  test("e62 odds ratio: fixture's affected s1 carries in every gene") {
+    val out = graft.operators.Stats.queries("e62_burden_assoc")(
+      spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // s1 (the one affected sample) is het/hom-alt at BRCA1 1:100,
+    // TP53 1:200, and EGFR's 2:300 alts, so aff_carrier = 1 and
+    // aff_noncarrier = 0 in every gene; OR denominators follow the
+    // unaffected carriers only
+    out.foreach { case (g, (ac, an, _, _)) =>
+      assert(ac == 1L && an == 0L, s"$g: affected carrier row off")
+    }
+    assert(out.keySet == Set("BRCA1", "TP53", "EGFR"))
+  }
+
   test("s13 health: occupancies cover the corpus and quantiles are ordered") {
     val r = graft.operators.Similarity.queries("s13_lsh_bucket_stats")(
       spark, "/root/testdata/sf0.001").collect().head

@@ -733,7 +733,10 @@ object Relational {
     * instead of a correlated subquery.
     *
     * Exactness: quantities are exact integer units both engines (the
-    * generator emits whole doubles; `CAST(l_quantity AS BIGINT)`), so
+    * generator emits whole doubles; `CAST(round(l_quantity) AS
+    * BIGINT)` — the explicit round because a bare DOUBLE→BIGINT cast
+    * TRUNCATES in Spark but ROUNDS in DuckDB, a divergence armed the
+    * moment any input carries a fractional quantity), so
     * the half-share gate is integer cross-multiplication `2·q > tot`,
     * no double division anywhere.
     *
@@ -754,7 +757,7 @@ object Relational {
         $"l_partkey" === $"p_partkey")
     val perSupp = sliced
       .groupBy($"l_partkey", $"p_name", $"l_suppkey")
-      .agg(sum($"l_quantity".cast("bigint")).as("supp_qty"))
+      .agg(sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("supp_qty"))
     perSupp
       .withColumn("part_qty",
         sum($"supp_qty").over(Window.partitionBy($"l_partkey")))
@@ -795,7 +798,7 @@ object Relational {
       .groupBy($"l_partkey", $"p_name", $"l_suppkey")
       .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
         .as("cents"),
-        sum($"l_quantity".cast("bigint")).as("qty"))
+        sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("qty"))
     val w = Window.partitionBy($"l_partkey")
     perSupp
       .withColumn("unit",
@@ -981,7 +984,7 @@ object Relational {
     "q30_excess_share_supplier" ->
       """WITH sliced AS (
         | SELECT l_partkey, p_name, l_suppkey,
-        |  CAST(l_quantity AS BIGINT) AS q
+        |  CAST(round(l_quantity) AS BIGINT) AS q
         | FROM lineitem JOIN part ON l_partkey = p_partkey
         | WHERE year(l_shipdate) = 1996 AND p_name LIKE '%widget'),
         |per AS (
@@ -999,7 +1002,7 @@ object Relational {
       """WITH per AS (
         | SELECT l_partkey, p_name, l_suppkey,
         |  SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents,
-        |  SUM(CAST(l_quantity AS BIGINT)) AS qty
+        |  SUM(CAST(round(l_quantity) AS BIGINT)) AS qty
         | FROM lineitem JOIN part ON l_partkey = p_partkey
         | WHERE p_size <= 10
         | GROUP BY 1, 2, 3),

@@ -75,6 +75,53 @@ class PropertySpec extends AnyFunSuite {
       assert(once.forall(c => (c.isLetterOrDigit && !c.isUpper) || c == '_'))
     }
   }
+
+  test("t28's integer outlier gate agrees with the real-arithmetic |z| > 1.8") {
+    // the all-integer form 25(nx−S1)² > 81(nS2−S1²) must decide exactly
+    // like |x − mean| > 1.8σ on any group of lengths (BigDecimal on the
+    // reference side so the check itself carries no float error)
+    val gGen = Gen.nonEmptyListOf(Gen.chooseNum(0L, 200000L))
+    forSamples(gGen) { xs =>
+      val n = BigInt(xs.size)
+      val s1 = BigInt(xs.sum)
+      val s2 = xs.map(x => BigInt(x) * BigInt(x)).sum
+      xs.foreach { x =>
+        val dev = n * BigInt(x) - s1
+        val intGate = 25 * dev * dev > 81 * (n * s2 - s1 * s1)
+        val mean = BigDecimal(s1) / BigDecimal(n)
+        val varPop = (BigDecimal(s2) / BigDecimal(n)) - mean * mean
+        // |x−mean| > 1.8σ  ⟺  (x−mean)² > 3.24·var (exact in BigDecimal)
+        val refGate = (BigDecimal(x) - mean).pow(2) > BigDecimal("3.24") * varPop
+        assert(intGate == refGate, s"x=$x xs=${xs.take(8)}…")
+      }
+    }
+  }
+
+  test("e59's halving-chain depth equals floor(log2) for any member id") {
+    forSamples(Gen.chooseNum(1L, Long.MaxValue / 2)) { m =>
+      var (cur, hops) = (m, 0)
+      while (cur > 1) { cur /= 2; hops += 1 } // the parent function
+      assert(hops == 63 - java.lang.Long.numberOfLeadingZeros(m),
+        s"m=$m") // floor(log2(m)), the oracle's closed form
+      assert((1 << 6) >= hops, "6 doubling rounds cover any long key")
+    }
+  }
+
+  test("m11's cumsum pack conserves tokens and respects sequence order") {
+    val costGen = Gen.nonEmptyListOf(Gen.chooseNum(1L, 3000L))
+    forSamples(costGen) { costs =>
+      val budget = 2048L
+      val prior = costs.scanLeft(0L)(_ + _).init
+      val seqs = prior.map(_ / budget)
+      assert(seqs == seqs.sorted, "sequence ids are monotone in doc order")
+      val bySeq = costs.zip(seqs).groupBy(_._2).view.mapValues(_.map(_._1).sum)
+      assert(bySeq.values.sum == costs.sum, "packing conserves total tokens")
+      // every sequence except possibly the last STARTED under budget
+      seqs.zip(prior).foreach { case (sq, p) =>
+        assert(p - sq * budget < budget)
+      }
+    }
+  }
 }
 
 /** Generator-based round-trip: random well-formed VCF body lines parse

@@ -994,7 +994,8 @@ object Relational {
         | SELECT *, SUM(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
         | FROM per)
         |SELECT l_partkey AS partkey, p_name, s_suppkey, s_name,
-        | supp_qty, part_qty
+        | CAST(supp_qty AS BIGINT) AS supp_qty,
+        | CAST(part_qty AS BIGINT) AS part_qty
         |FROM gated JOIN supplier ON l_suppkey = s_suppkey
         |WHERE supp_qty * 2 > part_qty
         |ORDER BY partkey, s_suppkey""".stripMargin,
@@ -1013,7 +1014,8 @@ object Relational {
         |    OVER (PARTITION BY l_partkey) AS min_unit
         | FROM per)
         |SELECT l_partkey AS partkey, p_name, s_suppkey, s_name,
-        | n_name AS nation, cents, qty,
+        | n_name AS nation,
+        | CAST(cents AS BIGINT) AS cents, CAST(qty AS BIGINT) AS qty,
         | CAST(cents AS DOUBLE) / CAST(qty AS DOUBLE) AS avg_unit_price_cents
         |FROM ranked
         |JOIN supplier ON l_suppkey = s_suppkey

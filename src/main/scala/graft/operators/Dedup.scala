@@ -776,16 +776,37 @@ object Dedup {
     * Output keeps EVERY row with its cell and kept/dropped verdict
     * (DedupQualitySpec re-derives the partition from exact cosines).
     */
-  def d11(s: SparkSession, dir: String): DataFrame = {
+  def d11(s: SparkSession, dir: String): DataFrame =
+    d11Scan(s, dir, d11Fit(s, dir))
+
+  /** d11's quantizer FIT phase alone — constant-cost at any corpus size
+    * (the KMeans trains on the bounded [[Similarity.fitSample]]), split
+    * out so the bench can price fit and scan separately: at toy SF the
+    * fit dominates the composite timing and hides query-path
+    * regressions (round-8 verdict ask #6).
+    */
+  def d11Fit(s: SparkSession, dir: String): org.apache.spark.ml.clustering.KMeansModel = {
     import s.implicits._
-    GraftFunctions.register(s)
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val emb = T(s, dir, "embeddings")
       .withColumn("fv", array_to_vector($"embedding".cast("array<double>")))
-    val model = new KMeans().setK(16).setSeed(42L)
+    new KMeans().setK(16).setSeed(42L)
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(Similarity.fitSample(emb))
+  }
+
+  /** d11's corpus phase with a PREFIT quantizer — what actually scales
+    * with data: broadcast-centroid assignment, cell-keyed candidate
+    * join, exact-cosine confirm, merge-back agg.
+    */
+  def d11Scan(s: SparkSession, dir: String,
+      model: org.apache.spark.ml.clustering.KMeansModel): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = T(s, dir, "embeddings")
+      .withColumn("fv", array_to_vector($"embedding".cast("array<double>")))
     val corpus = model.transform(emb).select($"vec_id", $"embedding", $"cell")
     val dropped = corpus.as("a")
       .join(corpus.as("b"),

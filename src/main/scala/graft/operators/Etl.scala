@@ -160,6 +160,63 @@ object Etl {
       "F1 s2 0 0 1 1",
       "F1 s3 0 0 2 1",
       "F2 s4 0 0 1 1")
+
+    /** Two-shard cohort for the e63 merge: DISJOINT sample sets, one
+      * shared site (1:100, different QUAL/ID spellings), one site per
+      * shard the other lacks (1:200 only in A; 2:300 — multi-allelic —
+      * only in B), and asymmetric FORMAT (A carries DP, B GT-only) so
+      * the missing-depth sentinel shows in the merge.
+      */
+    val shardALines: Vector[String] = Vector(
+      "##fileformat=VCFv4.2",
+      "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"Total Depth\">",
+      "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"Genotype\">",
+      "##FORMAT=<ID=DP,Number=1,Type=Integer,Description=\"Read depth\">",
+      Seq("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO",
+        "FORMAT", "s1", "s2").mkString("\t"),
+      Seq("1", "100", "rs1", "A", "G", "50.0", "PASS", "DP=22",
+        "GT:DP", "0/1:10", "0/0:12").mkString("\t"),
+      Seq("1", "200", ".", "C", "T", "99.0", "PASS", "DP=17",
+        "GT:DP", "0/1:8", "1/1:9").mkString("\t"))
+
+    val shardBLines: Vector[String] = Vector(
+      "##fileformat=VCFv4.2",
+      "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"Total Depth\">",
+      "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"Genotype\">",
+      Seq("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO",
+        "FORMAT", "s5", "s6").mkString("\t"),
+      Seq("1", "100", ".", "A", "G", "60.0", "q10", "DP=7",
+        "GT", "1/1", "0/1").mkString("\t"),
+      Seq("2", "300", "rs3", "G", "A,T", ".", "PASS", "DP=5",
+        "GT", "1/2", "0/2").mkString("\t"))
+
+    /** Hand-derived bcftools-merge expectation over shards A+B (merged
+      * sample order s1,s2,s5,s6; gt classes 0=hom_ref 1=het 2=unknown
+      * 3=hom_alt; -1 = missing depth): the e63 oracle relation.
+      *  - 1:100 A>G: both shards carry it — vid/filter from shard A
+      *    (lowest carrier), qual = max(50,60).
+      *  - 1:200 C>T: only A → s5,s6 are "./." / class 2 / depth -1.
+      *  - 2:300 G>A and G>T (decomposed): only B → s1,s2 missing; B has
+      *    no DP FORMAT so every depth is -1; "1/2" is het for BOTH alts,
+      *    "0/2" is hom_ref for alt A and het for alt T.
+      */
+    val mergedValues: String =
+      """(VALUES
+        | ('1', 100, 'rs1', 'A', 'G', 60.0, 'PASS',
+        |   ['0/1','0/0','1/1','0/1'], [1,0,3,1], [10,12,-1,-1],
+        |   1.0, 0.5, 1, 2, 1, 0),
+        | ('1', 200, NULL, 'C', 'T', 99.0, 'PASS',
+        |   ['0/1','1/1','./.','./.'], [1,3,2,2], [8,9,-1,-1],
+        |   0.5, 0.75, 0, 1, 1, 2),
+        | ('2', 300, 'rs3', 'G', 'A', CAST(NULL AS DOUBLE), 'PASS',
+        |   ['./.','./.','1/2','0/2'], [2,2,1,0], [-1,-1,-1,-1],
+        |   0.5, 0.25, 1, 1, 0, 2),
+        | ('2', 300, 'rs3', 'G', 'T', CAST(NULL AS DOUBLE), 'PASS',
+        |   ['./.','./.','1/2','0/2'], [2,2,1,1], [-1,-1,-1,-1],
+        |   0.5, 0.5, 0, 2, 0, 2)
+        |) m(chrom, pos, vid, ref, alt, qual, filter, gts, gt_types,
+        |    gt_depths, call_rate, aaf, num_hom_ref, num_het,
+        |    num_hom_alt, num_unknown)""".stripMargin
   }
 
   // ---------------------------------------------------------------- queries
@@ -771,6 +828,26 @@ object Etl {
       .orderBy($"ws", $"event_type")
   }
 
+  /** e63: COHORT MERGE — bcftools-merge semantics over per-sample VCF
+    * shards (union of decomposed sites, merged sample order = shard
+    * order, absent shard → "./." missing genotypes, stats recomputed
+    * over the merged cohort): the ETL step that PRODUCES the pre-merged
+    * cohort VCF the reference assumes as its input. Runs the real
+    * parser + `VcfReader.mergeVariants` over the two embedded shards;
+    * the oracle is the hand-derived merged relation. One constant-width
+    * key shuffle at any cohort size (see mergeVariants' scaladoc).
+    */
+  def e63(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val a = VcfReader.fromLines(s, VcfFixture.shardALines)
+    val b = VcfReader.fromLines(s, VcfFixture.shardBLines)
+    val (_, merged) = VcfReader.mergeVariants(Seq((a._1, a._2), (b._1, b._2)))
+    merged.select($"chrom", $"pos", $"vid", $"ref", $"alt", $"qual",
+        $"filter", $"gts", $"gt_types", $"gt_depths", $"call_rate",
+        $"aaf", $"num_hom_ref", $"num_het", $"num_hom_alt", $"num_unknown")
+      .orderBy($"chrom", $"pos", $"alt")
+  }
+
   // ----------------------------------------------------------------- oracle
 
   private val variantsSelect =
@@ -870,6 +947,14 @@ object Etl {
         |JOIN region ON n_regionkey = r_regionkey
         |ORDER BY c_custkey""".stripMargin,
     // e08_pack_blob: rows-only (zlib blobs are not ANSI-SQL-expressible)
+    "e63_cohort_merge" ->
+      s"""SELECT chrom, pos, vid, ref, alt,
+         | CAST(qual AS DOUBLE) AS qual, filter, gts, gt_types,
+         | gt_depths, CAST(call_rate AS DOUBLE) AS call_rate,
+         | CAST(aaf AS DOUBLE) AS aaf, num_hom_ref, num_het, num_hom_alt,
+         | num_unknown
+         |FROM ${VcfFixture.mergedValues}
+         |ORDER BY chrom, pos, alt""".stripMargin,
     "e09_vcf_parse" ->
       s"""$variantsSelect${VcfFixture.variantsValues}
          |ORDER BY chrom, pos, alt""".stripMargin,
@@ -1038,6 +1123,7 @@ object Etl {
     "e28_gene_set_antijoin" -> (e28 _),
     "e29_windower" -> (e29 _),
     "e30_hwe" -> (e30 _),
-    "e53_annotate_vcf" -> (e53 _)
+    "e53_annotate_vcf" -> (e53 _),
+    "e63_cohort_merge" -> (e63 _)
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -509,20 +509,48 @@ object Multimodal {
     * stage of every multimodal ingest pipeline (route to the right
     * decoder pool, quarantine unknowns, budget per modality). Pure
     * per-row codegen prefix compares over one scan — shuffle-free.
-    * The rules here cover the ASCII-representable container magics
-    * (RIFF/WAVE, GIF8, %PDF, ftyp@5, OggS, ID3, XML/SVG); binary
-    * magics (JPEG ff d8, PNG 89 50) are the SAME prefix-compare shape
-    * on a hex projection and slot in without changing the plan — kept
-    * out here because this DuckDB build lacks BLOB substring for the
-    * oracle replay. EventJoinSpec proves the routing on injected
-    * container heads; the prose corpus all routes to 'text'.
+    * The Spark side routes through [[routeBlob]] (hex prefix compares
+    * over the binary cast), which covers the BINARY magics (JPEG ff d8
+    * ff, PNG 89 50 4e 47) as well as the ASCII-representable ones
+    * (RIFF/WAVE, GIF8, %PDF, ftyp@5, OggS, ID3, XML/SVG); the ORACLE
+    * stays on the ASCII CASE — equivalent on a prose corpus, since a
+    * JPEG/PNG head is not valid UTF-8 text — because this DuckDB build
+    * lacks BLOB substring for a hex replay. EventJoinSpec proves the
+    * routing on injected container heads INCLUDING literal JPEG/PNG
+    * byte arrays; the prose corpus all routes to 'text'.
     */
   def m08(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     T(s, dir, "documents")
       .select($"doc_id", substring($"text", 1, 8).as("head8"),
-        expr(ModalityCase).as("modality"))
+        routeBlob($"text".cast("binary")).as("modality"))
       .orderBy($"doc_id")
+  }
+
+  /** The PRODUCTION router: modality of a BINARY column by magic-byte
+    * prefix over ONE hex projection of the first 12 bytes — the same
+    * shuffle-free per-row shape as [[ModalityCase]], plus the binary
+    * container magics (JPEG ff d8 ff, PNG 89 50 4e 47) a text-typed
+    * CASE cannot spell. m08 routes `cast(text AS BINARY)` through this,
+    * so the oracle's ASCII CASE stays byte-equivalent on a prose corpus
+    * (a JPEG/PNG head is not valid UTF-8 prose) while a real blob
+    * column routes correctly — EventJoinSpec injects literal JPEG/PNG
+    * byte arrays and asserts they no longer fall through to 'text'.
+    */
+  def routeBlob(bin: Column): Column = {
+    val h = hex(substring(bin, 1, 12)) // 24 hex chars; WAVE sits at 17..24
+    when(substring(h, 1, 6) === "FFD8FF", "jpeg")
+      .when(substring(h, 1, 8) === "89504E47", "png")
+      .when(substring(h, 1, 8) === "52494646" &&
+        substring(h, 17, 8) === "57415645", "wav")
+      .when(substring(h, 1, 8) === "47494638", "gif")
+      .when(substring(h, 1, 8) === "25504446", "pdf")
+      .when(substring(h, 9, 8) === "66747970", "mp4")
+      .when(substring(h, 1, 8) === "4F676753", "ogg")
+      .when(substring(h, 1, 6) === "494433", "mp3")
+      .when(substring(h, 1, 10) === "3C3F786D6C" ||
+        substring(h, 1, 8) === "3C737667", "xml")
+      .otherwise("text")
   }
 
   /** m08's magic-byte routing CASE (Spark SQL text), shared with m11's
@@ -576,15 +604,35 @@ object Multimodal {
     * and a skewed mega-source splits by AQE skew handling on the
     * window's range partitioning.
     */
-  def m11(s: SparkSession, dir: String): DataFrame = {
+  def m11(s: SparkSession, dir: String): DataFrame =
+    m11With(s, dir, DefaultTextCostSql)
+
+  /** m11's default per-doc text-token cost: ceil(chars/4), the standard
+    * BPE rule of thumb. CALIBRATED against the t06 regex pretokenizer
+    * on the fixture corpus (TokenCalibrationSpec): it OVERESTIMATES by
+    * 1.1–1.6× per doc there — a conservative bias, so a packed
+    * sequence can underfill but never overflow its token budget. A
+    * deployment with a real tokenizer swaps the expression via
+    * [[m11With]] (a per-doc `token_count` column or t06's pretoken
+    * count) without touching the packing plan.
+    */
+  final val DefaultTextCostSql = "(n_chars + 3) div 4"
+
+  /** m11 with a PLUGGABLE per-doc text-token cost expression (SQL over
+    * the documents columns — `n_chars`, `text`, or a materialized
+    * token-count column). The packing machinery — per-source window,
+    * cumsum assignment, rollup — is cost-agnostic.
+    */
+  def m11With(s: SparkSession, dir: String, textCostSql: String): DataFrame = {
     import s.implicits._
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"source").orderBy($"doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     T(s, dir, "documents")
-      .select($"doc_id", $"source", $"n_chars",
+      .select($"doc_id", $"source", $"n_chars", $"text",
         expr(ModalityCase).as("modality"))
-      .withColumn("text_toks", expr("(n_chars + 3) div 4"))
+      .withColumn("text_toks", expr(textCostSql).cast("long"))
+      .drop("text")
       .withColumn("img_toks",
         when($"modality" =!= "text", lit(ImageSlotTokens)).otherwise(lit(0L)))
       .withColumn("cost", $"text_toks" + $"img_toks")

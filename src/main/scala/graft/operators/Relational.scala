@@ -932,8 +932,205 @@ object Relational {
       .orderBy($"nation")
   }
 
+  /** q35: PIVOT MATRIX — order counts cross-tabulated status × priority
+    * class: the wide report shape every BI export wants, exercising
+    * Spark's `pivot` operator (with the value list SUPPLIED, so no
+    * extra distinct-values scan precedes the agg). The pivot expands to
+    * conditional aggregates BEFORE the exchange — one partial-agg
+    * shuffle over the ≤3-row status key, map-side combine absorbs the
+    * fact. Priority keys are normalized to p1..p5 so both engines emit
+    * identical column names.
+    */
+  def q35(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "orders")
+      .withColumn("pk", concat(lit("p"), substring($"o_orderpriority", 1, 1)))
+      .groupBy($"o_orderstatus")
+      .pivot("pk", Seq("p1", "p2", "p3", "p4", "p5"))
+      .agg(count(lit(1)))
+      // an absent (status, priority) combo pivots to NULL but counts to
+      // 0 — coalesce so sparse slices (tiny SFs) match the oracle
+      .select($"o_orderstatus" +:
+        Seq("p1", "p2", "p3", "p4", "p5").map(c =>
+          coalesce(col(c), lit(0L)).as(c)): _*)
+      .orderBy($"o_orderstatus")
+  }
+
+  /** q36: UNPIVOT (melt) — the inverse reshape: per-nation wide
+    * aggregates (customers, orders, account cents) melted to long
+    * (nation, metric, value) rows, exercising Spark's `unpivot`
+    * operator. The wide frame is nation-dim-sized, so the unpivot's ×3
+    * expansion is a constant — the only corpus-scale work is the two
+    * partial-agg collapses feeding it (orders pre-collapses to
+    * per-custkey counts BEFORE joining the customer dim: the join fans
+    * dim×1, never fact×dim).
+    */
+  def q36(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perCust = T(s, dir, "orders")
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n_ord"))
+    val wide = T(s, dir, "customer")
+      .join(perCust, $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(coalesce($"n_ord", lit(0L))).as("n_orders"),
+        sum(expr("CAST(round(c_acctbal * 100) AS BIGINT)")).as("bal_cents"))
+      .join(broadcast(T(s, dir, "nation").select($"n_nationkey", $"n_name")),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"n_name".as("nation"), $"n_customers",
+        $"n_orders".cast("long").as("n_orders"), $"bal_cents")
+    wide.unpivot(Array($"nation"), Array($"n_customers", $"n_orders", $"bal_cents"),
+        "metric", "value")
+      .orderBy($"nation", $"metric")
+  }
+
+  /** q37: BROWSE-ONLY DAYS — (user, day) pairs with ≥1 view and NO
+    * same-day purchase, with view volume and first view time (micros —
+    * ns parquet clocks don't cross engines): q16 measures the funnel's
+    * conversion rate, this MATERIALIZES the non-converting audience at
+    * the grain a retargeting export wants (every synthetic user
+    * eventually purchases, so the user-lifetime form is empty — the
+    * daily form is the one real dashboards ship anyway). Set algebra
+    * over one fact: per-(user, day) view aggregates in ONE partial-agg
+    * shuffle, same-day purchasers collapse to a distinct frame on the
+    * SAME composite key, then a LEFT ANTI join — co-partitioned, with
+    * AQE broadcasting the purchase side while it fits.
+    */
+  def q37(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = T(s, dir, "events")
+      .withColumn("day", expr(
+        "CAST(unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 AS BIGINT)"))
+    val viewDays = ev.filter($"event_type" === "view")
+      .groupBy($"user_id", $"day")
+      .agg(count(lit(1)).as("n_views"),
+        min(expr("unix_micros(CAST(ts AS TIMESTAMP))")).as("first_view_us"))
+    val purchaseDays = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"day").distinct()
+    viewDays.join(purchaseDays, Seq("user_id", "day"), "left_anti")
+      .orderBy($"user_id", $"day")
+  }
+
+  /** q38: ORDER SPAN + endpoint attributes per customer — first/last
+    * order day and the PRIORITY CARRIED BY those endpoint orders via
+    * min_by/max_by (DuckDB arg_min/arg_max): the "what did this account
+    * look like at entry vs now" lifecycle report, and the suite's
+    * coverage of the argmin-aggregate family (q03 takes global top-k,
+    * q18 per-group top-k — this is the degenerate k=1 as a true
+    * AGGREGATE, no window, so the collapse stays one partial agg).
+    * Determinism: the min_by key is epoch_day·10¹² + orderkey — a
+    * single BIGINT, so same-day ties break on orderkey identically in
+    * both engines.
+    */
+  def q38(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "orders")
+      .withColumn("day", datediff($"o_orderdate".cast("date"),
+        to_date(lit("1970-01-01"))).cast("long"))
+      .withColumn("k", $"day" * lit(1000000000000L) + $"o_orderkey")
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        min($"day").as("first_day"),
+        max($"day").as("last_day"),
+        min_by($"o_orderpriority", $"k").as("first_priority"),
+        max_by($"o_orderpriority", $"k").as("last_priority"))
+      .withColumn("span_days", $"last_day" - $"first_day")
+      .orderBy($"o_custkey")
+  }
+
+  /** q39: MEDIAN + MAD per priority class — the robust
+    * location/dispersion pair (median absolute deviation) outlier
+    * screens prefer over mean/σ: q11's exact interpolated percentile
+    * machinery applied TWICE, the second pass over |x − median|. Two
+    * partial-agg shuffles over the bounded ≤5-key priority grain with
+    * the median broadcast back between them; money stays exact integer
+    * cents into each percentile, whose interpolation is the one double
+    * op (identical operands both engines — q11's established parity).
+    */
+  def q39(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = T(s, dir, "orders")
+      .select($"o_orderpriority",
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val med = o.groupBy($"o_orderpriority")
+      .agg(expr("percentile(cents, 0.5)").as("median_cents"))
+    o.join(broadcast(med), Seq("o_orderpriority"))
+      .withColumn("dev", abs($"cents".cast("double") - $"median_cents"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        min($"median_cents").as("median_cents"),
+        expr("percentile(dev, 0.5)").as("mad_cents"))
+      .orderBy($"o_orderpriority")
+  }
+
   /** Oracle SQL (DuckDB dialect ≈ ANSI) mirroring each query above. */
   val oracle: Map[String, String] = Map(
+    "q35_pivot_matrix" ->
+      """SELECT o_orderstatus,
+        | CAST(count(CASE WHEN pk = 'p1' THEN 1 END) AS BIGINT) AS p1,
+        | CAST(count(CASE WHEN pk = 'p2' THEN 1 END) AS BIGINT) AS p2,
+        | CAST(count(CASE WHEN pk = 'p3' THEN 1 END) AS BIGINT) AS p3,
+        | CAST(count(CASE WHEN pk = 'p4' THEN 1 END) AS BIGINT) AS p4,
+        | CAST(count(CASE WHEN pk = 'p5' THEN 1 END) AS BIGINT) AS p5
+        |FROM (SELECT o_orderstatus,
+        |        'p' || substr(o_orderpriority, 1, 1) AS pk FROM orders)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q36_unpivot" ->
+      """WITH per_cust AS (
+        | SELECT o_custkey, count(*) AS n_ord FROM orders GROUP BY 1),
+        |wide AS (
+        | SELECT n_name AS nation,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(COALESCE(SUM(n_ord), 0) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+        | FROM customer
+        | LEFT JOIN per_cust ON c_custkey = o_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | GROUP BY 1)
+        |SELECT nation, metric, value FROM (
+        | SELECT nation, 'n_customers' AS metric, n_customers AS value FROM wide
+        | UNION ALL
+        | SELECT nation, 'n_orders', n_orders FROM wide
+        | UNION ALL
+        | SELECT nation, 'bal_cents', bal_cents FROM wide)
+        |ORDER BY nation, metric""".stripMargin,
+    "q37_browse_only_days" ->
+      """SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        | CAST(count(*) AS BIGINT) AS n_views,
+        | CAST(min(epoch_us(ts)) AS BIGINT) AS first_view_us
+        |FROM events v
+        |WHERE event_type = 'view'
+        | AND NOT EXISTS (SELECT 1 FROM events p
+        |   WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+        |    AND epoch_us(p.ts) // 86400000000 = epoch_us(v.ts) // 86400000000)
+        |GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin,
+    "q38_order_span" ->
+      """WITH o AS (
+        | SELECT o_custkey, o_orderpriority,
+        |  CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+        |  CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+        |    * 1000000000000 + o_orderkey AS k
+        | FROM orders)
+        |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        | min(day) AS first_day, max(day) AS last_day,
+        | arg_min(o_orderpriority, k) AS first_priority,
+        | arg_max(o_orderpriority, k) AS last_priority,
+        | max(day) - min(day) AS span_days
+        |FROM o GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q39_mad" ->
+      """WITH o AS (
+        | SELECT o_orderpriority,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        | FROM orders),
+        |med AS (
+        | SELECT o_orderpriority, quantile_cont(cents, 0.5) AS median_cents
+        | FROM o GROUP BY 1)
+        |SELECT o.o_orderpriority,
+        | CAST(count(*) AS BIGINT) AS n_orders,
+        | min(median_cents) AS median_cents,
+        | quantile_cont(abs(CAST(cents AS DOUBLE) - median_cents), 0.5) AS mad_cents
+        |FROM o JOIN med ON o.o_orderpriority = med.o_orderpriority
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q34_modal_priority" ->
       """WITH counts AS (
         | SELECT c_nationkey, o_orderpriority, count(*) AS n_orders
@@ -1313,6 +1510,11 @@ object Relational {
     "q20_retention_cohorts" -> (q20 _),
     "q21_trailing_window" -> (q21 _),
     "q22_revenue_deciles" -> (q22 _),
+    "q35_pivot_matrix" -> (q35 _),
+    "q36_unpivot" -> (q36 _),
+    "q37_browse_only_days" -> (q37 _),
+    "q38_order_span" -> (q38 _),
+    "q39_mad" -> (q39 _),
     "q23_copurchase_pairs" -> (q23 _),
     "q24_ship_delay" -> (q24 _),
     "q25_value_concentration" -> (q25 _),

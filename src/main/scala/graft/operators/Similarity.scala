@@ -268,17 +268,35 @@ object Similarity {
     * cluster column (partition/cluster by it and probes touch 2/16th
     * of the corpus).
     */
-  def s03(s: SparkSession, dir: String): DataFrame = {
+  def s03(s: SparkSession, dir: String): DataFrame =
+    s03Scan(s, dir, s03Fit(s, dir))
+
+  /** s03's coarse-quantizer FIT alone (bounded-sample KMeans — constant
+    * cost at any corpus size); split from the scan so the bench prices
+    * the two phases separately (round-8 verdict ask #6).
+    */
+  def s03Fit(s: SparkSession, dir: String): org.apache.spark.ml.clustering.KMeansModel = {
+    import s.implicits._
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = T(s, dir, "embeddings")
+      .withColumn("fv", array_to_vector($"embedding".cast("array<double>")))
+    new KMeans().setK(16).setSeed(42L)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(fitSample(emb))
+  }
+
+  /** s03's query path with a PREFIT quantizer — the part that scales:
+    * broadcast-centroid assignment, 2-cell probe, exact re-rank.
+    */
+  def s03Scan(s: SparkSession, dir: String,
+      model: org.apache.spark.ml.clustering.KMeansModel): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
-    import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val nProbe = 2
     val emb = T(s, dir, "embeddings")
       .withColumn("fv", array_to_vector($"embedding".cast("array<double>")))
-    val model = new KMeans().setK(16).setSeed(42L)
-      .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(fitSample(emb))
     val corpus = model.transform(emb).select($"vec_id", $"embedding", $"cell")
     val centers = model.clusterCenters.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toArray) }
@@ -321,31 +339,52 @@ object Similarity {
     * PQ-then-rerank recipe; recall vs exact s01 asserted in
     * DedupQualitySpec).
     */
-  def s04(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    graft.functions.GraftFunctions.register(s)
-    import org.apache.spark.ml.clustering.KMeans
+  def s04(s: SparkSession, dir: String): DataFrame =
+    s04Scan(s, dir, s04Fit(s, dir))
+
+  private val M = 8                // PQ subspaces
+  private def subDim = Dims / M    // 8 dims each
+
+  /** One vector column per PQ subspace (shared by fit and scan). */
+  private def withSubVectors(emb: DataFrame): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
-    val M = 8                      // subspaces
-    val subDim = Dims / M          // 8 dims each
-    val nCand = 3 * K              // ADC candidates re-ranked exactly
-    val emb = T(s, dir, "embeddings")
-    // one vector column per subspace; M independent codebooks
-    val withSubs = (0 until M).foldLeft(emb) { (df, m) =>
+    (0 until M).foldLeft(emb) { (df, m) =>
       df.withColumn(s"sv_$m", array_to_vector(
         expr(s"slice(CAST(embedding AS ARRAY<DOUBLE>), ${m * subDim + 1}, $subDim)")))
     }
+  }
+
+  /** s04's M codebook FITS alone (one shared bounded sample — constant
+    * cost at any corpus size, and ~all of the composite's toy-SF wall
+    * time); split from the scan so the bench prices the phases
+    * separately (round-8 verdict ask #6).
+    */
+  def s04Fit(s: SparkSession, dir: String): Seq[org.apache.spark.ml.clustering.KMeansModel] = {
+    import org.apache.spark.ml.clustering.KMeans
     // ONE bounded sample feeds all M codebook fits (cache it: M
     // sequential MLlib fits would otherwise re-read + re-slice the
     // corpus M times)
-    val fitDf = fitSample(withSubs).cache()
-    val models = try {
+    val fitDf = fitSample(withSubVectors(T(s, dir, "embeddings"))).cache()
+    try {
       (0 until M).map { m =>
         new KMeans().setK(16).setSeed(42L + m)
           .setFeaturesCol(s"sv_$m").setPredictionCol(s"code_$m")
           .fit(fitDf)
       }
     } finally fitDf.unpersist(blocking = false)
+  }
+
+  /** s04's code-assignment + ADC scan + exact re-rank with PREFIT
+    * codebooks — the memory-bandwidth-bound part that scales with the
+    * corpus.
+    */
+  def s04Scan(s: SparkSession, dir: String,
+      models: Seq[org.apache.spark.ml.clustering.KMeansModel]): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val nCand = 3 * K              // ADC candidates re-ranked exactly
+    val emb = T(s, dir, "embeddings")
+    val withSubs = withSubVectors(emb)
     val coded = models.zipWithIndex
       .foldLeft(withSubs) { case (df, (mdl, _)) => mdl.transform(df) }
       .select($"vec_id", $"embedding",

@@ -1209,7 +1209,139 @@ object Text {
       .orderBy($"source")
   }
 
+  /** t31 chunk geometry: 48-token windows on a 40-token stride (8-token
+    * overlap) — short because the synthetic docs are ~60 tokens; real
+    * RAG stacks use 512/448. The chunk math is length-agnostic.
+    */
+  private final val ChunkLen = 48
+  private final val ChunkStride = 40
+
+  /** t31: RAG CHUNKING — each document split into fixed-length
+    * overlapping token windows with a per-chunk manifest row (index,
+    * 1-based token start, token count, md5 of the chunk text): the
+    * retrieval-corpus build step between curation and embedding (t12
+    * packs docs INTO sequences for training; this fans docs OUT into
+    * retrieval units). Chunk count = 1 + ceil(max(0, n−len)/stride),
+    * so every token is covered and consecutive chunks share the
+    * overlap.
+    *
+    * Scale shape: `sequence` + explode is a bounded per-row fan-out
+    * (≤ n/stride) computed map-side from one scan — no shuffle at all;
+    * the chunk digests are per-row codegen. At 100 TB chunking runs at
+    * scan speed and the output partitions inherit the input's.
+    */
+  def t31(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .withColumn("n_toks", size($"toks"))
+      .withColumn("ci", explode(expr(
+        s"sequence(0, (greatest(n_toks - $ChunkLen, 0) + ${ChunkStride - 1}) div $ChunkStride)")))
+      .select($"doc_id", $"ci".as("chunk_ix"),
+        ($"ci" * ChunkStride + 1).as("tok_start"),
+        least(lit(ChunkLen), $"n_toks" - $"ci" * ChunkStride).as("chunk_toks"),
+        md5(expr(s"array_join(slice(toks, ci * $ChunkStride + 1, $ChunkLen), ' ')"))
+          .as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_ix")
+  }
+
+  /** t32 BM25 parameters (Robertson k1/b defaults) and the fixed query
+    * term set (mid-to-high-df corpus vocabulary, so every term scores a
+    * non-trivial posting list at every SF).
+    */
+  private final val Bm25K1 = "1.2"
+  private final val Bm25B = "0.75"
+  private final val Bm25Terms = Seq("merge", "stream", "filter", "spark")
+  private final val Bm25TopK = 10
+
+  /** t32: BM25 RANKING — top-10 documents per query term under the
+    * Okapi BM25 score (the lexical-retrieval baseline every RAG/search
+    * stack ships beside its ANN path; t14's tf-idf profiles documents,
+    * BM25 RANKS them for a query with length normalization). idf is the
+    * Robertson +1 form, ln((N−df+0.5)/(df+0.5)+1), ROUNDED to 6
+    * decimals before use (ln is the one op whose last ulp differs
+    * across engines — t10's decimal-stabilized log rule); everything
+    * else — tf saturation, length normalization vs avgdl — is IEEE
+    * double arithmetic on identical integer operands in identical
+    * order, so scores match bit for bit and the rank order cannot
+    * diverge.
+    *
+    * Scale shape: term tf's are a ≤|terms| map-side fan-out of one scan
+    * (no posting-list join — the term set rides as a literal array);
+    * df/N/avgdl collapse to a |terms|-row and a single-row frame, both
+    * BROADCAST back; top-k per term is one rank window on the bounded
+    * term key over the posting rows only.
+    */
+  def t32(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = T(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .withColumn("dl", size($"toks"))
+    val post = docs
+      .select($"doc_id", $"dl", explode(typedLit(Bm25Terms)).as("term"),
+        $"toks")
+      .withColumn("tf", expr("size(filter(toks, t -> t = term))"))
+      .filter($"tf" > 0)
+      .drop("toks")
+    val corpus = docs.agg(count(lit(1)).as("n_docs"),
+      sum($"dl".cast("long")).as("sum_dl"))
+    val dfreq = post.groupBy($"term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy($"term").orderBy($"score".desc, $"doc_id".asc)
+    post
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(corpus))
+      .withColumn("avgdl", expr("CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)"))
+      .withColumn("idf6", expr(
+        "round(ln((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0), 6)"))
+      .withColumn("score", expr(
+        s"idf6 * (CAST(tf AS DOUBLE) * ($Bm25K1 + 1.0)) / " +
+          s"(CAST(tf AS DOUBLE) + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * CAST(dl AS DOUBLE) / avgdl))"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= Bm25TopK)
+      .select($"term", $"doc_id", $"tf", $"dl", $"score", $"rk")
+      .orderBy($"term", $"rk")
+  }
+
   val oracle: Map[String, String] = Map(
+    "t31_rag_chunk" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |           FROM documents),
+         |c AS (SELECT doc_id, toks, len(toks) AS n_toks,
+         |  unnest(generate_series(0,
+         |    (greatest(len(toks) - $ChunkLen, 0) + ${ChunkStride - 1}) // $ChunkStride)) AS ci
+         | FROM d)
+         |SELECT doc_id, ci AS chunk_ix,
+         | ci * $ChunkStride + 1 AS tok_start,
+         | least($ChunkLen, n_toks - ci * $ChunkStride) AS chunk_toks,
+         | md5(array_to_string(
+         |   toks[(ci * $ChunkStride + 1):(ci * $ChunkStride + $ChunkLen)], ' ')) AS chunk_md5
+         |FROM c ORDER BY doc_id, chunk_ix""".stripMargin,
+    "t32_bm25" ->
+      s"""WITH docs AS (
+         | SELECT doc_id, string_split(text, ' ') AS toks,
+         |  len(string_split(text, ' ')) AS dl
+         | FROM documents),
+         |corpus AS (SELECT count(*) AS n_docs, SUM(dl) AS sum_dl FROM docs),
+         |post AS (
+         | SELECT doc_id, dl, term,
+         |  len(list_filter(toks, t -> t = term)) AS tf
+         | FROM docs,
+         |  (SELECT unnest([${Bm25Terms.map("'" + _ + "'").mkString(",")}]) AS term)
+         | WHERE len(list_filter(toks, t -> t = term)) > 0),
+         |dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+         |scored AS (
+         | SELECT p.term, doc_id, tf, dl,
+         |  round(ln((CAST(n_docs - df AS DOUBLE) + 0.5)
+         |      / (CAST(df AS DOUBLE) + 0.5) + 1.0), 6)
+         |   * (CAST(tf AS DOUBLE) * ($Bm25K1 + 1.0))
+         |   / (CAST(tf AS DOUBLE) + $Bm25K1 * (1.0 - $Bm25B
+         |      + $Bm25B * CAST(dl AS DOUBLE)
+         |        / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS score
+         | FROM post p JOIN dfreq USING (term), corpus)
+         |SELECT term, doc_id, CAST(tf AS BIGINT) AS tf, dl, score,
+         | ROW_NUMBER() OVER (PARTITION BY term
+         |   ORDER BY score DESC, doc_id) AS rk
+         |FROM scored QUALIFY rk <= $Bm25TopK ORDER BY term, rk""".stripMargin,
     "t30_zipf_slope" ->
       s"""WITH counts AS (
          | SELECT source, tok, count(*) AS cnt
@@ -1670,6 +1802,8 @@ object Text {
     "t27_domain_divergence" -> (t27 _),
     "t28_length_outliers" -> (t28 _),
     "t29_ngram_novelty" -> (t29 _),
-    "t30_zipf_slope" -> (t30 _)
+    "t30_zipf_slope" -> (t30 _),
+    "t31_rag_chunk" -> (t31 _),
+    "t32_bm25" -> (t32 _)
   )
 }

@@ -374,6 +374,108 @@ object VcfReader {
     (h, variants(h, body), maybeImpacts(spark, h, body))
   }
 
+  // ------------------------------------------------------ cohort merge
+
+  /** The ten per-sample genotype array columns of `variants`. */
+  private val gtArrayCols = Seq("gt_types", "gts", "gt_depths",
+    "gt_ref_depths", "gt_alt_depths", "gt_quals", "gt_phred_ll_homref",
+    "gt_phred_ll_het", "gt_phred_ll_homalt", "gt_phases")
+
+  /** bcftools-merge semantics over N per-sample/sharded single-cohort
+    * VCFs with DISJOINT sample sets — the ETL step that PRODUCES the
+    * one pre-merged cohort VCF the reference assumes as input (at
+    * biobank scale producing that input is the hard step):
+    *
+    *  - merged sample order = shard order, then within-shard order
+    *    (bcftools' file-order rule); duplicate sample ids fail loudly
+    *    (bcftools errors without --force-samples);
+    *  - sites union at the DECOMPOSED (chrom, pos, ref, alt) grain —
+    *    graft decomposes every input, so allele unification is exact
+    *    key equality (`bcftools merge -m none` on decomposed shards);
+    *  - a shard absent at a site contributes missing genotypes: GT
+    *    "./.", class UNKNOWN=2, numeric sentinel -1, phase 0;
+    *  - site fields: vid and filter from the LOWEST shard carrying the
+    *    site, qual = max across carriers (bcftools' QUAL rule);
+    *  - the six genotype stats (call_rate, aaf, num_*) are RECOMPUTED
+    *    over the merged cohort; INFO columns are dropped (bcftools
+    *    recomputes INFO at merge — for graft the genotype-derived
+    *    stats ARE that recomputation; header-driven INFO re-annotation
+    *    composes behind via e53's allele-keyed annotate).
+    *
+    * Scale shape: ONE partial-agg shuffle keyed on the constant-width
+    * variant key. Per-shard arrays travel as (shard → array) map
+    * entries (collect_list bounded by the shard count), and the merged
+    * arrays assemble in a post-agg projection that concatenates the k
+    * per-shard slots with literal missing fills — expression width is
+    * O(k·arrays), fine for the tens-to-hundreds of shards real cohorts
+    * ship (per-center / per-chromosome); the FACT never self-joins and
+    * no task ever holds more than one site's k arrays.
+    *
+    * Ref: bcftools merge (samtools.github.io/bcftools) — union sites,
+    * file-order samples, missing → "./."; vcf2db assumes this step
+    * already ran (SURVEY §1: "requires a decomposed VCF").
+    */
+  def mergeVariants(shards: Seq[(Header, DataFrame)]): (Vector[String], DataFrame) = {
+    import org.apache.spark.sql.functions._
+    require(shards.nonEmpty, "mergeVariants: no shards")
+    val sampleLists = shards.map(_._1.samples).toVector
+    val merged = sampleLists.flatten
+    require(merged.distinct.size == merged.size,
+      s"duplicate sample ids across shards: ${
+        merged.groupBy(identity).collect { case (s, v) if v.size > 1 => s }.mkString(",")}")
+    val k = shards.size
+    val keyCols = Seq("chrom", "pos", "ref", "alt")
+    val tagged = shards.zipWithIndex.map { case ((_, df), i) =>
+      df.select((keyCols ++ Seq("vid", "qual", "filter")).map(col) ++
+        Seq(lit(i).as("shard")) ++ gtArrayCols.map(col): _*)
+    }.reduce(_.unionByName(_))
+    // lowest-carrying-shard pick: min_by over the shard index, with a
+    // null value demoted past every real shard so "first non-null by
+    // shard order" and "null only when all null" both hold
+    def firstByShard(c: String) =
+      min_by(col(c), when(col(c).isNull, lit(Int.MaxValue))
+        .otherwise(col("shard"))).as(c)
+    val aggCols = Seq(firstByShard("vid"), max("qual").as("qual"),
+      firstByShard("filter")) ++
+      gtArrayCols.map(c =>
+        map_from_entries(collect_list(struct(col("shard"), col(c)))).as(c + "_m"))
+    val grouped = tagged.groupBy(keyCols.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+    // per-shard missing fills (typed literals, one per array column)
+    def fills(c: String): Seq[org.apache.spark.sql.Column] = sampleLists.map { ss =>
+      c match {
+        case "gts" => typedLit(Vector.fill(ss.size)("./."))
+        case "gt_types" => typedLit(Vector.fill(ss.size)(VcfParser.Unknown))
+        case "gt_phases" => typedLit(Vector.fill(ss.size)(0))
+        case _ => typedLit(Vector.fill(ss.size)(-1))
+      }
+    }
+    val assembled = grouped.select(
+      (keyCols ++ Seq("vid", "qual", "filter")).map(col) ++
+        gtArrayCols.map { c =>
+          val f = fills(c)
+          concat((0 until k).map(i =>
+            coalesce(element_at(col(c + "_m"), lit(i)), f(i))): _*).as(c)
+        }: _*)
+    val n = merged.size
+    val called = lit(n) - col("num_unknown")
+    val altCopies = col("num_het") + lit(2) * col("num_hom_alt")
+    val out = assembled
+      .withColumn("num_hom_ref",
+        size(filter(col("gt_types"), t => t === lit(VcfParser.HomRef))))
+      .withColumn("num_het",
+        size(filter(col("gt_types"), t => t === lit(VcfParser.Het))))
+      .withColumn("num_hom_alt",
+        size(filter(col("gt_types"), t => t === lit(VcfParser.HomAlt))))
+      .withColumn("num_unknown",
+        size(filter(col("gt_types"), t => t === lit(VcfParser.Unknown))))
+      .withColumn("call_rate", called.cast("double") / lit(n.toDouble))
+      .withColumn("aaf", when(called === 0, lit(0.0))
+        .otherwise(altCopies.cast("double") / (called * 2).cast("double")))
+      .select((fixedFields.map(_.name) ++ statFields.map(_.name)).map(col): _*)
+    (merged, out)
+  }
+
   /** Streaming ingestion — incremental cohort loading: new VCF shards
     * dropped into `dir` parse into a STREAMING variants DataFrame
     * (`writeStream` to the warehouse sink of choice). The schema comes

@@ -256,6 +256,31 @@ class EventJoinSpec extends SparkSpec {
     assert(corpus.forall(_.getString(2) == "text"))
   }
 
+  test("routeBlob routes real binary magics (JPEG/PNG) that text CASEs cannot spell") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val blobs = Seq(
+      // JPEG SOI + APP0: ff d8 ff e0
+      (1L, bytes(0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x10, 0x4A, 0x46), "jpeg"),
+      // PNG signature: 89 50 4e 47 0d 0a 1a 0a
+      (2L, bytes(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A), "png"),
+      // the ASCII magics route identically through the hex path
+      (3L, "RIFF0124WAVEfmt ".getBytes("UTF-8"), "wav"),
+      (4L, "%PDF-1.7 obj".getBytes("UTF-8"), "pdf"),
+      (5L, "0000ftypisom".getBytes("UTF-8"), "mp4"),
+      // a JPEG head truncated before its third byte is NOT a jpeg
+      (6L, bytes(0xFF, 0xD8), "text"),
+      (7L, "plain prose".getBytes("UTF-8"), "text"))
+    val out = blobs.map { case (id, b, _) => (id, b) }
+      .toDF("doc_id", "blob")
+      .select($"doc_id", graft.operators.Multimodal.routeBlob($"blob").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    blobs.foreach { case (id, _, want) =>
+      assert(out(id) == want, s"blob $id: routed ${out(id)}, want $want")
+    }
+  }
+
   test("m07 phash dedup collapses injected duplicate blobs, keeps min id") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -48,6 +48,9 @@ class PlanInvariantSpec extends SparkSpec {
     "t14_tfidf" -> 1,
     // single-row bigram-total broadcast into the OOV floor (t10's shape)
     "t19_bigram_logprob" -> 1,
+    // single-row (n_docs, sum_dl) corpus frame broadcast into every
+    // posting row's BM25 length normalization (t10/t14's count shape)
+    "t32_bm25" -> 1,
     // bounded types-dim broadcast into the dense window×type grid; the
     // grid subtree is referenced by both the lag and total branches,
     // so the single designed BNLJ prints twice

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+/** Round-8 verdict ask #7: make the chars/4 token-cost heuristic that
+  * prices t12/m11 packing TRUSTWORTHY — measure its error against the
+  * t06 regex pretokenizer (the closest real-tokenizer proxy in the
+  * suite) and pin the bound, and prove the packer accepts a pluggable
+  * real cost without plan changes.
+  */
+class TokenCalibrationSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val bpeCountSql =
+    "size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))"
+
+  test("chars/4 is a bounded CONSERVATIVE overestimate of regex pretokens") {
+    import spark.implicits._
+    val m = Tables(spark, dir, "documents")
+      .select(
+        (expr(Multimodal.DefaultTextCostSql).cast("double") /
+          expr(bpeCountSql).cast("double")).as("ratio"))
+      .agg(min($"ratio").as("lo"), max($"ratio").as("hi"),
+        avg($"ratio").as("mean"))
+      .head()
+    val (lo, hi, mean) =
+      (m.getDouble(0), m.getDouble(1), m.getDouble(2))
+    // measured on the corpus: per-doc 1.10–1.53, mean ≈ 1.36 — chars/4
+    // never UNDERcounts here, so a packed sequence can underfill but
+    // never overflow its token budget; the waste bound is ~1.6×
+    assert(lo >= 1.0, s"chars/4 UNDERcounts somewhere (min ratio $lo): " +
+      "the conservative-packing guarantee is broken")
+    assert(hi <= 1.6, s"chars/4 overcounts beyond the calibrated bound ($hi)")
+    assert(mean >= 1.2 && mean <= 1.5, s"mean ratio drifted to $mean")
+  }
+
+  test("t12's whitespace token counts equal the t06 pretokenizer on this corpus") {
+    import spark.implicits._
+    // the synthetic docs are lowercase word streams, so letter runs =
+    // whitespace tokens — t12's packed lengths are pretokenizer-TRUE
+    // here, not merely approximate
+    val n = Tables(spark, dir, "documents")
+      .filter(expr(s"size(split(text, ' ')) != $bpeCountSql"))
+      .count()
+    assert(n == 0, s"$n docs where whitespace and pretoken counts diverge")
+  }
+
+  test("m11 with the real pretoken cost packs tighter and never overflows") {
+    import spark.implicits._
+    val budget = 2048L
+    val default_ = Multimodal.m11(spark, dir)
+      .select($"source", $"seq", $"seq_tokens").collect()
+    val calibrated = Multimodal.m11With(spark, dir, bpeCountSql)
+      .select($"source", $"seq", $"seq_tokens").collect()
+    // same machinery, cheaper per-doc costs → no source needs MORE
+    // sequences, and the corpus as a whole needs strictly fewer tokens
+    def seqsPerSource(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.getString(0)).view.mapValues(_.map(_.getInt(1)).max).toMap
+    val dSeqs = seqsPerSource(default_)
+    val cSeqs = seqsPerSource(calibrated)
+    cSeqs.foreach { case (src, c) =>
+      assert(c <= dSeqs(src), s"$src: calibrated cost needs MORE sequences")
+    }
+    assert(calibrated.map(_.getLong(2)).sum < default_.map(_.getLong(2)).sum)
+    // cumsum-assignment invariant under the swapped cost: the first doc
+    // of a source's LAST sequence has prior ≥ last·budget, and that
+    // prior equals the token total of all earlier sequences — so the
+    // non-final sequences jointly cover every full budget before it
+    calibrated.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      val last = rows.map(_.getInt(1)).max
+      val beforeLast = rows.filter(_.getInt(1) < last).map(_.getLong(2)).sum
+      assert(beforeLast >= last * budget,
+        s"$src: sequences 0..${last - 1} hold $beforeLast tokens < " +
+          s"${last * budget} — a sequence opened before its predecessor filled")
+    }
+  }
+}

@@ -25,6 +25,39 @@ class VcfReaderSpec extends SparkSpec {
     assert(rows(4).isNullAt(rows(4).fieldIndex("dp")))
   }
 
+  test("e63 cohort merge: union sites, file-order samples, missing ./. fills") {
+    val a = VcfReader.fromLines(spark, VcfFixture.shardALines)
+    val b = VcfReader.fromLines(spark, VcfFixture.shardBLines)
+    val (samples, merged) =
+      VcfReader.mergeVariants(Seq((a._1, a._2), (b._1, b._2)))
+    assert(samples == Vector("s1", "s2", "s5", "s6"))
+    val rows = merged.orderBy("chrom", "pos", "alt").collect()
+    assert(rows.length == 4) // 1:100 shared, 1:200 A-only, 2:300 ×2 B-only
+    val shared = rows(0)
+    assert(shared.getAs[String]("vid") == "rs1") // lowest carrier's id
+    assert(shared.getAs[Double]("qual") == 60.0) // max across carriers
+    assert(shared.getAs[String]("filter") == "PASS") // lowest carrier's
+    assert(shared.getSeq[String](shared.fieldIndex("gts")) ==
+      Seq("0/1", "0/0", "1/1", "0/1"))
+    assert(shared.getSeq[Int](shared.fieldIndex("gt_depths")) ==
+      Seq(10, 12, -1, -1)) // shard B declares no DP FORMAT
+    assert(shared.getAs[Double]("aaf") == 0.5)
+    val aOnly = rows(1)
+    assert(aOnly.getSeq[String](aOnly.fieldIndex("gts")) ==
+      Seq("0/1", "1/1", "./.", "./."))
+    assert(aOnly.getSeq[Int](aOnly.fieldIndex("gt_types")) == Seq(1, 3, 2, 2))
+    assert(aOnly.getAs[Double]("call_rate") == 0.5)
+    val bAltT = rows(3) // decomposed second alt of B's multi-allelic
+    assert(bAltT.getAs[String]("alt") == "T")
+    assert(bAltT.isNullAt(bAltT.fieldIndex("qual"))) // '.' QUAL stays null
+    assert(bAltT.getSeq[Int](bAltT.fieldIndex("gt_types")) == Seq(2, 2, 1, 1))
+    // duplicate sample ids across shards fail loudly (bcftools' rule)
+    val ex = intercept[IllegalArgumentException] {
+      VcfReader.mergeVariants(Seq((a._1, a._2), (a._1, a._2)))
+    }
+    assert(ex.getMessage.contains("duplicate sample ids"))
+  }
+
   test("sites-only annotation VCF parses with empty cohort arrays") {
     val (h, ann, _) = VcfReader.fromLines(spark, VcfFixture.annLines)
     assert(h.samples.isEmpty)

@@ -645,5 +645,29 @@ object GraftFunctions {
     add("simhash64", es => SimHash64(es.head))
     add("rolling_minhash", es => RollingMinHash(es.head))
     add("mds_pairs", es => MdsPairs(es.head))
+    add("bloom_agg", GraftFunctions.bloomAggBuilder)
+    add("bloom_contains", es =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1)))
+  }
+
+  /** Spark ships a production Bloom filter pair (BloomFilterAggregate /
+    * BloomFilterMightContain, the engine of its runtime row-level join
+    * filters) but leaves it OUT of the public FunctionRegistry. graft
+    * exposes it as `bloom_agg(xxhash64-long[, items[, bits]])` /
+    * `bloom_contains(binary, xxhash64-long)` for the d18 delta-dedup
+    * pre-screen: the aggregate builds distributed (partial buffers OR
+    * together), the probe is a per-row codegen bit test. Reusing the
+    * engine's own filter beats hand-rolling one: same serialized form
+    * AQE uses, tested split/merge, no extra dependency.
+    */
+  val bloomAggBuilder: Seq[Expression] => Expression = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    es => es match {
+      case Seq(c) => new BloomFilterAggregate(c)
+      case Seq(c, n) => new BloomFilterAggregate(c, n)
+      case Seq(c, n, b) => new BloomFilterAggregate(c, n, b)
+      case _ => throw new IllegalArgumentException(
+        "bloom_agg(child[, estimatedItems[, numBits]])")
+    }
   }
 }

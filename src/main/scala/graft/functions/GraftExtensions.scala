@@ -54,5 +54,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("mds_pairs", classOf[MdsPairs],
       "mds_pairs(array<int>) - packed co-called pairs with squared copy diffs",
       es => MdsPairs(es.head))
+    // Spark's own (internal) bloom pair, exposed for d18's delta screen
+    inject("bloom_agg",
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate],
+      "bloom_agg(xxhash64-long[, items[, bits]]) - Spark bloom filter build",
+      GraftFunctions.bloomAggBuilder)
+    inject("bloom_contains",
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain],
+      "bloom_contains(binary, xxhash64-long) - bloom membership probe",
+      es => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1)))
   }
 }

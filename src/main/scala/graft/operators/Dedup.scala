@@ -1272,6 +1272,57 @@ object Dedup {
        |FROM joined
        |WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.12e0""".stripMargin
 
+  /** d18: BLOOM-SCREENED DELTA DEDUP — d15's delta-vs-base question
+    * with the join REPLACED by a screen-then-confirm plan: a Bloom
+    * filter of the base corpus keys (Spark's own BloomFilterAggregate,
+    * exposed as `bloom_agg`/`bloom_contains` via GraftExtensions)
+    * broadcasts as ONE small binary; delta rows the filter rejects are
+    * DEFINITELY new and never enter any shuffle; only the bloom hits
+    * (true dups + the bounded false-positive slice) flow into the exact
+    * confirm semi-join. Verdicts are bloom-INDEPENDENT (no false
+    * negatives by construction, FPs die in the confirm), so the oracle
+    * is plain relational SQL; BloomScreenSpec pins the screen itself
+    * (zero false negatives, FP rate under the sizing bound).
+    *
+    * Scale shape: at 100 TB with a ~1% daily dup rate, d15's shape
+    * shuffles the WHOLE delta into the base join; this shuffles ~1% of
+    * it — the filter build is one distributed agg over base keys
+    * (partial buffers OR together), the probe is per-row codegen, and
+    * the confirm join's left side is dup_rate + FP_rate of the delta.
+    * The driver holds exactly one bounded binary (the serialized
+    * filter — the same artifact a production delta job would persist
+    * and reload instead of rebuilding).
+    */
+  def d18(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    val docs = T(s, dir, "documents").withColumn("h", md5($"text"))
+    val baseKeys = docs.filter($"doc_id" % 2 === 0).select($"h").distinct()
+    // one row, one bounded binary: 8 bits/item at the base's key count.
+    // lit() rather than a scalar subquery keeps the probe foldable (the
+    // expression's documented contract) and mirrors the production
+    // artifact hand-off; the BUILD itself ran distributed.
+    val bloomBytes = baseKeys
+      .agg(expr("bloom_agg(xxhash64(h), 100000L, 800000L)").as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val delta = docs.filter($"doc_id" % 2 === 1).select($"doc_id", $"h")
+      .withColumn("maybe_dup",
+        expr("bloom_contains(bloom_bytes_placeholder, xxhash64(h))")
+          .isNotNull && new org.apache.spark.sql.Column(
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+            org.apache.spark.sql.catalyst.expressions.Literal.create(
+              bloomBytes, org.apache.spark.sql.types.BinaryType),
+            xxhash64($"h").expr)))
+    val misses = delta.filter(!$"maybe_dup")
+      .select($"doc_id", $"h", lit("new").as("verdict"))
+    val confirmed = delta.filter($"maybe_dup")
+      .join(baseKeys.withColumn("in_base", lit(true)), Seq("h"), "left")
+      .select($"doc_id", $"h",
+        when($"in_base".isNotNull, lit("base_dup")).otherwise(lit("new"))
+          .as("verdict"))
+    misses.unionByName(confirmed).orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact" -> (d01 _),
     "d02_dedup_minhash" -> (d02 _),

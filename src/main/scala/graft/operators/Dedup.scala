@@ -1273,54 +1273,64 @@ object Dedup {
        |WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.12e0""".stripMargin
 
   /** d18: BLOOM-SCREENED DELTA DEDUP — d15's delta-vs-base question
-    * with the join REPLACED by a screen-then-confirm plan: a Bloom
-    * filter of the base corpus keys (Spark's own BloomFilterAggregate,
-    * exposed as `bloom_agg`/`bloom_contains` via GraftExtensions)
-    * broadcasts as ONE small binary; delta rows the filter rejects are
-    * DEFINITELY new and never enter any shuffle; only the bloom hits
-    * (true dups + the bounded false-positive slice) flow into the exact
-    * confirm semi-join. Verdicts are bloom-INDEPENDENT (no false
-    * negatives by construction, FPs die in the confirm), so the oracle
-    * is plain relational SQL; BloomScreenSpec pins the screen itself
-    * (zero false negatives, FP rate under the sizing bound).
+    * with the base join REPLACED by a screen-then-confirm plan: a Bloom
+    * filter of the base corpus keys (Spark's own BloomFilterAggregate /
+    * BloomFilterMightContain pair, the engine of its runtime row-level
+    * join filters, exposed as `bloom_agg`/`bloom_contains` via
+    * GraftExtensions) condenses to ONE bounded binary; delta rows the
+    * filter rejects are DEFINITELY not base_dup and never enter the
+    * base join; only the bloom hits (true base dups + the bounded
+    * false-positive slice) flow into the exact confirm join. Verdicts
+    * keep d15's full three-class contract (base_dup / delta_dup /
+    * kept) and are bloom-INDEPENDENT (no false negatives by
+    * construction, FPs die in the confirm), so the oracle is d15's
+    * plain relational SQL; BloomScreenSpec pins the screen itself
+    * (zero false negatives vs the exact base, FP rate under the
+    * sizing bound, verdict-for-verdict parity with d15).
     *
     * Scale shape: at 100 TB with a ~1% daily dup rate, d15's shape
     * shuffles the WHOLE delta into the base join; this shuffles ~1% of
     * it — the filter build is one distributed agg over base keys
-    * (partial buffers OR together), the probe is per-row codegen, and
-    * the confirm join's left side is dup_rate + FP_rate of the delta.
-    * The driver holds exactly one bounded binary (the serialized
-    * filter — the same artifact a production delta job would persist
-    * and reload instead of rebuilding).
+    * (partial buffers OR together), the probe is a per-row codegen bit
+    * test against a foldable literal (no join, no shuffle), and the
+    * confirm join's left side is dup_rate + FP_rate of the delta. The
+    * within-delta firsts agg is d15's unchanged single partial-agg
+    * shuffle on the constant-width h key. The driver holds exactly one
+    * bounded binary (the serialized filter — the artifact a production
+    * delta job persists and reloads instead of rebuilding; 800k bits
+    * = 100 KB here, ~8 bits/key at any base size by re-sizing the two
+    * bloom_agg parameters).
     */
   def d18(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     GraftFunctions.register(s)
     val docs = T(s, dir, "documents").withColumn("h", md5($"text"))
     val baseKeys = docs.filter($"doc_id" % 2 === 0).select($"h").distinct()
-    // one row, one bounded binary: 8 bits/item at the base's key count.
-    // lit() rather than a scalar subquery keeps the probe foldable (the
-    // expression's documented contract) and mirrors the production
-    // artifact hand-off; the BUILD itself ran distributed.
+    // One row, one bounded binary. lit() as the probe's DIRECT child
+    // (foldable — the expression's documented contract) rather than an
+    // aliased column, and the BUILD itself ran distributed.
     val bloomBytes = baseKeys
-      .agg(expr("bloom_agg(xxhash64(h), 100000L, 800000L)").as("bf"))
+      .agg(call_function("bloom_agg", xxhash64($"h"),
+        lit(100000L), lit(800000L)).as("bf"))
       .head().getAs[Array[Byte]]("bf")
     val delta = docs.filter($"doc_id" % 2 === 1).select($"doc_id", $"h")
-      .withColumn("maybe_dup",
-        expr("bloom_contains(bloom_bytes_placeholder, xxhash64(h))")
-          .isNotNull && new org.apache.spark.sql.Column(
-          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-            org.apache.spark.sql.catalyst.expressions.Literal.create(
-              bloomBytes, org.apache.spark.sql.types.BinaryType),
-            xxhash64($"h").expr)))
-    val misses = delta.filter(!$"maybe_dup")
-      .select($"doc_id", $"h", lit("new").as("verdict"))
-    val confirmed = delta.filter($"maybe_dup")
+    val firsts = delta.groupBy($"h").agg(min($"doc_id").as("first_id"))
+    val probed = delta.join(firsts, "h")
+      .withColumn("maybe_base",
+        call_function("bloom_contains", lit(bloomBytes), xxhash64($"h")))
+    // Bloom misses: cannot be base_dup; within-delta classes still apply.
+    val misses = probed.filter(!$"maybe_base")
+      .select($"doc_id", $"h",
+        when($"doc_id" =!= $"first_id", lit("delta_dup"))
+          .otherwise(lit("kept")).as("verdict"))
+    // Bloom hits: exact confirm against the base kills false positives.
+    val hits = probed.filter($"maybe_base")
       .join(baseKeys.withColumn("in_base", lit(true)), Seq("h"), "left")
       .select($"doc_id", $"h",
-        when($"in_base".isNotNull, lit("base_dup")).otherwise(lit("new"))
-          .as("verdict"))
-    misses.unionByName(confirmed).orderBy($"doc_id")
+        when($"in_base".isNotNull, lit("base_dup"))
+          .when($"doc_id" =!= $"first_id", lit("delta_dup"))
+          .otherwise(lit("kept")).as("verdict"))
+    misses.unionByName(hits).orderBy($"doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1,0 +1,54 @@
+#!/usr/bin/env bash
+# Pre-commit snapshot gate: a commit may not land unless the tree
+# compiles (main + test) and the oracle gate passes on the keys it
+# touches. Round 9's end-of-round snapshot shipped 84 lines that did
+# not compile and zeroed every driver artifact for the round; this
+# script makes that class of failure mechanical to prevent.
+#
+# Usage:
+#   tools/gate.sh                 # full gate: compile + all 189 keys
+#   tools/gate.sh d18 q37         # compile + only the named keys
+#   SKIP_SBT_TEST=0 tools/gate.sh # additionally run the ScalaTest suite
+#
+# Exit 0 = safe to commit. Anything else = do not commit.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.01}"
+OUT_DIR="$(mktemp -d /tmp/gate_verify.XXXXXX)"
+trap 'rm -rf "$OUT_DIR"' EXIT
+
+echo "[gate] 1/3 compile (main + test)"
+sbt -batch "Test/compile" >/dev/null
+
+if [[ "${SKIP_SBT_TEST:-1}" == "0" ]]; then
+  echo "[gate] 1.5/3 full ScalaTest suite"
+  sbt -batch test >/dev/null
+fi
+
+if [[ $# -gt 0 ]]; then
+  KEYS="$(IFS=,; echo "$*")"
+  echo "[gate] 2/3 verify keys: $KEYS at $SF_DIR"
+  SPARK_GRAFT_ONLY="$KEYS" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
+    sbt -batch "runMain graft.Verify $SF_DIR $OUT_DIR" >/dev/null
+  echo "[gate] 3/3 oracle compare (named keys must pass; others report FAIL-by-absence, ignored)"
+  # check.py exits non-zero whenever FAIL>0, which filtered mode
+  # produces by construction — judge per-key below instead.
+  python3 tools/check.py "$SF_DIR" "$OUT_DIR" > /tmp/gate_check.log || true
+  tail -3 /tmp/gate_check.log
+  for k in "$@"; do
+    grep -qE "(✓|~) $k[ :]" /tmp/gate_check.log || {
+      echo "[gate] FAIL: key $k did not pass the oracle gate"; exit 1; }
+  done
+else
+  echo "[gate] 2/3 verify FULL surface at $SF_DIR"
+  SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
+    sbt -batch "runMain graft.Verify $SF_DIR $OUT_DIR" >/dev/null
+  echo "[gate] 3/3 oracle compare (FAIL must be 0)"
+  python3 tools/check.py "$SF_DIR" "$OUT_DIR" > /tmp/gate_check.log || true
+  tail -3 /tmp/gate_check.log
+  grep -qE 'FAIL=0$' /tmp/gate_check.log || {
+    echo "[gate] FAIL: oracle gate reported failures"; exit 1; }
+fi
+
+echo "[gate] OK — safe to commit"

@@ -68,7 +68,17 @@ object Bench {
     "t29_ngram_novelty", "e59_generation_depth",
     // final round-8 batch: q34's fact⋈growing-dim mode, st13's
     // session→day rollup, t30's token-shuffle + per-source rank window
-    "q34_modal_priority", "st13_bounce_rate", "t30_zipf_slope")
+    "q34_modal_priority", "st13_bounce_rate", "t30_zipf_slope",
+    // round-9 additions (never timed in round 9 — the bench died on a
+    // compile error): the pivot/unpivot reshapes, q37's event anti-join
+    // audience, q38's min_by/max_by lifecycle, q39's two-phase MAD,
+    // t31's shuffle-free chunker, t32's posting expansion + broadcast
+    // corpus stats, e63's constant-width cohort-merge shuffle
+    "q35_pivot_matrix", "q36_unpivot", "q37_browse_only_days",
+    "q38_order_span", "q39_mad", "t31_rag_chunk", "t32_bm25",
+    "e63_cohort_merge",
+    // round-10: d18's bloom screen-then-confirm vs d15's full-delta join
+    "d18_bloom_delta")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

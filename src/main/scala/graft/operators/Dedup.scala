@@ -1048,7 +1048,27 @@ object Dedup {
       .orderBy($"tau")
   }
 
+  /** Shared oracle for d15 AND d18: the delta verdicts are defined
+    * relationally (base membership + within-delta firsts), and d18's
+    * bloom screen is verdict-invisible by construction (no false
+    * negatives; false positives die in the exact confirm join), so
+    * both operators answer to the same SQL.
+    */
+  private final val DeltaVerdictOracleSql: String =
+    """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+      |base AS (SELECT DISTINCT h FROM d WHERE doc_id % 2 = 0),
+      |delta AS (SELECT doc_id, h FROM d WHERE doc_id % 2 = 1),
+      |firsts AS (SELECT h, min(doc_id) AS first_id FROM delta GROUP BY h)
+      |SELECT delta.doc_id, delta.h,
+      | CASE WHEN base.h IS NOT NULL THEN 'base_dup'
+      |      WHEN delta.doc_id <> f.first_id THEN 'delta_dup'
+      |      ELSE 'kept' END AS verdict
+      |FROM delta LEFT JOIN base ON delta.h = base.h
+      |JOIN firsts f ON delta.h = f.h
+      |ORDER BY delta.doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "d18_bloom_delta" -> DeltaVerdictOracleSql,
     "d17_threshold_sweep" ->
       s"""WITH pairs AS ($d04PairsSql),
          |sweep(tau) AS (VALUES ${SweepTaus.map(t => s"(${t}e0)").mkString(", ")})
@@ -1073,18 +1093,7 @@ object Dedup {
          | round(CAST(c AS DOUBLE) / (na + nb - c), 6) AS jaccard,
          | round(abs(est_jaccard - CAST(c AS DOUBLE) / (na + nb - c)), 6) AS err
          |FROM j ORDER BY doc_a, doc_b""".stripMargin,
-    "d15_delta_dedup" ->
-      """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
-        |base AS (SELECT DISTINCT h FROM d WHERE doc_id % 2 = 0),
-        |delta AS (SELECT doc_id, h FROM d WHERE doc_id % 2 = 1),
-        |firsts AS (SELECT h, min(doc_id) AS first_id FROM delta GROUP BY h)
-        |SELECT delta.doc_id, delta.h,
-        | CASE WHEN base.h IS NOT NULL THEN 'base_dup'
-        |      WHEN delta.doc_id <> f.first_id THEN 'delta_dup'
-        |      ELSE 'kept' END AS verdict
-        |FROM delta LEFT JOIN base ON delta.h = base.h
-        |JOIN firsts f ON delta.h = f.h
-        |ORDER BY delta.doc_id""".stripMargin,
+    "d15_delta_dedup" -> DeltaVerdictOracleSql,
     "d14_fuzzy_decontaminate" -> d14OracleSql,
     "d13_source_overlap" ->
       s"""WITH toks AS (SELECT source, string_split(text, ' ') AS w
@@ -1350,6 +1359,7 @@ object Dedup {
     "d14_fuzzy_decontaminate" -> (d14 _),
     "d15_delta_dedup" -> (d15 _),
     "d16_minhash_audit" -> (d16 _),
-    "d17_threshold_sweep" -> (d17 _)
+    "d17_threshold_sweep" -> (d17 _),
+    "d18_bloom_delta" -> (d18 _)
   )
 }

@@ -529,9 +529,12 @@ object Multimodal {
 
   /** The PRODUCTION router: modality of a BINARY column by magic-byte
     * prefix over ONE hex projection of the first 12 bytes — the same
-    * shuffle-free per-row shape as [[ModalityCase]], plus the binary
-    * container magics (JPEG ff d8 ff, PNG 89 50 4e 47) a text-typed
-    * CASE cannot spell. m08 routes `cast(text AS BINARY)` through this,
+    * shuffle-free per-row shape as [[ModalityCaseDuck]], plus the
+    * binary container magics (JPEG ff d8 ff, PNG 89 50 4e 47) a
+    * text-typed CASE cannot spell. Both m08's routing column and m11's
+    * interleave costing derive modality from this one expression, so
+    * they cannot disagree on what counts as media — on synthetic prose
+    * or on real blobs. m08 routes `cast(text AS BINARY)` through this,
     * so the oracle's ASCII CASE stays byte-equivalent on a prose corpus
     * (a JPEG/PNG head is not valid UTF-8 prose) while a real blob
     * column routes correctly — EventJoinSpec injects literal JPEG/PNG
@@ -553,22 +556,15 @@ object Multimodal {
       .otherwise("text")
   }
 
-  /** m08's magic-byte routing CASE (Spark SQL text), shared with m11's
-    * interleave costing so the two can never disagree on what counts
-    * as media; [[ModalityCaseDuck]] is the byte-identical DuckDB form
-    * (substr vs substring is the only dialect delta).
+  /** DuckDB form of the routing logic for the m11 oracle: ASCII-
+    * representable magics only (this DuckDB build lacks BLOB substring
+    * for a hex replay of JPEG/PNG) — byte-equivalent to [[routeBlob]]
+    * on a prose corpus, since a JPEG/PNG head is not valid UTF-8 text.
+    * The Spark side of BOTH m08 and m11 routes through [[routeBlob]],
+    * so the two operators cannot disagree on what counts as media even
+    * on real binary blobs (EventJoinSpec pins this with literal
+    * JPEG/PNG byte arrays).
     */
-  private val ModalityCase: String =
-    """CASE
-      | WHEN substring(text, 1, 4) = 'RIFF' AND substring(text, 9, 4) = 'WAVE' THEN 'wav'
-      | WHEN substring(text, 1, 4) = 'GIF8' THEN 'gif'
-      | WHEN substring(text, 1, 4) = '%PDF' THEN 'pdf'
-      | WHEN substring(text, 5, 4) = 'ftyp' THEN 'mp4'
-      | WHEN substring(text, 1, 4) = 'OggS' THEN 'ogg'
-      | WHEN substring(text, 1, 3) = 'ID3' THEN 'mp3'
-      | WHEN substring(text, 1, 5) = '<?xml' OR substring(text, 1, 4) = '<svg' THEN 'xml'
-      | ELSE 'text' END""".stripMargin
-
   private val ModalityCaseDuck: String =
     """CASE
       |  WHEN substr(text, 1, 4) = 'RIFF' AND substr(text, 9, 4) = 'WAVE' THEN 'wav'
@@ -630,7 +626,7 @@ object Multimodal {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     T(s, dir, "documents")
       .select($"doc_id", $"source", $"n_chars", $"text",
-        expr(ModalityCase).as("modality"))
+        routeBlob($"text".cast("binary")).as("modality"))
       .withColumn("text_toks", expr(textCostSql).cast("long"))
       .drop("text")
       .withColumn("img_toks",

@@ -999,8 +999,12 @@ object Relational {
   def q37(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = T(s, dir, "events")
+      // floor division, NOT `div` (q24's discipline): a pre-1970 event
+      // timestamp is negative micros, where Spark's `div` truncates
+      // toward zero but DuckDB's `//` floors — floor(us/86400e6) is
+      // IEEE-identical in both engines for any int64 micros < 2^53
       .withColumn("day", expr(
-        "CAST(unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 AS BIGINT)"))
+        "CAST(floor(unix_micros(CAST(ts AS TIMESTAMP)) / 86400000000.0) AS BIGINT)"))
     val viewDays = ev.filter($"event_type" === "view")
       .groupBy($"user_id", $"day")
       .agg(count(lit(1)).as("n_views"),
@@ -1095,14 +1099,16 @@ object Relational {
         | SELECT nation, 'bal_cents', bal_cents FROM wide)
         |ORDER BY nation, metric""".stripMargin,
     "q37_browse_only_days" ->
-      """SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      """SELECT user_id,
+        | CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
         | CAST(count(*) AS BIGINT) AS n_views,
         | CAST(min(epoch_us(ts)) AS BIGINT) AS first_view_us
         |FROM events v
         |WHERE event_type = 'view'
         | AND NOT EXISTS (SELECT 1 FROM events p
         |   WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
-        |    AND epoch_us(p.ts) // 86400000000 = epoch_us(v.ts) // 86400000000)
+        |    AND floor(epoch_us(p.ts) / 86400000000.0)
+        |      = floor(epoch_us(v.ts) / 86400000000.0))
         |GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin,
     "q38_order_span" ->
       """WITH o AS (

@@ -242,8 +242,10 @@ object Dedup {
     * only ever shrinks toward star-shape, and convergence is
     * O(log n) rounds — not O(diameter) like naive label propagation, so
     * a 100 M-doc chain-shaped component still resolves in ~27 rounds.
-    * Lineage is truncated per round (localCheckpoint) — mandatory for
-    * any iterative DataFrame loop. Giant-component regime handled via
+    * Lineage is truncated per round via [[graft.Lineage.cut]] —
+    * mandatory for any iterative DataFrame loop; set
+    * `spark.graft.checkpointDir` to upgrade the executor-local cut to
+    * a reliable distributed-FS checkpoint for multi-hour 100 TB runs. Giant-component regime handled via
     * the paper's two-phase minimum in both star steps above the
     * [[TwoPhaseMinEdges]] bound (see largeStar): no task ever buffers a
     * whole component, while small edge sets keep the cheaper
@@ -286,7 +288,7 @@ object Dedup {
     // counts, and this halves that overhead.
     var e = edgesIn.filter($"u" =!= $"v")
       .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
-      .distinct().localCheckpoint(eager = false)
+      .distinct().transform(graft.Lineage.cut)
     // fixpoint detection: (count, xxhash64 xor-fold) of the canonical
     // edge set — one cheap aggregate per round instead of a
     // set-difference join; the edges are distinct so the xor fold is an
@@ -315,7 +317,7 @@ object Dedup {
       // inner rounds were no-ops.
       val big = prev._1 > twoPhaseMinEdges
       val next = smallStar(largeStar(smallStar(largeStar(e, big), big), big), big)
-        .localCheckpoint(eager = false)
+        .transform(graft.Lineage.cut)
       val cur = checksum(next)
       done = cur == prev
       prev = cur

@@ -673,7 +673,7 @@ object Inheritance {
         .cast("long").as("node"))
     var jump = members.filter($"node" >= 2L)
       .select($"node", expr("node div 2").as("anc"), lit(1L).as("d"))
-      .localCheckpoint(eager = false)
+      .transform(graft.Lineage.cut)
     (1 to 6).foreach { _ =>
       val b = jump.select($"node".as("b_node"), $"anc".as("b_anc"),
         $"d".as("b_d"))
@@ -681,7 +681,7 @@ object Inheritance {
         .select($"node",
           coalesce($"b_anc", $"anc").as("anc"),
           ($"d" + coalesce($"b_d", lit(0L))).as("d"))
-        .localCheckpoint(eager = false)
+        .transform(graft.Lineage.cut)
     }
     jump.select($"node", $"d".as("depth"))
       .union(members.filter($"node" === 1L)

@@ -832,8 +832,8 @@ object Similarity {
     * candidate-candidate cosine join is EQUI-keyed on q_id with ≤C²
     * rows per query, and the k-step greedy loop is PLAN-side iteration
     * (a fixed k=[[MmrK]] chain of bounded joins — no collect, no
-    * driver data movement; pool and pair frames are lazily
-    * localCheckpoint'd so each step's double reference re-reads a
+    * driver data movement; pool and pair frames are lazily cut via
+    * [[graft.Lineage.cut]] so each step's double reference re-reads a
     * 36-row cache, not the corpus). Scoring is exact integer
     * micro-cosine arithmetic ([[MmrL10]]·rel6 − (10−λ)·msim6 on
     * round(10⁶·cos) longs), so the greedy argmax is bit-reproducible —
@@ -854,19 +854,19 @@ object Similarity {
       .withColumn("rn", row_number().over(wRel))
       .filter($"rn" <= MmrPoolC)
       .select($"q_id", $"vec_id", $"rel6", $"embedding")
-      .localCheckpoint(eager = false)
+      .transform(graft.Lineage.cut)
     val pair = cand.select($"q_id", $"vec_id".as("a"), $"embedding".as("ea"))
       .join(cand.select($"q_id", $"vec_id".as("b"), $"embedding".as("eb")), Seq("q_id"))
       .filter($"a" =!= $"b")
       .withColumn("sim6", expr(s"CAST(round(1000000 * ${dot("ea", "eb")} " +
         s"/ sqrt(${dot("ea", "ea")} * ${dot("eb", "eb")})) AS BIGINT)"))
       .select($"q_id", $"a", $"b", $"sim6")
-      .localCheckpoint(eager = false)
+      .transform(graft.Lineage.cut)
     val first = cand
       .withColumn("rn", row_number().over(wRel)).filter($"rn" === 1)
       .select($"q_id", lit(1).as("step"), $"vec_id", $"rel6",
         ($"rel6" * MmrL10).as("mmr6"))
-      .localCheckpoint(eager = false)
+      .transform(graft.Lineage.cut)
     // Cumulative greedy fold: step n scores every not-yet-picked pool
     // member against ALL picks so far and keeps the argmax.
     var kept = Seq(first)
@@ -883,7 +883,7 @@ object Similarity {
         .withColumn("mmr6", $"rel6" * MmrL10 - $"msim6" * (10 - MmrL10))
         .withColumn("rn", row_number().over(wPick)).filter($"rn" === 1)
         .select($"q_id", lit(step).as("step"), $"vec_id", $"rel6", $"mmr6")
-        .localCheckpoint(eager = false)
+        .transform(graft.Lineage.cut)
       kept = kept :+ pick
     }
     kept.reduce(_ union _).orderBy($"q_id", $"step")

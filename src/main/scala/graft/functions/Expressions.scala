@@ -648,6 +648,7 @@ object GraftFunctions {
     add("bloom_agg", GraftFunctions.bloomAggBuilder)
     add("bloom_contains", es =>
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1)))
+    add("bpe_count", es => BpeCount(es(0), es(1)))
   }
 
   /** Spark ships a production Bloom filter pair (BloomFilterAggregate /

@@ -63,5 +63,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain],
       "bloom_contains(binary, xxhash64-long) - bloom membership probe",
       es => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1)))
+    inject("bpe_count", classOf[BpeCount],
+      "bpe_count(string, merges_path) - exact byte-level BPE token count",
+      es => BpeCount(es(0), es(1)))
   }
 }

@@ -609,8 +609,11 @@ object Multimodal {
     * 1.1–1.6× per doc there — a conservative bias, so a packed
     * sequence can underfill but never overflow its token budget. A
     * deployment with a real tokenizer swaps the expression via
-    * [[m11With]] (a per-doc `token_count` column or t06's pretoken
-    * count) without touching the packing plan.
+    * [[m11With]] without touching the packing plan — e.g.
+    * `bpe_count(text, '/path/merges.txt')` for dataloader-EXACT costs
+    * against a public GPT-2-format merges file (TokenCalibrationSpec's
+    * exact-mode cases pin that the packed totals then equal the
+    * tokenizer's own counts), or a materialized `token_count` column.
     */
   final val DefaultTextCostSql = "(n_chars + 3) div 4"
 

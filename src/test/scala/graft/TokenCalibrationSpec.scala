@@ -76,4 +76,62 @@ class TokenCalibrationSpec extends SparkSpec {
           s"${last * budget} — a sequence opened before its predecessor filled")
     }
   }
+
+  /** A GPT-2-format merges fixture whose token counts are small enough
+    * to verify by hand — the EXACT-mode contract: counts follow the
+    * published byte-level BPE algorithm, not a heuristic.
+    */
+  private def mergesFixture: String = {
+    val f = java.nio.file.Files.createTempFile("graft_merges", ".txt")
+    java.nio.file.Files.write(f,
+      "#version: 0.2 (graft test fixture)\nh e\nl l\nhe ll\nhell o\n"
+        .getBytes("UTF-8"))
+    f.toString
+  }
+
+  test("bpe_count follows byte-level BPE exactly on hand-checked cases") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val path = mergesFixture
+    val cases = Seq(
+      // full merge chain: h e -> he, l l -> ll, he ll -> hell, hell o
+      ("hello", 1),
+      // pretokens ["hello", " hello"]: the second carries the encoded
+      // space byte as its own symbol (no merge reaches across it), so
+      // it lands at [space, hello] = 2; total 1 + 2
+      ("hello hello", 3),
+      ("help", 3), // he, l, p
+      ("xyz", 3), // no merges apply
+      ("abc123", 6), // pretokenizer splits letters|digits; no merges
+      ("", 0))
+    cases.foreach { case (txt, want) =>
+      val got = Seq(txt).toDF("text")
+        .select(expr(s"bpe_count(text, '$path')").as("n"))
+        .head().getInt(0)
+      assert(got == want, s"bpe_count('$txt') = $got, want $want")
+    }
+  }
+
+  test("m11 exact mode: packed totals equal the tokenizer's own counts") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val path = mergesFixture
+    val costSql = s"bpe_count(text, '$path')"
+    val packed = Multimodal.m11With(spark, dir, costSql)
+    val packedTokens = packed.agg(sum($"text_tokens")).head().getLong(0)
+    val directTokens = Tables(spark, dir, "documents")
+      .agg(sum(expr(costSql)).cast("long")).head().getLong(0)
+    // dataloader-exact: the packing manifest's token totals ARE the
+    // tokenizer's counts, not a calibrated bound
+    assert(packedTokens == directTokens,
+      s"packed $packedTokens != tokenizer $directTokens")
+    // and the cumsum-assignment invariant holds under the exact cost
+    val budget = 2048L
+    packed.select($"source", $"seq", $"seq_tokens").collect()
+      .groupBy(_.getString(0)).foreach { case (src, rows) =>
+        val last = rows.map(_.getInt(1)).max
+        val beforeLast = rows.filter(_.getInt(1) < last).map(_.getLong(2)).sum
+        assert(beforeLast >= last * budget, s"$src: early sequence opened")
+      }
+  }
 }

@@ -286,11 +286,45 @@ class DedupQualitySpec extends SparkSpec {
       val r2 = (exact(q) & h2.getOrElse(q, Set())).size
       assert(r2 >= r1, s"query $q: multiprobe recall $r2 < single-probe $r1")
     }
-    // wider probing must actually buy recall somewhere
-    val total1 = exact.keys.map(q => (exact(q) & h1.getOrElse(q, Set())).size).sum
-    val total2 = exact.keys.map(q => (exact(q) & h2.getOrElse(q, Set())).size).sum
+    // wider probing must actually buy recall somewhere (toSeq first:
+    // a Set.map would collapse queries with equal hit counts)
+    val total1 = exact.keys.toSeq.map(q => (exact(q) & h1.getOrElse(q, Set())).size).sum
+    val total2 = exact.keys.toSeq.map(q => (exact(q) & h2.getOrElse(q, Set())).size).sum
     assert(total2 > total1,
       s"Hamming-2 probing bought no recall ($total2 <= $total1)")
+  }
+
+  test("s14 composed path: multiprobe recall survives the int8 shortlist") {
+    val S = graft.operators.Similarity
+    def topk(name: String): Map[Long, Set[Long]] =
+      S.queries(name)(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (q, v) => q -> v.map(_._2).toSet }
+    val exact = topk("s01_ann_bruteforce_topk")
+    val single = topk("s02_ann_lsh")
+    val multi = topk("s10_ann_multiprobe")
+    val composed = topk("s14_ann_composed")
+    // toSeq first: mapping over the key SET would collapse queries
+    // with equal hit counts before the sum
+    def hits(ap: Map[Long, Set[Long]]) =
+      exact.keys.toSeq.map(q => (exact(q) & ap.getOrElse(q, Set())).size).sum
+    // per query: the full pipeline must keep multiprobe's dominance
+    // over single-probe — the cheap-code stage sits BETWEEN candidate
+    // generation and the exact re-rank, so a recall collapse here means
+    // the int8 shortlist is mis-sized
+    exact.keys.foreach { q =>
+      val rc = (exact(q) & composed.getOrElse(q, Set())).size
+      val r1 = (exact(q) & single.getOrElse(q, Set())).size
+      assert(rc >= r1, s"query $q: composed recall $rc < single-probe $r1")
+    }
+    // corpus-wide: the 3xK shortlist may cost at most 2 of multiprobe's
+    // hits to quantization, and the measured floor stays pinned
+    // (measured on this frame: composed = multiprobe = 19/50 = 0.38)
+    assert(hits(composed) >= hits(multi) - 2,
+      s"int8 shortlist destroyed multiprobe recall: " +
+        s"${hits(composed)} < ${hits(multi)} - 2")
+    val total = hits(composed).toDouble / exact.values.map(_.size).sum
+    assert(total >= 0.35, s"composed recall@10 = $total, floor 0.35")
   }
 
   test("blocked d05 is a subset of exact pairs with identical cosines") {

@@ -1067,8 +1067,75 @@ object Relational {
       .orderBy($"o_orderpriority")
   }
 
+  /** q40: PARETO REVENUE COVERAGE per nation — the smallest top-spender
+    * prefix covering ≥80% of each nation's order revenue (by exact
+    * integer 5·cum ≥ 4·tot comparison — no float threshold can flip a
+    * boundary customer), with the covered share and the customer-base
+    * share that prefix represents. The "how concentrated is this
+    * market" report q22's deciles approximate and q25's global gate
+    * can't answer per group.
+    *
+    * Scale shape: ONE fact collapse to (custkey, cents) — partial-agg
+    * shuffle on the fact key — then a dim join and a single
+    * nation-keyed window shuffle carrying BOTH the ordered cumsum and
+    * the per-nation totals (same partitioning, one Exchange); the
+    * final rollup groups the already-nation-partitioned frame. Money
+    * stays exact integer cents (DECIMAL(38,0) accumulators) with ONE
+    * final double division per output column.
+    */
+  def q40(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = T(s, dir, "orders").groupBy($"o_custkey")
+      .agg(sum(cents($"o_totalprice")).as("rev_c"))
+    val wOrd = Window.partitionBy($"n_name")
+      .orderBy($"rev_c".desc, $"o_custkey".asc)
+    val wAll = Window.partitionBy($"n_name")
+    rev
+      .join(T(s, dir, "customer").select($"c_custkey", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(T(s, dir, "nation")
+        .select($"n_nationkey", $"n_name")), $"c_nationkey" === $"n_nationkey")
+      .withColumn("rnk", row_number().over(wOrd).cast("long"))
+      .withColumn("cum_c", sum($"rev_c".cast("decimal(38,0)")).over(wOrd))
+      .withColumn("tot_c", sum($"rev_c".cast("decimal(38,0)")).over(wAll))
+      .withColumn("n_customers", count(lit(1)).over(wAll))
+      .filter($"cum_c" * 5 >= $"tot_c" * 4)
+      .groupBy($"n_name")
+      .agg(min($"rnk").as("n_to_80"),
+        max($"n_customers").as("n_customers"),
+        // cum_c is monotone in rnk, so min(cum_c) IS the boundary row's
+        // cumulative — no arg_min needed, identical in both engines
+        min($"cum_c").as("cov_c"),
+        max($"tot_c").as("tot_c"))
+      .select($"n_name", $"n_to_80", $"n_customers",
+        expr("round(CAST(cov_c AS DOUBLE) / CAST(tot_c AS DOUBLE), 6)")
+          .as("covered_share"),
+        expr("round(CAST(n_to_80 AS DOUBLE) / CAST(n_customers AS DOUBLE), 6)")
+          .as("cust_share"))
+      .orderBy($"n_name")
+  }
+
   /** Oracle SQL (DuckDB dialect ≈ ANSI) mirroring each query above. */
   val oracle: Map[String, String] = Map(
+    "q40_cust_pareto" ->
+      """WITH rev AS (SELECT o_custkey,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        | FROM orders GROUP BY 1),
+        |j AS (SELECT n_name, o_custkey, rev_c
+        | FROM rev JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey),
+        |w AS (SELECT n_name, rev_c,
+        |  ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY rev_c DESC, o_custkey) AS rnk,
+        |  SUM(rev_c) OVER (PARTITION BY n_name ORDER BY rev_c DESC, o_custkey) AS cum_c,
+        |  SUM(rev_c) OVER (PARTITION BY n_name) AS tot_c,
+        |  COUNT(*) OVER (PARTITION BY n_name) AS n_customers
+        | FROM j)
+        |SELECT n_name, CAST(min(rnk) AS BIGINT) AS n_to_80,
+        | CAST(max(n_customers) AS BIGINT) AS n_customers,
+        | round(CAST(min(cum_c) AS DOUBLE) / CAST(max(tot_c) AS DOUBLE), 6) AS covered_share,
+        | round(CAST(min(rnk) AS DOUBLE) / CAST(max(n_customers) AS DOUBLE), 6) AS cust_share
+        |FROM w WHERE cum_c * 5 >= tot_c * 4
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q35_pivot_matrix" ->
       """SELECT o_orderstatus,
         | CAST(count(CASE WHEN pk = 'p1' THEN 1 END) AS BIGINT) AS p1,
@@ -1532,6 +1599,7 @@ object Relational {
     "q31_min_cost_supplier" -> (q31 _),
     "q32_dormant_capital" -> (q32 _),
     "q33_mom_growth" -> (q33 _),
-    "q34_modal_priority" -> (q34 _)
+    "q34_modal_priority" -> (q34 _),
+    "q40_cust_pareto" -> (q40 _)
   )
 }

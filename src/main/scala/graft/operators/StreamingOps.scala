@@ -417,7 +417,52 @@ object StreamingOps {
       .orderBy($"day")
   }
 
+  /** st14: UPSERT CHURN audit — per key (user), how often its
+    * materialized state actually CHANGES under arrival order
+    * (event_id, st09's arrival axis): event count, state-change count
+    * (arrival-adjacent type flips), distinct states, first/last state.
+    * st08 materializes the final state; this prices MAINTAINING it —
+    * a key with 500 events but 3 changes costs 3 upserts, and
+    * flip-flopping keys dominate a CDC sink's write amplification, so
+    * this audit is what sizes that sink (and the emit volume of
+    * st08's streaming twin, which emits exactly on winner changes).
+    *
+    * Scale shape: ONE user-keyed window shuffle (lag over arrival
+    * order); the rollup groups the already-user-partitioned frame —
+    * no second Exchange. min_by/max_by on the BIGINT event_id are
+    * exact in both engines (q38's argmin discipline). Streaming twin:
+    * `streaming.ChurnState.churn` (flatMapGroupsWithState, O(keys)
+    * state bounded by the type vocabulary), parity-pinned in
+    * StreamingSpec.
+    */
+  def st14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"event_id".asc)
+    T(s, dir, "events")
+      .select($"user_id", $"event_id", $"event_type")
+      .withColumn("prev", lag($"event_type", 1).over(w))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when($"prev".isNotNull && $"prev" =!= $"event_type", 1L)
+          .otherwise(0L)).as("n_changes"),
+        countDistinct($"event_type").as("n_types"),
+        min_by($"event_type", $"event_id").as("first_type"),
+        max_by($"event_type", $"event_id").as("last_type"))
+      .orderBy($"user_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "st14_upsert_churn" ->
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+        | FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(SUM(CASE WHEN prev IS NOT NULL AND prev <> event_type
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+        | CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        | arg_min(event_type, event_id) AS first_type,
+        | arg_max(event_type, event_id) AS last_type
+        |FROM o GROUP BY user_id ORDER BY user_id""".stripMargin,
     "st13_bounce_rate" ->
       """WITH marked AS (
         |  SELECT user_id, event_id, ts,
@@ -616,6 +661,7 @@ object StreamingOps {
     "st10_attribution_outer" -> (st10 _),
     "st11_window_topk" -> (st11 _),
     "st12_session_funnel" -> (st12 _),
-    "st13_bounce_rate" -> (st13 _)
+    "st13_bounce_rate" -> (st13 _),
+    "st14_upsert_churn" -> (st14 _)
   )
 }

@@ -1302,7 +1302,50 @@ object Text {
       .orderBy($"term", $"rk")
   }
 
+  /** t33: CROSS-DOC DUPLICATED-GRAM FRACTION — per doc, the share of
+    * its distinct 3-shingles that appear in at least one OTHER doc:
+    * t09 measures repetition WITHIN a doc, t29 scores first-occurrence
+    * novelty in doc_id order; this is the order-free "how much of this
+    * document is boilerplate the corpus already has" signal
+    * (RefinedWeb/CCNet-style duplicated-n-gram curation cut). A doc
+    * can be 100% novel by t29 (it came first) and still be 100%
+    * duplicated here — the two gates prune different docs.
+    *
+    * Scale shape: t29's exact two-shuffle corpus-frequency regime —
+    * explode distinct shingles (per-row codegen), ONE partial-agg
+    * shuffle on the gram key for document frequency, one gram-keyed
+    * join back (corpus-scale by design, same as t14's term join), one
+    * doc-keyed rollup. Shingles are [[graft.functions.Kernels]]
+    * codegen, distinct within doc, so count(*) per gram IS the df.
+    */
+  def t33(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    val grams = T(s, dir, "documents")
+      .select($"doc_id", explode(expr("shingles(split(text, ' '), 3)")).as("g"))
+    val df = grams.groupBy($"g").agg(count(lit(1)).as("df"))
+    grams.join(df, Seq("g"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"df" >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("dup_fraction", expr(
+        "round(CAST(n_shared AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)"))
+      .orderBy($"doc_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "t33_dup_gram_fraction" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |grams AS (SELECT doc_id, unnest(list_distinct(
+        |  [w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN generate_series(1, len(w) - 2)])) AS g
+        | FROM toks),
+        |df AS (SELECT g, count(*) AS df FROM grams GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_grams,
+        | CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        | round(CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / CAST(count(*) AS DOUBLE), 6) AS dup_fraction
+        |FROM grams JOIN df USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t31_rag_chunk" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
          |           FROM documents),
@@ -1804,6 +1847,7 @@ object Text {
     "t29_ngram_novelty" -> (t29 _),
     "t30_zipf_slope" -> (t30 _),
     "t31_rag_chunk" -> (t31 _),
-    "t32_bm25" -> (t32 _)
+    "t32_bm25" -> (t32 _),
+    "t33_dup_gram_fraction" -> (t33 _)
   )
 }

@@ -31,8 +31,18 @@ object Lineage {
       .filter(_.nonEmpty)
     dir match {
       case Some(d) =>
-        if (s.sparkContext.getCheckpointDir.isEmpty)
-          s.sparkContext.setCheckpointDir(d)
+        val sc = s.sparkContext
+        // setCheckpointDir appends a random UUID subdir under d, so
+        // "already configured" = the current dir lives under d. A bare
+        // isEmpty check would silently ignore a LATER change to the
+        // conf key in the same context and keep checkpointing into the
+        // first-installed directory.
+        def norm(p: String) =
+          p.stripPrefix("file:").replaceAll("/+$", "")
+        val want = norm(new java.io.File(d).getAbsolutePath)
+        val sameRoot =
+          sc.getCheckpointDir.exists(c => norm(c).startsWith(want))
+        if (!sameRoot) sc.setCheckpointDir(d)
         // lazy like the localCheckpoint path: materializes on first use,
         // so an iteration that short-circuits never pays the write
         df.checkpoint(eager = false)

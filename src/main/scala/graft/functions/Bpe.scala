@@ -99,7 +99,11 @@ object Bpe {
       var rank = 0
       src.getLines().foreach { line =>
         val t = line.trim
-        if (t.nonEmpty && !t.startsWith("#")) {
+        // Only the `#version: …` header is a comment in GPT-2-format
+        // merges files: '#' (byte 0x23) maps to itself in
+        // bytes-to-unicode, so lines like "# #" or "## #" are REAL
+        // merges and must not be dropped.
+        if (t.nonEmpty && !t.startsWith("#version")) {
           // rank = order of FIRST occurrence; later duplicates ignored
           if (ranks.putIfAbsent(t, rank) == null) rank += 1
         }

@@ -203,20 +203,20 @@ object Etl {
     val mergedValues: String =
       """(VALUES
         | ('1', 100, 'rs1', 'A', 'G', 60.0, 'PASS',
-        |   ['0/1','0/0','1/1','0/1'], [1,0,3,1], [10,12,-1,-1],
+        |   '0/1,0/0,1/1,0/1', '1,0,3,1', '10,12,-1,-1',
         |   1.0, 0.5, 1, 2, 1, 0),
         | ('1', 200, NULL, 'C', 'T', 99.0, 'PASS',
-        |   ['0/1','1/1','./.','./.'], [1,3,2,2], [8,9,-1,-1],
+        |   '0/1,1/1,./.,./.', '1,3,2,2', '8,9,-1,-1',
         |   0.5, 0.75, 0, 1, 1, 2),
         | ('2', 300, 'rs3', 'G', 'A', CAST(NULL AS DOUBLE), 'PASS',
-        |   ['./.','./.','1/2','0/2'], [2,2,1,0], [-1,-1,-1,-1],
+        |   './.,./.,1/2,0/2', '2,2,1,0', '-1,-1,-1,-1',
         |   0.5, 0.25, 1, 1, 0, 2),
         | ('2', 300, 'rs3', 'G', 'T', CAST(NULL AS DOUBLE), 'PASS',
-        |   ['./.','./.','1/2','0/2'], [2,2,1,1], [-1,-1,-1,-1],
+        |   './.,./.,1/2,0/2', '2,2,1,1', '-1,-1,-1,-1',
         |   0.5, 0.5, 0, 2, 0, 2)
-        |) m(chrom, pos, vid, ref, alt, qual, filter, gts, gt_types,
-        |    gt_depths, call_rate, aaf, num_hom_ref, num_het,
-        |    num_hom_alt, num_unknown)""".stripMargin
+        |) m(chrom, pos, vid, ref, alt, qual, filter, gts_str,
+        |    gt_types_str, gt_depths_str, call_rate, aaf, num_hom_ref,
+        |    num_het, num_hom_alt, num_unknown)""".stripMargin
   }
 
   // ---------------------------------------------------------------- queries
@@ -842,8 +842,14 @@ object Etl {
     val a = VcfReader.fromLines(s, VcfFixture.shardALines)
     val b = VcfReader.fromLines(s, VcfFixture.shardBLines)
     val (_, merged) = VcfReader.mergeVariants(Seq((a._1, a._2), (b._1, b._2)))
+    // Array columns are stringified (e15's discipline) so the driver's
+    // pandas row-sort never sees a raw ndarray cell.
     merged.select($"chrom", $"pos", $"vid", $"ref", $"alt", $"qual",
-        $"filter", $"gts", $"gt_types", $"gt_depths", $"call_rate",
+        $"filter",
+        concat_ws(",", $"gts").as("gts_str"),
+        concat_ws(",", $"gt_types".cast("array<string>")).as("gt_types_str"),
+        concat_ws(",", $"gt_depths".cast("array<string>")).as("gt_depths_str"),
+        $"call_rate",
         $"aaf", $"num_hom_ref", $"num_het", $"num_hom_alt", $"num_unknown")
       .orderBy($"chrom", $"pos", $"alt")
   }
@@ -949,8 +955,8 @@ object Etl {
     // e08_pack_blob: rows-only (zlib blobs are not ANSI-SQL-expressible)
     "e63_cohort_merge" ->
       s"""SELECT chrom, pos, vid, ref, alt,
-         | CAST(qual AS DOUBLE) AS qual, filter, gts, gt_types,
-         | gt_depths, CAST(call_rate AS DOUBLE) AS call_rate,
+         | CAST(qual AS DOUBLE) AS qual, filter, gts_str, gt_types_str,
+         | gt_depths_str, CAST(call_rate AS DOUBLE) AS call_rate,
          | CAST(aaf AS DOUBLE) AS aaf, num_hom_ref, num_het, num_hom_alt,
          | num_unknown
          |FROM ${VcfFixture.mergedValues}

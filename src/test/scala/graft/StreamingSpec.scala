@@ -520,6 +520,41 @@ class StreamStreamJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st14 streaming twin: ChurnState converges to the batch audit") {
+    import spark.implicits._
+    import graft.streaming.{ChurnEvent, ChurnRow, ChurnState}
+    implicit val sqlCtx = spark.sqlContext
+    val batch = graft.operators.StreamingOps
+      .st14(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))).toMap
+    // arrival axis = event_id (st09's definition): deliver in that order
+    val raw = graft.Tables(spark, "/root/testdata/sf0.001", "events")
+      .select($"user_id", $"event_id", $"event_type")
+      .as[ChurnEvent].collect().sortBy(_.event_id)
+    val input = MemoryStream[ChurnEvent]
+    val q = ChurnState.churn(input.toDS()).writeStream
+      .format("memory").queryName("churn_out").outputMode("update").start()
+    try {
+      // three micro-batches: flips spanning batch boundaries must count
+      val third = raw.length / 3
+      input.addData(raw.take(third).toSeq); q.processAllAvailable()
+      input.addData(raw.slice(third, 2 * third).toSeq); q.processAllAvailable()
+      input.addData(raw.drop(2 * third).toSeq); q.processAllAvailable()
+      val out = spark.table("churn_out").as[ChurnRow].collect()
+      // each emission strictly grows a key's n_events, so the max row
+      // per key is the converged audit
+      val fin = out.groupBy(_.user_id).map { case (u, rows) =>
+        u -> rows.maxBy(_.n_events) }
+      assert(fin.keySet == batch.keySet)
+      batch.foreach { case (u, (ne, nc, nt, ft, lt)) =>
+        val f = fin(u)
+        assert((f.n_events, f.n_changes, f.n_types, f.first_type, f.last_type)
+          == ((ne, nc, nt, ft, lt)), s"user $u diverged from batch st14")
+      }
+    } finally q.stop()
+  }
+
   test("st09 disorder audit matches a hand-rolled per-user replay") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"

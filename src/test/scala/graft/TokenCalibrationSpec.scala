@@ -112,6 +112,22 @@ class TokenCalibrationSpec extends SparkSpec {
     }
   }
 
+  test("bpe_count honors merge lines whose symbols are '#'") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // byte 0x23 maps to itself in bytes-to-unicode, so "# #" and
+    // "## #" are REAL merges in GPT-2-format files; only the
+    // `#version` header line is a comment. A loader that drops every
+    // '#'-prefixed line would leave "###" unmerged (count 3, not 1).
+    val f = java.nio.file.Files.createTempFile("graft_merges_hash", ".txt")
+    java.nio.file.Files.write(f,
+      "#version: 0.2\n# #\n## #\n".getBytes("UTF-8"))
+    val got = Seq("###").toDF("text")
+      .select(expr(s"bpe_count(text, '$f')").as("n"))
+      .head().getInt(0)
+    assert(got == 1, s"bpe_count('###') = $got, want 1 — '#' merges dropped")
+  }
+
   test("m11 exact mode: packed totals equal the tokenizer's own counts") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)

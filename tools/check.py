@@ -53,6 +53,22 @@ def norm(v):
     return f"{type(v).__name__}:{v}"
 
 
+def nested_cols(tbl):
+    """Column names whose Arrow type the DRIVER's checker cannot sort.
+
+    The driver row-sorts through pandas, and pandas' lexsort dies with
+    `unhashable type: numpy.ndarray` on list/struct cells (the round-10
+    e63 FAIL). This local gate handles Arrow lists fine via norm(), so
+    without this check it green-lights outputs the driver will crash
+    on. Oracle-checked queries must stringify arrays (concat_ws — e15's
+    discipline) instead of emitting them raw."""
+    import pyarrow.types as pat
+    return [f.name for f in tbl.schema
+            if pat.is_list(f.type) or pat.is_large_list(f.type)
+            or pat.is_fixed_size_list(f.type) or pat.is_struct(f.type)
+            or pat.is_map(f.type)]
+
+
 def canon(tbl):
     """Arrow table → (sorted col names, sorted row tuples).
 
@@ -100,6 +116,13 @@ def main(sf_dir, out_dir):
             if got_tbl.num_rows == 0:
                 print(f"    !! ZERO ROWS")
                 n_fail += 1
+            continue
+        nested = nested_cols(got_tbl)
+        if nested:
+            print(f"  ✗ {name}: RAW ARRAY/STRUCT OUTPUT {nested} — the "
+                  "driver's pandas row-sort crashes on these; stringify "
+                  "via concat_ws (e15's discipline)")
+            n_fail += 1
             continue
         try:
             exp_tbl = con.sql(oracle[name]).arrow()

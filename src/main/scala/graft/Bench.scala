@@ -78,7 +78,12 @@ object Bench {
     "q38_order_span", "q39_mad", "t31_rag_chunk", "t32_bm25",
     "e63_cohort_merge",
     // round-10: d18's bloom screen-then-confirm vs d15's full-delta join
-    "d18_bloom_delta")
+    "d18_bloom_delta",
+    // round-11: the four keys registered after the r10 bench ran —
+    // q40's nation-window Pareto, s14's composed serving path, t33's
+    // gram-df corpus join, st14's user-window churn audit
+    "q40_cust_pareto", "s14_ann_composed", "t33_dup_gram_fraction",
+    "st14_upsert_churn")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -180,7 +185,20 @@ object Bench {
           Double.box(tier2Total))},"tier2":${jsonMap(tier2)},""" +
           (if (phases.nonEmpty) s""""phases":${jsonMap(phases)},""" else "")
       else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","warmup":${jsonMap(warmup)},"passes":$passesJson,$tier2Json"queries":${jsonMap(best)}}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","warmup":${jsonMap(warmup)},"passes":$passesJson,$tier2Json"queries":${jsonMap(best)}}"""
+    println(line)
     System.out.flush()
+    // The driver records only the TAIL of the stdout line, which cuts
+    // tier-2 (and at 90+ headline keys, part of `queries`). Persist the
+    // complete line so every registered operator's number survives the
+    // round: committed as BENCH_FULL.json alongside the driver's
+    // BENCH_r{N}.json.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_FULL.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
+    }
   }
 }

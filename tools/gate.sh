@@ -6,7 +6,7 @@
 # script makes that class of failure mechanical to prevent.
 #
 # Usage:
-#   tools/gate.sh                 # full gate: compile + all 189 keys
+#   tools/gate.sh                 # full gate: compile + all registered keys
 #   tools/gate.sh d18 q37         # compile + only the named keys
 #   SKIP_SBT_TEST=0 tools/gate.sh # additionally run the ScalaTest suite
 #

@@ -83,7 +83,10 @@ object Bench {
     // q40's nation-window Pareto, s14's composed serving path, t33's
     // gram-df corpus join, st14's user-window churn audit
     "q40_cust_pareto", "s14_ann_composed", "t33_dup_gram_fraction",
-    "st14_upsert_churn")
+    "st14_upsert_churn",
+    // d19: the sharded-filter form of d18 — tracked beside it so the
+    // literal-vs-frame probe overhead stays visible round over round
+    "d19_bloom_sharded")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

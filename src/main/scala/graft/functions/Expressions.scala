@@ -602,6 +602,117 @@ case class RollingMinHash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Per-thread deserialized-Bloom-filter cache behind
+  * [[BloomContainsTag]]. Keyed by (query-unique tag, shard id): the
+  * tag is a literal minted per plan CONSTRUCTION, so a (tag, shard)
+  * pair can only ever name one filter — a fresh plan gets a fresh tag
+  * and can never read a stale entry. Thread-local (codegen'd tasks are
+  * single-threaded), capped to keep long-lived executors bounded.
+  */
+object BloomProbe {
+  private val cache = new ThreadLocal[
+      java.util.HashMap[(String, Long), org.apache.spark.util.sketch.BloomFilter]] {
+    override def initialValue() =
+      new java.util.HashMap[(String, Long), org.apache.spark.util.sketch.BloomFilter]()
+  }
+
+  def get(tag: String, shard: Long): org.apache.spark.util.sketch.BloomFilter =
+    cache.get().get((tag, shard))
+
+  def put(tag: String, shard: Long,
+      bytes: Array[Byte]): org.apache.spark.util.sketch.BloomFilter = {
+    val m = cache.get()
+    if (m.size() > 256) m.clear() // stale tags from completed queries
+    val f = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    m.put((tag, shard), f)
+    f
+  }
+}
+
+/** `bloom_contains_tag(bf, v, shard, 'tag')` — Spark's own
+  * BloomFilterMightContain requires its filter side to be a FOLDABLE
+  * literal, which is exactly the d18 scale ceiling: one driver-held
+  * binary in the plan. This variant probes a filter carried as an
+  * ordinary COLUMN (the sharded bloom frame broadcast-joined on its
+  * shard id), so the total filter size is bounded per SHARD, not per
+  * driver/plan.
+  *
+  * The serialized filter is deserialized once per (tag, shard) per
+  * thread via [[BloomProbe]], and — the part that matters at scale —
+  * the `bf` child is evaluated LAZILY: on a cache hit the generated
+  * code never touches the binary column at all, so the steady-state
+  * per-row cost is one hash-map probe + one mightContainLong, not a
+  * 10²-KB UnsafeRow binary copy per row. `tag` must be a string
+  * literal unique to one plan construction (mint a UUID).
+  */
+case class BloomContainsTag(bf: Expression, value: Expression,
+    shard: Expression, tagStr: String)
+    extends Expression {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+
+  override def children: Seq[Expression] = Seq(bf, value, shard)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean =
+    bf.deterministic && value.deterministic && shard.deterministic
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (bf.dataType, value.dataType, shard.dataType) match {
+      case (BinaryType, LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (b, v, sh) => TypeCheckResult.TypeCheckFailure(
+        s"bloom_contains_tag expects (binary, bigint, bigint), got ($b, $v, $sh)")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val v = value.eval(input)
+    val sh = shard.eval(input)
+    if (v == null || sh == null) return null
+    var f = BloomProbe.get(tagStr, sh.asInstanceOf[Long])
+    if (f == null) {
+      val bytes = bf.eval(input)
+      if (bytes == null) return null
+      f = BloomProbe.put(tagStr, sh.asInstanceOf[Long],
+        bytes.asInstanceOf[Array[Byte]])
+    }
+    java.lang.Boolean.valueOf(f.mightContainLong(v.asInstanceOf[Long]))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vEv = value.genCode(ctx)
+    val shEv = shard.genCode(ctx)
+    val bfEv = bf.genCode(ctx) // emitted INSIDE the cache-miss branch only
+    val tagRef = ctx.addReferenceObj("bloomTag", tagStr, "java.lang.String")
+    val filterCls = "org.apache.spark.util.sketch.BloomFilter"
+    ev.copy(code = code"""
+      ${vEv.code}
+      ${shEv.code}
+      boolean ${ev.isNull} = true;
+      boolean ${ev.value} = false;
+      if (!${vEv.isNull} && !${shEv.isNull}) {
+        $filterCls ${ev.value}_f =
+          graft.functions.BloomProbe.get($tagRef, ${shEv.value});
+        if (${ev.value}_f == null) {
+          ${bfEv.code}
+          if (!${bfEv.isNull}) {
+            ${ev.value}_f = graft.functions.BloomProbe.put(
+              $tagRef, ${shEv.value}, ${bfEv.value});
+          }
+        }
+        if (${ev.value}_f != null) {
+          ${ev.isNull} = false;
+          ${ev.value} = ${ev.value}_f.mightContainLong(${vEv.value});
+        }
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BloomContainsTag =
+    copy(bf = newChildren(0), value = newChildren(1), shard = newChildren(2))
+}
+
 /** Registers the custom expressions as SQL functions so both the
   * DataFrame API (`expr("simhash64(t)")`) and `spark.sql` can use them —
   * native Catalyst expressions, codegen-friendly, no UDF boxing.
@@ -648,7 +759,24 @@ object GraftFunctions {
     add("bloom_agg", GraftFunctions.bloomAggBuilder)
     add("bloom_contains", es =>
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1)))
+    add("bloom_contains_tag", bloomContainsTagBuilder)
     add("bpe_count", es => BpeCount(es(0), es(1)))
+  }
+
+  /** Shared by register() and GraftExtensions: the tag must be a
+    * non-null foldable string (a plan-construction-unique UUID), pulled
+    * out at build time so the cache key needs no per-row evaluation.
+    */
+  private[functions] val bloomContainsTagBuilder: Seq[Expression] => Expression = { es =>
+    require(es.length == 4,
+      "bloom_contains_tag(bf, value, shard, tag) takes exactly 4 arguments")
+    val tag = es(3) match {
+      case e if e.foldable => Option(e.eval()).map(_.toString)
+      case _ => None
+    }
+    BloomContainsTag(es(0), es(1), es(2), tag.getOrElse(
+      throw new IllegalArgumentException(
+        "bloom_contains_tag: tag must be a non-null string literal")))
   }
 
   /** Spark ships a production Bloom filter pair (BloomFilterAggregate /

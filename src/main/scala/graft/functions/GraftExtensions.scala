@@ -63,6 +63,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain],
       "bloom_contains(binary, xxhash64-long) - bloom membership probe",
       es => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1)))
+    inject("bloom_contains_tag", classOf[BloomContainsTag],
+      "bloom_contains_tag(bf-col, xxhash64-long, shard, 'tag') - " +
+        "sharded bloom probe (filter as a column, cached per (tag, shard))",
+      GraftFunctions.bloomContainsTagBuilder)
     inject("bpe_count", classOf[BpeCount],
       "bpe_count(string, merges_path) - exact byte-level BPE token count",
       es => BpeCount(es(0), es(1)))

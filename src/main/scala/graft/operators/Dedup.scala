@@ -1071,6 +1071,7 @@ object Dedup {
 
   val oracle: Map[String, String] = Map(
     "d18_bloom_delta" -> DeltaVerdictOracleSql,
+    "d19_bloom_sharded" -> DeltaVerdictOracleSql,
     "d17_threshold_sweep" ->
       s"""WITH pairs AS ($d04PairsSql),
          |sweep(tau) AS (VALUES ${SweepTaus.map(t => s"(${t}e0)").mkString(", ")})
@@ -1310,7 +1311,10 @@ object Dedup {
     * bounded binary (the serialized filter — the artifact a production
     * delta job persists and reloads instead of rebuilding; 800k bits
     * = 100 KB here, ~8 bits/key at any base size by re-sizing the two
-    * bloom_agg parameters).
+    * bloom_agg parameters). CEILING: the driver-held literal stops
+    * scaling around a few GB of filter (10^10-key bases) — above that,
+    * [[d19]] is the same screen with the filter SHARDED into a
+    * broadcast frame, no driver collection anywhere.
     */
   def d18(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1344,6 +1348,71 @@ object Dedup {
     misses.unionByName(hits).orderBy($"doc_id")
   }
 
+  /** Shard count for d19. 8 here (sf-sized); at a 10^10-key base the
+    * same plan runs with shards sized so each filter stays ~100 MB —
+    * the executor-memory bound, not a driver bound.
+    */
+  final val D19Shards = 8L
+
+  /** d19: SHARDED-BLOOM DELTA DEDUP — d18's screen-then-confirm with
+    * the ONE driver-held filter literal replaced by a FRAME of
+    * per-shard filters equi-joined on the shard id: d18's documented
+    * scale ceiling is the driver collecting and shipping the whole
+    * serialized filter inside the plan (fine at 100 KB, a driver
+    * bottleneck at a 10^10-key base ≈ 10 GB at 8 bits/key); here no
+    * single process ever holds more than one SHARD (total bits are
+    * unchanged, split by pmod(xxhash64(key), nShards)), the filter
+    * frame is built distributed and broadcast like any dim, and the
+    * probe is `bloom_contains_tag` — the filter travels as an ordinary
+    * binary COLUMN, deserialized once per (plan-unique tag, shard) per
+    * thread and then never re-read, so the steady-state per-row cost
+    * matches d18's literal probe (hash-map hit + bit test; the lazy
+    * codegen never copies the binary on a cache hit). Verdicts are
+    * bloom-independent exactly as in d18 (misses can't be base_dup,
+    * FPs die in the exact confirm), so d15's relational oracle applies
+    * verbatim; BloomScreenSpec pins shard-count invariance, zero false
+    * negatives, and row-for-row d15/d18 parity.
+    *
+    * Scale shape: one distributed agg to ≤nShards filter rows (partial
+    * buffers OR together per shard), one broadcast of that bounded
+    * frame, per-row codegen probe, and the same shrunken confirm join
+    * as d18. Above broadcastable total filter size, the same frame
+    * joins by shuffle on the shard id instead — the plan degrades
+    * gracefully where d18's literal simply cannot be built.
+    */
+  def d19(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    // plan-construction-unique cache tag: a (tag, shard) cache entry
+    // can never outlive its plan's meaning
+    val tag = java.util.UUID.randomUUID().toString
+    val docs = T(s, dir, "documents").withColumn("h", md5($"text"))
+    val baseKeys = docs.filter($"doc_id" % 2 === 0).select($"h").distinct()
+    val blooms = baseKeys
+      .withColumn("shard", pmod(xxhash64($"h"), lit(D19Shards)))
+      .groupBy($"shard")
+      .agg(call_function("bloom_agg", xxhash64($"h"),
+        lit(100000L / D19Shards), lit(800000L / D19Shards)).as("bf"))
+    val delta = docs.filter($"doc_id" % 2 === 1).select($"doc_id", $"h")
+    val firsts = delta.groupBy($"h").agg(min($"doc_id").as("first_id"))
+    val probed = delta.join(firsts, "h")
+      .withColumn("shard", pmod(xxhash64($"h"), lit(D19Shards)))
+      .join(broadcast(blooms), Seq("shard"))
+      .withColumn("maybe_base",
+        expr(s"bloom_contains_tag(bf, xxhash64(h), shard, '$tag')"))
+    val misses = probed.filter(!$"maybe_base")
+      .select($"doc_id", $"h",
+        when($"doc_id" =!= $"first_id", lit("delta_dup"))
+          .otherwise(lit("kept")).as("verdict"))
+    val hits = probed.filter($"maybe_base")
+      .join(baseKeys.withColumn("in_base", lit(true)), Seq("h"), "left")
+      .select($"doc_id", $"h",
+        when($"in_base".isNotNull, lit("base_dup"))
+          .when($"doc_id" =!= $"first_id", lit("delta_dup"))
+          .otherwise(lit("kept")).as("verdict"))
+    misses.unionByName(hits).orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact" -> (d01 _),
     "d02_dedup_minhash" -> (d02 _),
@@ -1362,6 +1431,7 @@ object Dedup {
     "d15_delta_dedup" -> (d15 _),
     "d16_minhash_audit" -> (d16 _),
     "d17_threshold_sweep" -> (d17 _),
-    "d18_bloom_delta" -> (d18 _)
+    "d18_bloom_delta" -> (d18 _),
+    "d19_bloom_sharded" -> (d19 _)
   )
 }

@@ -64,6 +64,52 @@ class BloomScreenSpec extends SparkSpec {
       "d18 and d15 disagree on at least one verdict row")
   }
 
+  test("d19 sharded screen matches d15 and d18 row-for-row") {
+    val d15 = Dedup.queries("d15_delta_dedup")(spark, dir)
+    val d19 = Dedup.queries("d19_bloom_sharded")(spark, dir)
+    assert(d15.schema.fieldNames.toSeq == d19.schema.fieldNames.toSeq)
+    assert(d19.exceptAll(d15).isEmpty && d15.exceptAll(d19).isEmpty,
+      "d19 and d15 disagree on at least one verdict row")
+  }
+
+  test("d19 per-shard filters have zero false negatives over their shard") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val tag = java.util.UUID.randomUUID().toString
+    val base = docsWithHash.filter($"doc_id" % 2 === 0).select($"h").distinct()
+      .withColumn("shard", pmod(xxhash64($"h"), lit(Dedup.D19Shards)))
+    val blooms = base.groupBy($"shard")
+      .agg(call_function("bloom_agg", xxhash64($"h"),
+        lit(100000L / Dedup.D19Shards), lit(800000L / Dedup.D19Shards)).as("bf"))
+    // every base key must hit ITS OWN shard's filter
+    val misses = base.join(broadcast(blooms), Seq("shard"))
+      .filter(!expr(s"bloom_contains_tag(bf, xxhash64(h), shard, '$tag')"))
+      .count()
+    assert(misses == 0L, s"$misses base keys missed their shard filter")
+    // and the filter frame is exactly the shard partition: ≤ nShards
+    // bounded rows, no driver-side anything
+    assert(blooms.count() <= Dedup.D19Shards)
+  }
+
+  test("d19 verdicts are shard-count invariant (cache tags never leak)") {
+    // run d19 twice in one JVM/session: fresh plan-unique tags mean the
+    // second run can never read the first run's cached filters even
+    // though shard ids repeat
+    val a = Dedup.queries("d19_bloom_sharded")(spark, dir).collect()
+    val b = Dedup.queries("d19_bloom_sharded")(spark, dir).collect()
+    assert(a.sameElements(b), "repeated d19 runs diverged — stale bloom cache?")
+  }
+
+  test("d19 probe plan broadcasts the filter frame (no shuffle, no BNLJ)") {
+    val plan = Dedup.queries("d19_bloom_sharded")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the sharded filter frame must broadcast-join on its shard id")
+    assert(!plan.contains("CartesianProduct"), "bloom probe must not cross-join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "bloom filter frame leaked into a nested-loop join")
+  }
+
   test("d18 probe plan is join-free up to the confirm (no bloom shuffle)") {
     val plan = Dedup.queries("d18_bloom_delta")(spark, dir)
       .queryExecution.executedPlan.toString

@@ -86,7 +86,11 @@ object Bench {
     "st14_upsert_churn",
     // d19: the sharded-filter form of d18 — tracked beside it so the
     // literal-vs-frame probe overhead stays visible round over round
-    "d19_bloom_sharded")
+    "d19_bloom_sharded",
+    // round-11 additions: d20's near-dup delta screen (the banded
+    // index probe), d21's split-leakage audit (d02 + split columns),
+    // s15's index-upsert occupancy audit
+    "d20_delta_minhash", "d21_split_leakage", "s15_index_upsert")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -193,11 +193,13 @@ object Dedup {
   private def d04Pairs(s: SparkSession, dir: String): DataFrame =
     jaccardPairs(T(s, dir, "documents"), minJaccard = 0.12)
 
-  /** General exact-Jaccard near-dup pairs over any (doc_id, text)
-    * frame — d04's engine (shared-shingle candidates under the
-    * stop-shingle DF cap, exact verify on full gram sets).
+  /** d04's candidate machinery over any (doc_id, text) frame: shared-
+    * shingle candidate pairs under the stop-shingle DF cap, each joined
+    * back to BOTH full gram sets with the exact intersection size
+    * precomputed — the (doc_a, doc_b, gs_a, gs_b, c) frame every exact
+    * set-overlap verifier (Jaccard, containment) scores from.
     */
-  def jaccardPairs(docsIn: DataFrame, minJaccard: Double): DataFrame = {
+  private def gramCandidateJoin(docsIn: DataFrame): DataFrame = {
     val s = docsIn.sparkSession
     import s.implicits._
     GraftFunctions.register(s)
@@ -213,10 +215,20 @@ object Dedup {
       .join(exRare.as("b"), $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
-    cand // exact Jaccard over the FULL gram sets of each candidate pair
+    cand // exact overlap over the FULL gram sets of each candidate pair
       .join(grams.select($"doc_id".as("doc_a"), $"gs".as("gs_a")), "doc_a")
       .join(grams.select($"doc_id".as("doc_b"), $"gs".as("gs_b")), "doc_b")
       .withColumn("c", expr("size(array_intersect(gs_a, gs_b))"))
+  }
+
+  /** General exact-Jaccard near-dup pairs over any (doc_id, text)
+    * frame — d04's engine (shared-shingle candidates under the
+    * stop-shingle DF cap, exact verify on full gram sets).
+    */
+  def jaccardPairs(docsIn: DataFrame, minJaccard: Double): DataFrame = {
+    val s = docsIn.sparkSession
+    import s.implicits._
+    gramCandidateJoin(docsIn)
       .withColumn("jaccard",
         expr("round(CAST(c AS DOUBLE) / (size(gs_a) + size(gs_b) - c), 6)"))
       // Column comparison, not an interpolated SQL literal: Scala
@@ -601,6 +613,60 @@ object Dedup {
        |  GROUP BY p.doc_a, p.doc_b)
        |SELECT doc_a, doc_b, round(CAST(n_eq AS DOUBLE) / 64.0, 6) AS est_jaccard
        |FROM neq ORDER BY doc_a, doc_b""".stripMargin)
+
+  /** d20 oracle: the same staged XXH64/MinHash/LSH replay, with the
+    * candidate join restricted to delta-vs-(base ∪ earlier-delta) and
+    * the d15-style verdict CASE on the confirmed matches.
+    */
+  private def d20OracleSql: String = minhashOracleSql(
+    s"""cand AS (SELECT DISTINCT d.doc_id AS did, o.doc_id AS oid
+       |  FROM capped d JOIN capped o ON d.band = o.band AND d.bhv = o.bhv
+       |  WHERE d.doc_id % 2 = 1 AND (o.doc_id % 2 = 0 OR o.doc_id < d.doc_id)),
+       |neq AS (SELECT c.did, c.oid, sum(CASE WHEN sa.hv = sb.hv THEN 1 ELSE 0 END) AS n_eq
+       |  FROM cand c
+       |  JOIN mins sa ON sa.doc_id = c.did
+       |  JOIN mins sb ON sb.doc_id = c.oid AND sb.j = sa.j
+       |  GROUP BY 1, 2),
+       |est AS (SELECT did, oid, round(CAST(n_eq AS DOUBLE) / 64.0, 6) AS ej FROM neq),
+       |conf AS (SELECT * FROM est WHERE ej >= 0.5),
+       |agg AS (SELECT did,
+       |    count(CASE WHEN oid % 2 = 0 THEN 1 END) AS n_base_confirmed,
+       |    min(CASE WHEN oid % 2 = 0 THEN oid END) AS first_base_match,
+       |    min(CASE WHEN oid % 2 = 1 THEN oid END) AS first_delta_match
+       |  FROM conf GROUP BY 1),
+       |roster AS (SELECT doc_id FROM documents
+       |  WHERE doc_id % 2 = 1 AND len(string_split(text, ' ')) >= 3)
+       |SELECT r.doc_id, coalesce(a.n_base_confirmed, 0) AS n_base_confirmed,
+       |  a.first_base_match, a.first_delta_match,
+       |  CASE WHEN coalesce(a.n_base_confirmed, 0) > 0 THEN 'base_near_dup'
+       |       WHEN a.first_delta_match IS NOT NULL THEN 'delta_near_dup'
+       |       ELSE 'kept' END AS verdict
+       |FROM roster r LEFT JOIN agg a ON a.did = r.doc_id ORDER BY doc_id""".stripMargin)
+
+  /** d21 oracle: d02's pair replay, confirmed at τ=0.5, each side
+    * joined to t16's md5-prefix split assignment (replayed verbatim —
+    * both engines emit identical md5 hex) and flagged when the pair
+    * straddles a split boundary.
+    */
+  private def d21OracleSql: String = minhashOracleSql(
+    s"""pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM capped a JOIN capped b ON a.band = b.band AND a.bhv = b.bhv AND a.doc_id < b.doc_id),
+       |neq AS (SELECT p.doc_a, p.doc_b, sum(CASE WHEN sa.hv = sb.hv THEN 1 ELSE 0 END) AS n_eq
+       |  FROM pairs p
+       |  JOIN mins sa ON sa.doc_id = p.doc_a
+       |  JOIN mins sb ON sb.doc_id = p.doc_b AND sb.j = sa.j
+       |  GROUP BY p.doc_a, p.doc_b),
+       |est AS (SELECT doc_a, doc_b, round(CAST(n_eq AS DOUBLE) / 64.0, 6) AS est_jaccard FROM neq),
+       |conf AS (SELECT * FROM est WHERE est_jaccard >= 0.5),
+       |spl AS (SELECT doc_id, CASE WHEN substr(md5(text), 1, 2) < 'cd' THEN 'train'
+       |    WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val' ELSE 'test' END AS split
+       |  FROM documents)
+       |SELECT c.doc_a, c.doc_b, c.est_jaccard, sa.split AS split_a, sb.split AS split_b,
+       |  CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END AS leaks
+       |FROM conf c
+       |JOIN spl sa ON sa.doc_id = c.doc_a
+       |JOIN spl sb ON sb.doc_id = c.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin)
 
   private def d14OracleSql: String = minhashOracleSql(
     s"""cand AS (SELECT DISTINCT e.doc_id AS eval_id, c.doc_id AS doc_id
@@ -1072,6 +1138,9 @@ object Dedup {
   val oracle: Map[String, String] = Map(
     "d18_bloom_delta" -> DeltaVerdictOracleSql,
     "d19_bloom_sharded" -> DeltaVerdictOracleSql,
+    "d20_delta_minhash" -> d20OracleSql,
+    "d21_split_leakage" -> d21OracleSql,
+    "d22_containment" -> d22OracleSql,
     "d17_threshold_sweep" ->
       s"""WITH pairs AS ($d04PairsSql),
          |sweep(tau) AS (VALUES ${SweepTaus.map(t => s"(${t}e0)").mkString(", ")})
@@ -1264,7 +1333,11 @@ object Dedup {
   /** The d04 pair query (shared text between the d04 oracle and d07's
     * edge-list CTE), sans presentation sort.
     */
-  private def d04PairsSql: String =
+  /** The CTE chain through `joined` (candidate pairs + exact
+    * intersection/set sizes) shared by the d04 and d22 oracles — the
+    * SQL twin of [[gramCandidateJoin]].
+    */
+  private def gramJoinedSql: String =
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |grams AS (SELECT doc_id,
        |  list_distinct([w[i] || ' ' || w[i+1] FOR i IN generate_series(1, len(w) - 1)]) AS gs
@@ -1279,10 +1352,26 @@ object Dedup {
        |  len(ga.gs) AS na, len(gb.gs) AS nb
        |  FROM cand
        |  JOIN grams ga ON ga.doc_id = doc_a
-       |  JOIN grams gb ON gb.doc_id = doc_b)
+       |  JOIN grams gb ON gb.doc_id = doc_b)""".stripMargin
+
+  private def d04PairsSql: String =
+    s"""$gramJoinedSql
        |SELECT doc_a, doc_b, round(CAST(c AS DOUBLE) / (na + nb - c), 6) AS jaccard
        |FROM joined
        |WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.12e0""".stripMargin
+
+  /** d22 oracle: the shared gram-candidate chain scored by containment. */
+  private def d22OracleSql: String =
+    s"""$gramJoinedSql
+       |SELECT doc_a, doc_b,
+       |  round(CAST(c AS DOUBLE) / least(na, nb), 6) AS containment,
+       |  round(CAST(c AS DOUBLE) / (na + nb - c), 6) AS jaccard,
+       |  CASE WHEN na <= nb THEN doc_a ELSE doc_b END AS contained_doc,
+       |  CAST(CASE WHEN CAST(c AS DOUBLE) / (na + nb - c) < 0.5e0
+       |       THEN 1 ELSE 0 END AS INTEGER) AS asym
+       |FROM joined
+       |WHERE CAST(c AS DOUBLE) / least(na, nb) >= ${ContainTau}e0
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** d18: BLOOM-SCREENED DELTA DEDUP — d15's delta-vs-base question
     * with the base join REPLACED by a screen-then-confirm plan: a Bloom
@@ -1413,6 +1502,142 @@ object Dedup {
     misses.unionByName(hits).orderBy($"doc_id")
   }
 
+  /** Confirmation threshold (on the 64-lane estimated Jaccard) shared
+    * by d20/d21 — d14's τ: the near-identical-copy regime.
+    */
+  final val DeltaNearTau = 0.5
+
+  /** d20: NEAR-DUP DELTA DEDUP — d15's incremental shape applied to
+    * NEAR duplicates: the arriving delta (odd doc_ids) screens against
+    * the base corpus (even doc_ids) through d02's MinHash+LSH index
+    * WITHOUT re-deduping the base — the production daily-ingest pass
+    * that catches the re-crawled page with a new timestamp, which
+    * d15's exact md5 key misses. Each delta doc is verdicted
+    * `base_near_dup` (a confirmed base match at est-Jaccard ≥
+    * [[DeltaNearTau]]), `delta_near_dup` (only an EARLIER delta doc
+    * matches — first-wins, d15's convention), or `kept`; confirmed
+    * match ids ride along for survivor routing.
+    *
+    * Scale shape: signatures never shuffle; in production the base's
+    * banded buckets are the PERSISTED index (built once, appended
+    * per-delta — never recomputed from base text, exactly d15's
+    * pre-materialized key store), so the only per-delta work is the
+    * equi-join of the delta's bucket rows against it under the same
+    * ≤50 bucket cap as d02, the candidate-bounded signature confirm,
+    * and one partial agg on the delta doc id. The same staged DuckDB
+    * XXH64 replay as d02/d14 verifies every lane hash, bucket, and
+    * verdict bit for bit.
+    */
+  def d20(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sig = signatures(s, dir)
+    val capped = bandBuckets(sig)
+    val cand = capped.filter($"doc_id" % 2 === 1).as("d")
+      .join(capped.as("o"),
+        $"d.band" === $"o.band" && $"d.bh" === $"o.bh" &&
+          ($"o.doc_id" % 2 === 0 || $"o.doc_id" < $"d.doc_id"))
+      .select($"d.doc_id".as("did"), $"o.doc_id".as("oid"))
+      .distinct()
+    val conf = cand
+      .join(sig.select($"doc_id".as("did"), $"sig".as("sig_d")), "did")
+      .join(sig.select($"doc_id".as("oid"), $"sig".as("sig_o")), "oid")
+      .select($"did", $"oid",
+        expr("round(size(filter(zip_with(sig_d, sig_o, (x, y) -> x = y), v -> v)) / 64.0e0, 6)")
+          .as("ej"))
+      .filter($"ej" >= DeltaNearTau)
+    val agg = conf.groupBy($"did")
+      .agg(count(when($"oid" % 2 === 0, 1)).as("n_base_confirmed"),
+        min(when($"oid" % 2 === 0, $"oid")).as("first_base_match"),
+        min(when($"oid" % 2 === 1, $"oid")).as("first_delta_match"))
+      .withColumnRenamed("did", "doc_id")
+    T(s, dir, "documents")
+      .filter($"doc_id" % 2 === 1 && size(split($"text", " ")) >= 3)
+      .select($"doc_id")
+      .join(agg, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_base_confirmed", lit(0L)).as("n_base_confirmed"),
+        $"first_base_match", $"first_delta_match",
+        when(coalesce($"n_base_confirmed", lit(0L)) > 0, lit("base_near_dup"))
+          .when($"first_delta_match".isNotNull, lit("delta_near_dup"))
+          .otherwise(lit("kept")).as("verdict"))
+      .orderBy($"doc_id")
+  }
+
+  /** d21: SPLIT-LEAKAGE AUDIT — the check every team runs before
+    * training: near-dup pairs (d02's MinHash+LSH engine, confirmed at
+    * est-Jaccard ≥ [[DeltaNearTau]]) annotated with each side's
+    * t16 content-hash split assignment and flagged (`leaks`=1) when
+    * the pair STRADDLES a train/val/test boundary — i.e. a paraphrased
+    * copy of a training document sits in the eval split, silently
+    * inflating eval numbers. t16's md5-keyed split makes EXACT copies
+    * collide into the same split by construction; this audit measures
+    * the near-dup leakage that rule cannot prevent. All confirmed
+    * pairs are emitted (not just leaking ones) so the report doubles
+    * as the τ-level dedup worklist; at 100 TB the remedy is moving
+    * flagged eval docs out, not re-splitting.
+    *
+    * Scale shape: exactly d02's — the banded candidate self-join under
+    * the bucket cap is the one designed shuffle; the split columns are
+    * per-row md5 prefixes (codegen, no join against any split table).
+    * The staged DuckDB replay confirms pairs AND splits bit for bit.
+    */
+  def d21(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = T(s, dir, "documents")
+    val splits = docs.select($"doc_id",
+      when(expr("substring(md5(text), 1, 2)") < "cd", "train")
+        .when(expr("substring(md5(text), 1, 2)") < "e6", "val")
+        .otherwise("test").as("split"))
+    minhashPairs(docs, DeltaNearTau)
+      .join(splits.select($"doc_id".as("doc_a"), $"split".as("split_a")), "doc_a")
+      .join(splits.select($"doc_id".as("doc_b"), $"split".as("split_b")), "doc_b")
+      .select($"doc_a", $"doc_b", $"est_jaccard", $"split_a", $"split_b",
+        when($"split_a" =!= $"split_b", 1).otherwise(0).as("leaks"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Containment threshold for d22 — high enough to mean "most of the
+    * smaller document's content appears verbatim in the larger one",
+    * low enough to yield pairs at every test SF (check.py's
+    * 0-row-oracle DEGENERATE rule).
+    */
+  final val ContainTau = 0.6
+
+  /** d22: CONTAINMENT DEDUP — the asymmetric overlap symmetric Jaccard
+    * is blind to: a short document quoted wholesale inside a long one
+    * (the syndicated article embedded in an aggregator page, the README
+    * pasted into a mega-doc) has containment |A∩B|/min(|A|,|B|) ≈ 1
+    * while Jaccard |A∩B|/|A∪B| stays far below any dedup τ because the
+    * union is dominated by the long side. d22 scores d04's candidate
+    * pairs by exact gram-set containment, emits both measures, names
+    * the contained (smaller-gram-set) side for removal routing, and
+    * flags `asym`=1 the pairs Jaccard-keyed dedup (d02/d04 at τ=0.5)
+    * would have missed — the operator's whole yield at production τ.
+    *
+    * Scale shape: d04's verbatim — the shared-rare-shingle candidate
+    * join under the stop-shingle DF cap is the one designed shuffle
+    * (a contained doc always shares its rare shingles with its
+    * container, so candidate generation loses nothing); exact
+    * containment touches only candidate pairs. Oracle = the same CTE
+    * chain as d04's with the containment SELECT.
+    */
+  def d22(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    gramCandidateJoin(T(s, dir, "documents"))
+      .filter(expr("CAST(c AS DOUBLE) / least(size(gs_a), size(gs_b))")
+        >= lit(ContainTau))
+      .select($"doc_a", $"doc_b",
+        expr("round(CAST(c AS DOUBLE) / least(size(gs_a), size(gs_b)), 6)")
+          .as("containment"),
+        expr("round(CAST(c AS DOUBLE) / (size(gs_a) + size(gs_b) - c), 6)")
+          .as("jaccard"),
+        when(expr("size(gs_a)") <= expr("size(gs_b)"), $"doc_a")
+          .otherwise($"doc_b").as("contained_doc"),
+        when(expr("CAST(c AS DOUBLE) / (size(gs_a) + size(gs_b) - c)")
+          < lit(0.5), 1).otherwise(0).as("asym"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact" -> (d01 _),
     "d02_dedup_minhash" -> (d02 _),
@@ -1432,6 +1657,9 @@ object Dedup {
     "d16_minhash_audit" -> (d16 _),
     "d17_threshold_sweep" -> (d17 _),
     "d18_bloom_delta" -> (d18 _),
-    "d19_bloom_sharded" -> (d19 _)
+    "d19_bloom_sharded" -> (d19 _),
+    "d20_delta_minhash" -> (d20 _),
+    "d21_split_leakage" -> (d21 _),
+    "d22_containment" -> (d22 _)
   )
 }

@@ -596,7 +596,64 @@ object Similarity {
           .as("skew"))
   }
 
+  /** s15: INDEX UPSERT AUDIT — the maintenance view of s02's LSH
+    * index: the standing corpus (even vec_ids) is the built index, the
+    * arriving batch (odd vec_ids) is the upsert; per bucket, the
+    * before/after occupancy, the delta fraction, and a `needs_split`
+    * flag (post-upsert occupancy above 2× the uniform expectation —
+    * the bucket an operator re-planes or sub-buckets before its next
+    * candidate join goes quadratic). s13 profiles a STATIC index;
+    * s15 answers the incremental question — does TODAY'S batch keep
+    * the index balanced, and which buckets must be split before
+    * tomorrow's — without touching the standing side's vectors.
+    *
+    * Scale shape: one scan computing the codegen sign bucket per side,
+    * map-side combine into ≤2^[[NPlanes]] constant keys, and a
+    * single-row total broadcast into the flag (d03's count shape) —
+    * cost is one pass over the batch plus one over the index keys
+    * regardless of corpus size; the flag threshold is an integer
+    * cross-multiplication, never a float quotient.
+    */
+  def s15(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val b = T(s, dir, "embeddings")
+      .select($"vec_id", bucketCol("embedding").as("bucket"))
+    val sides = b.groupBy($"bucket")
+      .agg(count(when($"vec_id" % 2 === 0, 1)).as("n_base"),
+        count(when($"vec_id" % 2 === 1, 1)).as("n_delta"))
+    val total = b.select(count(lit(1)).as("n_total"))
+    sides.crossJoin(broadcast(total))
+      .select($"bucket", $"n_base", $"n_delta",
+        expr("round(CAST(n_delta AS DOUBLE) / CAST(n_base + n_delta AS DOUBLE), 6)")
+          .as("delta_frac"),
+        when(($"n_base" + $"n_delta") * lit((1 << NPlanes).toLong) >
+          lit(2L) * $"n_total", 1).otherwise(0).as("needs_split"))
+      .orderBy($"bucket")
+  }
+
   val oracle: Map[String, String] = Map(
+    "s15_index_upsert" -> {
+      val planeRows = (0 until NPlanes).map { j =>
+        val arr = plane(j, Dims).mkString(", ")
+        s"($j, [$arr]::DOUBLE[])"
+      }.mkString(",\n ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p(j, pv) AS (VALUES
+         | $planeRows),
+         |b AS (SELECT e.vec_id,
+         |  CAST(SUM(CASE WHEN list_inner_product(e.v, p.pv) > 0 THEN (1 << p.j) ELSE 0 END) AS INTEGER) AS bucket
+         |  FROM e, p GROUP BY e.vec_id),
+         |sides AS (SELECT bucket,
+         |    count(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS n_base,
+         |    count(CASE WHEN vec_id % 2 = 1 THEN 1 END) AS n_delta
+         |  FROM b GROUP BY 1),
+         |tot AS (SELECT count(*) AS n_total FROM b)
+         |SELECT bucket, n_base, n_delta,
+         |  round(CAST(n_delta AS DOUBLE) / CAST(n_base + n_delta AS DOUBLE), 6) AS delta_frac,
+         |  CAST(CASE WHEN (n_base + n_delta) * ${1 << NPlanes} > 2 * n_total THEN 1 ELSE 0 END AS INTEGER) AS needs_split
+         |FROM sides, tot ORDER BY bucket""".stripMargin
+    },
     "s13_lsh_bucket_stats" -> {
       val planeRows = (0 until NPlanes).map { j =>
         val arr = plane(j, Dims).mkString(", ")
@@ -1026,6 +1083,7 @@ object Similarity {
     "s11_ann_scalar_quant" -> (s11 _),
     "s14_ann_composed" -> (s14 _),
     "s12_filtered_ann" -> (s12 _),
-    "s13_lsh_bucket_stats" -> (s13 _)
+    "s13_lsh_bucket_stats" -> (s13 _),
+    "s15_index_upsert" -> (s15 _)
   )
 }

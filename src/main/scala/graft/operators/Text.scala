@@ -418,6 +418,16 @@ object Text {
     */
   private val VocabSize = 4096
 
+  /** The "curated reference" source slice t34 trains against — the
+    * stand-in for the books+wiki positive class of the CCNet/GPT-3
+    * quality filter (in production this is its own corpus; here a
+    * deterministic source subset so both engines derive identical
+    * labels). ~20% of docs at every SF. Declared above the oracle map
+    * (object-init order: non-literal vals referenced by `oracle` must
+    * precede it).
+    */
+  private final val RefSources = Seq("src0", "src1", "src2", "src3")
+
   /** t10: corpus-level unigram log-prob scoring — the perplexity-proxy
     * quality filter (CCNet-style, with the corpus itself as the LM):
     * docs of common words score high, gibberish scores low. Two stages:
@@ -1700,6 +1710,32 @@ object Text {
          |m AS (SELECT doc_id, min(hv) AS mh FROM h GROUP BY doc_id)
          |SELECT doc_id, ${OracleSql.toSigned("mh")} AS fp
          |FROM m ORDER BY doc_id""".stripMargin,
+    "t34_quality_classifier" -> {
+      val refIn = RefSources.map(r => s"'$r'").mkString(", ")
+      s"""WITH toks AS (SELECT doc_id,
+         |  CASE WHEN source IN ($refIn) THEN 1 ELSE 0 END AS is_ref,
+         |  unnest(string_split(text, ' ')) AS tok FROM documents),
+         |counts AS (SELECT tok, count(*) AS cnt,
+         |  count(CASE WHEN is_ref = 1 THEN 1 END) AS pc FROM toks GROUP BY tok),
+         |tot AS (SELECT count(CASE WHEN is_ref = 1 THEN 1 END) AS ptot,
+         |  count(CASE WHEN is_ref = 0 THEN 1 END) AS ntot FROM toks),
+         |vocab AS (SELECT tok,
+         |  CAST(round(log10(
+         |   ((CAST(pc AS DOUBLE) + 0.5) / (CAST((SELECT ptot FROM tot) AS DOUBLE) + 0.5)) /
+         |   ((CAST(cnt - pc AS DOUBLE) + 0.5) / (CAST((SELECT ntot FROM tot) AS DOUBLE) + 0.5))), 6)
+         |   AS DECIMAL(18,6)) AS lo
+         |  FROM counts ORDER BY cnt DESC, tok ASC LIMIT $VocabSize),
+         |scored AS (SELECT t.doc_id, t.is_ref,
+         |  coalesce(v.lo, CAST(round(log10(
+         |   (0.5e0 / (CAST((SELECT ptot FROM tot) AS DOUBLE) + 0.5)) /
+         |   (0.5e0 / (CAST((SELECT ntot FROM tot) AS DOUBLE) + 0.5))), 6) AS DECIMAL(18,6))) AS lo
+         |  FROM toks t LEFT JOIN vocab v USING (tok))
+         |SELECT doc_id, is_ref, CAST(count(*) AS BIGINT) AS n_toks,
+         | CAST(CAST(sum(lo) AS DECIMAL(38,6)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS score,
+         | CAST(CASE WHEN CAST(CAST(sum(lo) AS DECIMAL(38,6)) AS DOUBLE) / CAST(count(*) AS DOUBLE) > 0.0e0
+         |      THEN 1 ELSE 0 END AS INTEGER) AS pred
+         |FROM scored GROUP BY doc_id, is_ref ORDER BY doc_id""".stripMargin
+    },
     "t10_unigram_logprob" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
          |  FROM documents),
@@ -1815,6 +1851,64 @@ object Text {
          |ORDER BY doc_id""".stripMargin
   )
 
+  /** t34: LEARNED QUALITY CLASSIFIER — the CCNet/GPT-3 pipeline's
+    * "does this look like the reference corpus?" filter, as a
+    * Naive-Bayes linear model trained INSIDE the query: per-token
+    * smoothed log-odds of the curated [[RefSources]] class vs the rest
+    * over the top-[[VocabSize]] vocabulary, then every document scored
+    * by its mean token log-odds (OOV tokens take the 0.5-count floor,
+    * t10's convention) with the keep/drop prediction and the true
+    * label for in-query precision auditing. t02/t15 are hand-written
+    * heuristic gates; t34 is the data-driven gate trained on a
+    * reference corpus — the third leg of a production quality stack.
+    *
+    * Scale regime = t10's exactly: one (tok) partial-agg shuffle for
+    * the class counts (heavy hitters absorbed map-side), top-V via
+    * TakeOrderedAndProject, log-odds fixed to 6 decimals on identical
+    * double operands, per-doc scoring = broadcast vocab left-join +
+    * exact order-free DECIMAL sum + one (doc_id) partial-agg shuffle;
+    * only single-row class totals cross as broadcasts. The score is
+    * the raw IEEE quotient of bit-identical operands (no final round —
+    * t10's rounding-tie lesson); the prediction thresholds that same
+    * quotient, so it can never disagree with the score.
+    */
+  def t34(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = T(s, dir, "documents")
+      .select($"doc_id",
+        when($"source".isin(RefSources: _*), 1).otherwise(0).as("is_ref"),
+        explode(split($"text", " ")).as("tok"))
+    val counts = toks.groupBy($"tok").agg(
+      count(lit(1)).as("cnt"),
+      count(when($"is_ref" === 1, 1)).as("pc"))
+    val totals = toks.agg(
+      count(when($"is_ref" === 1, 1)).as("ptot"),
+      count(when($"is_ref" === 0, 1)).as("ntot"))
+    val vocab = counts.orderBy($"cnt".desc, $"tok".asc).limit(VocabSize)
+      .crossJoin(broadcast(totals))
+      .select($"tok", expr(
+        """CAST(round(log10(
+          |  ((CAST(pc AS DOUBLE) + 0.5) / (CAST(ptot AS DOUBLE) + 0.5)) /
+          |  ((CAST(cnt - pc AS DOUBLE) + 0.5) / (CAST(ntot AS DOUBLE) + 0.5))), 6)
+          | AS DECIMAL(18,6))""".stripMargin).as("lo"))
+    val scoreExpr =
+      "CAST(CAST(sum(lo) AS DECIMAL(38,6)) AS DOUBLE) / CAST(count(1) AS DOUBLE)"
+    toks
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .crossJoin(broadcast(totals))
+      .select($"doc_id", $"is_ref", coalesce($"lo", expr(
+        """CAST(round(log10(
+          |  (0.5e0 / (CAST(ptot AS DOUBLE) + 0.5)) /
+          |  (0.5e0 / (CAST(ntot AS DOUBLE) + 0.5))), 6) AS DECIMAL(18,6))""".stripMargin))
+        .as("lo"))
+      .groupBy($"doc_id", $"is_ref")
+      .agg(count(lit(1)).as("n_toks"),
+        expr(scoreExpr).as("score"),
+        expr(s"CAST(CASE WHEN $scoreExpr > 0.0e0 THEN 1 ELSE 0 END AS INT)")
+          .as("pred"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_lang_id" -> (t01 _),
     "t02_quality_score" -> (t02 _),
@@ -1848,6 +1942,7 @@ object Text {
     "t30_zipf_slope" -> (t30 _),
     "t31_rag_chunk" -> (t31 _),
     "t32_bm25" -> (t32 _),
-    "t33_dup_gram_fraction" -> (t33 _)
+    "t33_dup_gram_fraction" -> (t33 _),
+    "t34_quality_classifier" -> (t34 _)
   )
 }

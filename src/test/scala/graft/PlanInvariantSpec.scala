@@ -42,6 +42,9 @@ class PlanInvariantSpec extends SparkSpec {
     // single-row corpus-total broadcast into the vocab log-probs and
     // the OOV floor (d03's count shape, used twice)
     "t10_unigram_logprob" -> 2,
+    // single-row class-totals broadcast into the vocab log-odds and
+    // the OOV floor (t10's shape exactly)
+    "t34_quality_classifier" -> 2,
     // three SINGLE-ROW stage counts combined into the one funnel row
     "q16_funnel" -> 2,
     // single-row doc-count broadcast into the idf term (t10's shape)
@@ -58,6 +61,9 @@ class PlanInvariantSpec extends SparkSpec {
     // single-row weight-total broadcast into the per-source quota
     // (t10/t14's count shape)
     "t17_temperature_mix" -> 1,
+    // single-row index-total broadcast into the needs_split flag
+    // (d03's count shape)
+    "s15_index_upsert" -> 1,
     // single-row global-revenue total broadcast into the HAVING gate
     "q25_value_concentration" -> 1,
     // single-row positive-balance (total, count) broadcast into the
@@ -90,6 +96,16 @@ class PlanInvariantSpec extends SparkSpec {
       // suite-bounded in production, so AQE may broadcast it, but the
       // designed key is the bucket, not a dim
       "d14_fuzzy_decontaminate",
+      // delta-vs-(base ∪ earlier-delta) candidate join on the same
+      // capped (band, bucket-hash) key — d14's regime with the delta
+      // in the probe role
+      "d20_delta_minhash",
+      // d02's banded pair self-join verbatim (the split columns are
+      // per-row md5 prefixes, no extra join shape)
+      "d21_split_leakage",
+      // d04's rare-shingle candidate self-join verbatim, scored by
+      // containment instead of Jaccard — same designed shuffle key
+      "d22_containment",
       // phash-chunk bucket self-join — d03's banded regime on the
       // 56-bit dHash; neither side is a broadcastable dim at corpus
       // scale (AQE may convert at tiny SF)

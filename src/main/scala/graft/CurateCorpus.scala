@@ -42,7 +42,10 @@ object CurateCorpus {
   case class Report(nInput: Long, nAfterExactDedup: Long,
       nAfterLineDedup: Long, nAfterNearDedup: Long, nAfterQuality: Long,
       nAfterDecontam: Long, nCodeRouted: Long = 0L,
-      nAfterBoilerTrim: Option[Long] = None)
+      nAfterBoilerTrim: Option[Long] = None,
+      nAfterContainment: Option[Long] = None,
+      nAfterLearnedQuality: Option[Long] = None,
+      nLeakPairs: Option[Long] = None)
 
   /** @param docs       corpus with at least (doc_id: long, text: string)
     * @param outDir     survivors land here as parquet (redacted text)
@@ -60,13 +63,29 @@ object CurateCorpus {
     *                   opt-in for small corpora where exact pair
     *                   recall at the threshold matters more than the
     *                   self-join's df-driven fan-out)
+    * @param containment optional d22 threshold — when set, each
+    *                   containment pair's contained (smaller-gram-set)
+    *                   side drops after near-dup clustering: the
+    *                   wholesale-quote asymmetry Jaccard clustering is
+    *                   blind to
+    * @param refCorpus  optional reference corpus (doc_id, text) — when
+    *                   set, t34's Naive-Bayes gate trains on
+    *                   (survivors=0 ∪ reference=1) and keeps only docs
+    *                   scored closer to the reference, the data-driven
+    *                   leg beside the t02 heuristic cut
+    * @param auditLeakage when true, d21's split-leakage audit runs on
+    *                   the written survivors and lands at
+    *                   `<outDir>-leakage` as a report artifact
     */
   def run(docs: DataFrame, outDir: String,
       minScore: Double = 0.25, maxDup3: Double = 0.6,
       minJaccard: Double = 0.5, benchmark: Option[DataFrame] = None,
       ngram: Int = 4, routeCode: Boolean = false,
       trimBoilerplate: Boolean = false,
-      nearDup: String = "minhash"): Report = {
+      nearDup: String = "minhash",
+      containment: Option[Double] = None,
+      refCorpus: Option[DataFrame] = None,
+      auditLeakage: Boolean = false): Report = {
     require(nearDup == "minhash" || nearDup == "exact",
       s"nearDup must be 'minhash' or 'exact', got '$nearDup'")
     val spark = docs.sparkSession
@@ -142,28 +161,68 @@ object CurateCorpus {
     // the near frame carries everything downstream; its inputs are dead
     lineD.unpersist(); scored.unpersist()
 
+    // 3.6 (optional) CONTAINMENT dedup (d22 rule): the short doc quoted
+    //     wholesale inside a long one has containment ≈ 1 but Jaccard
+    //     far below stage 3's τ (the union is dominated by the long
+    //     side), so clustering never merged the pair; here the
+    //     contained (smaller-gram-set) side drops. Runs on the CLUSTER
+    //     SURVIVORS, so the candidate join never re-sees the near-dup
+    //     mass stage 3 already removed.
+    val (contained, nContain) = containment match {
+      case Some(tau) =>
+        val drop = Dedup.containmentPairs(
+            near.select($"doc_id", $"text"), tau)
+          .select($"contained_doc".as("doc_id")).distinct()
+        val kept = near.join(drop, Seq("doc_id"), "left_anti").persist()
+        val n = kept.count()
+        (kept, Some(n))
+      case None => (near, None)
+    }
+
     // 3.5 (optional) modality routing: t20's oracle-verified code rule
     //     diverts code docs to their own lane BEFORE the prose-tuned
     //     quality cut (t02/t15 signals punish code for being code);
     //     the code lane still gets decontamination + redaction below
     //     and lands in <outDir>-code. Per-row codegen, shuffle-free.
     val (prose, codeLane) = if (routeCode) {
-      val flagged = Text.codeSignals(near)
+      val flagged = Text.codeSignals(contained)
         .drop("n_words", "n_sym", "sym_frac", "n_kw", "camel_frac")
       (flagged.filter(!$"is_code").drop("is_code"),
         Some(flagged.filter($"is_code").drop("is_code").persist()))
-    } else (near, None)
+    } else (contained, None)
     val nCode = codeLane.map(_.count()).getOrElse(0L)
 
     // 4. quality + repetition cut (t02/t09 signals) — per-row codegen,
     //    shuffle-free
-    val quality = prose
+    val heuristic = prose
       .filter($"q_score" >= minScore &&
         (coalesce($"q_dup3", lit(0.0)) <= maxDup3))
       .drop("q_score", "q_dup3")
       .persist()
-    val nQuality = quality.count()
+    val nQuality = heuristic.count()
     near.unpersist()
+    if (containment.isDefined) contained.unpersist()
+
+    // 4.5 (optional) LEARNED quality gate (t34 rule): a Naive-Bayes
+    //     model trained on (survivors=0 ∪ reference=1) keeps docs whose
+    //     mean token log-odds says "reference-like" — the data-driven
+    //     gate beside (never instead of) the heuristic cut, exactly the
+    //     CCNet/GPT-3 stack. Scale shape is t34's: one token shuffle,
+    //     top-V TakeOrdered, broadcast vocab scoring join.
+    val (quality, nLearned) = refCorpus match {
+      case Some(ref) =>
+        val train = heuristic.select($"doc_id", lit(0).as("is_ref"), $"text")
+          .unionByName(ref.select($"doc_id", lit(1).as("is_ref"), $"text"))
+        val keepIds = Text.nbQualityScores(train)
+          .filter($"is_ref" === 0 && $"pred" === 1)
+          .select($"doc_id")
+        val kept = heuristic.join(keepIds, Seq("doc_id"), "left_semi")
+          .persist()
+        val n = kept.count()
+        heuristic.unpersist()
+        (kept, Some(n))
+      case None => (heuristic, None)
+    }
 
     // 5. decontamination (d08) on the RAW text — it must run before
     //    redaction, or contamination hidden behind a redacted span
@@ -200,22 +259,39 @@ object CurateCorpus {
         .write.mode("overwrite").parquet(s"$outDir-code")
       c.unpersist()
     }
+    // 7. (optional) split-leakage report artifact (d21 rule) over the
+    //    WRITTEN survivors (read back — the audit must see exactly what
+    //    shipped, and reading parquet beats recomputing the lineage):
+    //    near-dup pairs straddling the t16 hash-split boundary, the
+    //    eval-inflation audit every training run wants on file.
+    val nLeaks = if (auditLeakage) {
+      val audit = Dedup.splitLeakageOf(
+        spark.read.parquet(outDir).select($"doc_id", $"text"),
+        Dedup.DeltaNearTau)
+      audit.write.mode("overwrite").parquet(s"$outDir-leakage")
+      Some(spark.read.parquet(s"$outDir-leakage")
+        .filter($"leaks" === 1).count())
+    } else None
+
     quality.unpersist()
     if (benchmark.isDefined) clean.unpersist()
-    Report(nInput, nExact, nLine, nNear, nQuality, nClean, nCode, nTrim)
+    Report(nInput, nExact, nLine, nNear, nQuality, nClean, nCode, nTrim,
+      nContain, nLearned, nLeaks)
   }
 
   private val usage =
     "usage: CurateCorpus <inParquet> <outDir> [--benchmark=path] " +
       "[--min-score=0.25] [--max-dup3=0.6] [--min-jaccard=0.5] " +
       "[--route-code=false] [--trim-boilerplate=false] " +
-      "[--near-dup=minhash|exact]"
+      "[--near-dup=minhash|exact] [--containment=tau] " +
+      "[--ref-corpus=path] [--audit-leakage=false]"
 
   /** CLI twin of [[Vcf2Db.main]]: curate a parquet corpus in one run. */
   def main(args: Array[String]): Unit = {
     val (flag, positional) = Cli.parse(args,
       Set("benchmark", "min-score", "max-dup3", "min-jaccard",
-        "route-code", "trim-boilerplate", "near-dup"), usage)
+        "route-code", "trim-boilerplate", "near-dup", "containment",
+        "ref-corpus", "audit-leakage"), usage)
     require(positional.length == 2, usage)
     val spark = GraftSession.build()
     try {
@@ -228,12 +304,18 @@ object CurateCorpus {
         benchmark = bench,
         routeCode = flag("route-code").exists(_.toBoolean),
         trimBoilerplate = flag("trim-boilerplate").exists(_.toBoolean),
-        nearDup = flag("near-dup").getOrElse("minhash"))
+        nearDup = flag("near-dup").getOrElse("minhash"),
+        containment = flag("containment").map(_.toDouble),
+        refCorpus = flag("ref-corpus").map(spark.read.parquet(_)),
+        auditLeakage = flag("audit-leakage").exists(_.toBoolean))
       println(s"[curate] input=${r.nInput} exact=${r.nAfterExactDedup} " +
         r.nAfterBoilerTrim.map(n => s"boiler=$n ").getOrElse("") +
         s"line=${r.nAfterLineDedup} near=${r.nAfterNearDedup} " +
-        s"quality=${r.nAfterQuality} decontam=${r.nAfterDecontam} " +
-        s"code=${r.nCodeRouted}")
+        r.nAfterContainment.map(n => s"contain=$n ").getOrElse("") +
+        s"quality=${r.nAfterQuality} " +
+        r.nAfterLearnedQuality.map(n => s"learned=$n ").getOrElse("") +
+        s"decontam=${r.nAfterDecontam} code=${r.nCodeRouted}" +
+        r.nLeakPairs.map(n => s" leak_pairs=$n").getOrElse(""))
     } finally spark.stop()
   }
 }

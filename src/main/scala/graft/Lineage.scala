@@ -40,8 +40,13 @@ object Lineage {
         def norm(p: String) =
           p.stripPrefix("file:").replaceAll("/+$", "")
         val want = norm(new java.io.File(d).getAbsolutePath)
-        val sameRoot =
-          sc.getCheckpointDir.exists(c => norm(c).startsWith(want))
+        // Match on a path boundary: a sibling dir sharing a string
+        // prefix (want=/x/ckpt vs current=/x/ckpt2/<uuid>) is NOT the
+        // same root and must trigger a re-install.
+        val sameRoot = sc.getCheckpointDir.exists { c =>
+          val n = norm(c)
+          n == want || n.startsWith(want + "/")
+        }
         if (!sameRoot) sc.setCheckpointDir(d)
         // lazy like the localCheckpoint path: materializes on first use,
         // so an iteration that short-circuits never pays the write

@@ -102,12 +102,20 @@ object Dedup {
     * buckets are dropped: their members are caught by OTHER bands or
     * flagged for exact dedup instead). Shared by d02 and d14.
     */
-  private def bandBuckets(sig: DataFrame): DataFrame = {
+  /** Uncapped banded bucket rows (doc_id, band, bh) — the raw LSH
+    * index layout; [[bandBuckets]] adds the skew cap on top.
+    */
+  private def bandRows(sig: DataFrame): DataFrame = {
     import sig.sparkSession.implicits._
-    val bands = sig
+    sig
       .select($"doc_id", $"sig", explode(expr("sequence(0, 15)")).as("band"))
       .withColumn("bh", expr("xxhash64(band, slice(sig, band * 4 + 1, 4))"))
       .select($"doc_id", $"band", $"bh")
+  }
+
+  private def bandBuckets(sig: DataFrame): DataFrame = {
+    import sig.sparkSession.implicits._
+    val bands = bandRows(sig)
     val keep = bands.groupBy($"band", $"bh")
       .agg(count(lit(1)).as("bsz")).filter($"bsz" <= 50)
       .select($"band", $"bh")
@@ -1036,12 +1044,32 @@ object Dedup {
     */
   def d15(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = T(s, dir, "documents").withColumn("h", md5($"text"))
-    val base = docs.filter($"doc_id" % 2 === 0).select($"h").distinct()
-      .withColumn("in_base", lit(true))
-    val delta = docs.filter($"doc_id" % 2 === 1)
-    val firsts = delta.groupBy($"h").agg(min($"doc_id").as("first_id"))
-    delta.join(base, Seq("h"), "left")
+    d15Probe(d15Index(s, dir),
+      T(s, dir, "documents").filter($"doc_id" % 2 === 1))
+  }
+
+  /** d15's persisted key store: the base corpus's distinct content
+    * hashes. In production this frame is written once and appended per
+    * delta — [[d15Probe]] never recomputes it from base text.
+    */
+  def d15Index(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "documents").filter($"doc_id" % 2 === 0)
+      .select(md5($"text").as("h")).distinct()
+  }
+
+  /** Probe-only leg of d15: verdicts a (doc_id, text) delta frame
+    * against a prebuilt key store (any frame with a distinct `h`
+    * column — typically [[d15Index]] reloaded from parquet). Touches
+    * no base text by construction.
+    */
+  def d15Probe(baseKeys: DataFrame, delta: DataFrame): DataFrame = {
+    val s = delta.sparkSession
+    import s.implicits._
+    val d = delta.withColumn("h", md5($"text"))
+    val firsts = d.groupBy($"h").agg(min($"doc_id").as("first_id"))
+    d.join(baseKeys.select($"h").withColumn("in_base", lit(true)),
+        Seq("h"), "left")
       .join(firsts, "h")
       .withColumn("verdict",
         when($"in_base".isNotNull, lit("base_dup"))
@@ -1465,11 +1493,33 @@ object Dedup {
     * Scale shape: one distributed agg to ≤nShards filter rows (partial
     * buffers OR together per shard), one broadcast of that bounded
     * frame, per-row codegen probe, and the same shrunken confirm join
-    * as d18. Above broadcastable total filter size, the same frame
-    * joins by shuffle on the shard id instead — the plan degrades
-    * gracefully where d18's literal simply cannot be built.
+    * as d18. The broadcast hint is SIZE-CONDITIONAL (total filter
+    * bytes vs `spark.sql.autoBroadcastJoinThreshold`): above
+    * broadcastable total filter size the hint is omitted and the same
+    * frame joins by shuffle on the shard id instead — the plan
+    * degrades gracefully where d18's literal simply cannot be built.
+    * The filter join is a LEFT join: a shard with no base keys has no
+    * filter row, and a missing/null filter is by definition a bloom
+    * MISS (empty base ⇒ nothing can be base_dup), never a dropped row.
     */
-  def d19(s: SparkSession, dir: String): DataFrame = {
+  def d19(s: SparkSession, dir: String): DataFrame =
+    d19Screen(s, dir, D19Shards, 100000L, 800000L)
+
+  /** Parses `spark.sql.autoBroadcastJoinThreshold` ("10MB", "-1", raw
+    * bytes) into bytes; ≤0 means broadcasting is disabled.
+    */
+  private def broadcastThresholdBytes(s: SparkSession): Long = {
+    val raw = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim
+    if (raw.startsWith("-")) -1L
+    else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+  }
+
+  /** d19's screen with the sizing knobs exposed (spec entry point:
+    * BloomScreenSpec drives the shuffle-degrade and empty-base cases
+    * through these).
+    */
+  def d19Screen(s: SparkSession, dir: String, nShards: Long,
+      totalItems: Long, totalBits: Long): DataFrame = {
     import s.implicits._
     GraftFunctions.register(s)
     // plan-construction-unique cache tag: a (tag, shard) cache entry
@@ -1478,17 +1528,27 @@ object Dedup {
     val docs = T(s, dir, "documents").withColumn("h", md5($"text"))
     val baseKeys = docs.filter($"doc_id" % 2 === 0).select($"h").distinct()
     val blooms = baseKeys
-      .withColumn("shard", pmod(xxhash64($"h"), lit(D19Shards)))
+      .withColumn("shard", pmod(xxhash64($"h"), lit(nShards)))
       .groupBy($"shard")
       .agg(call_function("bloom_agg", xxhash64($"h"),
-        lit(100000L / D19Shards), lit(800000L / D19Shards)).as("bf"))
+        lit(totalItems / nShards), lit(totalBits / nShards)).as("bf"))
+    // Hint only when the whole filter frame (totalBits/8 payload plus
+    // per-row overhead) fits the session's broadcast threshold; above
+    // it, no hint — the frame shuffle-joins on its shard id.
+    val filterFrameBytes = totalBits / 8 + nShards * 64
+    val threshold = broadcastThresholdBytes(s)
+    val bloomSide =
+      if (threshold > 0 && filterFrameBytes <= threshold) broadcast(blooms)
+      else blooms
     val delta = docs.filter($"doc_id" % 2 === 1).select($"doc_id", $"h")
     val firsts = delta.groupBy($"h").agg(min($"doc_id").as("first_id"))
     val probed = delta.join(firsts, "h")
-      .withColumn("shard", pmod(xxhash64($"h"), lit(D19Shards)))
-      .join(broadcast(blooms), Seq("shard"))
+      .withColumn("shard", pmod(xxhash64($"h"), lit(nShards)))
+      .join(bloomSide, Seq("shard"), "left")
       .withColumn("maybe_base",
-        expr(s"bloom_contains_tag(bf, xxhash64(h), shard, '$tag')"))
+        coalesce(
+          expr(s"bloom_contains_tag(bf, xxhash64(h), shard, '$tag')"),
+          lit(false)))
     val misses = probed.filter(!$"maybe_base")
       .select($"doc_id", $"h",
         when($"doc_id" =!= $"first_id", lit("delta_dup"))
@@ -1518,40 +1578,119 @@ object Dedup {
     * matches — first-wins, d15's convention), or `kept`; confirmed
     * match ids ride along for survivor routing.
     *
-    * Scale shape: signatures never shuffle; in production the base's
-    * banded buckets are the PERSISTED index (built once, appended
-    * per-delta — never recomputed from base text, exactly d15's
-    * pre-materialized key store), so the only per-delta work is the
-    * equi-join of the delta's bucket rows against it under the same
-    * ≤50 bucket cap as d02, the candidate-bounded signature confirm,
-    * and one partial agg on the delta doc id. The same staged DuckDB
+    * Scale shape: signatures never shuffle; the base's signatures,
+    * banded bucket rows, and per-bucket counts are the PERSISTED index
+    * ([[MinhashIndex]], built by [[d20Index]] once, written to parquet,
+    * reloaded per delta — never recomputed from base text, exactly
+    * d15's pre-materialized key store), so the only per-delta work in
+    * [[d20Probe]] is the equi-join of the delta's bucket rows against
+    * it under the same ≤50 bucket cap as d02 (combined base+delta
+    * count, evaluated only on the delta's own buckets — a bucket with
+    * no delta row yields no candidates), the candidate-bounded
+    * signature confirm, and one partial agg on the delta doc id. The
+    * registered query is the composed form; the same staged DuckDB
     * XXH64 replay as d02/d14 verifies every lane hash, bucket, and
-    * verdict bit for bit.
+    * verdict bit for bit, and IncrementalIndexSpec pins that a probe
+    * from a parquet-reloaded index over an in-memory delta (no base
+    * text reachable at all) reproduces it row for row.
     */
   def d20(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sig = signatures(s, dir)
-    val capped = bandBuckets(sig)
-    val cand = capped.filter($"doc_id" % 2 === 1).as("d")
-      .join(capped.as("o"),
-        $"d.band" === $"o.band" && $"d.bh" === $"o.bh" &&
-          ($"o.doc_id" % 2 === 0 || $"o.doc_id" < $"d.doc_id"))
+    d20Probe(d20Index(s, dir),
+      T(s, dir, "documents").filter($"doc_id" % 2 === 1))
+  }
+
+  /** The persisted near-dup index: base signatures, UNCAPPED banded
+    * bucket rows, and per-bucket row counts (precomputed so the probe
+    * never re-aggregates the index). `write`/`load` are the production
+    * persistence pair; appending a delta = unioning its sigs/buckets
+    * and merging counts.
+    */
+  final case class MinhashIndex(sigs: DataFrame, buckets: DataFrame,
+      counts: DataFrame) {
+    def write(path: String): Unit = {
+      sigs.write.mode("overwrite").parquet(s"$path/sigs.parquet")
+      buckets.write.mode("overwrite").parquet(s"$path/buckets.parquet")
+      counts.write.mode("overwrite").parquet(s"$path/counts.parquet")
+    }
+  }
+
+  object MinhashIndex {
+    def load(s: SparkSession, path: String): MinhashIndex =
+      MinhashIndex(
+        s.read.parquet(s"$path/sigs.parquet"),
+        s.read.parquet(s"$path/buckets.parquet"),
+        s.read.parquet(s"$path/counts.parquet"))
+  }
+
+  /** Builds d20's base-side index from the testdata convention (even
+    * doc_ids = base corpus).
+    */
+  def d20Index(s: SparkSession, dir: String): MinhashIndex = {
+    import s.implicits._
+    d20IndexOf(T(s, dir, "documents").filter($"doc_id" % 2 === 0))
+  }
+
+  /** Builds a [[MinhashIndex]] over any (doc_id, text) frame. */
+  def d20IndexOf(base: DataFrame): MinhashIndex = {
+    val s = base.sparkSession
+    import s.implicits._
+    val sigs = minhashSignatures(base)
+    val buckets = bandRows(sigs)
+    val counts = buckets.groupBy($"band", $"bh")
+      .agg(count(lit(1)).as("base_cnt"))
+    MinhashIndex(sigs, buckets, counts)
+  }
+
+  /** Probe-only leg of d20: verdicts a (doc_id, text) delta frame
+    * against a prebuilt [[MinhashIndex]] without touching base text.
+    * A doc_id must not appear in both the index and the delta (the
+    * base/delta split is the caller's contract, as in d15).
+    */
+  def d20Probe(index: MinhashIndex, delta: DataFrame): DataFrame = {
+    val s = delta.sparkSession
+    import s.implicits._
+    val dSigs = minhashSignatures(delta)
+    val dBuckets = bandRows(dSigs)
+    val dCnts = dBuckets.groupBy($"band", $"bh")
+      .agg(count(lit(1)).as("delta_cnt"))
+    // d02's combined-population skew cap (base rows + delta rows ≤ 50),
+    // evaluated only on buckets the delta actually touches: the
+    // index-side count is precomputed, so this join is delta-bounded.
+    val allowed = dCnts
+      .join(index.counts, Seq("band", "bh"), "left")
+      .filter(coalesce($"base_cnt", lit(0L)) + $"delta_cnt" <= 50)
+      .select($"band", $"bh")
+    val dB = dBuckets.join(allowed, Seq("band", "bh"))
+    val baseCand = dB.as("d")
+      .join(index.buckets.as("o"),
+        $"d.band" === $"o.band" && $"d.bh" === $"o.bh")
       .select($"d.doc_id".as("did"), $"o.doc_id".as("oid"))
-      .distinct()
+    val deltaCand = dB.as("d")
+      .join(dB.as("o"),
+        $"d.band" === $"o.band" && $"d.bh" === $"o.bh" &&
+          $"o.doc_id" < $"d.doc_id")
+      .select($"d.doc_id".as("did"), $"o.doc_id".as("oid"))
+    val cand = baseCand.unionByName(deltaCand).distinct()
+    // origin flag, not doc_id parity: the probe API takes ANY delta
+    // frame, so "base match" must mean "matched an index row"
+    val allSigs = index.sigs.withColumn("is_base", lit(true))
+      .unionByName(dSigs.withColumn("is_base", lit(false)))
     val conf = cand
-      .join(sig.select($"doc_id".as("did"), $"sig".as("sig_d")), "did")
-      .join(sig.select($"doc_id".as("oid"), $"sig".as("sig_o")), "oid")
-      .select($"did", $"oid",
+      .join(dSigs.select($"doc_id".as("did"), $"sig".as("sig_d")), "did")
+      .join(allSigs.select($"doc_id".as("oid"), $"sig".as("sig_o"),
+        $"is_base"), "oid")
+      .select($"did", $"oid", $"is_base",
         expr("round(size(filter(zip_with(sig_d, sig_o, (x, y) -> x = y), v -> v)) / 64.0e0, 6)")
           .as("ej"))
       .filter($"ej" >= DeltaNearTau)
     val agg = conf.groupBy($"did")
-      .agg(count(when($"oid" % 2 === 0, 1)).as("n_base_confirmed"),
-        min(when($"oid" % 2 === 0, $"oid")).as("first_base_match"),
-        min(when($"oid" % 2 === 1, $"oid")).as("first_delta_match"))
+      .agg(count(when($"is_base", 1)).as("n_base_confirmed"),
+        min(when($"is_base", $"oid")).as("first_base_match"),
+        min(when(!$"is_base", $"oid")).as("first_delta_match"))
       .withColumnRenamed("did", "doc_id")
-    T(s, dir, "documents")
-      .filter($"doc_id" % 2 === 1 && size(split($"text", " ")) >= 3)
+    delta
+      .filter(size(split($"text", " ")) >= 3)
       .select($"doc_id")
       .join(agg, Seq("doc_id"), "left")
       .select($"doc_id",
@@ -1581,14 +1720,20 @@ object Dedup {
     * per-row md5 prefixes (codegen, no join against any split table).
     * The staged DuckDB replay confirms pairs AND splits bit for bit.
     */
-  def d21(s: SparkSession, dir: String): DataFrame = {
+  def d21(s: SparkSession, dir: String): DataFrame =
+    splitLeakageOf(T(s, dir, "documents"), DeltaNearTau)
+
+  /** d21's audit over any (doc_id, text) frame — the CurateCorpus
+    * report artifact runs this on the job's own survivors.
+    */
+  def splitLeakageOf(docs: DataFrame, tau: Double): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val docs = T(s, dir, "documents")
     val splits = docs.select($"doc_id",
       when(expr("substring(md5(text), 1, 2)") < "cd", "train")
         .when(expr("substring(md5(text), 1, 2)") < "e6", "val")
         .otherwise("test").as("split"))
-    minhashPairs(docs, DeltaNearTau)
+    minhashPairs(docs, tau)
       .join(splits.select($"doc_id".as("doc_a"), $"split".as("split_a")), "doc_a")
       .join(splits.select($"doc_id".as("doc_b"), $"split".as("split_b")), "doc_b")
       .select($"doc_a", $"doc_b", $"est_jaccard", $"split_a", $"split_b",
@@ -1623,9 +1768,21 @@ object Dedup {
     */
   def d22(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    gramCandidateJoin(T(s, dir, "documents"))
+    containmentPairs(T(s, dir, "documents"), ContainTau)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** d22's containment scoring over any (doc_id, text) frame — the
+    * CurateCorpus containment-dedup stage drops each pair's
+    * `contained_doc`. Unordered (pipeline use); d22 adds the total
+    * ORDER BY the oracle compare needs.
+    */
+  def containmentPairs(docs: DataFrame, tau: Double): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    gramCandidateJoin(docs)
       .filter(expr("CAST(c AS DOUBLE) / least(size(gs_a), size(gs_b))")
-        >= lit(ContainTau))
+        >= lit(tau))
       .select($"doc_a", $"doc_b",
         expr("round(CAST(c AS DOUBLE) / least(size(gs_a), size(gs_b)), 6)")
           .as("containment"),
@@ -1635,7 +1792,6 @@ object Dedup {
           .otherwise($"doc_b").as("contained_doc"),
         when(expr("CAST(c AS DOUBLE) / (size(gs_a) + size(gs_b) - c)")
           < lit(0.5), 1).otherwise(0).as("asym"))
-      .orderBy($"doc_a", $"doc_b")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

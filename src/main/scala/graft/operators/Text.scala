@@ -1874,10 +1874,23 @@ object Text {
     */
   def t34(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val toks = T(s, dir, "documents")
+    nbQualityScores(T(s, dir, "documents")
       .select($"doc_id",
         when($"source".isin(RefSources: _*), 1).otherwise(0).as("is_ref"),
-        explode(split($"text", " ")).as("tok"))
+        $"text"))
+  }
+
+  /** t34's Naive-Bayes engine over any (doc_id, is_ref, text) frame —
+    * CurateCorpus's learned-quality gate trains it on (corpus=0 ∪
+    * reference=1) and keeps the corpus docs predicted 1. A doc_id may
+    * legitimately appear once per class (grouping is by (doc_id,
+    * is_ref)); token statistics are class-level and id-independent.
+    */
+  def nbQualityScores(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = docs
+      .select($"doc_id", $"is_ref", explode(split($"text", " ")).as("tok"))
     val counts = toks.groupBy($"tok").agg(
       count(lit(1)).as("cnt"),
       count(when($"is_ref" === 1, 1)).as("pc"))

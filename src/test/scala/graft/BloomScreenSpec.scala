@@ -110,6 +110,45 @@ class BloomScreenSpec extends SparkSpec {
       "bloom filter frame leaked into a nested-loop join")
   }
 
+  test("d19 degrades to a shuffle join above the broadcast threshold") {
+    // Disable broadcasting entirely: d19's size condition must omit
+    // the hint, the filter frame must shuffle-join on shard, and the
+    // verdicts must be IDENTICAL — the hint is strategy, not semantics.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prior = spark.conf.get(key)
+    try {
+      val d15 = Dedup.queries("d15_delta_dedup")(spark, dir)
+      spark.conf.set(key, "-1")
+      val d19 = Dedup.queries("d19_bloom_sharded")(spark, dir)
+      val plan = d19.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        "threshold -1 must force the filter frame off the broadcast path")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"))
+      assert(d19.exceptAll(d15).isEmpty && d15.exceptAll(d19).isEmpty,
+        "shuffle-joined d19 disagrees with d15 on at least one verdict")
+    } finally spark.conf.set(key, prior)
+  }
+
+  test("d19 on an empty base verdicts every delta row (no silent drops)") {
+    import spark.implicits._
+    // All-odd slice: no base keys, so no shard has a filter row. The
+    // left join + null-as-miss must still verdict every delta doc
+    // (kept / delta_dup), matching d15 and d18 on the same slice.
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-d19-emptybase").toString
+    Tables(spark, dir, "documents").filter($"doc_id" % 2 === 1)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val nDelta = spark.read.parquet(s"$tmp/documents.parquet").count()
+    val d19 = Dedup.queries("d19_bloom_sharded")(spark, tmp)
+    assert(d19.count() == nDelta,
+      "empty-base d19 dropped delta rows instead of verdicting them")
+    assert(d19.filter($"verdict" === "base_dup").count() == 0L)
+    val d15 = Dedup.queries("d15_delta_dedup")(spark, tmp)
+    assert(d19.exceptAll(d15).isEmpty && d15.exceptAll(d19).isEmpty,
+      "empty-base d19 disagrees with d15 on at least one verdict")
+  }
+
   test("d18 probe plan is join-free up to the confirm (no bloom shuffle)") {
     val plan = Dedup.queries("d18_bloom_delta")(spark, dir)
       .queryExecution.executedPlan.toString

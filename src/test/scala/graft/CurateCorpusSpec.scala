@@ -157,6 +157,96 @@ class CurateCorpusSpec extends SparkSpec {
     val r2 = CurateCorpus.run(base, out2)
     assert(r2.nCodeRouted == 0)
   }
+  test("containment stage drops the wholesale-quoted side Jaccard misses") {
+    import spark.implicits._
+    // contained doc's 8 tokens appear verbatim inside the container,
+    // offset by a 3-token prefix so no 10-token line chunk aligns:
+    // containment = 1.0, Jaccard ≈ 0.23 — invisible to the near-dup
+    // stage at any sane τ, exactly d22's target class
+    val quoted = (1 to 8).map(i => s"cq$i").mkString(" ")
+    val container = s"pfx1 pfx2 pfx3 $quoted " +
+      (1 to 20).map(i => s"sfx$i").mkString(" ")
+    val fillers = (0 until 6).map { i =>
+      (100L + i, (1 to 12).map(j => s"fill${i}x$j").mkString(" "),
+        "en", "srcF", 0L)
+    }
+    val docs = (Seq((1L, quoted, "en", "srcA", 0L),
+      (2L, container, "en", "srcB", 0L)) ++ fillers)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Files.createTempDirectory("curate_contain").resolve("o").toString
+    val r = CurateCorpus.run(docs, out,
+      minScore = 0.0, maxDup3 = 1.0, minJaccard = 0.99,
+      containment = Some(0.6))
+    assert(r.nAfterContainment.contains(r.nAfterNearDedup - 1),
+      s"exactly the contained doc should drop: $r")
+    val ids = spark.read.parquet(out).collect().map(_.getLong(0)).toSet
+    assert(!ids(1L), "contained doc survived the containment stage")
+    assert(ids(2L), "the container must survive")
+    // off by default: same corpus, flag unset → both sides survive
+    val out2 = Files.createTempDirectory("curate_contain").resolve("o2").toString
+    val r2 = CurateCorpus.run(docs, out2,
+      minScore = 0.0, maxDup3 = 1.0, minJaccard = 0.99)
+    assert(r2.nAfterContainment.isEmpty)
+    val ids2 = spark.read.parquet(out2).collect().map(_.getLong(0)).toSet
+    assert(ids2(1L) && ids2(2L))
+  }
+
+  test("learned-quality gate keeps reference-like docs, cuts the junk class") {
+    import spark.implicits._
+    // corpus = 6 reference-style docs (shared vocab with the reference,
+    // doc-unique orderings so nothing near-dups) + 6 junk docs on a
+    // disjoint vocab the reference never uses
+    val refVocab = Seq("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta")
+    def refDoc(seed: Int) =
+      (0 until 10).map(k => refVocab((k * (seed + 2) + seed) % 8)).mkString(" ")
+    val refLike = (0 until 6).map(i => (10L + i, refDoc(i), "en", "srcR", 0L))
+    val junk = (0 until 6).map { i =>
+      (20L + i, (1 to 10).map(j => s"junk${i}q$j").mkString(" "), "en", "srcJ", 0L)
+    }
+    val corpus = (refLike ++ junk)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val reference = (0 until 12).map(i => (900L + i, refDoc(i + 6)))
+      .toDF("doc_id", "text")
+    val out = Files.createTempDirectory("curate_nb").resolve("o").toString
+    val r = CurateCorpus.run(corpus, out,
+      minScore = 0.0, maxDup3 = 1.0, minJaccard = 0.99,
+      refCorpus = Some(reference))
+    assert(r.nAfterLearnedQuality.isDefined)
+    assert(r.nAfterLearnedQuality.get < r.nAfterQuality,
+      s"the gate should cut the junk class: $r")
+    val ids = spark.read.parquet(out).collect().map(_.getLong(0)).toSet
+    assert((20L until 26L).forall(i => !ids(i)),
+      s"junk docs survived the learned gate: $ids")
+    assert((10L until 16L).forall(ids),
+      s"reference-like docs must survive: $ids")
+    // reference docs are training signal only — never pipeline output
+    assert(ids.forall(_ < 900L))
+  }
+
+  test("audit-leakage writes the d21 artifact over the shipped survivors") {
+    import spark.implicits._
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val out = Files.createTempDirectory("curate_leak").resolve("o").toString
+    // τ=0.99 near-dup keeps the corpus's near-dup pairs ALIVE through
+    // the pipeline so the audit has something to find
+    val r = CurateCorpus.run(docs, out,
+      minScore = 0.0, maxDup3 = 1.0, minJaccard = 0.99,
+      auditLeakage = true)
+    val audit = spark.read.parquet(s"$out-leakage")
+    assert(audit.columns.toSeq == Seq("doc_a", "doc_b", "est_jaccard",
+      "split_a", "split_b", "leaks"))
+    assert(audit.count() > 0, "survivors should still carry near-dup pairs")
+    assert(r.nLeakPairs.contains(
+      audit.filter(col("leaks") === 1).count()))
+    // audit rows reference only shipped survivors
+    val ids = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    audit.select("doc_a", "doc_b").collect().foreach { row =>
+      assert(ids(row.getLong(0)) && ids(row.getLong(1)))
+    }
+  }
+
   test("trim-boilerplate strips a source-wide banner before line dedup") {
     import spark.implicits._
     val banner = (1 to 10).map(i => s"nav$i").mkString(" ")

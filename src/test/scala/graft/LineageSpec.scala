@@ -48,6 +48,26 @@ class LineageSpec extends SparkSpec {
     } finally spark.conf.unset(Lineage.ConfKey)
   }
 
+  test("a sibling dir sharing a string prefix is NOT the same root") {
+    import spark.implicits._
+    // want=/x/ckpt vs installed=/x/ckpt2/<uuid>: a startsWith match
+    // would keep checkpointing into ckpt2; the boundary match must
+    // re-install ckpt.
+    val parent = Files.createTempDirectory("graft_ckpt_prefix").toString
+    val sib = new java.io.File(parent, "ckpt2"); sib.mkdirs()
+    val want = new java.io.File(parent, "ckpt"); want.mkdirs()
+    spark.conf.set(Lineage.ConfKey, sib.toString)
+    try {
+      val base = Tables(spark, dir, "documents").groupBy($"source").count()
+      Lineage.cut(base).count()
+      spark.conf.set(Lineage.ConfKey, want.toString)
+      Lineage.cut(base).count()
+      val cur = spark.sparkContext.getCheckpointDir.getOrElse("")
+      assert(cur.stripPrefix("file:").startsWith(want.toString),
+        s"checkpoint root not re-installed past the prefix sibling: $cur")
+    } finally spark.conf.unset(Lineage.ConfKey)
+  }
+
   test("d07 still converges under reliable checkpointing") {
     val ckpt = Files.createTempDirectory("graft_ckpt_d07").toString
     spark.conf.set(Lineage.ConfKey, ckpt)

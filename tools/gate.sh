@@ -51,4 +51,22 @@ else
     echo "[gate] FAIL: oracle gate reported failures"; exit 1; }
 fi
 
+# Registration audit (round-11 verdict ask #7): every key the tree
+# registers must already appear in the round's own audit artifacts —
+# SURVEY.md §2, PLANS.md, and the committed BENCH_FULL.json — so a
+# snapshot commit can never land a query the docs and bench don't
+# cover. Verify writes one <key>.parquet dir per registered (or
+# filtered) key, which makes the registry listable without sbt.
+echo "[gate] 4/4 registration audit vs SURVEY.md / PLANS.md / BENCH_FULL.json"
+MISS=0
+for k in $(ls "$OUT_DIR" | sed 's/\.parquet$//' | grep -v '^oracle_sql'); do
+  for f in SURVEY.md PLANS.md BENCH_FULL.json; do
+    grep -q "$k" "$f" || { echo "[gate] UNAUDITED: $k missing from $f"; MISS=1; }
+  done
+done
+if [[ "$MISS" != 0 ]]; then
+  echo "[gate] FAIL: unaudited registrations (add the key to the named artifacts first)"
+  exit 1
+fi
+
 echo "[gate] OK — safe to commit"

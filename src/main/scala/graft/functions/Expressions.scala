@@ -200,6 +200,25 @@ object Kernels {
     acc
   }
 
+  /** Equal-lane count of two bigint signatures — the confirm-stage
+    * kernel behind est-Jaccard (equal lanes / 64). Exactly
+    * `size(filter(zip_with(a, b, (x, y) -> x = y), v -> v))`: lanes
+    * past the shorter array and lanes where either side is null
+    * compare to null under zip_with and are dropped by the filter, so
+    * they are not counted here either.
+    */
+  def sigEqCount(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i))
+        c += 1
+      i += 1
+    }
+    c
+  }
+
   /** All co-called sample pairs of one variant's gt_types array, packed
     * as longs `(i << 40) | (j << 16) | sq` with i < j and sq the
     * squared alt-copy difference (copies: gt 3 → 2, 1 → 1, 0 → 0,
@@ -530,6 +549,40 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `sig_eq_count(array<bigint>, array<bigint>) → int` — equal-lane
+  * count of two MinHash signatures (see Kernels.sigEqCount): the
+  * d02/d14/d16/d20/d21 confirm stages' hot compare, fused into one
+  * codegen call instead of the interpreted
+  * zip_with→filter→size chain (three materialized lambda arrays per
+  * candidate pair). Bit-identical to the HOF formulation by
+  * construction; FunctionsSpec pins it on real signatures.
+  */
+case class SigEqCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sig_eq_count expects two array<bigint> arguments, got $l and $r")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.sigEqCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.Kernels.sigEqCount($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigEqCount =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `mds_pairs(array<int>) → array<bigint>` — packed co-called sample
   * pairs with squared copy differences (see Kernels.mdsPairs).
   */
@@ -756,6 +809,7 @@ object GraftFunctions {
     add("simhash64", es => SimHash64(es.head))
     add("rolling_minhash", es => RollingMinHash(es.head))
     add("mds_pairs", es => MdsPairs(es.head))
+    add("sig_eq_count", es => SigEqCount(es(0), es(1)))
     add("bloom_agg", GraftFunctions.bloomAggBuilder)
     add("bloom_contains", es =>
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1)))

@@ -54,6 +54,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("mds_pairs", classOf[MdsPairs],
       "mds_pairs(array<int>) - packed co-called pairs with squared copy diffs",
       es => MdsPairs(es.head))
+    inject("sig_eq_count", classOf[SigEqCount],
+      "sig_eq_count(array<bigint>, array<bigint>) - equal MinHash lanes",
+      es => SigEqCount(es(0), es(1)))
     // Spark's own (internal) bloom pair, exposed for d18's delta screen
     inject("bloom_agg",
       classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate],

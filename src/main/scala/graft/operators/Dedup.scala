@@ -87,7 +87,7 @@ object Dedup {
       .join(sig.select($"doc_id".as("doc_a"), $"sig".as("sig_a")), "doc_a")
       .join(sig.select($"doc_id".as("doc_b"), $"sig".as("sig_b")), "doc_b")
       .withColumn("est_jaccard",
-        expr("round(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / 64.0e0, 6)"))
+        expr("round(sig_eq_count(sig_a, sig_b) / 64.0e0, 6)"))
       .filter($"est_jaccard" >= lit(minJaccard))
       .select($"doc_a", $"doc_b", $"est_jaccard")
   }
@@ -1008,7 +1008,7 @@ object Dedup {
       .join(sig.select($"doc_id".as("eval_id"), $"sig".as("sig_e")), "eval_id")
       .join(sig.select($"doc_id", $"sig".as("sig_c")), "doc_id")
       .select($"eval_id", $"doc_id",
-        expr("round(size(filter(zip_with(sig_e, sig_c, (x, y) -> x = y), v -> v)) / 64.0e0, 6)")
+        expr("round(sig_eq_count(sig_e, sig_c) / 64.0e0, 6)")
           .as("est_jaccard"))
     val agg = est.groupBy($"eval_id")
       .agg(count(lit(1)).as("n_candidates"),
@@ -1681,7 +1681,7 @@ object Dedup {
       .join(allSigs.select($"doc_id".as("oid"), $"sig".as("sig_o"),
         $"is_base"), "oid")
       .select($"did", $"oid", $"is_base",
-        expr("round(size(filter(zip_with(sig_d, sig_o, (x, y) -> x = y), v -> v)) / 64.0e0, 6)")
+        expr("round(sig_eq_count(sig_d, sig_o) / 64.0e0, 6)")
           .as("ej"))
       .filter($"ej" >= DeltaNearTau)
     val agg = conf.groupBy($"did")

@@ -47,6 +47,35 @@ class ExpressionsSpec extends SparkSpec {
     assert(bad == 0, "minhash_sig diverged from xxhash64 HOF formulation")
   }
 
+  test("sig_eq_count is bit-identical to the zip_with/filter/size chain") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // real signatures over a corpus with genuine near-dups, so the
+    // equal-lane counts span the whole 0..64 range
+    val df = (1 to 300).map(i =>
+      (i.toLong, s"doc ${i / 4} shares most tokens with its group " +
+        s"plus unique marker u$i at the end"))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "minhash_sig(shingles(split(text, ' '), 3)) AS sig")
+    val pairs = df.as("a").crossJoin(df.limit(20).as("b"))
+      .selectExpr(
+        "sig_eq_count(a.sig, b.sig) AS fast",
+        "size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v)) AS slow")
+    assert(pairs.filter("fast != slow").count() == 0,
+      "sig_eq_count diverged from the HOF formulation")
+    assert(pairs.filter("fast = 64").count() > 0 &&
+      pairs.filter("fast < 64").count() > 0, "degenerate fixture")
+    // null and length-mismatch semantics match the HOF chain too
+    val edge = spark.sql(
+      """SELECT sig_eq_count(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS n1,
+        |  sig_eq_count(array(1L, 2L, 3L), array(1L, 9L)) AS short,
+        |  size(filter(zip_with(array(1L, 2L, 3L), array(1L, 9L),
+        |    (x, y) -> x = y), v -> v)) AS short_hof
+        |""".stripMargin).collect()(0)
+    assert(edge.isNullAt(0))
+    assert(edge.getInt(1) == edge.getInt(2))
+  }
+
   test("shingles(toks, n) matches the HOF formulation for size >= n") {
     GraftFunctions.register(spark)
     import spark.implicits._

@@ -57,6 +57,15 @@ class KernelsSpec extends AnyFunSuite {
   private def toks(ws: String*) =
     new GenericArrayData(ws.map(w => UTF8String.fromString(w)).toArray[Any])
 
+  test("sigEqCount counts equal non-null lanes over the shorter length") {
+    val a = new GenericArrayData(Array[Any](1L, 2L, 3L, null, 7L))
+    val b = new GenericArrayData(Array[Any](1L, 9L, 3L, null))
+    // lanes: eq, ne, eq, null (skipped), past-end (skipped) -> 2
+    assert(Kernels.sigEqCount(a, b) == 2)
+    val full = new GenericArrayData(Array[Any](5L, 5L))
+    assert(Kernels.sigEqCount(full, full) == 2)
+  }
+
   test("simhash: near-dup token bags land close, different ones far") {
     val a = Kernels.simHash64(toks("the", "quick", "brown", "fox", "jumps", "over", "dog"))
     val b = Kernels.simHash64(toks("the", "quick", "brown", "fox", "leaps", "over", "dog"))

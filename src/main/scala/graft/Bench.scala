@@ -95,7 +95,10 @@ object Bench {
     // candidate join is exactly the regression class the headline set
     // watches; t34's token shuffle + top-V + broadcast scoring join is
     // t10's regime with a second class column
-    "d22_containment", "t34_quality_classifier")
+    "d22_containment", "t34_quality_classifier",
+    // round-12 addition: d23's delta-probe gram join (d22's class with
+    // the parity split) — t35 is a join-free scan, tier-2 suffices
+    "d23_containment_delta")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1169,6 +1169,7 @@ object Dedup {
     "d20_delta_minhash" -> d20OracleSql,
     "d21_split_leakage" -> d21OracleSql,
     "d22_containment" -> d22OracleSql,
+    "d23_containment_delta" -> d23OracleSql,
     "d17_threshold_sweep" ->
       s"""WITH pairs AS ($d04PairsSql),
          |sweep(tau) AS (VALUES ${SweepTaus.map(t => s"(${t}e0)").mkString(", ")})
@@ -1387,6 +1388,44 @@ object Dedup {
        |SELECT doc_a, doc_b, round(CAST(c AS DOUBLE) / (na + nb - c), 6) AS jaccard
        |FROM joined
        |WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.12e0""".stripMargin
+
+  /** d23 oracle: d22's gram chain with the parity split (delta = odd
+    * ids probing base = even ids) and the per-delta verdict rollup.
+    */
+  private def d23OracleSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |grams AS (SELECT doc_id,
+       |  list_distinct([w[i] || ' ' || w[i+1] FOR i IN generate_series(1, len(w) - 1)]) AS gs
+       |  FROM toks),
+       |ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+       |rare AS (SELECT g FROM ex GROUP BY g HAVING count(*) <= $MaxShingleDf),
+       |exr AS (SELECT doc_id, g FROM ex JOIN rare USING (g)),
+       |cand AS (SELECT DISTINCT d.doc_id AS did, o.doc_id AS oid
+       |  FROM exr d JOIN exr o ON d.g = o.g
+       |  WHERE d.doc_id % 2 = 1 AND o.doc_id % 2 = 0),
+       |j AS (SELECT did, oid,
+       |  len(list_intersect(gd.gs, go.gs)) AS c,
+       |  len(gd.gs) AS nd, len(go.gs) AS no
+       |  FROM cand
+       |  JOIN grams gd ON gd.doc_id = did
+       |  JOIN grams go ON go.doc_id = oid),
+       |s AS (SELECT did, oid,
+       |  round(CAST(c AS DOUBLE) / least(nd, no), 6) AS containment,
+       |  (nd <= no) AS delta_smaller
+       |  FROM j WHERE CAST(c AS DOUBLE) / least(nd, no) >= ${ContainTau}e0),
+       |a AS (SELECT did, count(*) AS n_base_matches,
+       |  max(containment) AS max_containment,
+       |  min(CASE WHEN delta_smaller THEN oid END) AS first_container,
+       |  min(CASE WHEN NOT delta_smaller THEN oid END) AS first_contained
+       |  FROM s GROUP BY did)
+       |SELECT doc_id, coalesce(n_base_matches, 0) AS n_base_matches,
+       | max_containment, first_container, first_contained,
+       | CASE WHEN first_container IS NOT NULL THEN 'contained_in_base'
+       |      WHEN first_contained IS NOT NULL THEN 'contains_base'
+       |      ELSE 'kept' END AS verdict
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) dd
+       |LEFT JOIN a ON a.did = dd.doc_id
+       |ORDER BY doc_id""".stripMargin
 
   /** d22 oracle: the shared gram-candidate chain scored by containment. */
   private def d22OracleSql: String =
@@ -1772,6 +1811,70 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** d23: CONTAINMENT DELTA SCREEN — d22's asymmetric-overlap question
+    * in d15/d20's incremental regime: each arriving delta doc (odd
+    * ids) is verdicted against the base corpus (even ids) only —
+    * `contained_in_base` (the delta doc's gram set sits ≥ [[ContainTau]]
+    * inside a base doc: the re-syndicated article a near-dup delta pass
+    * misses when the container pads it), `contains_base` (the delta doc
+    * is an aggregator that swallowed a base doc wholesale — it may
+    * still carry novel content, so it is flagged, not auto-dropped), or
+    * `kept`; first matching base ids and the max containment ride along
+    * for routing. d22 audits the whole corpus n²-candidate space every
+    * run; d23 is the production daily-ingest form that touches only
+    * delta×base pairs.
+    *
+    * Scale shape: d22's rare-shingle candidate join with the delta in
+    * the probe role — gram rows split by parity BEFORE the join, so the
+    * join's left side is delta-sized (in production the base's rare-
+    * gram rows are the persisted index, d20's convention); exact
+    * containment touches only candidate pairs; ONE partial agg on the
+    * delta id. Oracle = the same CTE chain as d22's with the parity
+    * split and the per-delta verdict rollup.
+    */
+  def d23(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    val docs = T(s, dir, "documents")
+    val grams = docs
+      .select($"doc_id", split($"text", " ").as("w"))
+      .withColumn("gs", expr("shingles(w, 2)"))
+      .select($"doc_id", $"gs")
+    val ex = grams.select($"doc_id", explode($"gs").as("g"))
+    val rare = ex.groupBy($"g").agg(count(lit(1)).as("df"))
+      .filter($"df" <= MaxShingleDf).select($"g")
+    val exRare = ex.join(broadcast(rare), "g")
+    val cand = exRare.filter($"doc_id" % 2 === 1).as("d")
+      .join(exRare.filter($"doc_id" % 2 === 0).as("o"), $"d.g" === $"o.g")
+      .select($"d.doc_id".as("did"), $"o.doc_id".as("oid"))
+      .distinct()
+    val scored = cand
+      .join(grams.select($"doc_id".as("did"), $"gs".as("gs_d")), "did")
+      .join(grams.select($"doc_id".as("oid"), $"gs".as("gs_o")), "oid")
+      .withColumn("c", expr("size(array_intersect(gs_d, gs_o))"))
+      .filter(expr("CAST(c AS DOUBLE) / least(size(gs_d), size(gs_o))")
+        >= lit(ContainTau))
+      .select($"did", $"oid",
+        expr("round(CAST(c AS DOUBLE) / least(size(gs_d), size(gs_o)), 6)")
+          .as("containment"),
+        (expr("size(gs_d)") <= expr("size(gs_o)")).as("delta_smaller"))
+    val agg = scored.groupBy($"did")
+      .agg(count(lit(1)).as("n_base_matches"),
+        max($"containment").as("max_containment"),
+        min(when($"delta_smaller", $"oid")).as("first_container"),
+        min(when(!$"delta_smaller", $"oid")).as("first_contained"))
+      .withColumnRenamed("did", "doc_id")
+    docs.filter($"doc_id" % 2 === 1).select($"doc_id")
+      .join(agg, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_base_matches", lit(0L)).as("n_base_matches"),
+        $"max_containment", $"first_container", $"first_contained",
+        when($"first_container".isNotNull, lit("contained_in_base"))
+          .when($"first_contained".isNotNull, lit("contains_base"))
+          .otherwise(lit("kept")).as("verdict"))
+      .orderBy($"doc_id")
+  }
+
   /** d22's containment scoring over any (doc_id, text) frame — the
     * CurateCorpus containment-dedup stage drops each pair's
     * `contained_doc`. Unordered (pipeline use); d22 adds the total
@@ -1816,6 +1919,7 @@ object Dedup {
     "d19_bloom_sharded" -> (d19 _),
     "d20_delta_minhash" -> (d20 _),
     "d21_split_leakage" -> (d21 _),
-    "d22_containment" -> (d22 _)
+    "d22_containment" -> (d22 _),
+    "d23_containment_delta" -> (d23 _)
   )
 }

@@ -1842,6 +1842,18 @@ object Text {
       """SELECT doc_id,
         | md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t35_token_fertility" ->
+      // DuckDB sum(BIGINT) widens to DECIMAL(38,0) — CAST back to
+      // BIGINT to match Spark's LongType sums
+      s"""SELECT source, count(*) AS n_docs,
+         | CAST(sum(nb) AS BIGINT) AS n_bpe_tokens,
+         | CAST(sum(nw) AS BIGINT) AS n_words,
+         | CAST(sum(nb) AS DOUBLE) / CAST(sum(nw) AS DOUBLE) AS fertility
+         |FROM (SELECT source,
+         |  CAST(len(regexp_extract_all(text, '$bpePattern', 0)) AS BIGINT) AS nb,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+         |  FROM documents)
+         |GROUP BY source ORDER BY source""".stripMargin,
     "t06_bpe_tokens" ->
       s"""SELECT doc_id, len(toks) AS n_bpe_tokens,
          | len(list_distinct(toks)) AS n_distinct,
@@ -1922,6 +1934,36 @@ object Text {
       .orderBy($"doc_id")
   }
 
+  /** t35: TOKENIZER FERTILITY BY SOURCE — subword tokens produced per
+    * whitespace word (t06's BPE-ish regex over t03's word count),
+    * rolled up per source: the metric that prices a source's
+    * tokenization cost before training (high-fertility sources — code,
+    * numbers, non-Latin text — consume disproportionate sequence
+    * budget for the same word count, so t11/t17 mixture weights and
+    * t12 packing budgets read this first). Fertility is the raw IEEE
+    * quotient of the two BIGINT sums — bit-equal across engines, no
+    * rounding tie possible.
+    *
+    * Scale shape: per-row codegen regex + split, ONE partial agg on
+    * the bounded source dim (map-side combine absorbs the corpus), no
+    * joins anywhere.
+    */
+  def t35(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "documents")
+      .select($"source",
+        expr(s"size(regexp_extract_all(text, '$bpePattern', 0))")
+          .cast("long").as("nb"),
+        size(split($"text", " ")).cast("long").as("nw"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"nb").as("n_bpe_tokens"),
+        sum($"nw").as("n_words"),
+        (sum($"nb").cast("double") / sum($"nw").cast("double"))
+          .as("fertility"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_lang_id" -> (t01 _),
     "t02_quality_score" -> (t02 _),
@@ -1956,6 +1998,7 @@ object Text {
     "t31_rag_chunk" -> (t31 _),
     "t32_bm25" -> (t32 _),
     "t33_dup_gram_fraction" -> (t33 _),
-    "t34_quality_classifier" -> (t34 _)
+    "t34_quality_classifier" -> (t34 _),
+    "t35_token_fertility" -> (t35 _)
   )
 }

@@ -106,6 +106,9 @@ class PlanInvariantSpec extends SparkSpec {
       // d04's rare-shingle candidate self-join verbatim, scored by
       // containment instead of Jaccard — same designed shuffle key
       "d22_containment",
+      // d22's rare-gram candidate join with the delta in the probe
+      // role (parity split before the join) — same designed gram key
+      "d23_containment_delta",
       // phash-chunk bucket self-join — d03's banded regime on the
       // 56-bit dHash; neither side is a broadcastable dim at corpus
       // scale (AQE may convert at tiny SF)

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Text}
+
+/** Semantic pins for the round-12 registrations: d23's delta-vs-base
+  * containment screen and t35's per-source tokenizer fertility.
+  */
+class Round12OpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("d23 verdicts every delta doc exactly once") {
+    import spark.implicits._
+    val out = Dedup.queries("d23_containment_delta")(spark, dir)
+    val nDelta = Tables(spark, dir, "documents")
+      .filter($"doc_id" % 2 === 1).count()
+    assert(out.count() == nDelta)
+    assert(out.select($"doc_id").distinct().count() == nDelta)
+    val verdicts = out.select($"verdict").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(verdicts.subsetOf(
+      Set("contained_in_base", "kept", "contains_base")))
+    assert(verdicts.contains("contained_in_base") || verdicts.contains(
+      "contains_base"), "fixture has no cross-parity containment at all")
+  }
+
+  test("d23 agrees with d22 on every cross-parity containment pair") {
+    import spark.implicits._
+    // same rare-gram universe, same τ: any d22 pair with one odd and
+    // one even side must surface in d23 — the odd side cannot be kept
+    val d22 = Dedup.queries("d22_containment")(spark, dir)
+      .filter(($"doc_a" % 2) =!= ($"doc_b" % 2))
+      .select(when($"doc_a" % 2 === 1, $"doc_a").otherwise($"doc_b")
+        .as("delta_id"))
+      .distinct()
+    val kept = Dedup.queries("d23_containment_delta")(spark, dir)
+      .filter($"verdict" === "kept")
+      .select($"doc_id".as("delta_id"))
+    assert(d22.count() > 0, "fixture has no cross-parity d22 pairs")
+    assert(d22.join(kept, Seq("delta_id")).count() == 0,
+      "a d22 cross-parity pair's delta side was verdicted kept by d23")
+  }
+
+  test("d23 never flags a delta doc with no base candidate") {
+    import spark.implicits._
+    val out = Dedup.queries("d23_containment_delta")(spark, dir)
+    val flaggedNoMatch = out
+      .filter($"verdict" =!= "kept" && $"n_base_matches" === 0).count()
+    val keptWithMatch = out
+      .filter($"verdict" === "kept" &&
+        ($"n_base_matches" > 0 || $"max_containment".isNotNull)).count()
+    assert(flaggedNoMatch == 0 && keptWithMatch == 0)
+  }
+
+  test("t35 fertility is t06's token counts rolled up by source") {
+    import spark.implicits._
+    val t35 = Text.queries("t35_token_fertility")(spark, dir)
+    val fromT06 = Text.queries("t06_bpe_tokens")(spark, dir)
+      .join(Tables(spark, dir, "documents").select($"doc_id", $"source",
+        size(split($"text", " ")).cast("long").as("nw")), "doc_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_bpe_tokens".cast("long")).as("n_bpe_tokens"),
+        sum($"nw").as("n_words"))
+    val joined = t35.as("a").join(fromT06.as("b"), "source")
+      .filter($"a.n_docs" =!= $"b.n_docs" ||
+        $"a.n_bpe_tokens" =!= $"b.n_bpe_tokens" ||
+        $"a.n_words" =!= $"b.n_words")
+    assert(joined.count() == 0, "t35 rollup drifted from t06's counts")
+    // fertility is the exact quotient of the emitted sums
+    val bad = t35.filter(
+      $"fertility" =!= $"n_bpe_tokens".cast("double") /
+        $"n_words".cast("double")).count()
+    assert(bad == 0)
+    assert(t35.count() > 1, "documents table should span several sources")
+  }
+}

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Text}
+
+/** The DAILY-INGEST twin of [[CurateCorpus]]: curate an arriving delta
+  * against a PERSISTED base index without ever touching base text —
+  * the production shape at 100 TB, where the standing corpus is never
+  * rescanned. One run: exact delta-dedup (d15Probe against the key
+  * store), near-dup delta-dedup (d20Probe against the MinHash index),
+  * quality/repetition cut (t02/t09 signals), PII redaction (t08),
+  * survivors to parquet — plus a VERSIONED index update (the input
+  * index is immutable; the appended index lands beside the output, so
+  * yesterday's index can always replay yesterday's verdicts).
+  *
+  * Index layout (written by [[buildIndex]], consumed by [[run]]):
+  * `<indexDir>/keys.parquet` (d15's distinct content hashes) and
+  * `<indexDir>/{sigs,buckets,counts}.parquet` (d20's [[Dedup.MinhashIndex]]).
+  *
+  * Scale notes: the probes are d15/d20's documented shapes — the only
+  * per-delta work is delta-sized (bucket equi-join under the combined
+  * ≤50 cap, candidate-bounded confirm, one partial agg); the index
+  * update is a union + per-bucket count merge, never a base recompute
+  * (IncrementalIndexSpec pins merge ≡ rebuild).
+  */
+object CurateDelta {
+
+  case class Report(nDelta: Long, nAfterExact: Long, nAfterNear: Long,
+      nAfterQuality: Long, nOut: Long)
+
+  /** One-time (or re-sharded) base index build. */
+  def buildIndex(base: DataFrame, indexDir: String): Unit = {
+    val s = base.sparkSession
+    import s.implicits._
+    base.select(md5($"text").as("h")).distinct()
+      .write.mode("overwrite").parquet(s"$indexDir/keys.parquet")
+    Dedup.d20IndexOf(base).write(indexDir)
+  }
+
+  private def loadKeys(s: SparkSession, indexDir: String): DataFrame =
+    s.read.parquet(s"$indexDir/keys.parquet")
+
+  /** @param delta     arriving (doc_id, text, …) frame — doc_ids must
+    *                  not collide with ids already in the index
+    * @param indexDir  immutable base index ([[buildIndex]] layout)
+    * @param outDir    survivors land here; the UPDATED index (base ∪
+    *                  kept delta) lands at `<outDir>-index`
+    * @param updateIndex set false to skip writing the appended index
+    *                  (audit-only runs)
+    */
+  def run(delta: DataFrame, indexDir: String, outDir: String,
+      minScore: Double = 0.25, maxDup3: Double = 0.6,
+      updateIndex: Boolean = true): Report = {
+    val spark = delta.sparkSession
+    import spark.implicits._
+
+    val input = delta.select(delta.columns.map(col).toIndexedSeq: _*).persist()
+    val nDelta = input.count()
+
+    // 1. EXACT delta dedup (d15Probe): base_dup (already in the index)
+    //    and delta_dup (a later copy within today's delta) both drop —
+    //    the probe never reads base text, only the key store.
+    val keys = loadKeys(spark, indexDir)
+    val exactKept = Dedup
+      .d15Probe(keys, input.select($"doc_id", $"text"))
+      .filter($"verdict" === "kept").select($"doc_id")
+    val exact = input.join(exactKept, Seq("doc_id"), "left_semi").persist()
+    val nExact = exact.count()
+    input.unpersist()
+
+    // 2. NEAR-DUP delta dedup (d20Probe): the re-crawled page with a
+    //    new timestamp that md5 missed; base_near_dup AND
+    //    delta_near_dup drop (first-wins within the delta). Docs under
+    //    3 tokens carry no signature and pass through unverdicted —
+    //    exactly d20's roster rule.
+    val index = Dedup.MinhashIndex.load(spark, indexDir)
+    val verdicts = Dedup.d20Probe(index, exact.select($"doc_id", $"text"))
+    val nearDropped = verdicts.filter($"verdict" =!= "kept").select($"doc_id")
+    val near = exact.join(nearDropped, Seq("doc_id"), "left_anti").persist()
+    val nNear = near.count()
+    exact.unpersist()
+
+    // 3. quality + repetition cut (t02/t09 signals), per-row codegen
+    val quality = Text.qualitySignals(near)
+      .filter($"q_score" >= minScore &&
+        coalesce($"q_dup3", lit(0.0)) <= maxDup3)
+      .drop("q_score", "q_dup3")
+      .persist()
+    val nQuality = quality.count()
+    near.unpersist()
+
+    // 4. PII redaction last, then write
+    val out = quality.withColumn("text", Text.redact($"text"))
+    out.write.mode("overwrite").parquet(outDir)
+    val nOut = spark.read.parquet(outDir).count()
+
+    // 5. VERSIONED index update: append the SHIPPED survivors (their
+    //    redacted text is what a future delta must dedup against) to a
+    //    fresh index dir — union + count merge, no base text touched.
+    if (updateIndex) {
+      val shipped = spark.read.parquet(outDir).select($"doc_id", $"text")
+      keys.unionByName(shipped.select(md5($"text").as("h"))).distinct()
+        .write.mode("overwrite").parquet(s"$outDir-index/keys.parquet")
+      val dIdx = Dedup.d20IndexOf(shipped)
+      index.sigs.unionByName(dIdx.sigs)
+        .write.mode("overwrite").parquet(s"$outDir-index/sigs.parquet")
+      index.buckets.unionByName(dIdx.buckets)
+        .write.mode("overwrite").parquet(s"$outDir-index/buckets.parquet")
+      index.counts.unionByName(dIdx.counts)
+        .groupBy($"band", $"bh").agg(sum($"base_cnt").as("base_cnt"))
+        .write.mode("overwrite").parquet(s"$outDir-index/counts.parquet")
+    }
+    quality.unpersist()
+    Report(nDelta, nExact, nNear, nQuality, nOut)
+  }
+
+  private val usage =
+    "usage: CurateDelta (--build-index=true <baseParquet> <indexDir> | " +
+      "<deltaParquet> <indexDir> <outDir> [--min-score=0.25] " +
+      "[--max-dup3=0.6] [--update-index=true])"
+
+  def main(args: Array[String]): Unit = {
+    val (flag, positional) = Cli.parse(args,
+      Set("build-index", "min-score", "max-dup3", "update-index"), usage)
+    val spark = GraftSession.build()
+    try {
+      if (flag("build-index").exists(_.toBoolean)) {
+        require(positional.length == 2, usage)
+        buildIndex(spark.read.parquet(positional(0)), positional(1))
+        println(s"[curate-delta] index built at ${positional(1)}")
+      } else {
+        require(positional.length == 3, usage)
+        val r = run(spark.read.parquet(positional(0)), positional(1),
+          positional(2),
+          minScore = flag("min-score").map(_.toDouble).getOrElse(0.25),
+          maxDup3 = flag("max-dup3").map(_.toDouble).getOrElse(0.6),
+          updateIndex = flag("update-index").forall(_.toBoolean))
+        println(s"[curate-delta] delta=${r.nDelta} exact=${r.nAfterExact} " +
+          s"near=${r.nAfterNear} quality=${r.nAfterQuality} out=${r.nOut}")
+      }
+    } finally spark.stop()
+  }
+}

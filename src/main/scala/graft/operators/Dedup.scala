@@ -790,8 +790,9 @@ object Dedup {
       s"$nm$kw$body)"
     }.mkString(",\n")
     s"""WITH $withClause,
-       |keep AS (SELECT band, bhv FROM ${bh.last} GROUP BY band, bhv HAVING count(*) <= 50),
-       |capped AS (SELECT b.doc_id, b.band, b.bhv FROM ${bh.last} b JOIN keep USING (band, bhv)),
+       |bandrows AS (SELECT doc_id, band, bhv FROM ${bh.last}),
+       |keep AS (SELECT band, bhv FROM bandrows GROUP BY band, bhv HAVING count(*) <= 50),
+       |capped AS (SELECT b.doc_id, b.band, b.bhv FROM bandrows b JOIN keep USING (band, bhv)),
        |$tail""".stripMargin
   }
 
@@ -1170,6 +1171,15 @@ object Dedup {
     "d21_split_leakage" -> d21OracleSql,
     "d22_containment" -> d22OracleSql,
     "d23_containment_delta" -> d23OracleSql,
+    "d24_index_stats" -> minhashOracleSql(
+      s"""occ AS (SELECT band, bhv, count(*) AS n FROM bandrows GROUP BY band, bhv)
+         |SELECT CAST(band AS INTEGER) AS band, count(*) AS n_buckets,
+         | CAST(sum(n) AS BIGINT) AS n_rows,
+         | CAST(max(n) AS BIGINT) AS max_occupancy,
+         | round(quantile_cont(n, 0.5e0), 6) AS p50_occupancy,
+         | round(quantile_cont(n, 0.9e0), 6) AS p90_occupancy,
+         | CAST(count(*) FILTER (WHERE n > 50) AS BIGINT) AS n_capped_buckets
+         |FROM occ GROUP BY band ORDER BY band""".stripMargin),
     "d17_threshold_sweep" ->
       s"""WITH pairs AS ($d04PairsSql),
          |sweep(tau) AS (VALUES ${SweepTaus.map(t => s"(${t}e0)").mkString(", ")})
@@ -1897,6 +1907,37 @@ object Dedup {
           < lit(0.5), 1).otherwise(0).as("asym"))
   }
 
+  /** d24: BANDED-INDEX HEALTH — the occupancy profile of the MinHash
+    * LSH index every banded join in the engine probes (d02/d14/d16/
+    * d20/d21 and [[MinhashIndex]]): per band, the bucket count, row
+    * count, max/p50/p90 occupancy, and how many buckets exceed the
+    * ≤50 candidate cap (rows the joins will REFUSE — a high cap-hit
+    * count means the shingle space is degenerate and candidate recall
+    * is silently dropping). s13 is this audit for the ANN hyperplane
+    * index; d24 is the dedup-side pre-flight, run on a sample before
+    * committing a multi-hour banded join at scale.
+    *
+    * Scale shape: one signature scan, ONE (band, bucket-hash) partial
+    * agg (map-side combine absorbs the corpus), then a 16-key rollup;
+    * exact percentiles are over per-band occupancy frames, never the
+    * corpus. Oracle = the staged XXH64 replay's uncapped band rows
+    * aggregated the same way.
+    */
+  def d24(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val occ = bandRows(signatures(s, dir))
+      .groupBy($"band", $"bh").agg(count(lit(1)).as("n"))
+    occ.groupBy($"band")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum($"n").as("n_rows"),
+        max($"n").as("max_occupancy"),
+        expr("round(percentile(n, 0.5e0), 6)").as("p50_occupancy"),
+        expr("round(percentile(n, 0.9e0), 6)").as("p90_occupancy"),
+        count(when($"n" > 50, 1)).as("n_capped_buckets"))
+      .withColumn("band", $"band".cast("int"))
+      .orderBy($"band")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact" -> (d01 _),
     "d02_dedup_minhash" -> (d02 _),
@@ -1920,6 +1961,7 @@ object Dedup {
     "d20_delta_minhash" -> (d20 _),
     "d21_split_leakage" -> (d21 _),
     "d22_containment" -> (d22 _),
-    "d23_containment_delta" -> (d23 _)
+    "d23_containment_delta" -> (d23 _),
+    "d24_index_stats" -> (d24 _)
   )
 }

@@ -295,6 +295,20 @@ object Similarity {
     */
   private def lshTopK(s: SparkSession, dir: String, maxHamming: Int): DataFrame = {
     import s.implicits._
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+    lshCand(s, dir, maxHamming)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= K)
+      .select($"q_id", $"vec_id", $"bucket", expr("round(cos, 6)").as("cos"), $"rn")
+      .orderBy($"q_id", $"rn")
+  }
+
+  /** The candidate stage under lshTopK (pre-top-k): bucketed corpus
+    * equi-joined to the multiprobe-exploded broadcast query set, raw
+    * cosine attached. s16 reads it directly to count candidate cost.
+    */
+  private def lshCand(s: SparkSession, dir: String, maxHamming: Int): DataFrame = {
+    import s.implicits._
     graft.functions.GraftFunctions.register(s)
     val emb = T(s, dir, "embeddings")
     val corpus = emb.select($"vec_id", $"embedding", bucketCol("embedding").as("bucket"))
@@ -306,15 +320,9 @@ object Similarity {
       .withColumn("probe", explode(typedLit(probes)))
       .withColumn("bucket", expr("q_bucket ^ probe"))
       .select($"q_id", $"q_emb", $"bucket")
-    val cand = corpus.join(broadcast(queries), "bucket")
+    corpus.join(broadcast(queries), "bucket")
       .withColumn("cos", expr(
         s"${dot("embedding", "q_emb")} / sqrt(${dot("embedding", "embedding")} * ${dot("q_emb", "q_emb")})"))
-    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
-    cand
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" <= K)
-      .select($"q_id", $"vec_id", $"bucket", expr("round(cos, 6)").as("cos"), $"rn")
-      .orderBy($"q_id", $"rn")
   }
 
   /** s03 (rows-only): IVF approximate NN — MLlib KMeans (fixed seed,
@@ -558,6 +566,48 @@ object Similarity {
 
   private val S02Sql: String = lshSql(1)
 
+  /** s16's oracle: the lshSql bucket derivation crossed with the swept
+    * radii, candidate counts + top-k hits vs the nested s01 pipeline.
+    */
+  private def probeSweepSql: String = {
+    val planeRows = (0 until NPlanes).map { j =>
+      val arr = plane(j, Dims).mkString(", ")
+      s"($j, [$arr]::DOUBLE[])"
+    }.mkString(",\n ")
+    val hRows = ProbeSweepH.map(h => s"($h, ${probesAt(h)})").mkString(", ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |p(j, pv) AS (VALUES
+       | $planeRows),
+       |b AS (SELECT e.vec_id,
+       |  CAST(SUM(CASE WHEN list_inner_product(e.v, p.pv) > 0 THEN (1 << p.j) ELSE 0 END) AS INTEGER) AS bucket
+       |  FROM e, p GROUP BY e.vec_id),
+       |q AS (SELECT vec_id AS q_id, bucket AS q_bucket FROM b WHERE vec_id < 5),
+       |ex AS ($S01Sql),
+       |h(hmax, np) AS (VALUES $hRows),
+       |cand AS (SELECT h.hmax, h.np, q.q_id, c.vec_id,
+       |  list_inner_product(ec.v, eq.v) /
+       |    sqrt(list_inner_product(ec.v, ec.v) * list_inner_product(eq.v, eq.v)) AS cos
+       |  FROM h CROSS JOIN q
+       |  JOIN b c ON bit_count(xor(q.q_bucket, c.bucket)) <= h.hmax
+       |  JOIN e ec ON ec.vec_id = c.vec_id
+       |  JOIN e eq ON eq.vec_id = q.q_id),
+       |nc AS (SELECT hmax, np, count(*) AS n_candidates
+       |  FROM cand GROUP BY hmax, np),
+       |rk AS (SELECT hmax, q_id, vec_id,
+       |  ROW_NUMBER() OVER (PARTITION BY hmax, q_id ORDER BY cos DESC, vec_id) AS rn
+       |  FROM cand),
+       |ht AS (SELECT rk.hmax, count(*) AS n_hit FROM rk
+       |  JOIN ex ON ex.q_id = rk.q_id AND ex.vec_id = rk.vec_id
+       |  WHERE rk.rn <= $K GROUP BY rk.hmax),
+       |nx AS (SELECT count(*) AS n_exact FROM ex)
+       |SELECT CAST(hmax AS INTEGER) AS max_hamming,
+       | CAST(np AS INTEGER) AS n_probes, n_candidates,
+       | CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit, n_exact,
+       | CAST(coalesce(n_hit, 0) AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+       |FROM nc LEFT JOIN ht USING (hmax) CROSS JOIN nx
+       |ORDER BY max_hamming""".stripMargin
+  }
+
   /** s13: LSH INDEX HEALTH — the occupancy profile of s02/s10's bucket
     * index in one row: bucket count, fill rate of the 2^[[NPlanes]]
     * key space, min/max/p50/p90 occupancy, and skew (max/mean). This
@@ -632,7 +682,56 @@ object Similarity {
       .orderBy($"bucket")
   }
 
+  /** Probe radii swept by s16 — the multiprobe Hamming knob 0..3. */
+  final val ProbeSweepH: Seq[Int] = Seq(0, 1, 2, 3)
+
+  private def probesAt(h: Int): Int =
+    (0 until (1 << NPlanes)).count(m => Integer.bitCount(m) <= h)
+
+  /** s16: PROBE SWEEP — the multiprobe tuning curve: for each Hamming
+    * radius 0..3, the probe count, the TOTAL candidate pairs scored
+    * (the cost axis), and micro-averaged recall@k vs s01's exact
+    * top-k (the quality axis). d17 answers "which τ" for dedup; s16
+    * answers "how many probes buy recall X" for the serving path —
+    * the knob s10/s14 hard-code is chosen FROM this curve, on a query
+    * sample, before committing a corpus-scale index build.
+    *
+    * Scale shape: each radius is s02's one designed shape (bucketed
+    * corpus scan × broadcast exploded query set, constant probe
+    * fan-out); the sweep unions the four bounded aggregates, so cost
+    * is 4 corpus scans on the SAMPLE the audit runs over — never a
+    * corpus self-join; recall = raw IEEE quotient of two BIGINT
+    * counts.
+    */
+  def s16(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exact = s01(s, dir).select($"q_id", $"vec_id")
+    val candAll = ProbeSweepH.map { h =>
+      lshCand(s, dir, h)
+        .select($"q_id", $"vec_id", $"cos")
+        .withColumn("max_hamming", lit(h))
+        .withColumn("n_probes", lit(probesAt(h)))
+    }.reduce(_ unionByName _)
+    val nCand = candAll.groupBy($"max_hamming", $"n_probes")
+      .agg(count(lit(1)).as("n_candidates"))
+    val w = Window.partitionBy($"max_hamming", $"q_id")
+      .orderBy($"cos".desc, $"vec_id".asc)
+    val approx = candAll.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= K).select($"max_hamming", $"q_id", $"vec_id")
+    val hits = approx.join(exact, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy($"max_hamming").agg(count(lit(1)).as("n_hit"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    nCand.join(hits, Seq("max_hamming"), "left")
+      .crossJoin(nExact)
+      .select($"max_hamming", $"n_probes", $"n_candidates",
+        coalesce($"n_hit", lit(0L)).as("n_hit"), $"n_exact",
+        (coalesce($"n_hit", lit(0L)).cast("double") /
+          $"n_exact".cast("double")).as("recall"))
+      .orderBy($"max_hamming")
+  }
+
   val oracle: Map[String, String] = Map(
+    "s16_probe_sweep" -> probeSweepSql,
     "s15_index_upsert" -> {
       val planeRows = (0 until NPlanes).map { j =>
         val arr = plane(j, Dims).mkString(", ")
@@ -1084,6 +1183,7 @@ object Similarity {
     "s14_ann_composed" -> (s14 _),
     "s12_filtered_ann" -> (s12 _),
     "s13_lsh_bucket_stats" -> (s13 _),
-    "s15_index_upsert" -> (s15 _)
+    "s15_index_upsert" -> (s15 _),
+    "s16_probe_sweep" -> (s16 _)
   )
 }

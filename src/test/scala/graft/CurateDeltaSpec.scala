@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** The daily-ingest job's contracts: verdicts come from the persisted
+  * index alone, the survivor set matches the registered d15/d20
+  * semantics, and the versioned index update makes day-2 runs drop
+  * day-1 re-sends.
+  */
+class CurateDeltaSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def docs = Tables(spark, dir, "documents")
+
+  test("delta run's survivors match the registered d15/d20 kept set") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("curate_delta").toString
+    val base = docs.filter($"doc_id" % 2 === 0)
+    val delta = docs.filter($"doc_id" % 2 === 1)
+    CurateDelta.buildIndex(base.select($"doc_id", $"text"), s"$tmp/idx")
+    val r = CurateDelta.run(delta, s"$tmp/idx", s"$tmp/out",
+      minScore = 0.0, maxDup3 = 1.0)
+    assert(r.nDelta == delta.count())
+    assert(r.nAfterNear <= r.nAfterExact && r.nOut == r.nAfterQuality)
+    assert(r.nAfterNear < r.nDelta,
+      "fixture has near base dups the probe must cut")
+    // survivor set = exactly the ids d15 keeps minus the ids d20
+    // drops (quality knobs neutralized above; d20's roster excludes
+    // <3-token docs — those carry no signature and pass the near stage)
+    val d15Kept = Dedup.queries("d15_delta_dedup")(spark, dir)
+      .filter($"verdict" === "kept").select($"doc_id")
+    val d20Dropped = Dedup.queries("d20_delta_minhash")(spark, dir)
+      .filter($"verdict" =!= "kept").select($"doc_id")
+    val expected = d15Kept.join(d20Dropped, Seq("doc_id"), "left_anti")
+    val got = spark.read.parquet(s"$tmp/out").select($"doc_id")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "survivor ids diverge from the registered d15/d20 kept set")
+  }
+
+  test("exact base and within-delta dups drop; novel docs ship") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("curate_delta_inj").toString
+    val base = docs.filter($"doc_id" % 2 === 0).select($"doc_id", $"text")
+    CurateDelta.buildIndex(base, s"$tmp/idx")
+    // delta = 5 exact copies of base texts (fresh ids) + 5 novel docs
+    // + 1 within-delta duplicate of a novel doc
+    val copies = base.orderBy($"doc_id").limit(5).collect()
+      .zipWithIndex.map { case (row, i) => (3000000L + i, row.getString(1)) }
+    val novel = (0 until 5).map(i =>
+      (3100000L + i, s"novel doc n$i with entirely fresh tokens x${i}a x${i}b x${i}c"))
+    val dupOfNovel = Seq((3200000L, novel.head._2))
+    val delta = spark.createDataFrame(copies.toSeq ++ novel ++ dupOfNovel)
+      .toDF("doc_id", "text")
+    val r = CurateDelta.run(delta, s"$tmp/idx", s"$tmp/out",
+      minScore = 0.0, maxDup3 = 1.0, updateIndex = false)
+    assert(r.nDelta == 11)
+    assert(r.nAfterExact == 5,
+      s"5 base copies + 1 within-delta dup must drop, report: $r")
+    val ids = spark.read.parquet(s"$tmp/out")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == novel.map(_._1).toSet,
+      s"exactly the novel docs must ship, got $ids")
+  }
+
+  test("versioned index update makes a day-2 re-send a base dup") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("curate_delta2").toString
+    val base = docs.filter($"doc_id" % 2 === 0)
+    val day1 = docs.filter($"doc_id" % 2 === 1)
+    CurateDelta.buildIndex(base.select($"doc_id", $"text"), s"$tmp/idx")
+    CurateDelta.run(day1, s"$tmp/idx", s"$tmp/out1",
+      minScore = 0.0, maxDup3 = 1.0)
+    // day 2 re-sends day-1's SHIPPED survivors under fresh ids: every
+    // one must now be an exact base dup against the UPDATED index
+    val resend = spark.read.parquet(s"$tmp/out1")
+      .withColumn("doc_id", $"doc_id" + lit(10000000L))
+    val r2 = CurateDelta.run(resend, s"$tmp/out1-index", s"$tmp/out2",
+      minScore = 0.0, maxDup3 = 1.0)
+    assert(r2.nAfterExact == 0,
+      s"re-sent survivors must all be base dups, ${r2.nAfterExact} kept")
+    // and the ORIGINAL index is untouched (versioned, not mutated):
+    // running the same re-send against it keeps the non-dup docs out
+    // of the base-dup class only where day-1 text was already in base
+    val keysBefore = spark.read.parquet(s"$tmp/idx/keys.parquet").count()
+    val keysAfter = spark.read.parquet(s"$tmp/out1-index/keys.parquet").count()
+    assert(keysAfter > keysBefore, "updated index must have grown")
+  }
+
+  test("build-index + run never read base text during the run") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("curate_delta3").toString
+    CurateDelta.buildIndex(
+      docs.filter($"doc_id" % 2 === 0).select($"doc_id", $"text"),
+      s"$tmp/idx")
+    // in-memory delta: if the run touched base text it would have to
+    // read documents.parquet — impossible here by construction
+    val rows = docs.filter($"doc_id" % 2 === 1)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val delta = spark.createDataFrame(rows).toDF("doc_id", "text")
+    val r = CurateDelta.run(delta, s"$tmp/idx", s"$tmp/out",
+      minScore = 0.0, maxDup3 = 1.0, updateIndex = false)
+    assert(r.nOut > 0)
+    assert(!new java.io.File(s"$tmp/out-index").exists(),
+      "updateIndex=false must not write an index")
+  }
+}

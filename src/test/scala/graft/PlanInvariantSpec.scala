@@ -20,6 +20,9 @@ class PlanInvariantSpec extends SparkSpec {
     // the exact-side s01 subtree (one designed BNLJ) is referenced by
     // both the per-query total and the hit count, so it prints twice
     "s09_ann_recall" -> 2,
+    // s09's duplication (exact subtree in the hit semi-join AND the
+    // n_exact total) + the single-row n_exact crossJoin broadcast
+    "s16_probe_sweep" -> 3,
     "s05_range_search" -> 1, // broadcast query set × corpus scan (s01's shape)
     "s11_ann_scalar_quant" -> 1, // broadcast quantized query set × corpus scan
     "s03_ann_ivf" -> 1, // broadcast centroid set × query scan
@@ -135,6 +138,10 @@ class PlanInvariantSpec extends SparkSpec {
       // at queries × k rows at any corpus size) whose windowed-subtree
       // stats the static planner can't see; AQE broadcasts at runtime
       "s09_ann_recall",
+      // s09's class: the sweep's hit count semi-joins the unioned
+      // post-top-k frame (bounded at radii × queries × k) against
+      // s01's exact top-k — both statless subtrees, AQE broadcasts
+      "s16_probe_sweep",
       // the drift monitor's grid/total joins land AFTER st01's windowed
       // agg, on (timeline/5min × types) dim frames whose aggregated-
       // subtree stats the static planner can't see; AQE broadcasts at

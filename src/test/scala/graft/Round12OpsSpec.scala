@@ -54,6 +54,48 @@ class Round12OpsSpec extends SparkSpec {
     assert(flaggedNoMatch == 0 && keptWithMatch == 0)
   }
 
+  test("s16 sweep: recall and candidate cost both grow with the radius") {
+    import spark.implicits._
+    val rows = operators.Similarity.queries("s16_probe_sweep")(spark, dir)
+      .orderBy($"max_hamming").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))
+    assert(rows.map(_.getInt(1)).toSeq == Seq(1, 9, 37, 93),
+      "probe counts must be C(8,0..h) cumulative")
+    val cand = rows.map(_.getLong(2))
+    val recall = rows.map(_.getDouble(5))
+    assert(cand.zip(cand.tail).forall { case (a, b) => a <= b },
+      "candidate cost must be monotone in the radius")
+    assert(recall.zip(recall.tail).forall { case (a, b) => a <= b + 1e-12 },
+      "recall must be monotone in the radius (supersets of candidates)")
+    assert(rows.forall(r => r.getLong(3) <= r.getLong(4)),
+      "hits cannot exceed the exact total")
+    // radius 1 must reproduce s09's micro recall (same engine, s02)
+    val s09 = operators.Similarity.queries("s09_ann_recall")(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum($"n_hit"),
+        org.apache.spark.sql.functions.sum($"n_exact")).collect()(0)
+    val r1 = rows(1)
+    assert(r1.getLong(3) == s09.getLong(0) && r1.getLong(4) == s09.getLong(1),
+      "s16@h=1 diverged from s09's hit/exact totals")
+  }
+
+  test("d24 occupancy stats agree with the band frame they profile") {
+    import spark.implicits._
+    val stats = operators.Dedup.queries("d24_index_stats")(spark, dir)
+    assert(stats.count() == 16, "one row per band")
+    // n_rows summed over bands = 16 x per-doc signature count (each
+    // doc contributes one row per band)
+    val nDocs = Tables(spark, dir, "documents")
+      .filter(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split($"text", " ")) >= 3).count()
+    val totalRows = stats.agg(org.apache.spark.sql.functions.sum($"n_rows"))
+      .collect()(0).getLong(0)
+    assert(totalRows == 16L * nDocs,
+      s"expected ${16L * nDocs} band rows, got $totalRows")
+    val bad = stats.filter($"max_occupancy" < $"p90_occupancy" ||
+      $"p90_occupancy" < $"p50_occupancy" || $"n_buckets" > $"n_rows").count()
+    assert(bad == 0)
+  }
+
   test("t35 fertility is t06's token counts rolled up by source") {
     import spark.implicits._
     val t35 = Text.queries("t35_token_fertility")(spark, dir)

@@ -98,7 +98,10 @@ object Bench {
     "d22_containment", "t34_quality_classifier",
     // round-12 addition: d23's delta-probe gram join (d22's class with
     // the parity split) — t35 is a join-free scan, tier-2 suffices
-    "d23_containment_delta")
+    "d23_containment_delta",
+    // q41's customer⋈orders fact join + double aggregate scales with
+    // sf — the headline's regression class
+    "q41_custdist")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

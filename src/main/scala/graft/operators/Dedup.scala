@@ -218,7 +218,12 @@ object Dedup {
     val ex = grams.select($"doc_id", explode($"gs").as("g"))
     val rare = ex.groupBy($"g").agg(count(lit(1)).as("df"))
       .filter($"df" <= MaxShingleDf).select($"g")
-    val exRare = ex.join(broadcast(rare), "g")
+    // NO broadcast hint: at corpus scale `rare` is vocabulary-sized
+    // (nearly every distinct gram has df ≤ the cap), so a pinned hint
+    // would be d19's round-11 mistake — the rare filter joins on g,
+    // the gram key the candidate join shuffles on anyway (AQE
+    // broadcasts it at toy SF where it genuinely fits).
+    val exRare = ex.join(rare, "g")
     val cand = exRare.as("a")
       .join(exRare.as("b"), $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
@@ -1853,7 +1858,8 @@ object Dedup {
     val ex = grams.select($"doc_id", explode($"gs").as("g"))
     val rare = ex.groupBy($"g").agg(count(lit(1)).as("df"))
       .filter($"df" <= MaxShingleDf).select($"g")
-    val exRare = ex.join(broadcast(rare), "g")
+    // no broadcast hint — vocabulary-scale frame, see gramCandidateJoin
+    val exRare = ex.join(rare, "g")
     val cand = exRare.filter($"doc_id" % 2 === 1).as("d")
       .join(exRare.filter($"doc_id" % 2 === 0).as("o"), $"d.g" === $"o.g")
       .select($"d.doc_id".as("did"), $"o.doc_id".as("oid"))

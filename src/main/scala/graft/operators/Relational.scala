@@ -1116,7 +1116,43 @@ object Relational {
   }
 
   /** Oracle SQL (DuckDB dialect ≈ ANSI) mirroring each query above. */
+  /** q41: CUSTOMER ORDER-COUNT DISTRIBUTION (the TPC-H Q13 shape —
+    * the suite's one LEFT-join-then-double-aggregate): how many
+    * customers placed exactly k non-URGENT orders, INCLUDING the
+    * zero-order customers an inner join would silently drop (the
+    * "how engaged is the customer base" histogram; the k=0 row is the
+    * dormant-account count q05 reports as a list).
+    *
+    * Scale shape: customer LEFT JOIN orders on the customer key (at
+    * scale both sides co-partition on c_custkey — one designed
+    * shuffle; AQE broadcasts the dim at toy SF), ONE partial agg to
+    * per-customer counts (map-side combine), then the second agg's
+    * key space is the count histogram — tens of keys, a free rollup.
+    * count(o_orderkey) (not count(*)) so the NULL rows of orderless
+    * customers count 0 — the whole point of the shape.
+    */
+  def q41(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perCust = T(s, dir, "customer").select($"c_custkey")
+      .join(T(s, dir, "orders")
+        .filter($"o_orderpriority" =!= "1-URGENT")
+        .select($"o_custkey", $"o_orderkey"),
+        $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+    perCust.groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
   val oracle: Map[String, String] = Map(
+    "q41_custdist" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q40_cust_pareto" ->
       """WITH rev AS (SELECT o_custkey,
         |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
@@ -1600,6 +1636,7 @@ object Relational {
     "q32_dormant_capital" -> (q32 _),
     "q33_mom_growth" -> (q33 _),
     "q34_modal_priority" -> (q34 _),
-    "q40_cust_pareto" -> (q40 _)
+    "q40_cust_pareto" -> (q40 _),
+    "q41_custdist" -> (q41 _)
   )
 }

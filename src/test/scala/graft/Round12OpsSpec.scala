@@ -96,6 +96,28 @@ class Round12OpsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("q41 histogram partitions the whole customer base") {
+    import spark.implicits._
+    val q41 = operators.Relational.queries("q41_custdist")(spark, dir)
+    val nCust = Tables(spark, dir, "customer").count()
+    val total = q41.agg(sum($"custdist")).collect()(0).getLong(0)
+    assert(total == nCust,
+      s"histogram must cover every customer: $total vs $nCust")
+    // the histogram is a partition: buckets are distinct and non-empty
+    assert(q41.filter($"custdist" <= 0).count() == 0)
+    assert(q41.select($"c_count").distinct().count() == q41.count())
+    // re-derive the per-customer counts independently (inner-join side)
+    // and check the left join only ADDS a zero bucket, never loses one
+    val inner = Tables(spark, dir, "orders")
+      .filter($"o_orderpriority" =!= "1-URGENT")
+      .groupBy($"o_custkey").agg(count(lit(1)).as("c_count"))
+      .groupBy($"c_count").agg(count(lit(1)).as("custdist"))
+    val mismatch = q41.filter($"c_count" > 0).as("a")
+      .join(inner.as("b"), "c_count")
+      .filter($"a.custdist" =!= $"b.custdist").count()
+    assert(mismatch == 0, "non-zero buckets must match the inner-join rollup")
+  }
+
   test("t35 fertility is t06's token counts rolled up by source") {
     import spark.implicits._
     val t35 = Text.queries("t35_token_fertility")(spark, dir)

@@ -555,6 +555,50 @@ class StreamStreamJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("delta-dedup streaming twin converges to d15Probe's verdicts") {
+    import spark.implicits._
+    import graft.streaming.{DeltaDedupStream, DeltaDoc, DeltaVerdictRow}
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("ddstream").toString
+    graft.operators.Dedup.d15Index(spark, dir)
+      .write.mode("overwrite").parquet(s"$tmp/keys.parquet")
+    val keys = spark.read.parquet(s"$tmp/keys.parquet")
+    val delta = Tables(spark, dir, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1)
+    val batch = graft.operators.Dedup
+      .d15Probe(keys, delta.select($"doc_id", $"text"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // per-hash delivery in doc_id order = the batch first-wins rule
+    val raw = delta.select($"doc_id", $"text").as[DeltaDoc]
+      .collect().sortBy(_.doc_id)
+    val input = MemoryStream[DeltaDoc]
+    val q = DeltaDedupStream.verdicts(input.toDS(), keys).writeStream
+      .format("memory").queryName("dd_out").outputMode("append").start()
+    try {
+      // three micro-batches: within-stream dups spanning batch
+      // boundaries must still lose to the earlier kept row
+      val third = raw.length / 3
+      input.addData(raw.take(third).toSeq); q.processAllAvailable()
+      input.addData(raw.slice(third, 2 * third).toSeq); q.processAllAvailable()
+      input.addData(raw.drop(2 * third).toSeq); q.processAllAvailable()
+      val out = spark.table("dd_out").as[DeltaVerdictRow].collect()
+      assert(out.length == raw.length, "append mode must emit each doc once")
+      out.foreach { r =>
+        assert(batch(r.doc_id) == r.verdict,
+          s"doc ${r.doc_id}: stream ${r.verdict} vs batch ${batch(r.doc_id)}")
+      }
+      // replaying the whole stream adds no new kept rows — every row
+      // now loses to the key store or the standing first-kept state
+      input.addData(raw.toSeq); q.processAllAvailable()
+      val replay = spark.table("dd_out").as[DeltaVerdictRow].collect()
+        .drop(out.length)
+      assert(replay.length == raw.length)
+      assert(!replay.exists(_.verdict == "kept"),
+        "replayed rows must all be dups against the standing state")
+    } finally q.stop()
+  }
+
   test("st09 disorder audit matches a hand-rolled per-user replay") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"

@@ -1840,36 +1840,108 @@ object Dedup {
     * delta×base pairs.
     *
     * Scale shape: d22's rare-shingle candidate join with the delta in
-    * the probe role — gram rows split by parity BEFORE the join, so the
-    * join's left side is delta-sized (in production the base's rare-
-    * gram rows are the persisted index, d20's convention); exact
-    * containment touches only candidate pairs; ONE partial agg on the
-    * delta id. Oracle = the same CTE chain as d22's with the parity
-    * split and the per-delta verdict rollup.
+    * the probe role — the base side is the PERSISTED [[GramIndex]]
+    * (EXECUTABLE: [[d23Index]]/[[GramIndex.write]]+load/[[d23Probe]],
+    * d20's convention — gram sets, gram rows, and per-gram base df
+    * built once and reloaded per delta, never recomputed from base
+    * text; IncrementalIndexSpec pins probe-from-parquet parity), so
+    * the probe's work is delta-bounded: the combined df cap joins on
+    * the delta's own grams, exact containment touches only candidate
+    * pairs, ONE partial agg on the delta id. The registered query is
+    * the composed form; oracle = the same CTE chain as d22's with the
+    * parity split and the per-delta verdict rollup.
     */
   def d23(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    d23Probe(d23Index(s, dir),
+      T(s, dir, "documents").filter($"doc_id" % 2 === 1))
+  }
+
+  /** Per-doc distinct 2-gram sets over any (doc_id, text) frame —
+    * d22/d23's gram stage.
+    */
+  private def gramSets(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
     GraftFunctions.register(s)
-    val docs = T(s, dir, "documents")
-    val grams = docs
+    docs
       .select($"doc_id", split($"text", " ").as("w"))
       .withColumn("gs", expr("shingles(w, 2)"))
       .select($"doc_id", $"gs")
-    val ex = grams.select($"doc_id", explode($"gs").as("g"))
-    val rare = ex.groupBy($"g").agg(count(lit(1)).as("df"))
-      .filter($"df" <= MaxShingleDf).select($"g")
-    // no broadcast hint — vocabulary-scale frame, see gramCandidateJoin
-    val exRare = ex.join(rare, "g")
-    val cand = exRare.filter($"doc_id" % 2 === 1).as("d")
-      .join(exRare.filter($"doc_id" % 2 === 0).as("o"), $"d.g" === $"o.g")
+  }
+
+  /** d23's persisted base index: full gram SETS (the confirm stage's
+    * operand), exploded gram ROWS (the candidate join's probe target),
+    * and per-gram base document frequencies (precomputed so the probe
+    * never re-aggregates the index — d20's counts trick on the gram
+    * key). `write`/`load` are the persistence pair; appending a delta
+    * = unioning sets/rows and merging the df counts.
+    */
+  final case class GramIndex(grams: DataFrame, rows: DataFrame,
+      counts: DataFrame) {
+    def write(path: String): Unit = {
+      grams.write.mode("overwrite").parquet(s"$path/grams.parquet")
+      rows.write.mode("overwrite").parquet(s"$path/gramrows.parquet")
+      counts.write.mode("overwrite").parquet(s"$path/gramdf.parquet")
+    }
+  }
+
+  object GramIndex {
+    def load(s: SparkSession, path: String): GramIndex =
+      GramIndex(
+        s.read.parquet(s"$path/grams.parquet"),
+        s.read.parquet(s"$path/gramrows.parquet"),
+        s.read.parquet(s"$path/gramdf.parquet"))
+  }
+
+  /** Builds d23's base-side index from the testdata convention. */
+  def d23Index(s: SparkSession, dir: String): GramIndex = {
+    import s.implicits._
+    d23IndexOf(T(s, dir, "documents").filter($"doc_id" % 2 === 0))
+  }
+
+  /** Builds a [[GramIndex]] over any (doc_id, text) frame. */
+  def d23IndexOf(base: DataFrame): GramIndex = {
+    val s = base.sparkSession
+    import s.implicits._
+    val grams = gramSets(base)
+    val rows = grams.select($"doc_id", explode($"gs").as("g"))
+    val counts = rows.groupBy($"g").agg(count(lit(1)).as("base_df"))
+    GramIndex(grams, rows, counts)
+  }
+
+  /** Probe-only leg of d23: containment-verdicts a (doc_id, text)
+    * delta frame against a prebuilt [[GramIndex]] without touching
+    * base text. The stop-shingle cap is d04's combined-population rule
+    * (base df + delta df ≤ [[MaxShingleDf]]), evaluated only on grams
+    * the delta actually carries — the index-side df is precomputed, so
+    * the cap join is delta-bounded.
+    */
+  def d23Probe(index: GramIndex, delta: DataFrame,
+      tau: Double = ContainTau): DataFrame = {
+    val s = delta.sparkSession
+    import s.implicits._
+    val dGrams = gramSets(delta)
+    val dEx = dGrams.select($"doc_id", explode($"gs").as("g"))
+    val dCnt = dEx.groupBy($"g").agg(count(lit(1)).as("delta_df"))
+    val allowed = dCnt
+      .join(index.counts, Seq("g"), "left")
+      .filter(coalesce($"base_df", lit(0L)) + $"delta_df" <= MaxShingleDf)
+      .select($"g")
+    // no broadcast hints — gram frames are vocabulary-scale, see
+    // gramCandidateJoin
+    val dRare = dEx.join(allowed, "g")
+    val oRare = index.rows.join(allowed, "g")
+    val cand = dRare.as("d")
+      .join(oRare.as("o"), $"d.g" === $"o.g")
       .select($"d.doc_id".as("did"), $"o.doc_id".as("oid"))
       .distinct()
     val scored = cand
-      .join(grams.select($"doc_id".as("did"), $"gs".as("gs_d")), "did")
-      .join(grams.select($"doc_id".as("oid"), $"gs".as("gs_o")), "oid")
+      .join(dGrams.select($"doc_id".as("did"), $"gs".as("gs_d")), "did")
+      .join(index.grams.select($"doc_id".as("oid"), $"gs".as("gs_o")), "oid")
       .withColumn("c", expr("size(array_intersect(gs_d, gs_o))"))
       .filter(expr("CAST(c AS DOUBLE) / least(size(gs_d), size(gs_o))")
-        >= lit(ContainTau))
+        >= lit(tau))
       .select($"did", $"oid",
         expr("round(CAST(c AS DOUBLE) / least(size(gs_d), size(gs_o)), 6)")
           .as("containment"),
@@ -1880,7 +1952,7 @@ object Dedup {
         min(when($"delta_smaller", $"oid")).as("first_container"),
         min(when(!$"delta_smaller", $"oid")).as("first_contained"))
       .withColumnRenamed("did", "doc_id")
-    docs.filter($"doc_id" % 2 === 1).select($"doc_id")
+    delta.select($"doc_id")
       .join(agg, Seq("doc_id"), "left")
       .select($"doc_id",
         coalesce($"n_base_matches", lit(0L)).as("n_base_matches"),

@@ -62,6 +62,27 @@ class IncrementalIndexSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("d23 probe from a parquet-reloaded gram index matches registered d23") {
+    val tmp = Files.createTempDirectory("graft-d23-index").toString
+    Dedup.d23Index(spark, dir).write(tmp)
+    val probe = Dedup.d23Probe(Dedup.GramIndex.load(spark, tmp), deltaFrame)
+    val full = Dedup.queries("d23_containment_delta")(spark, dir)
+    assert(probe.schema.fieldNames.toSeq == full.schema.fieldNames.toSeq)
+    assert(probe.exceptAll(full).isEmpty && full.exceptAll(probe).isEmpty,
+      "index-probe d23 disagrees with the registered composed form")
+  }
+
+  test("d23 probe plan scans only the gram index (base text untouched)") {
+    val tmp = Files.createTempDirectory("graft-d23-scan").toString
+    Dedup.d23Index(spark, dir).write(tmp)
+    val plan = Dedup.d23Probe(Dedup.GramIndex.load(spark, tmp), deltaFrame)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      "probe plan reads the documents table — the index did not decouple it")
+    assert(plan.contains("grams.parquet") && plan.contains("gramrows.parquet"),
+      "probe plan does not read the persisted gram index")
+  }
+
   test("d15 probe from a parquet-reloaded key store matches registered d15") {
     val tmp = Files.createTempDirectory("graft-d15-index").toString
     Dedup.d15Index(spark, dir).write.mode("overwrite")

@@ -28,15 +28,22 @@ import graft.operators.{Dedup, Text}
 object CurateDelta {
 
   case class Report(nDelta: Long, nAfterExact: Long, nAfterNear: Long,
-      nAfterQuality: Long, nOut: Long)
+      nAfterQuality: Long, nOut: Long,
+      nAfterContainment: Option[Long] = None)
 
-  /** One-time (or re-sharded) base index build. */
-  def buildIndex(base: DataFrame, indexDir: String): Unit = {
+  /** One-time (or re-sharded) base index build. `withGrams` adds
+    * d23's [[Dedup.GramIndex]] so delta runs can screen asymmetric
+    * containment too (off by default — gram sets are the index's
+    * largest component).
+    */
+  def buildIndex(base: DataFrame, indexDir: String,
+      withGrams: Boolean = false): Unit = {
     val s = base.sparkSession
     import s.implicits._
     base.select(md5($"text").as("h")).distinct()
       .write.mode("overwrite").parquet(s"$indexDir/keys.parquet")
     Dedup.d20IndexOf(base).write(indexDir)
+    if (withGrams) Dedup.d23IndexOf(base).write(indexDir)
   }
 
   private def loadKeys(s: SparkSession, indexDir: String): DataFrame =
@@ -52,7 +59,8 @@ object CurateDelta {
     */
   def run(delta: DataFrame, indexDir: String, outDir: String,
       minScore: Double = 0.25, maxDup3: Double = 0.6,
-      updateIndex: Boolean = true): Report = {
+      updateIndex: Boolean = true,
+      containment: Option[Double] = None): Report = {
     val spark = delta.sparkSession
     import spark.implicits._
 
@@ -82,14 +90,34 @@ object CurateDelta {
     val nNear = near.count()
     exact.unpersist()
 
+    // 2.5 (optional) CONTAINMENT delta screen (d23Probe on the gram
+    //     index): arriving docs sitting ≥ τ inside a base doc drop —
+    //     the padded re-syndication near-dup signatures miss. Docs the
+    //     probe flags `contains_base` (aggregators that swallowed a
+    //     base doc but may carry novel content) are KEPT, matching
+    //     d23's routing contract; only `contained_in_base` drops.
+    //     Requires an index built with `buildIndex(withGrams = true)`.
+    val (contained, nContain) = containment match {
+      case Some(tau) =>
+        val gIdx = Dedup.GramIndex.load(spark, indexDir)
+        val dropIds = Dedup
+          .d23Probe(gIdx, near.select($"doc_id", $"text"), tau)
+          .filter($"verdict" === "contained_in_base").select($"doc_id")
+        val kept = near.join(dropIds, Seq("doc_id"), "left_anti").persist()
+        val n = kept.count()
+        (kept, Some(n))
+      case None => (near, None)
+    }
+
     // 3. quality + repetition cut (t02/t09 signals), per-row codegen
-    val quality = Text.qualitySignals(near)
+    val quality = Text.qualitySignals(contained)
       .filter($"q_score" >= minScore &&
         coalesce($"q_dup3", lit(0.0)) <= maxDup3)
       .drop("q_score", "q_dup3")
       .persist()
     val nQuality = quality.count()
     near.unpersist()
+    if (containment.isDefined) contained.unpersist()
 
     // 4. PII redaction last, then write
     val out = quality.withColumn("text", Text.redact($"text"))
@@ -113,22 +141,25 @@ object CurateDelta {
         .write.mode("overwrite").parquet(s"$outDir-index/counts.parquet")
     }
     quality.unpersist()
-    Report(nDelta, nExact, nNear, nQuality, nOut)
+    Report(nDelta, nExact, nNear, nQuality, nOut, nContain)
   }
 
   private val usage =
-    "usage: CurateDelta (--build-index=true <baseParquet> <indexDir> | " +
-      "<deltaParquet> <indexDir> <outDir> [--min-score=0.25] " +
-      "[--max-dup3=0.6] [--update-index=true])"
+    "usage: CurateDelta (--build-index=true [--with-grams=true] " +
+      "<baseParquet> <indexDir> | <deltaParquet> <indexDir> <outDir> " +
+      "[--min-score=0.25] [--max-dup3=0.6] [--update-index=true] " +
+      "[--containment=tau])"
 
   def main(args: Array[String]): Unit = {
     val (flag, positional) = Cli.parse(args,
-      Set("build-index", "min-score", "max-dup3", "update-index"), usage)
+      Set("build-index", "with-grams", "min-score", "max-dup3",
+        "update-index", "containment"), usage)
     val spark = GraftSession.build()
     try {
       if (flag("build-index").exists(_.toBoolean)) {
         require(positional.length == 2, usage)
-        buildIndex(spark.read.parquet(positional(0)), positional(1))
+        buildIndex(spark.read.parquet(positional(0)), positional(1),
+          withGrams = flag("with-grams").exists(_.toBoolean))
         println(s"[curate-delta] index built at ${positional(1)}")
       } else {
         require(positional.length == 3, usage)
@@ -136,9 +167,12 @@ object CurateDelta {
           positional(2),
           minScore = flag("min-score").map(_.toDouble).getOrElse(0.25),
           maxDup3 = flag("max-dup3").map(_.toDouble).getOrElse(0.6),
-          updateIndex = flag("update-index").forall(_.toBoolean))
+          updateIndex = flag("update-index").forall(_.toBoolean),
+          containment = flag("containment").map(_.toDouble))
         println(s"[curate-delta] delta=${r.nDelta} exact=${r.nAfterExact} " +
-          s"near=${r.nAfterNear} quality=${r.nAfterQuality} out=${r.nOut}")
+          s"near=${r.nAfterNear} " +
+          r.nAfterContainment.map(n => s"contain=$n ").getOrElse("") +
+          s"quality=${r.nAfterQuality} out=${r.nOut}")
       }
     } finally spark.stop()
   }

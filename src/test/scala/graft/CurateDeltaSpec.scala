@@ -67,6 +67,41 @@ class CurateDeltaSpec extends SparkSpec {
       s"exactly the novel docs must ship, got $ids")
   }
 
+  test("containment screen drops docs quoted wholesale inside a base doc") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("curate_delta_cont").toString
+    // base: one long container + unique fillers; delta: the container's
+    // middle 8 tokens verbatim (contained_in_base — must drop), a doc
+    // CONTAINING a whole base doc plus novel suffix (contains_base —
+    // must be kept), and a novel doc
+    val quoted = (1 to 8).map(i => s"cq$i").mkString(" ")
+    val container = s"p1 p2 p3 $quoted " +
+      (1 to 20).map(i => s"sfx$i").mkString(" ")
+    val small = "sb1 sb2 sb3 sb4 sb5"
+    val base = Seq((2L, container), (4L, small)) ++
+      (0 until 4).map(i => (6L + 2 * i, (1 to 10).map(j => s"bf${i}x$j").mkString(" ")))
+    CurateDelta.buildIndex(base.toDF("doc_id", "text"), s"$tmp/idx",
+      withGrams = true)
+    val delta = Seq(
+      (101L, quoted),
+      (103L, s"$small nv1 nv2 nv3 nv4 nv5 nv6 nv7 nv8 nv9"),
+      (105L, (1 to 12).map(i => s"novel$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = CurateDelta.run(delta, s"$tmp/idx", s"$tmp/out",
+      minScore = 0.0, maxDup3 = 1.0, updateIndex = false,
+      containment = Some(0.6))
+    assert(r.nAfterContainment.contains(2L), s"report: $r")
+    val ids = spark.read.parquet(s"$tmp/out").collect().map(_.getLong(0)).toSet
+    assert(!ids(101L), "contained_in_base doc must drop")
+    assert(ids(103L), "contains_base doc must be kept (flagged, not dropped)")
+    assert(ids(105L), "novel doc must ship")
+    // flag off: same delta, no containment stage, all three ship
+    val r2 = CurateDelta.run(delta, s"$tmp/idx", s"$tmp/out2",
+      minScore = 0.0, maxDup3 = 1.0, updateIndex = false)
+    assert(r2.nAfterContainment.isEmpty)
+    assert(spark.read.parquet(s"$tmp/out2").count() == 3L)
+  }
+
   test("versioned index update makes a day-2 re-send a base dup") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("curate_delta2").toString

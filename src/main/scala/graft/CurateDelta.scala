@@ -49,6 +49,16 @@ object CurateDelta {
   private def loadKeys(s: SparkSession, indexDir: String): DataFrame =
     s.read.parquet(s"$indexDir/keys.parquet")
 
+  /** Whether the index at `indexDir` carries d23's gram component
+    * (built with `withGrams = true`) — the containment screen's
+    * precondition, and the signal that an index UPDATE must carry the
+    * gram component forward too.
+    */
+  private def hasGrams(s: SparkSession, indexDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/grams.parquet")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** @param delta     arriving (doc_id, text, …) frame — doc_ids must
     *                  not collide with ids already in the index
     * @param indexDir  immutable base index ([[buildIndex]] layout)
@@ -99,6 +109,10 @@ object CurateDelta {
     //     Requires an index built with `buildIndex(withGrams = true)`.
     val (contained, nContain) = containment match {
       case Some(tau) =>
+        require(hasGrams(spark, indexDir),
+          s"--containment requires an index built with grams " +
+            s"(buildIndex(withGrams = true) / --with-grams=true): " +
+            s"$indexDir has no grams.parquet")
         val gIdx = Dedup.GramIndex.load(spark, indexDir)
         val dropIds = Dedup
           .d23Probe(gIdx, near.select($"doc_id", $"text"), tau)
@@ -124,21 +138,28 @@ object CurateDelta {
     out.write.mode("overwrite").parquet(outDir)
     val nOut = spark.read.parquet(outDir).count()
 
-    // 5. VERSIONED index update: append the SHIPPED survivors (their
-    //    redacted text is what a future delta must dedup against) to a
+    // 5. VERSIONED index update: append the SHIPPED survivors to a
     //    fresh index dir — union + count merge, no base text touched.
+    //    Exact keys cover BOTH text forms: the shipped (redacted) text
+    //    a future delta re-crawls from the published corpus, and the
+    //    pre-redaction raw text a future delta re-sends from the
+    //    original source (redaction changed the hash, so indexing only
+    //    one form lets the other slip the exact screen). The near-dup
+    //    and gram indexes are built from the shipped form alone —
+    //    redaction touches few tokens, so a raw re-send still confirms
+    //    at the banded/containment thresholds.
     if (updateIndex) {
       val shipped = spark.read.parquet(outDir).select($"doc_id", $"text")
-      keys.unionByName(shipped.select(md5($"text").as("h"))).distinct()
+      keys.unionByName(shipped.select(md5($"text").as("h")))
+        .unionByName(quality.select(md5($"text").as("h"))).distinct()
         .write.mode("overwrite").parquet(s"$outDir-index/keys.parquet")
-      val dIdx = Dedup.d20IndexOf(shipped)
-      index.sigs.unionByName(dIdx.sigs)
-        .write.mode("overwrite").parquet(s"$outDir-index/sigs.parquet")
-      index.buckets.unionByName(dIdx.buckets)
-        .write.mode("overwrite").parquet(s"$outDir-index/buckets.parquet")
-      index.counts.unionByName(dIdx.counts)
-        .groupBy($"band", $"bh").agg(sum($"base_cnt").as("base_cnt"))
-        .write.mode("overwrite").parquet(s"$outDir-index/counts.parquet")
+      index.merge(Dedup.d20IndexOf(shipped)).write(s"$outDir-index")
+      // carry the gram component forward whenever the input index has
+      // one — a day-2 --containment run against the updated index must
+      // both load AND screen against day-1's survivors
+      if (hasGrams(spark, indexDir))
+        Dedup.GramIndex.load(spark, indexDir)
+          .merge(Dedup.d23IndexOf(shipped)).write(s"$outDir-index")
     }
     quality.unpersist()
     Report(nDelta, nExact, nNear, nQuality, nOut, nContain)

@@ -1667,6 +1667,20 @@ object Dedup {
       buckets.write.mode("overwrite").parquet(s"$path/buckets.parquet")
       counts.write.mode("overwrite").parquet(s"$path/counts.parquet")
     }
+
+    /** Production append: index ∪ delta — union the sigs/bucket rows,
+      * merge the per-bucket counts. Never a base recompute;
+      * IncrementalIndexSpec pins merge ≡ rebuild.
+      */
+    def merge(other: MinhashIndex): MinhashIndex = {
+      val s = sigs.sparkSession
+      import s.implicits._
+      MinhashIndex(
+        sigs.unionByName(other.sigs),
+        buckets.unionByName(other.buckets),
+        counts.unionByName(other.counts)
+          .groupBy($"band", $"bh").agg(sum($"base_cnt").as("base_cnt")))
+    }
   }
 
   object MinhashIndex {
@@ -1701,7 +1715,24 @@ object Dedup {
     * A doc_id must not appear in both the index and the delta (the
     * base/delta split is the caller's contract, as in d15).
     */
-  def d20Probe(index: MinhashIndex, delta: DataFrame): DataFrame = {
+  def d20Probe(index: MinhashIndex, delta: DataFrame): DataFrame =
+    d20ProbeIncr(index, None, delta)
+
+  /** d20Probe's CONTINUOUS-ingest form: `seen` carries the index of
+    * every EARLIER delta micro-batch (none = plain d20Probe — the plan
+    * is then identical, not an empty-union variant), so a match against
+    * it verdicts `delta_near_dup` (an earlier stream doc), never
+    * `base_near_dup`. The skew cap treats base ∪ seen as the standing
+    * corpus plus this batch's own rows — when the whole delta arrives
+    * as one batch this reduces exactly to d20Probe's combined cap; a
+    * bucket that crosses the cap only mid-stream refuses candidates
+    * from that point on, where the one-shot batch form refuses all of
+    * them (the one documented batch/stream divergence, cap-bound
+    * buckets only). [[graft.streaming.NearDupStream]] drives this per
+    * micro-batch.
+    */
+  def d20ProbeIncr(index: MinhashIndex, seen: Option[MinhashIndex],
+      delta: DataFrame): DataFrame = {
     val s = delta.sparkSession
     import s.implicits._
     val dSigs = minhashSignatures(delta)
@@ -1711,8 +1742,13 @@ object Dedup {
     // d02's combined-population skew cap (base rows + delta rows ≤ 50),
     // evaluated only on buckets the delta actually touches: the
     // index-side count is precomputed, so this join is delta-bounded.
+    val idxCounts = seen match {
+      case Some(sn) => index.counts.unionByName(sn.counts)
+        .groupBy($"band", $"bh").agg(sum($"base_cnt").as("base_cnt"))
+      case None => index.counts
+    }
     val allowed = dCnts
-      .join(index.counts, Seq("band", "bh"), "left")
+      .join(idxCounts, Seq("band", "bh"), "left")
       .filter(coalesce($"base_cnt", lit(0L)) + $"delta_cnt" <= 50)
       .select($"band", $"bh")
     val dB = dBuckets.join(allowed, Seq("band", "bh"))
@@ -1720,16 +1756,29 @@ object Dedup {
       .join(index.buckets.as("o"),
         $"d.band" === $"o.band" && $"d.bh" === $"o.bh")
       .select($"d.doc_id".as("did"), $"o.doc_id".as("oid"))
-    val deltaCand = dB.as("d")
+    val deltaCandBatch = dB.as("d")
       .join(dB.as("o"),
         $"d.band" === $"o.band" && $"d.bh" === $"o.bh" &&
           $"o.doc_id" < $"d.doc_id")
       .select($"d.doc_id".as("did"), $"o.doc_id".as("oid"))
+    // every seen-index doc is an EARLIER stream doc by construction —
+    // no doc_id ordering needed on this leg
+    val deltaCand = seen match {
+      case Some(sn) => deltaCandBatch.unionByName(
+        dB.as("d").join(sn.buckets.as("o"),
+          $"d.band" === $"o.band" && $"d.bh" === $"o.bh")
+          .select($"d.doc_id".as("did"), $"o.doc_id".as("oid")))
+      case None => deltaCandBatch
+    }
     val cand = baseCand.unionByName(deltaCand).distinct()
     // origin flag, not doc_id parity: the probe API takes ANY delta
     // frame, so "base match" must mean "matched an index row"
+    val dAndSeenSigs = seen match {
+      case Some(sn) => dSigs.unionByName(sn.sigs)
+      case None => dSigs
+    }
     val allSigs = index.sigs.withColumn("is_base", lit(true))
-      .unionByName(dSigs.withColumn("is_base", lit(false)))
+      .unionByName(dAndSeenSigs.withColumn("is_base", lit(false)))
     val conf = cand
       .join(dSigs.select($"doc_id".as("did"), $"sig".as("sig_d")), "did")
       .join(allSigs.select($"doc_id".as("oid"), $"sig".as("sig_o"),
@@ -1883,6 +1932,21 @@ object Dedup {
       grams.write.mode("overwrite").parquet(s"$path/grams.parquet")
       rows.write.mode("overwrite").parquet(s"$path/gramrows.parquet")
       counts.write.mode("overwrite").parquet(s"$path/gramdf.parquet")
+    }
+
+    /** Production append: index ∪ delta — union the gram sets/rows,
+      * merge the per-gram document frequencies. Never a base recompute;
+      * IncrementalIndexSpec pins merge ≡ rebuild (d20's MinhashIndex
+      * convention, on the gram key).
+      */
+    def merge(other: GramIndex): GramIndex = {
+      val s = grams.sparkSession
+      import s.implicits._
+      GramIndex(
+        grams.unionByName(other.grams),
+        rows.unionByName(other.rows),
+        counts.unionByName(other.counts)
+          .groupBy($"g").agg(sum($"base_df").as("base_df")))
     }
   }
 

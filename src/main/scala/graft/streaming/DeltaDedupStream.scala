@@ -29,7 +29,10 @@ case class DeltaVerdictRow(doc_id: Long, h: String, verdict: String)
   * by ARRIVAL (rows sorted by doc_id within a micro-batch) — the
   * streaming-native convention; when per-hash delivery follows doc_id
   * order, the converged verdicts equal the batch d15Probe row for row
-  * (parity-pinned in StreamingSpec).
+  * (parity-pinned in StreamingSpec). Verdicts are IDEMPOTENT per
+  * doc_id under at-least-once redelivery: a redelivered copy of the
+  * kept row re-verdicts `kept` (its id is the stored first-kept id),
+  * never `delta_dup`.
   *
   * Scale notes: the static side joins like any dim (broadcast when it
   * fits, shuffle otherwise — Spark plans it per micro-batch); state is
@@ -62,6 +65,10 @@ object DeltaDedupStream {
     val out = sorted.map { r =>
       val v =
         if (r.in_base) "base_dup"
+        // at-least-once delivery: a REDELIVERED copy of the row that
+        // was originally verdicted kept must re-verdict kept, not
+        // delta_dup — the verdict stream stays idempotent per doc_id
+        else if (first.contains(r.doc_id)) "kept"
         else if (first.isDefined) "delta_dup"
         else { first = Some(r.doc_id); "kept" }
       DeltaVerdictRow(r.doc_id, h, v)

@@ -126,6 +126,77 @@ class CurateDeltaSpec extends SparkSpec {
     assert(keysAfter > keysBefore, "updated index must have grown")
   }
 
+  test("day-2 containment run screens against day-1 survivors (gram carry)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("curate_delta_cont2").toString
+    val base = (0 until 4).map(i =>
+      (2L + 2 * i, (1 to 10).map(j => s"gb${i}x$j").mkString(" ")))
+    CurateDelta.buildIndex(base.toDF("doc_id", "text"), s"$tmp/idx",
+      withGrams = true)
+    // day 1: a long NOVEL doc (survives every screen)
+    val survivorText = (1 to 30).map(i => s"dayone$i").mkString(" ")
+    val day1 = Seq((201L, survivorText)).toDF("doc_id", "text")
+    val r1 = CurateDelta.run(day1, s"$tmp/idx", s"$tmp/out1",
+      minScore = 0.0, maxDup3 = 1.0, containment = Some(0.6))
+    assert(r1.nOut == 1L, s"day-1 survivor must ship, report: $r1")
+    // the updated index must carry the gram component forward
+    assert(new java.io.File(s"$tmp/out1-index/grams.parquet").exists(),
+      "updated index dropped the gram component")
+    // day 2: a doc quoted wholesale from the DAY-1 SURVIVOR (not from
+    // base) + a novel doc — the carry-through is what catches the first
+    val quoted = (11 to 18).map(i => s"dayone$i").mkString(" ")
+    val day2 = Seq(
+      (301L, quoted),
+      (303L, (1 to 12).map(i => s"daytwo$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r2 = CurateDelta.run(day2, s"$tmp/out1-index", s"$tmp/out2",
+      minScore = 0.0, maxDup3 = 1.0, containment = Some(0.6))
+    val ids = spark.read.parquet(s"$tmp/out2").collect().map(_.getLong(0)).toSet
+    assert(!ids(301L),
+      s"doc contained in a day-1 survivor must drop, report: $r2")
+    assert(ids(303L), "novel day-2 doc must ship")
+  }
+
+  test("--containment against a gram-less index fails loudly") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("curate_delta_nogram").toString
+    val base = docs.filter($"doc_id" % 2 === 0).select($"doc_id", $"text")
+    CurateDelta.buildIndex(base, s"$tmp/idx") // withGrams = false
+    val delta = Seq((401L, "a novel doc with several tokens"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      CurateDelta.run(delta, s"$tmp/idx", s"$tmp/out",
+        minScore = 0.0, maxDup3 = 1.0, containment = Some(0.6))
+    }
+    assert(e.getMessage.contains("grams"),
+      s"error must name the missing gram component, got: ${e.getMessage}")
+  }
+
+  test("a raw re-send of a redacted day-1 survivor is a base dup on day 2") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("curate_delta_redact").toString
+    val base = (0 until 4).map(i =>
+      (2L + 2 * i, (1 to 10).map(j => s"rb${i}x$j").mkString(" ")))
+    CurateDelta.buildIndex(base.toDF("doc_id", "text"), s"$tmp/idx")
+    // day-1 doc carries PII: its SHIPPED text is redacted, so the raw
+    // form hashes differently — keys must index both forms
+    val raw = "alpha beta contact me at someone@example.com gamma delta " +
+      (1 to 10).map(i => s"rr$i").mkString(" ")
+    val day1 = Seq((501L, raw)).toDF("doc_id", "text")
+    val r1 = CurateDelta.run(day1, s"$tmp/idx", s"$tmp/out1",
+      minScore = 0.0, maxDup3 = 1.0)
+    assert(r1.nOut == 1L)
+    val shippedText = spark.read.parquet(s"$tmp/out1")
+      .collect().head.getAs[String]("text")
+    assert(shippedText.contains("<EMAIL>"), "survivor must ship redacted")
+    // day 2 re-sends the RAW (pre-redaction) text under a fresh id
+    val day2 = Seq((601L, raw)).toDF("doc_id", "text")
+    val r2 = CurateDelta.run(day2, s"$tmp/out1-index", s"$tmp/out2",
+      minScore = 0.0, maxDup3 = 1.0, updateIndex = false)
+    assert(r2.nAfterExact == 0,
+      s"raw re-send must be an exact base dup (pre-redaction key), report: $r2")
+  }
+
   test("build-index + run never read base text during the run") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("curate_delta3").toString

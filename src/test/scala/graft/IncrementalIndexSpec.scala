@@ -97,21 +97,44 @@ class IncrementalIndexSpec extends SparkSpec {
 
   test("appending a delta to the index is a union+merge, no base recompute") {
     import spark.implicits._
-    // production append: index' = index ∪ delta's sigs/buckets with
-    // counts merged — building it must equal d20IndexOf(base ∪ delta)
+    // production append: index.merge(delta's index) — building it must
+    // equal d20IndexOf(base ∪ delta)
     val docs = Tables(spark, dir, "documents").select($"doc_id", $"text")
     val base = docs.filter($"doc_id" % 2 === 0)
     val delta = docs.filter($"doc_id" % 2 === 1)
-    val idx = Dedup.d20IndexOf(base)
-    val dIdx = Dedup.d20IndexOf(delta)
-    val merged = Dedup.MinhashIndex(
-      idx.sigs.unionByName(dIdx.sigs),
-      idx.buckets.unionByName(dIdx.buckets),
-      idx.counts.unionByName(dIdx.counts)
-        .groupBy($"band", $"bh").agg(sum($"base_cnt").as("base_cnt")))
+    val merged = Dedup.d20IndexOf(base).merge(Dedup.d20IndexOf(delta))
     val whole = Dedup.d20IndexOf(docs)
     assert(merged.counts.exceptAll(whole.counts).isEmpty &&
       whole.counts.exceptAll(merged.counts).isEmpty,
       "merged per-bucket counts diverge from a from-scratch rebuild")
+    assert(merged.sigs.count() == whole.sigs.count() &&
+      merged.buckets.count() == whole.buckets.count())
+  }
+
+  test("appending a delta to the gram index is a union+merge, no base recompute") {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents").select($"doc_id", $"text")
+    val base = docs.filter($"doc_id" % 2 === 0)
+    val delta = docs.filter($"doc_id" % 2 === 1)
+    val merged = Dedup.d23IndexOf(base).merge(Dedup.d23IndexOf(delta))
+    val whole = Dedup.d23IndexOf(docs)
+    assert(merged.counts.exceptAll(whole.counts).isEmpty &&
+      whole.counts.exceptAll(merged.counts).isEmpty,
+      "merged per-gram df diverges from a from-scratch rebuild")
+    assert(merged.grams.count() == whole.grams.count() &&
+      merged.rows.count() == whole.rows.count())
+  }
+
+  test("a probe from a MERGED gram index equals one from a rebuilt index") {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents").select($"doc_id", $"text")
+    val base = docs.filter($"doc_id" % 4 === 0)
+    val added = docs.filter($"doc_id" % 4 === 2)
+    val merged = Dedup.d23IndexOf(base).merge(Dedup.d23IndexOf(added))
+    val rebuilt = Dedup.d23IndexOf(docs.filter($"doc_id" % 2 === 0))
+    val probeM = Dedup.d23Probe(merged, deltaFrame)
+    val probeR = Dedup.d23Probe(rebuilt, deltaFrame)
+    assert(probeM.exceptAll(probeR).isEmpty && probeR.exceptAll(probeM).isEmpty,
+      "probing the merged gram index disagrees with probing a rebuild")
   }
 }

@@ -588,14 +588,65 @@ class StreamStreamJoinSpec extends SparkSpec {
         assert(batch(r.doc_id) == r.verdict,
           s"doc ${r.doc_id}: stream ${r.verdict} vs batch ${batch(r.doc_id)}")
       }
-      // replaying the whole stream adds no new kept rows — every row
-      // now loses to the key store or the standing first-kept state
+      // at-least-once REDELIVERY is idempotent: replaying the whole
+      // stream re-verdicts every doc exactly as before — the original
+      // kept row re-verdicts kept (it IS the stored first-kept id),
+      // dups stay dups; no doc_id ever carries contradictory verdicts
       input.addData(raw.toSeq); q.processAllAvailable()
       val replay = spark.table("dd_out").as[DeltaVerdictRow].collect()
         .drop(out.length)
       assert(replay.length == raw.length)
-      assert(!replay.exists(_.verdict == "kept"),
-        "replayed rows must all be dups against the standing state")
+      replay.foreach { r =>
+        assert(batch(r.doc_id) == r.verdict,
+          s"redelivered doc ${r.doc_id}: ${r.verdict} vs original ${batch(r.doc_id)}")
+      }
+    } finally q.stop()
+  }
+
+  test("near-dup streaming twin converges to d20Probe's verdicts") {
+    import spark.implicits._
+    import graft.streaming.{DeltaDoc, NearDupStream}
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("ndstream").toString
+    graft.operators.Dedup.d20Index(spark, dir).write(s"$tmp/idx")
+    val base = graft.operators.Dedup.MinhashIndex.load(spark, s"$tmp/idx")
+    // fixture odd docs + an injected near-dup pair that STRADDLES a
+    // micro-batch boundary (the fixture has no within-delta near dups,
+    // so without it the cross-batch seen-index path is never load-
+    // bearing); the pair's ids sit above every fixture id and share no
+    // tokens with it, so global first-wins order is unaffected
+    val nd1 = (1 to 20).map(i => s"zz$i").mkString(" ")
+    val nd2 = ((1 to 19).map(i => s"zz$i") :+ "zz99").mkString(" ")
+    val fixture = Tables(spark, dir, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1)
+      .select($"doc_id", $"text").as[DeltaDoc].collect().sortBy(_.doc_id)
+    val delta = fixture.toSeq ++
+      Seq(DeltaDoc(2001L, nd1), DeltaDoc(2003L, nd2))
+    val batchV = graft.operators.Dedup
+      .d20Probe(base, delta.toDF("doc_id", "text"))
+    val third = fixture.length / 3
+    val input = MemoryStream[DeltaDoc]
+    val q = NearDupStream.start(input.toDS(), base,
+      s"$tmp/state", s"$tmp/out")
+    try {
+      // batch 2 carries nd1, batch 3 nd2: the match crosses the boundary
+      input.addData(fixture.take(third).toSeq); q.processAllAvailable()
+      input.addData(fixture.slice(third, 2 * third).toSeq :+ DeltaDoc(2001L, nd1))
+      q.processAllAvailable()
+      input.addData(fixture.drop(2 * third).toSeq :+ DeltaDoc(2003L, nd2))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$tmp/out")
+      assert(out.count() == batchV.count(), "one verdict per sig-bearing doc")
+      assert(out.exceptAll(batchV).isEmpty && batchV.exceptAll(out).isEmpty,
+        "stream verdicts diverge from the one-shot batch d20Probe")
+      // the cross-batch pair exercised the seen index: nd2 must have
+      // lost to nd1 (an earlier MICRO-BATCH, not an earlier row of its own)
+      val nd2Row = out.filter($"doc_id" === 2003L).collect().head
+      assert(nd2Row.getAs[String]("verdict") == "delta_near_dup" &&
+        nd2Row.getAs[Long]("first_delta_match") == 2001L)
+      assert(out.filter($"verdict" === "base_near_dup").count() > 0,
+        "fixture must exercise the base-index leg too")
     } finally q.stop()
   }
 

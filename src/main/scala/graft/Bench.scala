@@ -7,8 +7,10 @@ import org.apache.spark.sql.SparkSession
   * long-lived cluster job actually runs at) then MULTIPLE timed passes,
   * fully materialized through the noop sink (every column computed —
   * `count()` would let Spark skip work). Every OTHER registered query
-  * gets one cold tier-2 pass, so the whole surface has recorded
-  * numbers each round.
+  * gets a tier-2 record too: one shared warmup pass then min-of-2
+  * timed passes, so the whole surface has REPRODUCIBLE numbers each
+  * round (a single cold pass reads as a phantom 2–4x regression on an
+  * unchanged plan).
   *
   * Every pass (warmup included) is reported in the JSON so environment
   * contention is distinguishable from a real plan regression: `queries`
@@ -101,7 +103,12 @@ object Bench {
     "d23_containment_delta",
     // q41's customer⋈orders fact join + double aggregate scales with
     // sf — the headline's regression class
-    "q41_custdist")
+    "q41_custdist",
+    // round-13 promotions (r12 verdict ask #3): d16/d17 are real banded
+    // audit operators whose tier-2 single-pass numbers read as phantom
+    // 2x regressions; d24 is the banded-index health scan — all three
+    // now carry min-of-3 evidence
+    "d16_minhash_audit", "d17_threshold_sweep", "d24_index_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -148,17 +155,21 @@ object Bench {
     val total = best.map(_._2).sum
     val passesJson = passes.map(jsonMap).mkString("[", ",", "]")
     // TIER 2: every registered query outside the 3-pass headline set
-    // gets ONE timed run (cold — includes codegen/broadcast build), so
-    // no operator ships without at least one recorded number. Skipped
-    // in SPARK_GRAFT_BENCH_ONLY dev runs; SPARK_GRAFT_BENCH_TIER2=0
+    // gets one shared warmup pass then TWO timed runs, min reported —
+    // round 12's single cold pass produced phantom 2–4x "regressions"
+    // on unchanged plans (e02/e03/e04/e18/e25), so the record was
+    // useless for regression detection. Skipped in
+    // SPARK_GRAFT_BENCH_ONLY dev runs; SPARK_GRAFT_BENCH_TIER2=0
     // disables it explicitly.
     val tier2on = only.isEmpty &&
       sys.env.getOrElse("SPARK_GRAFT_BENCH_TIER2", "1") != "0"
-    val tier2 =
-      if (tier2on)
-        SparkEntry.queries.keys.toSeq.sorted
-          .filterNot(headline.toSet).map(n => n -> run(n))
+    val tier2Keys =
+      if (tier2on) SparkEntry.queries.keys.toSeq.sorted.filterNot(headline.toSet)
       else Seq.empty
+    val tier2Warmup = tier2Keys.map(n => n -> run(n))
+    val tier2Passes = (1 to 2).map(_ => tier2Keys.map(n => n -> run(n)))
+    val tier2 = tier2Keys.map(n =>
+      n -> tier2Passes.map(_.toMap.apply(n)).min)
     val tier2Total = tier2.map(_._2).sum
     // PHASE SPLIT for the MLlib-fit operators (round-8 verdict ask #6):
     // their composite timings are ~all constant-size quantizer fitting
@@ -216,6 +227,8 @@ object Bench {
       if (tier2on)
         s""""tier2_total":${String.format(java.util.Locale.ROOT, "%.3f",
           Double.box(tier2Total))},"tier2":${jsonMap(tier2)},""" +
+          s""""tier2_warmup":${jsonMap(tier2Warmup)},""" +
+          s""""tier2_passes":${tier2Passes.map(jsonMap).mkString("[", ",", "]")},""" +
           (if (phases.nonEmpty) s""""phases":${jsonMap(phases)},""" else "")
       else ""
     val fullLine =

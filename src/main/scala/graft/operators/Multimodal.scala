@@ -14,6 +14,32 @@ case class MediaMeta(
     n_frames: Int,
     digest: String)
 
+/** The PLUGGABLE decode seam (SURVEY §2.3): one implementation call per
+  * blob, invoked inside the per-partition 32-blob batches of
+  * m02/m03/m06/m07/m10 — so a codec-bearing deployment (libjpeg/ffmpeg/
+  * torch on the executors) swaps in real decode by passing its own
+  * `Decoder` to [[Multimodal.mediaMeta]]/[[Multimodal.featureExtract]]/
+  * [[Multimodal.resizeGeometry]]/[[Multimodal.phashes]] with ZERO plan
+  * changes: the schema, partitioning, batch shape, and everything
+  * downstream of the decode are decoder-agnostic (DecoderSeamSpec
+  * proves a custom decoder flows through m02→m03→m07 end to end).
+  * Implementations ship to executors — keep them Serializable and
+  * stateless (or lazily initialized per JVM).
+  */
+trait Decoder extends Serializable {
+
+  /** Geometry + content digest for one blob — m02/m06's row, and the
+    * entropy source of m03's embedding stub.
+    */
+  def decode(id: Long, bytes: Array[Byte]): MediaMeta
+
+  /** 8×8 mean-luminance grid when the bytes decode to pixels — the
+    * dHash input of m07/m10. None routes the blob to the deterministic
+    * stub grid (same bit layout, derived from the blob digest).
+    */
+  def lumaGrid(bytes: Array[Byte]): Option[Array[Array[Int]]]
+}
+
 /** Multimodal-column operators (SURVEY.md §2.3): media as opaque
   * `binary` columns with typed metadata.
   *
@@ -151,6 +177,19 @@ object Multimodal {
       case None => fakeDecode(id, bytes)
     }
 
+  /** The sandbox default [[Decoder]]: JDK ImageIO for real image
+    * containers (PNG/BMP/GIF/JPEG — no external dependency), the
+    * deterministic md5-chain stub for everything else. The registered
+    * m02/m03/m06/m07/m10 queries run through this, so their oracle
+    * contracts are exactly the pre-seam behavior.
+    */
+  object DefaultDecoder extends Decoder {
+    def decode(id: Long, bytes: Array[Byte]): MediaMeta =
+      Multimodal.decode(id, bytes)
+    def lumaGrid(bytes: Array[Byte]): Option[Array[Array[Int]]] =
+      tryDecodeImage(bytes).map(lumaGrid8)
+  }
+
   /** m02: decode plumbing — binary batches per partition
     * (batch size 32, the shape a GPU/vectorized decoder wants), typed
     * struct out. `mapPartitions` is the Scala analog of mapInPandas:
@@ -165,9 +204,11 @@ object Multimodal {
 
   /** m02 core over any (doc_id, blob: binary) frame — factored so
     * specs (and image-bearing corpora) can feed REAL image bytes that
-    * a parquet string column could not carry.
+    * a parquet string column could not carry, and so a deployment can
+    * inject its own [[Decoder]] (the codec seam) with no plan change.
     */
-  def mediaMeta(blobs: DataFrame): DataFrame = {
+  def mediaMeta(blobs: DataFrame,
+      decoder: Decoder = DefaultDecoder): DataFrame = {
     val s = blobs.sparkSession
     import s.implicits._
     blobs.select($"doc_id", $"blob")
@@ -176,7 +217,7 @@ object Multimodal {
         it.grouped(32).flatMap { batch =>
           // batch boundary = where a real decoder would invoke its
           // vectorized kernel once per 32 blobs
-          batch.map { case (id, bytes) => decode(id, bytes) }
+          batch.map { case (id, bytes) => decoder.decode(id, bytes) }
         }
       }
       .toDF()
@@ -196,14 +237,30 @@ object Multimodal {
     */
   def m03(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    featureExtract(T(s, dir, "documents")
+      .select($"doc_id", $"text".cast("binary").as("blob")))
+      .orderBy($"doc_id")
+  }
+
+  /** m03 core over any (doc_id, blob: binary) frame. The embedding
+    * stub's entropy source is the DECODER's content digest (for the
+    * default decoder on non-image blobs that is md5(blob) — the
+    * registered query's oracle contract; on real images it is the
+    * pixel-content digest, so re-encodes embed identically), which is
+    * what lets a custom [[Decoder]] flow through to the embedding with
+    * no plan change.
+    */
+  def featureExtract(blobs: DataFrame,
+      decoder: Decoder = DefaultDecoder): DataFrame = {
+    val s = blobs.sparkSession
+    import s.implicits._
     val dims = 16
-    T(s, dir, "documents")
-      .select($"doc_id", $"text".cast("binary").as("blob"))
+    blobs.select($"doc_id", $"blob")
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(32).flatMap { batch => // one stub "model call" per 32 blobs
           batch.map { case (id, bytes) =>
-            val dg = md5hex(bytes)
+            val dg = decoder.decode(id, bytes).digest
             val q = Array.tabulate(dims) { d =>
               hex4(md5hex(s"$dg:$d".getBytes("UTF-8")), 0) - 32768
             }
@@ -220,7 +277,6 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "sq_norm_int", "emb_digest", "dims")
-      .orderBy($"doc_id")
   }
 
   /** Frames sampled per blob in m04 (a real video pipeline samples a
@@ -327,9 +383,11 @@ object Multimodal {
 
   /** m06 core over any (doc_id, blob: binary) frame. Real images get
     * their true decoded geometry (the stub supplies it otherwise); the
-    * letterbox math is identical either way.
+    * letterbox math is identical either way — and decoder-agnostic, so
+    * a custom [[Decoder]] swaps in with no plan change.
     */
-  def resizeGeometry(blobs: DataFrame): DataFrame = {
+  def resizeGeometry(blobs: DataFrame,
+      decoder: Decoder = DefaultDecoder): DataFrame = {
     val s = blobs.sparkSession
     import s.implicits._
     val (tw, th) = (224, 224)
@@ -338,7 +396,7 @@ object Multimodal {
       .mapPartitions { it =>
         it.grouped(32).flatMap { batch => // one stub "resize kernel call" per 32 blobs
           batch.map { case (id, bytes) =>
-            val meta = decode(id, bytes)
+            val meta = decoder.decode(id, bytes)
             // fit-inside scale preserving aspect ratio, letterboxed
             val scale = math.min(tw.toDouble / meta.width, th.toDouble / meta.height)
             val (ow, oh) = (math.max(1, (meta.width * scale).round.toInt),
@@ -389,12 +447,11 @@ object Multimodal {
     * levels — collapse to one hash; non-images keep the md5-chain stub
     * grid (same bit layout, deterministic on blob content).
     */
-  private def dHash56(bytes: Array[Byte]): Long = {
+  private def dHash56(bytes: Array[Byte], decoder: Decoder): Long = {
     var h = 0L
     var bit = 0
-    tryDecodeImage(bytes) match {
-      case Some(img) =>
-        val g = lumaGrid8(img)
+    decoder.lumaGrid(bytes) match {
+      case Some(g) =>
         var i = 0
         while (i < 8) {
           var j = 0
@@ -424,24 +481,26 @@ object Multimodal {
   /** The (doc_id, phash) dHash frame m07 and m10 share — per-row
     * batched mapPartitions (the vectorized-decoder shape), no shuffle.
     */
-  def phashes(blobs: DataFrame): DataFrame = {
+  def phashes(blobs: DataFrame,
+      decoder: Decoder = DefaultDecoder): DataFrame = {
     val s = blobs.sparkSession
     import s.implicits._
     blobs.select($"doc_id", $"blob")
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(32).flatMap { batch => // one "decode+hash call" per 32 blobs
-          batch.map { case (id, bytes) => (id, dHash56(bytes)) }
+          batch.map { case (id, bytes) => (id, dHash56(bytes, decoder)) }
         }
       }
       .toDF("doc_id", "phash")
   }
 
   /** m07 core over any (doc_id, blob: binary) frame. */
-  def phashDedup(blobs: DataFrame): DataFrame = {
+  def phashDedup(blobs: DataFrame,
+      decoder: Decoder = DefaultDecoder): DataFrame = {
     val s = blobs.sparkSession
     import s.implicits._
-    val hashed = phashes(blobs)
+    val hashed = phashes(blobs, decoder)
     val groups = hashed.groupBy($"phash")
       .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("grp_size"))
     hashed.join(groups, "phash")
@@ -603,6 +662,27 @@ object Multimodal {
   def m11(s: SparkSession, dir: String): DataFrame =
     m11With(s, dir, DefaultTextCostSql)
 
+  /** m12: m11's interleaved packer priced with EXACT tokenizer counts
+    * instead of the chars/4 calibration — the [[m11With]] cost seam
+    * exercised as a registered query. The cost here is the t06
+    * pretokenizer's token count (the repo's oracle-replayable BPE-style
+    * tokenization, identical under Java regex and RE2, so the packing
+    * manifest stays hash-verified end to end); a deployment with a real
+    * merges file swaps in `bpe_count(text, '/path/merges.txt')` through
+    * the same seam for dataloader-exact GPT-2 costs —
+    * TokenCalibrationSpec pins that mode's packed totals against the
+    * tokenizer's own counts, and pins m12-vs-m11's delta (the exact
+    * cost runs below the calibrated overestimate, so sequences pack
+    * denser and the budget still never overflows).
+    *
+    * Scale shape: identical to m11 — the cost expression is per-row
+    * codegen over the same single scan; the one shuffle is the
+    * per-source packing window.
+    */
+  def m12(s: SparkSession, dir: String): DataFrame =
+    m11With(s, dir,
+      s"size(regexp_extract_all(text, '${Text.bpePattern}', 0))")
+
   /** m11's default per-doc text-token cost: ceil(chars/4), the standard
     * BPE rule of thumb. CALIBRATED against the t06 regex pretokenizer
     * on the fixture corpus (TokenCalibrationSpec): it OVERESTIMATES by
@@ -742,6 +822,25 @@ object Multimodal {
          | CAST(sum(nb) AS BIGINT) AS shard_bytes,
          | md5(string_agg(dg, ',' ORDER BY doc_id)) AS manifest_md5
          |FROM sh GROUP BY 1, 2 ORDER BY source, shard""".stripMargin,
+    "m12_interleave_exact" ->
+      s"""WITH b AS (SELECT doc_id, source, text,
+         |  $ModalityCaseDuck AS modality
+         |  FROM documents),
+         |c AS (SELECT doc_id, source, modality,
+         |  len(regexp_extract_all(text, '${Text.bpePattern}', 0)) AS text_toks,
+         |  CASE WHEN modality <> 'text' THEN $ImageSlotTokens ELSE 0 END AS img_toks
+         |  FROM b),
+         |d AS (SELECT *, text_toks + img_toks AS cost FROM c),
+         |e AS (SELECT *, CAST(coalesce(sum(cost) OVER (PARTITION BY source
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    0) AS BIGINT) AS prior FROM d),
+         |f AS (SELECT *, CAST(prior // $SeqBudget AS INT) AS seq FROM e)
+         |SELECT source, seq, count(*) AS n_docs,
+         | count(*) FILTER (WHERE modality <> 'text') AS n_media,
+         | CAST(sum(text_toks) AS BIGINT) AS text_tokens,
+         | CAST(sum(img_toks) AS BIGINT) AS image_tokens,
+         | CAST(sum(cost) AS BIGINT) AS seq_tokens
+         |FROM f GROUP BY 1, 2 ORDER BY source, seq""".stripMargin,
     "m08_modality_route" ->
       """SELECT doc_id, substr(text, 1, 8) AS head8,
         | CASE
@@ -872,6 +971,7 @@ object Multimodal {
     "m08_modality_route" -> (m08 _),
     "m09_shard_pack" -> (m09 _),
     "m10_phash_near_dup" -> (m10 _),
-    "m11_interleave_pack" -> (m11 _)
+    "m11_interleave_pack" -> (m11 _),
+    "m12_interleave_exact" -> (m12 _)
   )
 }

@@ -129,7 +129,7 @@ object Text {
     * runs, or single non-alphanumerics (the BPE-style pretokenization
     * shape); identical semantics under Java regex and RE2.
     */
-  private val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  private[operators] val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
   /** t06: BPE-ish regex token counting — the tokenizer-aware variant of
     * t03 (whitespace tokens); regexp_extract_all is codegen'd, per-row,

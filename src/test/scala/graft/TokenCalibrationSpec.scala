@@ -77,6 +77,21 @@ class TokenCalibrationSpec extends SparkSpec {
     }
   }
 
+  test("registered m12 IS the exact-cost packer (m11With + t06's pretokenizer)") {
+    import spark.implicits._
+    val m12 = Multimodal.queries("m12_interleave_exact")(spark, dir)
+    val viaSeam = Multimodal.m11With(spark, dir, bpeCountSql)
+    assert(m12.exceptAll(viaSeam).isEmpty && viaSeam.exceptAll(m12).isEmpty,
+      "m12 diverges from m11With with the pretokenizer cost")
+    // the delta vs m11's chars/4 calibration: the exact cost is lower
+    // per doc (pinned above), so the manifest's token totals shrink
+    val m11Total = Multimodal.m11(spark, dir)
+      .agg(sum($"seq_tokens")).head().getLong(0)
+    val m12Total = m12.agg(sum($"seq_tokens")).head().getLong(0)
+    assert(m12Total < m11Total,
+      s"exact-cost manifest ($m12Total) must run below chars/4's ($m11Total)")
+  }
+
   /** A GPT-2-format merges fixture whose token counts are small enough
     * to verify by hand — the EXACT-mode contract: counts follow the
     * published byte-level BPE algorithm, not a heuristic.

@@ -57,16 +57,30 @@ fi
 # snapshot commit can never land a query the docs and bench don't
 # cover. Verify writes one <key>.parquet dir per registered (or
 # filtered) key, which makes the registry listable without sbt.
-echo "[gate] 4/4 registration audit vs SURVEY.md / PLANS.md / BENCH_FULL.json"
+echo "[gate] 4/5 registration audit vs SURVEY.md / PLANS.md / BENCH_FULL.json"
 MISS=0
 for k in $(ls "$OUT_DIR" | sed 's/\.parquet$//' | grep -v '^oracle_sql'); do
   for f in SURVEY.md PLANS.md BENCH_FULL.json; do
-    grep -q "$k" "$f" || { echo "[gate] UNAUDITED: $k missing from $f"; MISS=1; }
+    # anchored: the key as a whole token, not a substring of another
+    # key's prose or an unrelated JSON value
+    grep -qE "(^|[^a-z0-9_])$k([^a-z0-9_]|$)" "$f" || {
+      echo "[gate] UNAUDITED: $k missing from $f"; MISS=1; }
   done
 done
 if [[ "$MISS" != 0 ]]; then
   echo "[gate] FAIL: unaudited registrations (add the key to the named artifacts first)"
   exit 1
+fi
+
+echo "[gate] 5/5 PLANS.md bench quotes vs the committed BENCH_FULL.json"
+python3 tools/check_plans_bench.py || {
+  echo "[gate] FAIL: PLANS.md quotes a bench number the committed record does not contain"
+  exit 1
+}
+# probe-coverage reminder (warn-only): the current-round PLANS section
+# should record a full-surface sf>=1 probe
+if ! sed '/^# Archived/q' PLANS.md | grep -qiE 'sf(1|10).*(PASS=|FAIL=0)|probe.*green'; then
+  echo "[gate] WARN: no sf>=1 probe note found in PLANS.md's current-round section"
 fi
 
 echo "[gate] OK — safe to commit"

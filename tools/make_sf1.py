@@ -3,11 +3,26 @@
 not library code): the scaling fact/dim tables are replicated 10x with
 every key column shifted by a replica stride, so join fan-outs and
 group cardinalities scale like a real 10x — not 10 identical copies
-landing on the same keys. Bounded dims (region/nation) and the
-fixed-size documents/embeddings tables copy through unchanged (the
-bench's dedup/ANN queries run on fixed-size corpora at every sf, per
-Bench.scala's headline note). Timestamps in events shift by replica
-too, spreading cohorts/windows across a wider range like real growth.
+landing on the same keys. Bounded dims (region/nation) copy through
+unchanged. Timestamps in events shift by replica too, spreading
+cohorts/windows across a wider range like real growth.
+
+documents/embeddings scale too (round-12 verdict ask #2 — the dedup/
+ANN/text candidate joins must see >fixture-sized corpora), with each
+replica's token/vector space SALTED so per-replica verdict structure
+is preserved instead of creating 10x cross-replica duplicates:
+- documents: doc_id shifts by the stride (PARITY-PRESERVING — the
+  stride is even, so the even/odd base/delta convention of d15/d20/d23
+  holds per replica); replica k>0 suffixes every whitespace token with
+  "qK", so shingle/minhash/gram structure within a replica is
+  isomorphic to the original while replicas share no tokens; n_chars
+  is recomputed from the salted text.
+- embeddings: vec_id shifts; replica k>0 applies a deterministic
+  per-replica DIAGONAL +-1 sign pattern over dimensions (an exact
+  orthogonal transform: within-replica dot products / cosines are
+  bit-preserved, cross-replica cosines collapse to noise), so ANN
+  verdict structure replicates without cross-replica near-dups.
+Replica 0 is byte-identical to the source at every scale.
 
 Usage: python3 tools/make_sf1.py [OUT_DIR] [REPLICAS]
        (defaults: /tmp/sf1, 10 — REPLICAS=100 builds an sf10 probe)
@@ -30,7 +45,7 @@ SHIFT = {
     "part": ["p_partkey"],
     "events": ["event_id", "user_id"],
 }
-COPY = ["region", "nation", "documents", "embeddings"]
+COPY = ["region", "nation"]
 
 
 def main():
@@ -58,6 +73,29 @@ def main():
         con.sql(f"COPY (SELECT * FROM '{SRC}/{t}.parquet') "
                 f"TO '{OUT}/{t}.parquet' (FORMAT PARQUET)")
         print(f"{t}: copied")
+    # documents: id-shifted, token-salted replicas (replica 0 verbatim)
+    salted = (r"CASE WHEN r.k = 0 THEN text "
+              r"ELSE regexp_replace(text, '(\S+)', '\1q' || r.k, 'g') END")
+    con.sql(f"""COPY (SELECT doc_id + r.k * {STRIDE} AS doc_id,
+                 {salted} AS text, lang, source,
+                 length({salted}) AS n_chars
+               FROM '{SRC}/documents.parquet', range({R}) r(k))
+               TO '{OUT}/documents.parquet' (FORMAT PARQUET)""")
+    n = con.sql(f"SELECT count(*) FROM '{OUT}/documents.parquet'").fetchone()[0]
+    print(f"documents: {n} rows (token-salted replicas)")
+    # embeddings: id-shifted replicas under a per-replica diagonal +-1
+    # sign pattern (orthogonal: within-replica cosines bit-preserved,
+    # cross-replica cosines ~0)
+    con.sql(f"""COPY (SELECT vec_id + r.k * {STRIDE} AS vec_id,
+                 CASE WHEN r.k = 0 THEN embedding
+                 ELSE list_transform(range(1, array_length(embedding) + 1),
+                   i -> CAST(CASE WHEN hash(i * 1000003 + r.k) % 2 = 0
+                             THEN embedding[i] ELSE -embedding[i] END AS FLOAT))
+                 END AS embedding, label
+               FROM '{SRC}/embeddings.parquet', range({R}) r(k))
+               TO '{OUT}/embeddings.parquet' (FORMAT PARQUET)""")
+    n = con.sql(f"SELECT count(*) FROM '{OUT}/embeddings.parquet'").fetchone()[0]
+    print(f"embeddings: {n} rows (sign-salted replicas)")
 
 
 if __name__ == "__main__":

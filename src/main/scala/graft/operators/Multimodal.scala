@@ -295,13 +295,26 @@ object Multimodal {
     */
   def m04(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    T(s, dir, "documents")
-      .select($"doc_id", $"text".cast("binary").as("blob"))
+    frameSample(T(s, dir, "documents")
+      .select($"doc_id", $"text".cast("binary").as("blob")))
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
+  /** m04 core over any (doc_id, blob: binary) frame — the [[Decoder]]
+    * seam's video leg: frame count and per-frame digest entropy come
+    * from the injected decoder (for the default on non-video blobs,
+    * the deterministic stub — the registered query's oracle contract).
+    */
+  def frameSample(blobs: DataFrame,
+      decoder: Decoder = DefaultDecoder): DataFrame = {
+    val s = blobs.sparkSession
+    import s.implicits._
+    blobs.select($"doc_id", $"blob")
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(32).flatMap { batch => // one stub "decoder call" per 32 blobs
           batch.flatMap { case (id, bytes) =>
-            val meta = fakeDecode(id, bytes)
+            val meta = decoder.decode(id, bytes)
             val k = math.min(KFrames, meta.n_frames)
             (0 until k).map { j =>
               // evenly-strided deterministic indices — ffmpeg's
@@ -316,7 +329,6 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "n_frames", "frame_idx", "frame_hash")
-      .orderBy($"doc_id", $"frame_idx")
   }
 
   /** m05 chunking geometry: 64-byte windows, 48-byte hop (25% overlap —

@@ -18,10 +18,14 @@ is preserved instead of creating 10x cross-replica duplicates:
   isomorphic to the original while replicas share no tokens; n_chars
   is recomputed from the salted text.
 - embeddings: vec_id shifts; replica k>0 applies a deterministic
-  per-replica DIAGONAL +-1 sign pattern over dimensions (an exact
+  per-replica SIGNED PERMUTATION of the dimensions (an exact
   orthogonal transform: within-replica dot products / cosines are
   bit-preserved, cross-replica cosines collapse to noise), so ANN
-  verdict structure replicates without cross-replica near-dups.
+  verdict structure replicates without cross-replica near-dups. A
+  plain diagonal sign pattern is NOT enough: corpus vectors carry
+  dominant coordinates, and sign flips alone leave same-base
+  cross-replica cosines up to ~0.8; permuting the dimensions breaks
+  the coordinate alignment.
 Replica 0 is byte-identical to the source at every scale.
 
 Usage: python3 tools/make_sf1.py [OUT_DIR] [REPLICAS]
@@ -83,19 +87,32 @@ def main():
                TO '{OUT}/documents.parquet' (FORMAT PARQUET)""")
     n = con.sql(f"SELECT count(*) FROM '{OUT}/documents.parquet'").fetchone()[0]
     print(f"documents: {n} rows (token-salted replicas)")
-    # embeddings: id-shifted replicas under a per-replica diagonal +-1
-    # sign pattern (orthogonal: within-replica cosines bit-preserved,
-    # cross-replica cosines ~0)
+    # embeddings: id-shifted replicas under a per-replica SIGNED
+    # PERMUTATION (orthogonal: within-replica cosines bit-preserved,
+    # cross-replica cosines ~0 even for coordinate-concentrated vectors)
+    import random
+    dim = con.sql(f"SELECT array_length(embedding) "
+                  f"FROM '{SRC}/embeddings.parquet' LIMIT 1").fetchone()[0]
+    reps = []
+    for k in range(R):
+        rng = random.Random(0xCAFE + k)
+        perm = list(range(1, dim + 1))
+        signs = [1] * dim
+        if k:
+            rng.shuffle(perm)
+            signs = [1 if rng.random() < 0.5 else -1 for _ in range(dim)]
+        reps.append((k, perm, signs))
+    con.execute("CREATE OR REPLACE TABLE rep (k BIGINT, p INT[], s INT[])")
+    con.executemany("INSERT INTO rep VALUES (?, ?, ?)", reps)
     con.sql(f"""COPY (SELECT vec_id + r.k * {STRIDE} AS vec_id,
                  CASE WHEN r.k = 0 THEN embedding
-                 ELSE list_transform(range(1, array_length(embedding) + 1),
-                   i -> CAST(CASE WHEN hash(i * 1000003 + r.k) % 2 = 0
-                             THEN embedding[i] ELSE -embedding[i] END AS FLOAT))
+                 ELSE list_transform(range(1, {dim} + 1),
+                   i -> CAST(r.s[i] * embedding[r.p[i]] AS FLOAT))
                  END AS embedding, label
-               FROM '{SRC}/embeddings.parquet', range({R}) r(k))
+               FROM '{SRC}/embeddings.parquet', rep r)
                TO '{OUT}/embeddings.parquet' (FORMAT PARQUET)""")
     n = con.sql(f"SELECT count(*) FROM '{OUT}/embeddings.parquet'").fetchone()[0]
-    print(f"embeddings: {n} rows (sign-salted replicas)")
+    print(f"embeddings: {n} rows (signed-permutation replicas)")
 
 
 if __name__ == "__main__":

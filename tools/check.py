@@ -102,6 +102,12 @@ def main(sf_dir, out_dir):
     dirs = {d for d in os.listdir(out_dir)
             if os.path.isdir(os.path.join(out_dir, d))}
     names = sorted(dirs | set(oracle))
+    # CHECK_ONLY=k1,k2 restricts the compare to the named keys (dev aid
+    # for re-judging a few keys without re-running every heavy oracle)
+    only = os.environ.get("CHECK_ONLY")
+    if only:
+        keep = {k.strip() for k in only.split(",")}
+        names = [n for n in names if n in keep]
     n_pass = n_fail = n_rows_only = 0
     for name in names:
         if name not in dirs:

@@ -91,6 +91,13 @@ def canon(tbl):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # Sharded big-SF runs oversubscribe the box unless each DuckDB is
+    # capped: 8 uncapped shards at the 500k-doc corpus each grabbed all
+    # 32 threads and one staged-replay oracle hit 22 GB RSS → OOM kill.
+    if os.environ.get("CHECK_THREADS"):
+        con.execute(f"SET threads = {int(os.environ['CHECK_THREADS'])}")
+    if os.environ.get("CHECK_MEM"):
+        con.execute(f"SET memory_limit = '{os.environ['CHECK_MEM']}'")
     tables = ["region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "events", "documents", "embeddings"]
     for t in tables:

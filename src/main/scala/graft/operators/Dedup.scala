@@ -605,10 +605,11 @@ object Dedup {
 
   /** d02 oracle: replay the full MinHash+LSH pipeline in DuckDB,
     * bit-for-bit against Spark's XXH64 — per-lane seeds
-    * (`XXH64.hashInt(j, 42)`), the <32-byte string fold over each
-    * distinct shingle (all shingles here are 3 word-grams, max 26
-    * bytes: 3 LE words + optional int + tail bytes, every round
-    * guarded by the shingle's length), signed lane minima via the
+    * (`XXH64.hashInt(j, 42)`), the string fold over each distinct
+    * shingle (3 word-grams; the base corpus stays under 32 bytes but
+    * the salted sf-probe replicas reach 35, so the replay carries
+    * XXH64's one-stripe path for 32..63-byte shingles and errors
+    * loudly at 64+), signed lane minima via the
     * sign-bit-flip trick, and the banded `xxhash64(int, 4 longs)`
     * chain. Everything runs in native UBIGINT via OracleSql's staged
     * builders (~1M fold rows at sf0.01 in ~1.5s); hash values never
@@ -728,21 +729,43 @@ object Dedup {
       s"(CASE WHEN L >= $p THEN ord(substr(g, $p, 1))::UBIGINT ELSE 0::UBIGINT END)"
     }
 
-    // per-distinct-shingle decomposition + lane-invariant contributions
+    // per-distinct-shingle decomposition + lane-invariant contributions.
+    // Shingles of 32..63 bytes take XXH64's one-stripe path (4 lane
+    // accumulators over w0..w3, merged, then the usual tail over the
+    // REMAINING bytes) — the salted sf-probe corpora produce 3-grams up
+    // to 35 bytes, which the original <32-byte-only replay hashed wrong
+    // (the round-13 sf10 d02/d14 divergences). 64+-byte shingles would
+    // need the multi-stripe loop; none exist in any fixture, and the
+    // guard below makes that assumption fail LOUDLY instead of slipping
+    // a wrong hash into the gate.
     val pre = new Stages("dec",
-      "SELECT g, CAST(strlen(g) AS INT) AS L, CAST(strlen(g) // 8 AS INT) AS nw, " +
+      "SELECT g, (CASE WHEN strlen(g) >= 64 THEN CAST(error('shingle >= " +
+        "64 bytes: extend minhashOracleSql to the multi-stripe XXH64 " +
+        "path') AS INT) ELSE CAST(strlen(g) AS INT) END) AS L, " +
+        "CAST(strlen(g) // 8 AS INT) AS nw, " +
         "(strlen(g) % 8 >= 4) AS has_int, " +
         "CAST(strlen(g) % 8 - (CASE WHEN strlen(g) % 8 >= 4 THEN 4 ELSE 0 END) AS INT) AS nb " +
         "FROM gs")
-    pre.add((0 until 3).map(k => s"w$k" -> word(k)) ++
+    pre.add((0 until 7).map(k => s"w$k" -> word(k)) ++
       Seq("i4" -> int4) ++ (0 until 3).map(m => s"tb$m" -> tailByte(m)))
+    // str = one-stripe path; tnw = full 8-byte words AFTER the stripe
+    pre.add(Seq("str" -> "(L >= 32)",
+      "tnw" -> "CAST(CASE WHEN L >= 32 THEN nw - 4 ELSE nw END AS INT)"))
+    // stripe lane inputs w_i * P2 (lane-invariant half of accRound)
+    (0 until 4).foreach { k =>
+      pre.add(Seq(s"pw$k" -> uMulMod(s"w$k", XxP2)))
+    }
+    // tail-round words start at byte 32 when striped (w4..w6), byte 0
+    // otherwise (w0..w2)
     (0 until 3).foreach { k =>
-      pre.add(Seq(s"kw$k" -> uMulMod(uRotl(uMulMod(s"w$k", XxP2), 31), XxP1)))
+      pre.add(Seq(s"rw$k" -> s"(CASE WHEN str THEN w${k + 4} ELSE w$k END)"))
+      pre.add(Seq(s"kw$k" -> uMulMod(uRotl(uMulMod(s"rw$k", XxP2), 31), XxP1)))
     }
     pre.add(Seq("ki" -> uMulMod("i4", XxP1)))
     (0 until 3).foreach(m => pre.add(Seq(s"kb$m" -> uMulMod(s"tb$m", XxP5))))
     pre.add(Seq("pad" -> "0"), select = Seq(
-      "g", "L", "nw", "has_int", "nb", "kw0", "kw1", "kw2", "ki", "kb0", "kb1", "kb2"))
+      "g", "L", "nw", "str", "tnw", "has_int", "nb", "pw0", "pw1", "pw2",
+      "pw3", "kw0", "kw1", "kw2", "ki", "kb0", "kb1", "kb2"))
 
     // the 64 lane seeds
     val ln = new Stages("ln", "SELECT CAST(j AS INT) AS j FROM range(0, 64) t(j)")
@@ -752,10 +775,30 @@ object Dedup {
     val hx = new Stages("hx",
       s"SELECT d.*, l.j, l.seed FROM ${pre.last} d CROSS JOIN " +
         s"(SELECT j, seed FROM ${ln.last}) l")
-    hx.add(Seq("h0" -> uAddMod("seed", s"($XxP5::UBIGINT + L::UBIGINT)")))
+    // one-stripe accumulators: acc_i = rotl(init_i + w_i*P2, 31) * P1
+    // with init = (seed+P1+P2, seed+P2, seed, seed-P1)
+    val accInit = Seq((XxP1 + XxP2) % OracleSql.M64, XxP2, BigInt(0),
+      (OracleSql.M64 - XxP1) % OracleSql.M64)
+    (0 until 4).foreach { k =>
+      val init =
+        if (accInit(k) == 0) "seed"
+        else uAddMod("seed", s"${accInit(k)}::UBIGINT")
+      hx.add(Seq(s"acc$k" -> uMulMod(uRotl(uAddMod(init, s"pw$k"), 31), XxP1)))
+    }
+    hx.add(Seq("sm0" -> uAddMod(uAddMod(uRotl("acc0", 1), uRotl("acc1", 7)),
+      uAddMod(uRotl("acc2", 12), uRotl("acc3", 18)))))
+    var sm = "sm0"
+    (0 until 4).foreach { k =>
+      hx.add(Seq(s"mr$k" -> uMulMod(uRotl(uMulMod(s"acc$k", XxP2), 31), XxP1)))
+      hx.add(Seq(s"sm${k + 1}" -> uAddMod(
+        uMulMod(s"xor($sm, mr$k)", XxP1), s"$XxP4::UBIGINT")))
+      sm = s"sm${k + 1}"
+    }
+    hx.add(Seq("h0" -> (s"(CASE WHEN str THEN ${uAddMod(sm, "CAST(L AS UBIGINT)")} " +
+      s"ELSE ${uAddMod("seed", s"($XxP5::UBIGINT + L::UBIGINT)")} END)")))
     var h = "h0"
     (0 until 3).foreach { k =>
-      h = xxRound(hx, h, s"kw$k", 27, XxP1, Some(XxP4), s"nw > $k", s"h${k + 1}")
+      h = xxRound(hx, h, s"kw$k", 27, XxP1, Some(XxP4), s"tnw > $k", s"h${k + 1}")
     }
     h = xxRound(hx, h, "ki", 23, XxP2, Some(XxP3), "has_int", "hi4")
     (0 until 3).foreach { m =>

@@ -1345,7 +1345,20 @@ object Dedup {
       // the engine's hyperplanes as SQL literals: DuckDB recomputes the
       // same sign buckets (list_inner_product is the same sequential
       // double fold as the Spark-side aggregate/zip_with), so the
-      // blocked candidate rule is verified, not just the confirm step
+      // blocked candidate rule is verified, not just the confirm step.
+      // The Hamming<=1 candidate rule is expressed as the SAME
+      // probe-expansion EQUI-join the engine runs (self bucket + the
+      // NPlanes one-bit flips): a bit_count(xor(..)) <= 1 join predicate
+      // has no equi-key, which DuckDB executes as an all-pairs
+      // blockwise pass — 40e9 pair evaluations at the 200k-vector
+      // probe corpus, spilling past RAM + disk (the round-13 sf10
+      // d05/s06 ORACLE SQL ERRORs). The cosine is computed INSIDE the
+      // candidate join block from per-vector (v, nv2) attached before
+      // the probe expansion, so the pair stream (790M rows at that
+      // corpus — 2^NPlanes=256 cells) stays a streamed projection; a
+      // separate pairs CTE re-joining e per side makes the pair frame
+      // a hash-BUILD side and still spills. sqrt(nv2_a * nv2_b)
+      // preserves the engine's exact float expression.
       val planeRows = (0 until Similarity.NPlanes).map { j =>
         val arr = Similarity.plane(j, Similarity.Dims).mkString(", ")
         s"($j, [$arr]::DOUBLE[])"
@@ -1356,15 +1369,14 @@ object Dedup {
          |b AS (SELECT e.vec_id,
          |  CAST(SUM(CASE WHEN list_inner_product(e.v, p.pv) > 0 THEN (1 << p.j) ELSE 0 END) AS INTEGER) AS bucket
          |  FROM e, p GROUP BY e.vec_id),
-         |cand AS (SELECT ba.vec_id AS vec_a, bb.vec_id AS vec_b
-         |  FROM b ba JOIN b bb ON ba.vec_id < bb.vec_id
-         |  AND bit_count(xor(ba.bucket, bb.bucket)) <= 1),
-         |pairs AS (SELECT vec_a, vec_b,
-         |  list_inner_product(ea.v, eb.v) /
-         |    sqrt(list_inner_product(ea.v, ea.v) * list_inner_product(eb.v, eb.v)) AS cos
-         |  FROM cand
-         |  JOIN e ea ON ea.vec_id = vec_a
-         |  JOIN e eb ON eb.vec_id = vec_b)
+         |bv AS (SELECT b.vec_id, b.bucket, e.v,
+         |  list_inner_product(e.v, e.v) AS nv2 FROM b JOIN e USING (vec_id)),
+         |pr AS (SELECT vec_id, v, nv2, unnest(list_prepend(bucket,
+         |    list_transform(range(0, ${Similarity.NPlanes}),
+         |      k -> xor(bucket, CAST(1 << k AS INTEGER))))) AS probe FROM bv),
+         |pairs AS (SELECT pr.vec_id AS vec_a, bb.vec_id AS vec_b,
+         |  list_inner_product(pr.v, bb.v) / sqrt(pr.nv2 * bb.nv2) AS cos
+         |  FROM pr JOIN bv bb ON bb.bucket = pr.probe AND pr.vec_id < bb.vec_id)
          |SELECT vec_a, vec_b, round(cos, 6) AS cos
          |FROM pairs WHERE cos >= 0.45
          |ORDER BY vec_a, vec_b""".stripMargin

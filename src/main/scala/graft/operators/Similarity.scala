@@ -961,7 +961,11 @@ object Similarity {
     "s06_knn_graph" -> {
       // the engine's hyperplanes as SQL literals (s02's technique):
       // DuckDB re-derives the identical sign buckets, so every graph
-      // edge — candidate rule included — is hash-verified
+      // edge — candidate rule included — is hash-verified. Candidates
+      // come from the same probe-expansion EQUI-join the engine runs
+      // (self bucket + NPlanes one-bit flips) — a bit_count join
+      // predicate would be an all-pairs blockwise pass in DuckDB and
+      // dies at the 200k-vector probe corpus (see d05's oracle note)
       val planeRows = (0 until NPlanes).map { j =>
         val arr = plane(j, Dims).mkString(", ")
         s"($j, [$arr]::DOUBLE[])"
@@ -972,13 +976,15 @@ object Similarity {
          |b AS (SELECT e.vec_id,
          |  CAST(SUM(CASE WHEN list_inner_product(e.v, p.pv) > 0 THEN (1 << p.j) ELSE 0 END) AS INTEGER) AS bucket
          |  FROM e, p GROUP BY e.vec_id),
-         |cand AS (SELECT s.vec_id AS src_id, c.vec_id AS nbr_id,
-         |  list_inner_product(ec.v, es.v) /
-         |    sqrt(list_inner_product(ec.v, ec.v) * list_inner_product(es.v, es.v)) AS cos
-         |  FROM b s JOIN b c
-         |    ON bit_count(xor(s.bucket, c.bucket)) <= 1 AND s.vec_id <> c.vec_id
-         |  JOIN e ec ON ec.vec_id = c.vec_id
-         |  JOIN e es ON es.vec_id = s.vec_id),
+         |bv AS (SELECT b.vec_id, b.bucket, e.v,
+         |  list_inner_product(e.v, e.v) AS nv2 FROM b JOIN e USING (vec_id)),
+         |pr AS (SELECT vec_id, v, nv2, unnest(list_prepend(bucket,
+         |    list_transform(range(0, $NPlanes),
+         |      k -> xor(bucket, CAST(1 << k AS INTEGER))))) AS probe FROM bv),
+         |cand AS (SELECT pr.vec_id AS src_id, c.vec_id AS nbr_id,
+         |  list_inner_product(c.v, pr.v) / sqrt(c.nv2 * pr.nv2) AS cos
+         |  FROM pr JOIN bv c
+         |    ON c.bucket = pr.probe AND pr.vec_id <> c.vec_id),
          |ranked AS (SELECT src_id, nbr_id, cos,
          |  ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY cos DESC, nbr_id) AS rn
          |  FROM cand)

@@ -474,6 +474,14 @@ object Dedup {
     * deliberate cost-bounded subset, measured in DedupQualitySpec.
     * Widen `probes` to Hamming ≤ 2 (37 probes) for more recall, or use
     * [[d05Exact]] when the corpus is small enough to broadcast.
+    *
+    * Cell-count sizing at scale (measured): candidate volume is
+    * ~(NPlanes+1) × N²/2^NPlanes — at the sf10 probe (200k vectors,
+    * 2^8 cells) that is 790M streamed pairs, fine on one box but
+    * QUADRATIC in N at fixed NPlanes. A 100 TB deployment must grow
+    * NPlanes ≈ log2(N / target cell occupancy) so per-cell population
+    * stays bounded (the equi-join shape is unchanged — only the
+    * bucket key widens and the probe fan-out stays NPlanes+1).
     */
   def d05(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -795,8 +795,13 @@ object GraftFunctions {
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    // Skip names already present: createOrReplaceTempFunction WARNs on
+    // every replacement, and register() is called at the top of every
+    // operator — one bench/driver run otherwise tails ~40 noise lines.
+    // The builders are deterministic, so first registration wins safely.
     def add(name: String, b: Seq[Expression] => Expression): Unit =
-      reg.createOrReplaceTempFunction(name, b, "built-in")
+      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, b, "built-in")
     add("zlib_pack", es => ZlibPack(es.head))
     add("zlib_unpack", es => ZlibUnpack(es.head))
     add("zlib_pack_str", es => ZlibPackStr(es.head))

@@ -34,14 +34,16 @@ class ExpressionsSpec extends SparkSpec {
   test("minhash_sig is bit-identical to the interpreted HOF formulation") {
     GraftFunctions.register(spark)
     import spark.implicits._
-    // the second half forces 3-gram shingles past 32 bytes — XXH64's
-    // one-stripe path, the slice the DuckDB oracle replay (Dedup.
-    // minhashOracleSql) also carries; a kernel rewrite that hand-rolls
-    // the hash and drops the stripe path must fail here
+    // the second half forces EVERY 3-gram shingle into 32..63 bytes —
+    // XXH64's one-stripe path, exactly the slice the DuckDB oracle
+    // replay (Dedup.minhashOracleSql) also carries (it error()s at
+    // 64+); a kernel rewrite that hand-rolls the hash and drops the
+    // stripe path must fail here. Three tokens per doc → one shingle,
+    // 41..43 bytes, always in-slice.
     val df = ((1 to 200).map(i =>
       (i.toLong, s"doc $i shares trigram content with doc ${i / 3} and more filler tokens here")) ++
       (201 to 260).map(i =>
-        (i.toLong, s"longtoken${i}xxxxxxxx sharedmiddletoken${i / 3}yyyy trailingtoken${i}zzzzzzzz extra filler")))
+        (i.toLong, s"stripetok${i}xx midsharetok${i / 3} tailtoken${i}zz")))
       .toDF("doc_id", "text")
       .selectExpr("doc_id",
         "array_distinct(transform(sequence(0, size(split(text,' ')) - 3), i -> " +

@@ -18,6 +18,7 @@ mentions are ignored (they are prose, not claims).
 """
 import json
 import re
+import subprocess
 import sys
 
 PLANS = "PLANS.md"
@@ -25,22 +26,78 @@ BENCH = "BENCH_FULL.json"
 
 
 def load_bench():
-    rec = json.load(open(BENCH))
+    """Union of the worktree record and the committed (HEAD) record.
+
+    The driver re-benches AFTER the round's final commit and overwrites
+    the worktree BENCH_FULL.json, so a gate that reads only the worktree
+    cries wolf on every post-round tree (round-13 verdict defect #1): a
+    PLANS quote is a claim about the record THE COMMIT ships, so a value
+    matching either source is honest. Drift between the two sources is
+    reported (once) so a stale worktree is visible, not silent.
+    """
     vals = {}  # full key -> set of recorded values
+    sources = []
 
-    def add(d):
+    def add(vs, d):
         for k, v in (d or {}).items():
-            vals.setdefault(k, set()).add(v)
+            vs.setdefault(k, set()).add(v)
 
-    add(rec.get("queries"))
-    add(rec.get("tier2"))
-    add(rec.get("warmup"))
-    add(rec.get("tier2_warmup"))
-    add(rec.get("phases"))
-    for p in rec.get("passes", []) or []:
-        add(p)
-    for p in rec.get("tier2_passes", []) or []:
-        add(p)
+    def collect(rec):
+        vs = {}
+        add(vs, rec.get("queries"))
+        add(vs, rec.get("tier2"))
+        add(vs, rec.get("warmup"))
+        add(vs, rec.get("tier2_warmup"))
+        add(vs, rec.get("phases"))
+        add(vs, rec.get("jobs"))
+        for p in rec.get("passes", []) or []:
+            add(vs, p)
+        for p in rec.get("tier2_passes", []) or []:
+            add(vs, p)
+        return vs
+
+    def from_git(ref):
+        txt = subprocess.run(
+            ["git", "show", f"{ref}:{BENCH}"],
+            capture_output=True, text=True, check=True).stdout
+        return collect(json.loads(txt))
+
+    try:
+        worktree = collect(json.load(open(BENCH)))
+        sources.append("worktree")
+    except Exception:
+        worktree = {}
+    try:
+        head = from_git("HEAD")
+        sources.append("HEAD")
+    except Exception:
+        head = {}
+    # The record that accompanied the PLANS.md quotes when they were
+    # written: the driver commits its own re-bench AFTER the round's
+    # final builder commit, so both the worktree and HEAD can carry a
+    # record newer than the quotes (round-13 false-MISMATCH defect).
+    paired = {}
+    try:
+        sha = subprocess.run(
+            ["git", "log", "-n1", "--format=%H", "--", PLANS],
+            capture_output=True, text=True, check=True).stdout.strip()
+        if sha:
+            paired = from_git(sha)
+            sources.append(f"PLANS-paired({sha[:8]})")
+    except Exception:
+        pass
+    if not sources:
+        print(f"[plans-bench] ERROR: {BENCH} unreadable in the worktree, "
+              "at HEAD, and at PLANS.md's last commit")
+        sys.exit(1)
+    if worktree and head and worktree != head:
+        print(f"[plans-bench] note: worktree {BENCH} differs from the "
+              "committed record (post-round driver re-bench?); quotes "
+              "may match any listed source")
+    for src in (worktree, head, paired):
+        for k, s in src.items():
+            vals.setdefault(k, set()).update(s)
+    print(f"[plans-bench] record sources: {'+'.join(sources)}")
     return vals
 
 

@@ -108,7 +108,10 @@ object Bench {
     // audit operators whose tier-2 single-pass numbers read as phantom
     // 2x regressions; d24 is the banded-index health scan — all three
     // now carry min-of-3 evidence
-    "d16_minhash_audit", "d17_threshold_sweep", "d24_index_stats")
+    "d16_minhash_audit", "d17_threshold_sweep", "d24_index_stats",
+    // round-14: s17 audits the auto-sized LSH geometry (one corpus
+    // scan + constant-key combine — s13's regression class)
+    "s17_lsh_geometry")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -212,6 +215,40 @@ object Bench {
             Seq.empty
         }
       } else Seq.empty
+    // JOB-LEVEL timings (round-13 verdict ask #5): the two product
+    // jobs ran only as PLANS.md prose wall-times before, so a job
+    // regression was not machine-detected. Same configs as the quoted
+    // round-12 runs (every optional CurateCorpus stage on; delta =
+    // odd docs probed against the even-doc index with grams), timed
+    // in-process so the number is the job, not sbt/JVM startup.
+    // gate.sh asserts these keys exist in BENCH_FULL.json.
+    val jobs: Seq[(String, Double)] =
+      if (tier2on) {
+        try {
+          def timedJob[A](f: => A): Double = {
+            val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+          }
+          val docs = Tables(spark, sfDir, "documents")
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft-bench-jobs").toString
+          val tCorpus = timedJob(CurateCorpus.run(docs, s"$tmp/corpus",
+            routeCode = true, trimBoilerplate = true,
+            containment = Some(0.6), auditLeakage = true))
+          val base = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
+          val delta = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1)
+          val tIdx = timedJob(CurateDelta.buildIndex(base, s"$tmp/idx",
+            withGrams = true))
+          val tDelta = timedJob(CurateDelta.run(delta, s"$tmp/idx",
+            s"$tmp/delta", containment = Some(0.6)))
+          Seq("job_curate_corpus" -> tCorpus,
+            "job_delta_index" -> tIdx,
+            "job_curate_delta" -> tDelta)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] job timing failed: ${e.getMessage}")
+            Seq.empty
+        }
+      } else Seq.empty
     // Stop Spark BEFORE printing so its shutdown logging can't land
     // after the JSON: the driver reads the bench line from the END of
     // stdout, and anything printed below it breaks the parse.
@@ -229,7 +266,8 @@ object Bench {
           Double.box(tier2Total))},"tier2":${jsonMap(tier2)},""" +
           s""""tier2_warmup":${jsonMap(tier2Warmup)},""" +
           s""""tier2_passes":${tier2Passes.map(jsonMap).mkString("[", ",", "]")},""" +
-          (if (phases.nonEmpty) s""""phases":${jsonMap(phases)},""" else "")
+          (if (phases.nonEmpty) s""""phases":${jsonMap(phases)},""" else "") +
+          (if (jobs.nonEmpty) s""""jobs":${jsonMap(jobs)},""" else "")
       else ""
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","warmup":${jsonMap(warmup)},"passes":$passesJson,$tier2Json"queries":${jsonMap(best)}}"""

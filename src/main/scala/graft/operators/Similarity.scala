@@ -89,8 +89,52 @@ object Similarity {
       (x >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
     }
 
-  private[operators] val NPlanes = 8
-  private[operators] val Dims = 64
+  /** LSH geometry — AUTO-SIZED from the corpus count (round-13 verdict
+    * ask #1: the log2 growth rule must be a parameter, not prose).
+    *
+    * The plane count follows NPlanes = ceil(log2(N / TargetOccupancy)),
+    * floored at [[MinPlanes]] and capped at [[MaxPlanes]], computed by
+    * EXACT integer comparison (smallest j with N <= occupancy << j) so
+    * the Spark side and the DuckDB oracle replay — which derives the
+    * same j from count(*) via the same integer rule, see
+    * [[bucketCteSql]] — can never disagree on a log2 ulp. Per-cell
+    * population then stays ~[[TargetOccupancy]] at ANY corpus size:
+    * candidate volume of the banded joins is N × (NPlanes+1) ×
+    * occupancy — LINEAR in N — instead of the quadratic
+    * N²(NPlanes+1)/2^NPlanes a fixed geometry decays to (the measured
+    * 790M-pair stream at the 200k-vector sf10 probe under the old
+    * hard-coded 8 planes). The equi-join shape never changes; only the
+    * bucket key widens, and the Hamming-1 probe fan-out stays
+    * NPlanes+1.
+    *
+    * [[MaxPlanes]] = 24 covers ~1.7B vectors at occupancy 100; beyond
+    * that the cap keeps the probe fan-out and the oracle's plane-
+    * literal table bounded (occupancy grows past target only after
+    * 2^24 cells are saturated — re-plane with a larger MaxPlanes
+    * then). At every committed fixture (≤2000 vectors) the rule
+    * yields [[MinPlanes]] = 8, so small-scale results are byte-
+    * identical to the fixed geometry they replace.
+    */
+  private[operators] final val MinPlanes = 8
+  private[operators] final val MaxPlanes = 24
+  private[operators] final val TargetOccupancy = 100L
+
+  /** Smallest j in [MinPlanes, MaxPlanes] with n <= TargetOccupancy·2^j. */
+  private[graft] def nPlanesFor(n: Long): Int =
+    (MinPlanes to MaxPlanes).find(j => n <= (TargetOccupancy << j))
+      .getOrElse(MaxPlanes)
+
+  /** Auto-sized plane count for a corpus dir — ONE count(*) over the
+    * embeddings parquet (footer-cheap at any scale), memoized per dir
+    * so a multi-stage operator (s16 sweeps 4 radii) and the bench's
+    * repeated passes pay it once.
+    */
+  private val geomCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private[graft] def nPlanesOf(s: SparkSession, dir: String): Int =
+    geomCache.computeIfAbsent(dir,
+      _ => Int.box(nPlanesFor(T(s, dir, "embeddings").count()))).intValue
+
+  private[graft] val Dims = 64
 
   /** Constant row budget for quantizer training (s03/s04). 64k 64-dim
     * vectors ≈ 16 MB on the driver-adjacent MLlib path — enough for a
@@ -117,14 +161,31 @@ object Similarity {
   /** Random-hyperplane sign bucket of an embedding column (caller must
     * have GraftFunctions registered — vec_dot resolves by name).
     */
-  private[operators] def bucketCol(emb: String): Column = {
-    val bits = (0 until NPlanes).map { j =>
+  private[operators] def bucketCol(emb: String, np: Int): Column = {
+    val bits = (0 until np).map { j =>
       val p = typedLit(plane(j, Dims))
       val d = call_function("vec_dot", col(emb), p) // same fold as zip_with/aggregate
       when(d > 0.0, lit(1 << j)).otherwise(lit(0))
     }
     bits.reduce(_ + _)
   }
+
+  /** All XOR-probe masks of Hamming weight <= maxH over np bits —
+    * generated by combination (not by filtering 2^np integers, which
+    * would enumerate 16M masks at MaxPlanes). Fan-out is the binomial
+    * sum [[probesAt]], a constant per query at any corpus size.
+    */
+  private[graft] def probeMasks(np: Int, maxH: Int): Seq[Int] =
+    (0 to maxH).flatMap(w => (0 until np).combinations(w)
+      .map(_.foldLeft(0)((m, b) => m | (1 << b))).toSeq)
+
+  /** |probeMasks(np, h)| as an exact binomial sum (mirrored in the
+    * s16 oracle SQL as integer arithmetic on the same np).
+    */
+  private[graft] def probesAt(h: Int, np: Int): Int =
+    (0 to h).map { w =>
+      (0 until w).foldLeft(1L)((acc, i) => acc * (np - i) / (i + 1))
+    }.sum.toInt
 
   /** s02: LSH-bucketed approximate NN — corpus bucketed by 8
     * hyperplane sign bits; queries probe their own bucket plus all
@@ -255,16 +316,16 @@ object Similarity {
   def s14(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
+    val np = nPlanesOf(s, dir)
     val quant = T(s, dir, "embeddings")
       .withColumn("e", $"embedding".cast("array<double>"))
       .withColumn("scale", expr("array_max(transform(e, x -> abs(x)))"))
       .withColumn("qv", expr(
         """transform(e, x -> CASE WHEN scale = 0.0D THEN 0.0D
           | ELSE CAST(round(127.0D * x / scale) AS DOUBLE) END)""".stripMargin))
-      .withColumn("bucket", bucketCol("embedding"))
+      .withColumn("bucket", bucketCol("embedding", np))
       .select($"vec_id", $"e", $"qv", $"bucket")
-    val probes = (0 until (1 << NPlanes))
-      .filter(m => Integer.bitCount(m) <= 2)
+    val probes = probeMasks(np, 2)
     val queries = quant.filter($"vec_id" < 5)
       .select($"vec_id".as("q_id"), $"qv".as("qqv"), $"e".as("qe"),
         $"bucket".as("q_bucket"))
@@ -296,7 +357,7 @@ object Similarity {
   private def lshTopK(s: SparkSession, dir: String, maxHamming: Int): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
-    lshCand(s, dir, maxHamming)
+    lshCand(s, dir, maxHamming, nPlanesOf(s, dir))
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= K)
       .select($"q_id", $"vec_id", $"bucket", expr("round(cos, 6)").as("cos"), $"rn")
@@ -307,16 +368,16 @@ object Similarity {
     * equi-joined to the multiprobe-exploded broadcast query set, raw
     * cosine attached. s16 reads it directly to count candidate cost.
     */
-  private def lshCand(s: SparkSession, dir: String, maxHamming: Int): DataFrame = {
+  private def lshCand(s: SparkSession, dir: String, maxHamming: Int,
+      np: Int): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
     val emb = T(s, dir, "embeddings")
-    val corpus = emb.select($"vec_id", $"embedding", bucketCol("embedding").as("bucket"))
-    val probes = (0 until (1 << NPlanes))
-      .filter(m => Integer.bitCount(m) <= maxHamming)
+    val corpus = emb.select($"vec_id", $"embedding", bucketCol("embedding", np).as("bucket"))
+    val probes = probeMasks(np, maxHamming)
     val queries = emb.filter($"vec_id" < 5)
       .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
-        bucketCol("embedding").as("q_bucket"))
+        bucketCol("embedding", np).as("q_bucket"))
       .withColumn("probe", explode(typedLit(probes)))
       .withColumn("bucket", expr("q_bucket ^ probe"))
       .select($"q_id", $"q_emb", $"bucket")
@@ -518,6 +579,36 @@ object Similarity {
       .orderBy($"q_id", $"vec_id")
   }
 
+  /** All [[MaxPlanes]] hyperplanes as DuckDB VALUES rows — the oracle
+    * carries the FULL literal table at every scale; [[bucketCtesSql]]'s
+    * np CTE prunes it to the auto-sized count.
+    */
+  private[operators] def planeRowsSql: String = (0 until MaxPlanes).map { j =>
+    val arr = plane(j, Dims).mkString(", ")
+    s"($j, [$arr]::DOUBLE[])"
+  }.mkString(",\n ")
+
+  /** The plane/np/pp/b CTE chain shared by every LSH oracle: `np`
+    * re-derives the auto-sized plane count from count(*) by the SAME
+    * exact integer rule as [[nPlanesFor]] (smallest j with
+    * N <= occupancy·2^j — no floating log2 anywhere, so the engines
+    * cannot disagree on an ulp); `pp` prunes the [[MaxPlanes]] literal
+    * planes down to the first np; `b` derives each vector's sign
+    * bucket. `src` is an earlier CTE holding (vec_id, `vcol`
+    * DOUBLE[]). Emitted WITHOUT a leading WITH so callers splice it
+    * into their own chain.
+    */
+  private[operators] def bucketCtesSql(src: String = "e", vcol: String = "v"): String =
+    s"""p(j, pv) AS (VALUES
+       | $planeRowsSql),
+       |np AS (SELECT coalesce(min(j), $MaxPlanes) AS n
+       |  FROM range($MinPlanes, ${MaxPlanes + 1}) t(j)
+       |  WHERE (SELECT count(*) FROM embeddings) <= $TargetOccupancy * (CAST(1 AS BIGINT) << j)),
+       |pp AS (SELECT p.j, p.pv FROM p, np WHERE p.j < np.n),
+       |b AS (SELECT $src.vec_id,
+       |  CAST(SUM(CASE WHEN list_inner_product($src.$vcol, pp.pv) > 0 THEN (1 << pp.j) ELSE 0 END) AS INTEGER) AS bucket
+       |  FROM $src, pp GROUP BY $src.vec_id)""".stripMargin
+
   /** s01's oracle pipeline as a named val (above the map per the
     * init-order rule) so s09's recall eval can nest it verbatim.
     */
@@ -540,16 +631,8 @@ object Similarity {
     * re-rank), shared verbatim with s09's recall eval.
     */
   private def lshSql(maxHamming: Int): String = {
-    val planeRows = (0 until NPlanes).map { j =>
-      val arr = plane(j, Dims).mkString(", ")
-      s"($j, [$arr]::DOUBLE[])"
-    }.mkString(",\n ")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |p(j, pv) AS (VALUES
-       | $planeRows),
-       |b AS (SELECT e.vec_id,
-       |  CAST(SUM(CASE WHEN list_inner_product(e.v, p.pv) > 0 THEN (1 << p.j) ELSE 0 END) AS INTEGER) AS bucket
-       |  FROM e, p GROUP BY e.vec_id),
+       |${bucketCtesSql()},
        |q AS (SELECT vec_id AS q_id, bucket AS q_bucket FROM b WHERE vec_id < 5),
        |cand AS (SELECT q.q_id, c.vec_id, c.bucket,
        |  list_inner_product(ec.v, eq.v) /
@@ -570,29 +653,29 @@ object Similarity {
     * radii, candidate counts + top-k hits vs the nested s01 pipeline.
     */
   private def probeSweepSql: String = {
-    val planeRows = (0 until NPlanes).map { j =>
-      val arr = plane(j, Dims).mkString(", ")
-      s"($j, [$arr]::DOUBLE[])"
-    }.mkString(",\n ")
-    val hRows = ProbeSweepH.map(h => s"($h, ${probesAt(h)})").mkString(", ")
+    val hRows = ProbeSweepH.map(h => s"($h)").mkString(", ")
+    // n_probes per radius = the binomial sum |probeMasks| computed
+    // from the SAME dynamic np (integer // division is exact: each
+    // partial product is a binomial coefficient)
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |p(j, pv) AS (VALUES
-       | $planeRows),
-       |b AS (SELECT e.vec_id,
-       |  CAST(SUM(CASE WHEN list_inner_product(e.v, p.pv) > 0 THEN (1 << p.j) ELSE 0 END) AS INTEGER) AS bucket
-       |  FROM e, p GROUP BY e.vec_id),
+       |${bucketCtesSql()},
        |q AS (SELECT vec_id AS q_id, bucket AS q_bucket FROM b WHERE vec_id < 5),
        |ex AS ($S01Sql),
-       |h(hmax, np) AS (VALUES $hRows),
-       |cand AS (SELECT h.hmax, h.np, q.q_id, c.vec_id,
+       |h(hmax) AS (VALUES $hRows),
+       |hp AS (SELECT h.hmax, 1
+       |  + (CASE WHEN h.hmax >= 1 THEN np.n ELSE 0 END)
+       |  + (CASE WHEN h.hmax >= 2 THEN np.n * (np.n - 1) // 2 ELSE 0 END)
+       |  + (CASE WHEN h.hmax >= 3 THEN np.n * (np.n - 1) * (np.n - 2) // 6 ELSE 0 END)
+       |  AS nprobes FROM h, np),
+       |cand AS (SELECT hp.hmax, hp.nprobes, q.q_id, c.vec_id,
        |  list_inner_product(ec.v, eq.v) /
        |    sqrt(list_inner_product(ec.v, ec.v) * list_inner_product(eq.v, eq.v)) AS cos
-       |  FROM h CROSS JOIN q
-       |  JOIN b c ON bit_count(xor(q.q_bucket, c.bucket)) <= h.hmax
+       |  FROM hp CROSS JOIN q
+       |  JOIN b c ON bit_count(xor(q.q_bucket, c.bucket)) <= hp.hmax
        |  JOIN e ec ON ec.vec_id = c.vec_id
        |  JOIN e eq ON eq.vec_id = q.q_id),
-       |nc AS (SELECT hmax, np, count(*) AS n_candidates
-       |  FROM cand GROUP BY hmax, np),
+       |nc AS (SELECT hmax, nprobes, count(*) AS n_candidates
+       |  FROM cand GROUP BY hmax, nprobes),
        |rk AS (SELECT hmax, q_id, vec_id,
        |  ROW_NUMBER() OVER (PARTITION BY hmax, q_id ORDER BY cos DESC, vec_id) AS rn
        |  FROM cand),
@@ -601,7 +684,7 @@ object Similarity {
        |  WHERE rk.rn <= $K GROUP BY rk.hmax),
        |nx AS (SELECT count(*) AS n_exact FROM ex)
        |SELECT CAST(hmax AS INTEGER) AS max_hamming,
-       | CAST(np AS INTEGER) AS n_probes, n_candidates,
+       | CAST(nprobes AS INTEGER) AS n_probes, n_candidates,
        | CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit, n_exact,
        | CAST(coalesce(n_hit, 0) AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
        |FROM nc LEFT JOIN ht USING (hmax) CROSS JOIN nx
@@ -609,7 +692,7 @@ object Similarity {
   }
 
   /** s13: LSH INDEX HEALTH — the occupancy profile of s02/s10's bucket
-    * index in one row: bucket count, fill rate of the 2^[[NPlanes]]
+    * index in one row: bucket count, fill rate of the 2^NPlanes
     * key space, min/max/p50/p90 occupancy, and skew (max/mean). This
     * is the operational pre-flight for every banded join in the
     * engine: a skewed index means one bucket's candidate join does all
@@ -627,8 +710,9 @@ object Similarity {
   def s13(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
+    val np = nPlanesOf(s, dir)
     val occ = T(s, dir, "embeddings")
-      .select(bucketCol("embedding").as("bucket"))
+      .select(bucketCol("embedding", np).as("bucket"))
       .groupBy($"bucket").agg(count(lit(1)).as("n"))
     occ.agg(
         count(lit(1)).as("n_buckets"),
@@ -640,7 +724,7 @@ object Similarity {
         $"max_occupancy",
         expr("round(ps[0], 6)").as("p50_occupancy"),
         expr("round(ps[1], 6)").as("p90_occupancy"),
-        expr(s"round(CAST(n_buckets AS DOUBLE) / CAST(${1 << NPlanes} AS DOUBLE), 6)")
+        expr(s"round(CAST(n_buckets AS DOUBLE) / CAST(${1L << np} AS DOUBLE), 6)")
           .as("fill_rate"),
         expr("round(CAST(max_occupancy AS DOUBLE) * CAST(n_buckets AS DOUBLE) / CAST(n_vectors AS DOUBLE), 6)")
           .as("skew"))
@@ -658,7 +742,7 @@ object Similarity {
     * tomorrow's — without touching the standing side's vectors.
     *
     * Scale shape: one scan computing the codegen sign bucket per side,
-    * map-side combine into ≤2^[[NPlanes]] constant keys, and a
+    * map-side combine into ≤2^NPlanes constant keys, and a
     * single-row total broadcast into the flag (d03's count shape) —
     * cost is one pass over the batch plus one over the index keys
     * regardless of corpus size; the flag threshold is an integer
@@ -667,8 +751,9 @@ object Similarity {
   def s15(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
+    val np = nPlanesOf(s, dir)
     val b = T(s, dir, "embeddings")
-      .select($"vec_id", bucketCol("embedding").as("bucket"))
+      .select($"vec_id", bucketCol("embedding", np).as("bucket"))
     val sides = b.groupBy($"bucket")
       .agg(count(when($"vec_id" % 2 === 0, 1)).as("n_base"),
         count(when($"vec_id" % 2 === 1, 1)).as("n_delta"))
@@ -677,16 +762,13 @@ object Similarity {
       .select($"bucket", $"n_base", $"n_delta",
         expr("round(CAST(n_delta AS DOUBLE) / CAST(n_base + n_delta AS DOUBLE), 6)")
           .as("delta_frac"),
-        when(($"n_base" + $"n_delta") * lit((1 << NPlanes).toLong) >
+        when(($"n_base" + $"n_delta") * lit(1L << np) >
           lit(2L) * $"n_total", 1).otherwise(0).as("needs_split"))
       .orderBy($"bucket")
   }
 
   /** Probe radii swept by s16 — the multiprobe Hamming knob 0..3. */
   final val ProbeSweepH: Seq[Int] = Seq(0, 1, 2, 3)
-
-  private def probesAt(h: Int): Int =
-    (0 until (1 << NPlanes)).count(m => Integer.bitCount(m) <= h)
 
   /** s16: PROBE SWEEP — the multiprobe tuning curve: for each Hamming
     * radius 0..3, the probe count, the TOTAL candidate pairs scored
@@ -705,12 +787,13 @@ object Similarity {
     */
   def s16(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val np = nPlanesOf(s, dir)
     val exact = s01(s, dir).select($"q_id", $"vec_id")
     val candAll = ProbeSweepH.map { h =>
-      lshCand(s, dir, h)
+      lshCand(s, dir, h, np)
         .select($"q_id", $"vec_id", $"cos")
         .withColumn("max_hamming", lit(h))
-        .withColumn("n_probes", lit(probesAt(h)))
+        .withColumn("n_probes", lit(probesAt(h, np)))
     }.reduce(_ unionByName _)
     val nCand = candAll.groupBy($"max_hamming", $"n_probes")
       .agg(count(lit(1)).as("n_candidates"))
@@ -730,19 +813,61 @@ object Similarity {
       .orderBy($"max_hamming")
   }
 
+  /** s17: LSH GEOMETRY AUDIT — the auto-sizing rule as a first-class,
+    * oracle-verified row: corpus count, the derived plane count
+    * ([[nPlanesFor]] — ceil(log2(N / [[TargetOccupancy]])) floored at
+    * [[MinPlanes]], capped at [[MaxPlanes]]), the resulting cell
+    * count, and the OBSERVED occupancy profile under that geometry
+    * (occupied buckets, max and mean occupancy). This is the
+    * pre-flight a deployment reads before committing an index build:
+    * n_planes is what every banded operator (d05/s02/s06/…) will use
+    * on this corpus, and mean_occupancy vs target_occupancy shows how
+    * far the data's sign-bucket distribution sits from the uniform
+    * sizing assumption. The DuckDB oracle re-derives n_planes from
+    * count(*) by the same exact integer rule, so the sizing logic
+    * itself is hash-verified at every scale — not just asserted in a
+    * unit test.
+    *
+    * Scale shape: s13's one-scan regime — per-row codegen bucket,
+    * map-side combine into ≤2^n_planes keys, single-row rollup.
+    */
+  def s17(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val np = nPlanesOf(s, dir)
+    val occ = T(s, dir, "embeddings")
+      .select(bucketCol("embedding", np).as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("n"))
+    occ.agg(
+        sum($"n").as("n_vectors"),
+        count(lit(1)).as("n_buckets"),
+        max($"n").as("max_occupancy"))
+      .select($"n_vectors",
+        lit(np).as("n_planes"),
+        lit(1L << np).as("n_cells"),
+        lit(TargetOccupancy).as("target_occupancy"),
+        $"n_buckets", $"max_occupancy",
+        expr("round(CAST(n_vectors AS DOUBLE) / CAST(n_buckets AS DOUBLE), 6)")
+          .as("mean_occupancy"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "s17_lsh_geometry" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |${bucketCtesSql()},
+         |occ AS (SELECT bucket, count(*) AS occ_n FROM b GROUP BY 1)
+         |SELECT CAST(sum(occ_n) AS BIGINT) AS n_vectors,
+         | CAST(any_value(np.n) AS INTEGER) AS n_planes,
+         | CAST((CAST(1 AS BIGINT) << any_value(np.n)) AS BIGINT) AS n_cells,
+         | CAST($TargetOccupancy AS BIGINT) AS target_occupancy,
+         | count(*) AS n_buckets,
+         | max(occ_n) AS max_occupancy,
+         | round(CAST(sum(occ_n) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_occupancy
+         |FROM occ, np""".stripMargin,
     "s16_probe_sweep" -> probeSweepSql,
     "s15_index_upsert" -> {
-      val planeRows = (0 until NPlanes).map { j =>
-        val arr = plane(j, Dims).mkString(", ")
-        s"($j, [$arr]::DOUBLE[])"
-      }.mkString(",\n ")
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |p(j, pv) AS (VALUES
-         | $planeRows),
-         |b AS (SELECT e.vec_id,
-         |  CAST(SUM(CASE WHEN list_inner_product(e.v, p.pv) > 0 THEN (1 << p.j) ELSE 0 END) AS INTEGER) AS bucket
-         |  FROM e, p GROUP BY e.vec_id),
+         |${bucketCtesSql()},
          |sides AS (SELECT bucket,
          |    count(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS n_base,
          |    count(CASE WHEN vec_id % 2 = 1 THEN 1 END) AS n_delta
@@ -750,30 +875,22 @@ object Similarity {
          |tot AS (SELECT count(*) AS n_total FROM b)
          |SELECT bucket, n_base, n_delta,
          |  round(CAST(n_delta AS DOUBLE) / CAST(n_base + n_delta AS DOUBLE), 6) AS delta_frac,
-         |  CAST(CASE WHEN (n_base + n_delta) * ${1 << NPlanes} > 2 * n_total THEN 1 ELSE 0 END AS INTEGER) AS needs_split
-         |FROM sides, tot ORDER BY bucket""".stripMargin
+         |  CAST(CASE WHEN (n_base + n_delta) * (CAST(1 AS BIGINT) << np.n) > 2 * n_total THEN 1 ELSE 0 END AS INTEGER) AS needs_split
+         |FROM sides, tot, np ORDER BY bucket""".stripMargin
     },
     "s13_lsh_bucket_stats" -> {
-      val planeRows = (0 until NPlanes).map { j =>
-        val arr = plane(j, Dims).mkString(", ")
-        s"($j, [$arr]::DOUBLE[])"
-      }.mkString(",\n ")
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |p(j, pv) AS (VALUES
-         | $planeRows),
-         |b AS (SELECT e.vec_id,
-         |  CAST(SUM(CASE WHEN list_inner_product(e.v, p.pv) > 0 THEN (1 << p.j) ELSE 0 END) AS INTEGER) AS bucket
-         |  FROM e, p GROUP BY e.vec_id),
-         |occ AS (SELECT bucket, count(*) AS n FROM b GROUP BY 1)
+         |${bucketCtesSql()},
+         |occ AS (SELECT bucket, count(*) AS occ_n FROM b GROUP BY 1)
          |SELECT count(*) AS n_buckets,
-         | CAST(sum(n) AS BIGINT) AS n_vectors,
-         | min(n) AS min_occupancy,
-         | max(n) AS max_occupancy,
-         | round(quantile_cont(n, 0.5e0), 6) AS p50_occupancy,
-         | round(quantile_cont(n, 0.9e0), 6) AS p90_occupancy,
-         | round(CAST(count(*) AS DOUBLE) / CAST(${1 << NPlanes} AS DOUBLE), 6) AS fill_rate,
-         | round(CAST(max(n) AS DOUBLE) * CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6) AS skew
-         |FROM occ""".stripMargin
+         | CAST(sum(occ_n) AS BIGINT) AS n_vectors,
+         | min(occ_n) AS min_occupancy,
+         | max(occ_n) AS max_occupancy,
+         | round(quantile_cont(occ_n, 0.5e0), 6) AS p50_occupancy,
+         | round(quantile_cont(occ_n, 0.9e0), 6) AS p90_occupancy,
+         | round(CAST(count(*) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << any_value(np.n)) AS DOUBLE), 6) AS fill_rate,
+         | round(CAST(max(occ_n) AS DOUBLE) * CAST(count(*) AS DOUBLE) / CAST(sum(occ_n) AS DOUBLE), 6) AS skew
+         |FROM occ, np""".stripMargin
     },
     "s08_mmr_rerank" -> {
       // the k greedy steps unrolled as chained CTEs (recursive CTEs
@@ -824,16 +941,8 @@ object Similarity {
          |ORDER BY q_id, step""".stripMargin
     },
     "s07_diversity_sample" -> {
-      val planeRows = (0 until NPlanes).map { j =>
-        val arr = plane(j, Dims).mkString(", ")
-        s"($j, [$arr]::DOUBLE[])"
-      }.mkString(",\n ")
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |p(j, pv) AS (VALUES
-         | $planeRows),
-         |b AS (SELECT e.vec_id,
-         |  CAST(SUM(CASE WHEN list_inner_product(e.v, p.pv) > 0 THEN (1 << p.j) ELSE 0 END) AS INTEGER) AS bucket
-         |  FROM e, p GROUP BY e.vec_id),
+         |${bucketCtesSql()},
          |m AS (SELECT b.bucket, d.i AS pos,
          |  SUM(CAST(round(ev.v[d.i] * 1000000) AS BIGINT)) AS sx
          |  FROM b JOIN e ev USING (vec_id),
@@ -906,10 +1015,6 @@ object Similarity {
     "s14_ann_composed" -> {
       // lshSql's bucket replay + s11's quantization chain, composed in
       // the same order the Spark plan runs them
-      val planeRows = (0 until NPlanes).map { j =>
-        val arr = plane(j, Dims).mkString(", ")
-        s"($j, [$arr]::DOUBLE[])"
-      }.mkString(",\n ")
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e,
          |  list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS scale
          |  FROM embeddings),
@@ -917,11 +1022,7 @@ object Similarity {
          |  list_transform(e, x -> CASE WHEN scale = 0.0 THEN 0.0
          |    ELSE CAST(round(127.0 * x / scale) AS DOUBLE) END) AS qv
          |  FROM e),
-         |p(j, pv) AS (VALUES
-         | $planeRows),
-         |b AS (SELECT qn.vec_id,
-         |  CAST(SUM(CASE WHEN list_inner_product(qn.e, p.pv) > 0 THEN (1 << p.j) ELSE 0 END) AS INTEGER) AS bucket
-         |  FROM qn, p GROUP BY qn.vec_id),
+         |${bucketCtesSql(src = "qn", vcol = "e")},
          |q AS (SELECT vec_id AS q_id, bucket AS q_bucket FROM b WHERE vec_id < 5),
          |cand AS (SELECT q.q_id, c.vec_id
          |  FROM q JOIN b c ON bit_count(xor(q.q_bucket, c.bucket)) <= 2),
@@ -966,21 +1067,13 @@ object Similarity {
       // (self bucket + NPlanes one-bit flips) — a bit_count join
       // predicate would be an all-pairs blockwise pass in DuckDB and
       // dies at the 200k-vector probe corpus (see d05's oracle note)
-      val planeRows = (0 until NPlanes).map { j =>
-        val arr = plane(j, Dims).mkString(", ")
-        s"($j, [$arr]::DOUBLE[])"
-      }.mkString(",\n ")
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |p(j, pv) AS (VALUES
-         | $planeRows),
-         |b AS (SELECT e.vec_id,
-         |  CAST(SUM(CASE WHEN list_inner_product(e.v, p.pv) > 0 THEN (1 << p.j) ELSE 0 END) AS INTEGER) AS bucket
-         |  FROM e, p GROUP BY e.vec_id),
+         |${bucketCtesSql()},
          |bv AS (SELECT b.vec_id, b.bucket, e.v,
          |  list_inner_product(e.v, e.v) AS nv2 FROM b JOIN e USING (vec_id)),
          |pr AS (SELECT vec_id, v, nv2, unnest(list_prepend(bucket,
-         |    list_transform(range(0, $NPlanes),
-         |      k -> xor(bucket, CAST(1 << k AS INTEGER))))) AS probe FROM bv),
+         |    list_transform(range(0, np.n),
+         |      k -> xor(bucket, CAST(1 << k AS INTEGER))))) AS probe FROM bv, np),
          |cand AS (SELECT pr.vec_id AS src_id, c.vec_id AS nbr_id,
          |  list_inner_product(c.v, pr.v) / sqrt(c.nv2 * pr.nv2) AS cos
          |  FROM pr JOIN bv c
@@ -1011,9 +1104,10 @@ object Similarity {
   def s06(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
+    val np = nPlanesOf(s, dir)
     val emb = T(s, dir, "embeddings")
-    val corpus = emb.select($"vec_id", $"embedding", bucketCol("embedding").as("bucket"))
-    val probes = (0 to NPlanes).map(i => if (i == 0) 0 else 1 << (i - 1))
+    val corpus = emb.select($"vec_id", $"embedding", bucketCol("embedding", np).as("bucket"))
+    val probes = (0 to np).map(i => if (i == 0) 0 else 1 << (i - 1))
     val sources = corpus
       .select($"vec_id".as("src_id"), $"embedding".as("src_emb"),
         $"bucket".as("src_bucket"))
@@ -1060,7 +1154,8 @@ object Similarity {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
     val emb = T(s, dir, "embeddings")
-      .select($"vec_id", $"embedding", bucketCol("embedding").as("bucket"))
+      .select($"vec_id", $"embedding",
+        bucketCol("embedding", nPlanesOf(s, dir)).as("bucket"))
     val sums = emb
       .select($"bucket", posexplode($"embedding".cast("array<double>")))
       .groupBy($"bucket", $"pos")
@@ -1190,6 +1285,7 @@ object Similarity {
     "s12_filtered_ann" -> (s12 _),
     "s13_lsh_bucket_stats" -> (s13 _),
     "s15_index_upsert" -> (s15 _),
-    "s16_probe_sweep" -> (s16 _)
+    "s16_probe_sweep" -> (s16 _),
+    "s17_lsh_geometry" -> (s17 _)
   )
 }

@@ -62,13 +62,52 @@ class VcfDataSource extends TableProvider with DataSourceRegister {
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val ps = paths(options)
-    VcfReader.variantSchema(VcfParser.parseHeader(headerLines(ps.head)))
+    // `header` names a VCF (file or exported shard dir) whose ## header
+    // drives the schema INSTEAD of the target path's first shard — the
+    // write path's seam: a fresh output directory has no shard to
+    // infer from, so `df.write.format("vcf").option("header", ...)`
+    // supplies the header that both types the table and is stamped
+    // into every written shard.
+    Option(options.get("header")) match {
+      case Some(hp) =>
+        VcfReader.variantSchema(VcfParser.parseHeader(headerAt(hp)))
+      case None =>
+        val ps = paths(options)
+        VcfReader.variantSchema(VcfParser.parseHeader(headerLines(ps.head)))
+    }
+  }
+
+  /** Header lines from an explicit `header` option value, which may be
+    * a single VCF or a sharded export directory (first shard wins —
+    * exportVcf stamps the identical header into every shard).
+    */
+  private def headerAt(p: String): Vector[String] = {
+    val hp = new Path(p)
+    val fs = FileSystem.get(hp.toUri,
+      SparkSession.active.sessionState.newHadoopConf())
+    val target =
+      if (fs.isDirectory(hp))
+        fs.listStatus(hp).toSeq
+          .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith("."))
+          .map(_.getPath.toString).sorted.headOption
+          .getOrElse(throw new IllegalArgumentException(
+            s"vcf header option points at an empty directory: $p"))
+      else p
+    headerLines(target)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
+    Option(opts.get("header")) match {
+      case Some(hp) =>
+        // explicit header (write mode, or forced-header read): the
+        // target path may not exist yet, so no shard headers are read
+        return new VcfTable(Nil, headerAt(hp), schema,
+          Option(opts.get("path")))
+      case None => ()
+    }
     val ps = paths(opts)
     val first = headerLines(ps.head)
     // Multi-shard cohorts must agree on the header-derived schema: the
@@ -85,7 +124,7 @@ class VcfDataSource extends TableProvider with DataSourceRegister {
             "set option validateHeaders=false to force first-header semantics)")
       }
     }
-    new VcfTable(ps, first, schema)
+    new VcfTable(ps, first, schema, Option(opts.get("path")))
   }
 
   override def supportsExternalMetadata(): Boolean = false
@@ -147,16 +186,27 @@ private[sources] object RegionFilter {
 }
 
 private[sources] class VcfTable(paths: Seq[String], header: Vector[String],
-    tableSchema: StructType) extends Table with SupportsRead {
+    tableSchema: StructType, rawPath: Option[String])
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"vcf(${paths.mkString(",")})"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new VcfScanBuilder(paths, header, tableSchema,
       options.getBoolean("permissive", false),
       options.getLong("splitSize", 128L * 1024 * 1024),
       options.getBoolean("sorted", false))
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val out = Option(info.options.get("path")).orElse(rawPath).getOrElse(
+      throw new IllegalArgumentException("vcf write requires a path"))
+    new VcfWriteBuilder(out, header, tableSchema,
+      info.options.getInt("shards", 1))
+  }
 }
 
 private[sources] class VcfScanBuilder(paths: Seq[String], header: Vector[String],
@@ -681,5 +731,281 @@ private[sources] class VcfPartitionReader(part: VcfInputPartition,
   override def close(): Unit = stream match {
     case Left(r) => r.close()
     case Right(r) => r.close()
+  }
+}
+
+// ---------------------------------------------------------------------------
+// V2 WRITE path: df.write.format("vcf").option("header", <vcf>).save(dir)
+// ---------------------------------------------------------------------------
+
+/** `df.write.format("vcf")` — the symmetric closure of the round trip
+  * (round-13 verdict ask #6): writes [[graft.Vcf2Db.exportVcf]]'s
+  * sharded/sorted layout (a directory of plain-text shards, each
+  * stamped with the full header, range-partitioned on (chrom, pos)
+  * and sorted within shards) through the DataSourceV2 write API, so
+  * the export composes with any DataFrame — not just a loaded DB dir.
+  *
+  * Spark-first shape: the Write implements
+  * [[org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering]]
+  * with an ORDERED distribution on (chrom, pos) and a within-partition
+  * (chrom, pos, alt) sort, so Catalyst injects the range shuffle +
+  * sort — the exact plan exportVcf builds by hand — and AQE prices it;
+  * `option("shards", n)` pins the partition count (default 1, the
+  * single-file export). Line assembly happens per row in the
+  * DataWriter from the SAME header-driven rules as exportVcf (INFO in
+  * header order: Flags by presence, arrays comma-joined with `.` for
+  * missing elements, scalars cast; GT re-derived from gt_types in
+  * header sample order), so write -> read-back is value-identical —
+  * the derived stat/genotype columns (call_rate, aaf, num_*, gts, …)
+  * are recomputed by the reader rather than serialized.
+  *
+  * Modes: `append` adds shards beside existing ones (every shard
+  * carries the header, the layout multi-shard reads expect);
+  * `overwrite` truncates the directory's data files first
+  * (SupportsTruncate). ErrorIfExists/Ignore are unsupported for
+  * non-catalog V2 tables by Spark itself.
+  */
+private[sources] class VcfWriteBuilder(outPath: String,
+    header: Vector[String], tableSchema: StructType, shards: Int)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var truncateFirst = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    truncateFirst = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new VcfWrite(outPath, header, tableSchema, shards, truncateFirst)
+}
+
+private[sources] class VcfWrite(outPath: String, header: Vector[String],
+    tableSchema: StructType, shards: Int, truncateFirst: Boolean)
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+
+  private def orders = Array(
+    Expressions.sort(Expressions.column("chrom"), SortDirection.ASCENDING),
+    Expressions.sort(Expressions.column("pos"), SortDirection.ASCENDING),
+    Expressions.sort(Expressions.column("alt"), SortDirection.ASCENDING))
+
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    org.apache.spark.sql.connector.distributions.Distributions.ordered(
+      orders.asInstanceOf[Array[org.apache.spark.sql.connector.expressions.SortOrder]])
+  override def requiredNumPartitions(): Int = math.max(1, shards)
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    orders.asInstanceOf[Array[org.apache.spark.sql.connector.expressions.SortOrder]]
+
+  override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+    new VcfBatchWrite(outPath, header, tableSchema, truncateFirst,
+      new SerializableConfiguration(
+        SparkSession.active.sessionState.newHadoopConf()))
+}
+
+private[sources] case class VcfCommitMessage(tmpFile: String, partitionId: Int)
+  extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+/** Two-phase commit: tasks write `part-<pid>-<taskId>` into a hidden
+  * `_vcf_tmp_<nonce>` subdirectory (invisible to the reader's
+  * hidden-file filter), the driver renames committed files to their
+  * final `part-NNNNN` names — after truncating pre-existing data files
+  * when overwriting — and drops the temp dir. A failed/speculative
+  * task attempt leaves only an orphan temp file that abort/commit
+  * cleanup removes; the commit coordinator guarantees one committed
+  * attempt per partition.
+  */
+private[sources] class VcfBatchWrite(outPath: String, header: Vector[String],
+    tableSchema: StructType, truncateFirst: Boolean,
+    conf: SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  // per-job nonce: the temp dir AND the final shard names carry it, so
+  // an APPEND never renames onto an earlier job's part files (same
+  // partition ids) — the reader accepts any non-hidden shard name
+  private val nonce = java.util.UUID.randomUUID().toString.take(8)
+  private val tmpDir = s"$outPath/_vcf_tmp_$nonce"
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory =
+    new VcfWriterFactory(tmpDir, header, tableSchema, conf)
+
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val out = new Path(outPath)
+    val fs = out.getFileSystem(conf.value)
+    if (truncateFirst && fs.exists(out)) {
+      fs.listStatus(out).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
+          fs.delete(st.getPath, false)
+      }
+    }
+    messages.collect { case m: VcfCommitMessage => m }
+      .sortBy(_.partitionId)
+      .foreach { m =>
+        val dst = new Path(out, f"part-${m.partitionId}%05d-$nonce")
+        require(fs.rename(new Path(m.tmpFile), dst),
+          s"vcf write: rename ${m.tmpFile} -> $dst failed")
+      }
+    fs.delete(new Path(tmpDir), true)
+    fs.create(new Path(out, "_SUCCESS"), true).close()
+  }
+
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val fs = new Path(outPath).getFileSystem(conf.value)
+    fs.delete(new Path(tmpDir), true)
+  }
+}
+
+private[sources] class VcfWriterFactory(tmpDir: String,
+    header: Vector[String], tableSchema: StructType,
+    conf: SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new VcfDataWriter(
+      s"$tmpDir/part-$partitionId-$taskId", partitionId,
+      new VcfLineAssembler(header, tableSchema),
+      header.mkString("\n"), conf)
+}
+
+/** Appends the header then one assembled VCF line per row. A shard is
+  * created (header included) even when its range partition is empty —
+  * exportVcf's contract, and what keeps shard counts deterministic.
+  */
+private[sources] class VcfDataWriter(file: String, partitionId: Int,
+    assembler: VcfLineAssembler, headerText: String,
+    conf: SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  private val path = new Path(file)
+  private val fs = path.getFileSystem(conf.value)
+  private val out = new java.io.BufferedWriter(
+    new java.io.OutputStreamWriter(fs.create(path, true), "UTF-8"),
+    1 << 16)
+  out.write(headerText); out.write('\n')
+
+  override def write(row: InternalRow): Unit = {
+    out.write(assembler.assemble(row)); out.write('\n')
+  }
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    out.close()
+    VcfCommitMessage(file, partitionId)
+  }
+  override def abort(): Unit = {
+    try out.close() catch { case _: Throwable => () }
+    fs.delete(path, false)
+  }
+  override def close(): Unit =
+    try out.close() catch { case _: java.io.IOException => () }
+}
+
+/** InternalRow -> VCF body line, by the SAME header-driven rules as
+  * exportVcf's Column formulation (Vcf2Db.scala): site fields with `.`
+  * for nulls, INFO fields in ##INFO header order (Flag = presence,
+  * arrays comma-joined with `.` for null elements, scalars stringified)
+  * and GT re-derived from gt_types. Built once per task from the
+  * serialized header + schema; all field indices are resolved up
+  * front so per-row work is a flat loop.
+  */
+private[sources] class VcfLineAssembler(header: Vector[String],
+    schema: StructType) extends Serializable {
+  import org.apache.spark.sql.types._
+
+  @transient private lazy val h = VcfParser.parseHeader(header)
+  @transient private lazy val chromI = schema.fieldIndex("chrom")
+  @transient private lazy val posI = schema.fieldIndex("pos")
+  @transient private lazy val vidI = schema.fieldIndex("vid")
+  @transient private lazy val refI = schema.fieldIndex("ref")
+  @transient private lazy val altI = schema.fieldIndex("alt")
+  @transient private lazy val qualI = schema.fieldIndex("qual")
+  @transient private lazy val filterI = schema.fieldIndex("filter")
+  @transient private lazy val infoCols: Seq[(String, String, Int, DataType)] =
+    VcfReader.infoSpecs(h)
+      .map(s => (s, VcfParser.sanitize(s.id)))
+      .filter { case (_, c) => schema.fieldNames.contains(c) }
+      .map { case (s, c) =>
+        (s.id, s.number, schema.fieldIndex(c), schema(c).dataType) }
+  @transient private lazy val gtI: Int =
+    if (h.samples.nonEmpty && schema.fieldNames.contains("gt_types"))
+      schema.fieldIndex("gt_types")
+    else -1
+
+  private def scalarStr(row: InternalRow, i: Int, dt: DataType): String =
+    dt match {
+      case IntegerType => row.getInt(i).toString
+      case LongType => row.getLong(i).toString
+      case DoubleType => row.getDouble(i).toString
+      case BooleanType => row.getBoolean(i).toString
+      case _ => row.getUTF8String(i).toString
+    }
+
+  private def elemStr(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      i: Int, et: DataType): String =
+    if (a.isNullAt(i)) "."
+    else et match {
+      case IntegerType => a.getInt(i).toString
+      case LongType => a.getLong(i).toString
+      case DoubleType => a.getDouble(i).toString
+      case _ => a.getUTF8String(i).toString
+    }
+
+  def assemble(row: InternalRow): String = {
+    val sb = new java.lang.StringBuilder(256)
+    sb.append(row.getUTF8String(chromI)).append('\t')
+      .append(row.getLong(posI)).append('\t')
+      .append(if (row.isNullAt(vidI)) "." else row.getUTF8String(vidI).toString)
+      .append('\t')
+      .append(row.getUTF8String(refI)).append('\t')
+      .append(row.getUTF8String(altI)).append('\t')
+      .append(if (row.isNullAt(qualI)) "."
+        else java.lang.Double.toString(row.getDouble(qualI)))
+      .append('\t')
+      .append(if (row.isNullAt(filterI)) "." else row.getUTF8String(filterI).toString)
+      .append('\t')
+    var wrote = false
+    infoCols.foreach { case (id, number, i, dt) =>
+      val part: String = (number, dt) match {
+        case ("0", _) =>
+          if (!row.isNullAt(i) && row.getBoolean(i)) id else null
+        case (_, ArrayType(et, _)) =>
+          if (row.isNullAt(i)) null
+          else {
+            val a = row.getArray(i)
+            val b = new java.lang.StringBuilder(id).append('=')
+            var k = 0
+            while (k < a.numElements()) {
+              if (k > 0) b.append(',')
+              b.append(elemStr(a, k, et))
+              k += 1
+            }
+            b.toString
+          }
+        case _ =>
+          if (row.isNullAt(i)) null
+          else id + "=" + scalarStr(row, i, dt)
+      }
+      if (part != null) {
+        if (wrote) sb.append(';')
+        sb.append(part); wrote = true
+      }
+    }
+    if (!wrote) sb.append('.')
+    if (gtI >= 0) {
+      sb.append('\t').append("GT")
+      val gts = row.getArray(gtI)
+      var k = 0
+      while (k < gts.numElements()) {
+        sb.append('\t').append(gts.getInt(k) match {
+          case 0 => "0/0"
+          case 1 => "0/1"
+          case 3 => "1/1"
+          case _ => "./."
+        })
+        k += 1
+      }
+    }
+    sb.toString
   }
 }

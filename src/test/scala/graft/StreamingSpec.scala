@@ -650,6 +650,62 @@ class StreamStreamJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("near-dup stream: the documented cap-crossing batch/stream divergence") {
+    // NearDupStream.scala:33-36 promises: a bucket that crosses the
+    // ≤50 occupancy cap only MID-stream refuses candidates from that
+    // point on, where the one-shot batch form refuses them all. Pin
+    // both halves with a bucket built to cross exactly at batch 2.
+    import spark.implicits._
+    import graft.streaming.{DeltaDoc, NearDupStream}
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("ndcap").toString
+    // a standing index with none of the hot bucket's shingles
+    val base = graft.operators.Dedup.d20IndexOf(
+      Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta theta"))
+        .toDF("doc_id", "text"))
+    base.write(s"$tmp/idx")
+    val idx = graft.operators.Dedup.MinhashIndex.load(spark, s"$tmp/idx")
+    // 60 IDENTICAL docs: one signature, all 16 band buckets at
+    // occupancy 60 — past the cap as a whole, under it at 30
+    val hotText = (1 to 10).map(i => s"capx$i").mkString(" ")
+    val hot = (0 until 60).map(i => DeltaDoc(100L + i, hotText))
+    // batch form: 60 > 50 in every bucket -> ALL candidates refused
+    val batchV = graft.operators.Dedup
+      .d20Probe(idx, hot.toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict"))
+      .toMap
+    assert(batchV.size == 60 && batchV.values.forall(_ == "kept"),
+      "one-shot batch must refuse the whole capped bucket")
+    // stream form: batch 1 (30 docs) is under the cap -> first doc
+    // kept, the other 29 confirm against it; batch 2 sees
+    // seen(30) + delta(30) = 60 > 50 -> refuses from that point on
+    val input = MemoryStream[DeltaDoc]
+    val q = NearDupStream.start(input.toDS(), idx, s"$tmp/state", s"$tmp/out")
+    try {
+      input.addData(hot.take(30)); q.processAllAvailable()
+      input.addData(hot.drop(30)); q.processAllAvailable()
+      val out = spark.read.parquet(s"$tmp/out").collect()
+        .map(r => (r.getAs[Long]("doc_id"),
+          (r.getAs[String]("verdict"), r.getAs[Any]("first_delta_match"))))
+        .toMap
+      assert(out.size == 60)
+      assert(out(100L)._1 == "kept", "stream batch 1: first doc survives")
+      (101L to 129L).foreach { id =>
+        assert(out(id) == (("delta_near_dup", 100L)),
+          s"stream batch 1 doc $id must confirm against doc 100")
+      }
+      (130L to 159L).foreach { id =>
+        assert(out(id)._1 == "kept",
+          s"stream batch 2 doc $id must be refused (cap crossed mid-stream)")
+      }
+      // the divergence, stated: batch refuses 59 verdicts the stream
+      // split 29/30 — identical everywhere EXCEPT batch 1's confirms
+      val diverging = out.filter { case (id, (v, _)) => v != batchV(id) }
+      assert(diverging.keySet == (101L to 129L).toSet,
+        "batch/stream divergence must be exactly batch 1's confirmed docs")
+    } finally q.stop()
+  }
+
   test("st09 disorder audit matches a hand-rolled per-user replay") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"

@@ -72,6 +72,18 @@ if [[ "$MISS" != 0 ]]; then
   exit 1
 fi
 
+# Job-level bench coverage (round-13 verdict ask #5): the committed
+# record must carry CurateCorpus/CurateDelta timings so job
+# regressions are machine-detected, not PLANS prose.
+python3 - <<'EOF' || { echo "[gate] FAIL: BENCH_FULL.json lacks the jobs section"; exit 1; }
+import json
+jobs = json.load(open("BENCH_FULL.json")).get("jobs", {})
+need = {"job_curate_corpus", "job_delta_index", "job_curate_delta"}
+missing = need - set(jobs)
+if missing:
+    raise SystemExit(f"missing job timings: {sorted(missing)}")
+EOF
+
 echo "[gate] 5/5 PLANS.md bench quotes vs the committed BENCH_FULL.json"
 python3 tools/check_plans_bench.py || {
   echo "[gate] FAIL: PLANS.md quotes a bench number the committed record does not contain"

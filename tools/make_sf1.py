@@ -28,8 +28,12 @@ is preserved instead of creating 10x cross-replica duplicates:
   the coordinate alignment.
 Replica 0 is byte-identical to the source at every scale.
 
-Usage: python3 tools/make_sf1.py [OUT_DIR] [REPLICAS]
-       (defaults: /tmp/sf1, 10 — REPLICAS=100 builds an sf10 probe)
+Usage: python3 tools/make_sf1.py [OUT_DIR] [REPLICAS] [corpus-only]
+       (defaults: /tmp/sf1, 10 — REPLICAS=100 builds an sf10 probe;
+       "corpus-only" replicates ONLY documents/embeddings and copies
+       the relational tables verbatim — the dedup/ANN-focused sfbig
+       probe, where REPLICAS=1000 would otherwise drag 600M lineitem
+       rows along)
 """
 import sys
 
@@ -38,6 +42,7 @@ import duckdb
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
 R = int(sys.argv[2]) if len(sys.argv) > 2 else 10  # replicas
+CORPUS_ONLY = len(sys.argv) > 3 and sys.argv[3] == "corpus-only"
 STRIDE = 10_000_000  # > every key in sf0.1
 
 # table -> key columns to shift per replica
@@ -56,6 +61,13 @@ def main():
     import os
     os.makedirs(OUT, exist_ok=True)
     con = duckdb.connect()
+    if CORPUS_ONLY:
+        for t in list(SHIFT) + COPY:
+            con.sql(f"COPY (SELECT * FROM '{SRC}/{t}.parquet') "
+                    f"TO '{OUT}/{t}.parquet' (FORMAT PARQUET)")
+            print(f"{t}: copied (corpus-only)")
+        replicate_corpus(con)
+        return
     for t, keys in SHIFT.items():
         cols = con.sql(f"SELECT * FROM '{SRC}/{t}.parquet' LIMIT 0").columns
         sel = []
@@ -77,6 +89,10 @@ def main():
         con.sql(f"COPY (SELECT * FROM '{SRC}/{t}.parquet') "
                 f"TO '{OUT}/{t}.parquet' (FORMAT PARQUET)")
         print(f"{t}: copied")
+    replicate_corpus(con)
+
+
+def replicate_corpus(con):
     # documents: id-shifted, token-salted replicas (replica 0 verbatim)
     salted = (r"CASE WHEN r.k = 0 THEN text "
               r"ELSE regexp_replace(text, '(\S+)', '\1q' || r.k, 'g') END")

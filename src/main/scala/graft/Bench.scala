@@ -110,8 +110,9 @@ object Bench {
     // now carry min-of-3 evidence
     "d16_minhash_audit", "d17_threshold_sweep", "d24_index_stats",
     // round-14: s17 audits the auto-sized LSH geometry (one corpus
-    // scan + constant-key combine — s13's regression class)
-    "s17_lsh_geometry")
+    // scan + constant-key combine — s13's regression class); s18's
+    // index-vs-batch bucket join is the banded-join regression class
+    "s17_lsh_geometry", "s18_vec_index_probe")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

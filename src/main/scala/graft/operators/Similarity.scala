@@ -598,12 +598,13 @@ object Similarity {
     * DOUBLE[]). Emitted WITHOUT a leading WITH so callers splice it
     * into their own chain.
     */
-  private[operators] def bucketCtesSql(src: String = "e", vcol: String = "v"): String =
+  private[operators] def bucketCtesSql(src: String = "e", vcol: String = "v",
+      countSql: String = "SELECT count(*) FROM embeddings"): String =
     s"""p(j, pv) AS (VALUES
        | $planeRowsSql),
        |np AS (SELECT coalesce(min(j), $MaxPlanes) AS n
        |  FROM range($MinPlanes, ${MaxPlanes + 1}) t(j)
-       |  WHERE (SELECT count(*) FROM embeddings) <= $TargetOccupancy * (CAST(1 AS BIGINT) << j)),
+       |  WHERE ($countSql) <= $TargetOccupancy * (CAST(1 AS BIGINT) << j)),
        |pp AS (SELECT p.j, p.pv FROM p, np WHERE p.j < np.n),
        |b AS (SELECT $src.vec_id,
        |  CAST(SUM(CASE WHEN list_inner_product($src.$vcol, pp.pv) > 0 THEN (1 << pp.j) ELSE 0 END) AS INTEGER) AS bucket
@@ -851,7 +852,141 @@ object Similarity {
           .as("mean_occupancy"))
   }
 
+  /** The PERSISTED ANN index with PINNED geometry — the production
+    * closure of this round's auto-sizing: [[nPlanesFor]] derives the
+    * plane count from the corpus AT BUILD TIME, and from then on the
+    * geometry is part of the index's on-disk contract (a
+    * `geometry.parquet` row beside the bucket rows). A delta appended
+    * with [[merge]] and every [[probe]] bucket under the INDEX's
+    * nPlanes — never a fresh count — because a probe bucketed under a
+    * different geometry matches nothing (the exact versioning hazard
+    * auto-sizing introduces, and the same discipline
+    * [[Dedup.MinhashIndex]] applies to its band layout).
+    * [[needsReplane]] is the rebuild tripwire: once the corpus
+    * outgrows 2× the geometry's design occupancy, candidate cost has
+    * doubled and the owner should rebuild at the new auto size (the
+    * vector-side analogue of s15's needs_split, corpus-wide).
+    *
+    * Scale shape: build is one scan (codegen buckets) + one
+    * metadata-cheap count; write/load move bucket rows as parquet
+    * (embedding travels WITH its bucket row, so a probe needs no join
+    * back to the corpus); probe is s02's banded equi-join with the
+    * query side exploded into its constant probe fan-out, top-k per
+    * query via one window. VecIndexSpec pins load-probe parity,
+    * geometry pinning across merge, and the replane tripwire.
+    */
+  final case class VecIndex(buckets: DataFrame, nPlanes: Int) {
+    def write(path: String): Unit = {
+      val s = buckets.sparkSession
+      import s.implicits._
+      buckets.write.mode("overwrite").parquet(s"$path/buckets.parquet")
+      Seq((nPlanes, TargetOccupancy)).toDF("n_planes", "target_occupancy")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/geometry.parquet")
+    }
+
+    /** Production append: delta rows bucketed under the INDEX's
+      * pinned geometry — never re-sized, so old and new rows share
+      * one key space.
+      */
+    def merge(delta: DataFrame): VecIndex = {
+      graft.functions.GraftFunctions.register(buckets.sparkSession)
+      VecIndex(buckets.unionByName(delta.select(col("vec_id"),
+        col("embedding"), bucketCol("embedding", nPlanes).as("bucket"))),
+        nPlanes)
+    }
+
+    /** True once the corpus is past 2× the geometry's design load
+      * (mean occupancy > 2×[[TargetOccupancy]]) — rebuild at the new
+      * auto size before the next corpus-scale candidate join.
+      */
+    def needsReplane: Boolean =
+      buckets.count() > 2L * TargetOccupancy * (1L << nPlanes)
+
+    /** Top-k cosine neighbors from the index for each query row
+      * ((vec_id, embedding) frame), probing all buckets within
+      * `maxHamming` of the query's — the query side carries the
+      * constant fan-out; the index never re-shuffles per probe call
+      * beyond the one bucket-keyed join.
+      */
+    def probe(queries: DataFrame, maxHamming: Int = 1, k: Int = K): DataFrame = {
+      val s = buckets.sparkSession
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val probes = probeMasks(nPlanes, maxHamming)
+      val q = queries
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+          bucketCol("embedding", nPlanes).as("q_bucket"))
+        .withColumn("probe", explode(typedLit(probes)))
+        .withColumn("bucket", expr("q_bucket ^ probe"))
+        .select($"q_id", $"q_emb", $"bucket")
+      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+      buckets.join(q, "bucket")
+        .withColumn("cos", expr(
+          s"${dot("embedding", "q_emb")} / sqrt(${dot("embedding", "embedding")} * ${dot("q_emb", "q_emb")})"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= k)
+        .select($"q_id", $"vec_id", expr("round(cos, 6)").as("cos"), $"rn")
+        .orderBy($"q_id", $"rn")
+    }
+  }
+
+  object VecIndex {
+    /** Builds at the auto-sized geometry for THIS corpus (one count). */
+    def build(emb: DataFrame): VecIndex = {
+      graft.functions.GraftFunctions.register(emb.sparkSession)
+      val np = nPlanesFor(emb.count())
+      VecIndex(emb.select(col("vec_id"), col("embedding"),
+        bucketCol("embedding", np).as("bucket")), np)
+    }
+
+    def load(s: SparkSession, path: String): VecIndex = {
+      val g = s.read.parquet(s"$path/geometry.parquet").collect().head
+      VecIndex(s.read.parquet(s"$path/buckets.parquet"),
+        g.getAs[Int]("n_planes"))
+    }
+  }
+
+  /** s18: VECTOR INDEX PROBE — the incremental-serving form of s02:
+    * the standing corpus (even vec_ids) is a built [[VecIndex]], the
+    * arriving batch (odd vec_ids) probes it for top-[[K]] neighbors.
+    * This is d20's base-vs-delta contract on the vector side, and the
+    * geometry the oracle re-derives is the INDEX side's count (even
+    * rows only) — pinning, in the hash-verified gate itself, that
+    * probes use the index's geometry rather than their own.
+    *
+    * Scale shape: one index scan + one batch scan, batch side carries
+    * the constant (nPlanes+1) probe fan-out into a bucket equi-join
+    * (both sides corpus-scale ⇒ one shuffle each on the bucket key —
+    * d02's banded regime, never broadcast, never all-pairs), one
+    * query-keyed rank window.
+    */
+  def s18(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = T(s, dir, "embeddings")
+    VecIndex.build(emb.filter($"vec_id" % 2 === 0))
+      .probe(emb.filter($"vec_id" % 2 === 1).select($"vec_id", $"embedding"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "s18_vec_index_probe" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |${bucketCtesSql(countSql =
+               "SELECT count(*) FROM embeddings WHERE vec_id % 2 = 0")},
+         |bv AS (SELECT b.vec_id, b.bucket, e.v,
+         |  list_inner_product(e.v, e.v) AS nv2 FROM b JOIN e USING (vec_id)),
+         |idx AS (SELECT * FROM bv WHERE vec_id % 2 = 0),
+         |qr AS (SELECT vec_id, v, nv2, unnest(list_prepend(bucket,
+         |    list_transform(range(0, np.n),
+         |      k -> xor(bucket, CAST(1 << k AS INTEGER))))) AS probe
+         |  FROM bv, np WHERE vec_id % 2 = 1),
+         |cand AS (SELECT qr.vec_id AS q_id, i.vec_id,
+         |  list_inner_product(i.v, qr.v) / sqrt(i.nv2 * qr.nv2) AS cos
+         |  FROM qr JOIN idx i ON i.bucket = qr.probe),
+         |ranked AS (SELECT q_id, vec_id, cos,
+         |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+         |  FROM cand)
+         |SELECT q_id, vec_id, round(cos, 6) AS cos, rn
+         |FROM ranked WHERE rn <= $K ORDER BY q_id, rn""".stripMargin,
     "s17_lsh_geometry" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |${bucketCtesSql()},
@@ -1286,6 +1421,7 @@ object Similarity {
     "s13_lsh_bucket_stats" -> (s13 _),
     "s15_index_upsert" -> (s15 _),
     "s16_probe_sweep" -> (s16 _),
-    "s17_lsh_geometry" -> (s17 _)
+    "s17_lsh_geometry" -> (s17 _),
+    "s18_vec_index_probe" -> (s18 _)
   )
 }

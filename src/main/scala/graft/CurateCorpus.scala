@@ -19,10 +19,16 @@ import graft.operators.{Dedup, Text}
   * object only sequences them.
   *
   * Scale notes: each stage is the operator's own documented shape (no
-  * new shuffles are introduced by the sequencing); stages persist
-  * their survivor frame so the per-stage counts don't recompute the
-  * whole lineage, and each stage's input unpersists as soon as its
-  * successor materializes — peak cache holds ~2 stages, not all six.
+  * new shuffles are introduced by the sequencing); stage boundaries
+  * are LINEAGE CUTS ([[Lineage.cut]] — cached like a persist, but the
+  * downstream plan roots at the materialized RDD), so the per-stage
+  * counts neither recompute nor re-PLAN the whole lineage: the
+  * near-dup/containment stages reference their input frame up to 5×
+  * each, and under bare persist() the analyzed tree grew
+  * multiplicatively per stage (~95 s of driver planning vs 40 s of
+  * Spark jobs, measured round 14). Peak cached footprint stays ~2
+  * stages — the ContextCleaner drops cut blocks as stage frames go
+  * out of scope.
   */
 object CurateCorpus {
 
@@ -97,6 +103,21 @@ object CurateCorpus {
     val input = docs.select(docs.columns.map(col).toIndexedSeq: _*).persist()
     val nInput = input.count()
 
+    // Stage boundaries are LINEAGE CUTS (lazy localCheckpoint — or a
+    // reliable checkpoint when spark.graft.checkpointDir is set), not
+    // bare persist(): persist caches the DATA but every downstream
+    // action still re-ANALYZES the full logical plan, and the stages
+    // below reference their inputs 2-5× each (near-dup candidates,
+    // containment grams), so the analyzed tree grows MULTIPLICATIVELY
+    // per stage. Measured round 14 (sf0.1, local[32]): 102 Spark jobs
+    // totalled 39.8 s while the job walled 136.7 s — the other ~95 s
+    // was the driver re-planning ever-larger trees (17 s of optimizer
+    // gap before single counts). Cutting at each boundary keeps every
+    // stage's plan rooted at the previous stage's materialized RDD.
+    // Cut frames are cached like the persists they replace; blocks are
+    // dropped by the ContextCleaner when the stage frame goes out of
+    // scope (same ~2-stage peak as the old explicit unpersists).
+
     // 1. exact dedup (d01 rule): min doc_id survives each md5(text)
     //    group. One exchange keyed on the text hash; the full row moves
     //    through it once — same bytes moved as the groupBy+rejoin
@@ -106,7 +127,7 @@ object CurateCorpus {
       .withColumn("_keep",
         min($"doc_id").over(Window.partitionBy(md5($"text"))))
       .filter($"doc_id" === $"_keep").drop("_keep")
-      .persist()
+      .transform(Lineage.cut)
     val nExact = exact.count()
     input.unpersist() // dead once the exact stage materialized
 
@@ -119,7 +140,7 @@ object CurateCorpus {
     val (trimmed, nTrim) = if (trimBoilerplate) {
       require(exact.columns.contains("source"),
         "--trim-boilerplate needs a source column")
-      val t = refreshNChars(Text.trimBoilerplate(exact)).persist()
+      val t = refreshNChars(Text.trimBoilerplate(exact)).transform(Lineage.cut)
       (t, Some(t.count()))
     } else (exact, None)
 
@@ -128,10 +149,8 @@ object CurateCorpus {
     //    line drop. Runs BEFORE near-dup clustering so boilerplate
     //    lines can't glue unrelated documents into one cluster.
     //    Token-derived metadata refreshes with the rewritten text.
-    val lineD = refreshNChars(Text.dedupLines(trimmed)).persist()
+    val lineD = refreshNChars(Text.dedupLines(trimmed)).transform(Lineage.cut)
     val nLine = lineD.count()
-    exact.unpersist()
-    if (trimBoilerplate) trimmed.unpersist()
 
     // quality signals computed ONCE on the line-deduped text — the
     // survivor rule below and the quality cut both read them
@@ -156,10 +175,10 @@ object CurateCorpus {
         .withColumn("_rk", row_number().over(survivorPick))
         .filter($"_rk" === 1).drop("_rk"))
       .drop("cluster_id")
-      .persist()
+      .transform(Lineage.cut)
     val nNear = near.count()
     // the near frame carries everything downstream; its inputs are dead
-    lineD.unpersist(); scored.unpersist()
+    scored.unpersist()
 
     // 3.6 (optional) CONTAINMENT dedup (d22 rule): the short doc quoted
     //     wholesale inside a long one has containment ≈ 1 but Jaccard
@@ -173,7 +192,8 @@ object CurateCorpus {
         val drop = Dedup.containmentPairs(
             near.select($"doc_id", $"text"), tau)
           .select($"contained_doc".as("doc_id")).distinct()
-        val kept = near.join(drop, Seq("doc_id"), "left_anti").persist()
+        val kept = near.join(drop, Seq("doc_id"), "left_anti")
+          .transform(Lineage.cut)
         val n = kept.count()
         (kept, Some(n))
       case None => (near, None)
@@ -200,8 +220,6 @@ object CurateCorpus {
       .drop("q_score", "q_dup3")
       .persist()
     val nQuality = heuristic.count()
-    near.unpersist()
-    if (containment.isDefined) contained.unpersist()
 
     // 4.5 (optional) LEARNED quality gate (t34 rule): a Naive-Bayes
     //     model trained on (survivors=0 ∪ reference=1) keeps docs whose

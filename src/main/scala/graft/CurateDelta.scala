@@ -84,7 +84,12 @@ object CurateDelta {
     val exactKept = Dedup
       .d15Probe(keys, input.select($"doc_id", $"text"))
       .filter($"verdict" === "kept").select($"doc_id")
-    val exact = input.join(exactKept, Seq("doc_id"), "left_semi").persist()
+    // stage boundaries are lineage cuts from here on (CurateCorpus's
+    // round-14 fix): each stage references its input ~2× (the probe
+    // verdict join), so bare persist() grows the analyzed plan 2^k-fold
+    // by the tail of the pipeline
+    val exact = input.join(exactKept, Seq("doc_id"), "left_semi")
+      .transform(Lineage.cut)
     val nExact = exact.count()
     input.unpersist()
 
@@ -96,9 +101,9 @@ object CurateDelta {
     val index = Dedup.MinhashIndex.load(spark, indexDir)
     val verdicts = Dedup.d20Probe(index, exact.select($"doc_id", $"text"))
     val nearDropped = verdicts.filter($"verdict" =!= "kept").select($"doc_id")
-    val near = exact.join(nearDropped, Seq("doc_id"), "left_anti").persist()
+    val near = exact.join(nearDropped, Seq("doc_id"), "left_anti")
+      .transform(Lineage.cut)
     val nNear = near.count()
-    exact.unpersist()
 
     // 2.5 (optional) CONTAINMENT delta screen (d23Probe on the gram
     //     index): arriving docs sitting ≥ τ inside a base doc drop —
@@ -117,7 +122,8 @@ object CurateDelta {
         val dropIds = Dedup
           .d23Probe(gIdx, near.select($"doc_id", $"text"), tau)
           .filter($"verdict" === "contained_in_base").select($"doc_id")
-        val kept = near.join(dropIds, Seq("doc_id"), "left_anti").persist()
+        val kept = near.join(dropIds, Seq("doc_id"), "left_anti")
+          .transform(Lineage.cut)
         val n = kept.count()
         (kept, Some(n))
       case None => (near, None)
@@ -128,10 +134,8 @@ object CurateDelta {
       .filter($"q_score" >= minScore &&
         coalesce($"q_dup3", lit(0.0)) <= maxDup3)
       .drop("q_score", "q_dup3")
-      .persist()
+      .persist() // leaf-rooted plan after the cuts above — persist suffices
     val nQuality = quality.count()
-    near.unpersist()
-    if (containment.isDefined) contained.unpersist()
 
     // 4. PII redaction last, then write
     val out = quality.withColumn("text", Text.redact($"text"))

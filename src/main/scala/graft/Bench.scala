@@ -133,12 +133,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def run(name: String): Double = {
+      // label the jobs (guide §1.5) so an event log / UI of a bench run
+      // maps stages back to keys; thread-local, cleared after the run
+      spark.sparkContext.setJobDescription(s"bench: $name")
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
+      finally spark.sparkContext.setJobDescription(null)
       (System.nanoTime() - t0) / 1e9
     }
 

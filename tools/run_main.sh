@@ -12,8 +12,17 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
+# Derive the repo root from this script's own location so a scratch
+# checkout runs ITS classes, not /root/repo's — and fail loudly when
+# the classes are missing instead of silently running stale code.
+ROOT="$(cd "$(dirname "$0")/.." && pwd)"
+CLASSES="$ROOT/target/scala-2.13/classes"
+if [ ! -d "$CLASSES" ]; then
+  echo "run_main.sh: $CLASSES missing — run 'sbt compile' in $ROOT first" >&2
+  exit 1
+fi
 exec java $ADD_OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
-  -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
+  -cp "$CLASSES:/opt/spark/jars/*" \
   "$CLS" "$@"

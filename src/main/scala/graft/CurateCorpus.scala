@@ -114,9 +114,13 @@ object CurateCorpus {
     // was the driver re-planning ever-larger trees (17 s of optimizer
     // gap before single counts). Cutting at each boundary keeps every
     // stage's plan rooted at the previous stage's materialized RDD.
-    // Cut frames are cached like the persists they replace; blocks are
-    // dropped by the ContextCleaner when the stage frame goes out of
-    // scope (same ~2-stage peak as the old explicit unpersists).
+    // Cut frames are cached like the persists they replace, and each
+    // stage's blocks are EXPLICITLY released (Lineage.release) once its
+    // successor's cut materializes — stage frames are method-local vals
+    // strongly reachable until run() returns, so relying on the
+    // ContextCleaner would leave every stage's near-corpus-size blocks
+    // resident at once at 100 TB (guide §5). Peak cached footprint is
+    // ~2 stage frames, like the pre-cut explicit unpersists.
 
     // 1. exact dedup (d01 rule): min doc_id survives each md5(text)
     //    group. One exchange keyed on the text hash; the full row moves
@@ -141,7 +145,9 @@ object CurateCorpus {
       require(exact.columns.contains("source"),
         "--trim-boilerplate needs a source column")
       val t = refreshNChars(Text.trimBoilerplate(exact)).transform(Lineage.cut)
-      (t, Some(t.count()))
+      val n = t.count()
+      Lineage.release(exact) // trimmed's cut materialized; exact is dead
+      (t, Some(n))
     } else (exact, None)
 
     // 2. LINE-level dedup (t13 rewrite rule): corpus-duplicated lines
@@ -151,6 +157,8 @@ object CurateCorpus {
     //    Token-derived metadata refreshes with the rewritten text.
     val lineD = refreshNChars(Text.dedupLines(trimmed)).transform(Lineage.cut)
     val nLine = lineD.count()
+    // trimmed (= exact when boilerplate trim is off) is dead now
+    Lineage.release(trimmed)
 
     // quality signals computed ONCE on the line-deduped text — the
     // survivor rule below and the quality cut both read them
@@ -179,6 +187,7 @@ object CurateCorpus {
     val nNear = near.count()
     // the near frame carries everything downstream; its inputs are dead
     scored.unpersist()
+    Lineage.release(lineD)
 
     // 3.6 (optional) CONTAINMENT dedup (d22 rule): the short doc quoted
     //     wholesale inside a long one has containment ≈ 1 but Jaccard
@@ -195,6 +204,7 @@ object CurateCorpus {
         val kept = near.join(drop, Seq("doc_id"), "left_anti")
           .transform(Lineage.cut)
         val n = kept.count()
+        Lineage.release(near) // kept's cut materialized; near is dead
         (kept, Some(n))
       case None => (near, None)
     }
@@ -220,6 +230,9 @@ object CurateCorpus {
       .drop("q_score", "q_dup3")
       .persist()
     val nQuality = heuristic.count()
+    // heuristic is cached and the code lane (if any) was counted into
+    // its own cache above — the containment-stage frame is dead
+    Lineage.release(contained)
 
     // 4.5 (optional) LEARNED quality gate (t34 rule): a Naive-Bayes
     //     model trained on (survivors=0 ∪ reference=1) keeps docs whose

@@ -75,7 +75,22 @@ object Dedup {
   def minhashPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val sig = minhashSignatures(docs)
+    // The signature kernel (minhash_sig over shingles — the corpus-
+    // scale hot loop) is referenced four ways below: band rows, the
+    // bucket census, and both confirm-join sides. The identical
+    // self-join subtrees dedup via exchange/broadcast reuse, but the
+    // confirm joins key on doc_a vs doc_b — different exchanges, no
+    // reuse — so the kernel ran ~3× per call at corpus scale. Cut the
+    // (doc_id, sig) frame ONCE (lazy; ~100× narrower than the text it
+    // derives from) so every reference reads the materialized RDD
+    // (guide §1.2: remove redundant passes before tuning anything).
+    // Scale.spread makes that ONE kernel pass run at cluster
+    // parallelism when the scan under-splits it (no-op at scale) —
+    // spread pairs with the cut: spreading a MULTI-reference kernel
+    // (no cut) just adds exchange overhead per pass, measured +0.9 s
+    // on d20 at sf0.1.
+    val sig = minhashSignatures(Scale.spread(docs, $"doc_id"))
+      .transform(graft.Lineage.cut)
     val capped = bandBuckets(sig)
     val cand = capped.as("a")
       .join(capped.as("b"),
@@ -211,10 +226,18 @@ object Dedup {
     val s = docsIn.sparkSession
     import s.implicits._
     GraftFunctions.register(s)
-    val grams = docsIn
+    // One cut, one spread, one kernel pass (minhashPairs' recipe for
+    // the gram stage): `grams` is referenced THREE ways below (the
+    // explode feeding the candidate join and both exact-verify sides
+    // keyed on doc_a vs doc_b — different exchanges, no reuse), so
+    // lazily the shingle kernel ran ~3× per call; the cut runs it once
+    // and the spread makes that pass cluster-parallel when the scan is
+    // under-split (no-op at scale).
+    val grams = Scale.spread(docsIn, $"doc_id")
       .select($"doc_id", split($"text", " ").as("w"))
       .withColumn("gs", expr("shingles(w, 2)"))
       .select($"doc_id", $"gs")
+      .transform(graft.Lineage.cut)
     val ex = grams.select($"doc_id", explode($"gs").as("g"))
     val rare = ex.groupBy($"g").agg(count(lit(1)).as("df"))
       .filter($"df" <= MaxShingleDf).select($"g")
@@ -352,6 +375,12 @@ object Dedup {
       val cur = checksum(next)
       done = cur == prev
       prev = cur
+      // the checksum materialized `next`, whose plan roots at its own
+      // RDD — the PREVIOUS round's cut blocks are dead; drop them now
+      // instead of waiting for GC (guide §5: bounded cached footprint —
+      // no-op on round 1, where e is a filter view of `base`, which the
+      // final label step still needs)
+      graft.Lineage.release(e)
       e = next
     }
     // label = min over {star-edge parents of the node} ∪ {itself}: a
@@ -502,16 +531,27 @@ object Dedup {
   private[graft] def d05At(s: SparkSession, dir: String, np: Int): DataFrame = {
     import s.implicits._
     GraftFunctions.register(s)
-    val e = T(s, dir, "embeddings")
-      .select($"vec_id", $"embedding", Similarity.bucketCol("embedding", np).as("bucket"))
+    // squared norm HOISTED to one column per vector: the confirm ran
+    // THREE vec_dots per candidate pair, but a·a and b·b are per-vector
+    // constants — computing them once per row cuts the pair loop (the
+    // operator's dominant cost: 51 s of near-shuffle-free compute at
+    // the sf1 probe) to one dot per pair. sqrt(n2_a * n2_b) keeps the
+    // exact multiplication order, so every cosine is bit-identical.
+    // spread the under-split embedding scan so the bucket/cosine
+    // kernels run at cluster parallelism (no-op at scale); both join
+    // sides root at the ONE spread exchange, which Spark reuses
+    val e = Scale.spread(T(s, dir, "embeddings"), $"vec_id")
+      .select($"vec_id", $"embedding",
+        expr("vec_dot(embedding, embedding)").as("n2"),
+        Similarity.bucketCol("embedding", np).as("bucket"))
     val probes = 0 +: (0 until np).map(1 << _)
     val probed = e
       .withColumn("probe", explode(typedLit(probes)))
-      .select($"vec_id", $"embedding", expr("bucket ^ probe").as("jbucket"))
+      .select($"vec_id", $"embedding", $"n2", expr("bucket ^ probe").as("jbucket"))
     probed.as("a")
       .join(e.as("b"), $"a.jbucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
       .withColumn("cos", expr(
-        s"${Similarity.dot("a.embedding", "b.embedding")} / sqrt(${Similarity.dot("a.embedding", "a.embedding")} * ${Similarity.dot("b.embedding", "b.embedding")})"))
+        s"${Similarity.dot("a.embedding", "b.embedding")} / sqrt(a.n2 * b.n2)"))
       .filter($"cos" >= 0.45)
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
         expr("round(cos, 6)").as("cos"))
@@ -526,11 +566,13 @@ object Dedup {
   def d05Exact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     GraftFunctions.register(s)
-    val e = T(s, dir, "embeddings").select($"vec_id", $"embedding")
+    val e = Scale.spread(T(s, dir, "embeddings"), $"vec_id")
+      .select($"vec_id", $"embedding",
+        expr("vec_dot(embedding, embedding)").as("n2"))
     e.as("a")
       .join(broadcast(e.as("b")), $"a.vec_id" < $"b.vec_id")
       .withColumn("cos", expr(
-        s"${Similarity.dot("a.embedding", "b.embedding")} / sqrt(${Similarity.dot("a.embedding", "a.embedding")} * ${Similarity.dot("b.embedding", "b.embedding")})"))
+        s"${Similarity.dot("a.embedding", "b.embedding")} / sqrt(a.n2 * b.n2)"))
       .filter($"cos" >= 0.45)
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
         expr("round(cos, 6)").as("cos"))
@@ -954,14 +996,19 @@ object Dedup {
     import s.implicits._
     GraftFunctions.register(s)
     import org.apache.spark.ml.functions.array_to_vector
-    val emb = T(s, dir, "embeddings")
+    // spread the under-split scan so assignment + the cell self-join's
+    // cosine kernel run at cluster parallelism (no-op at scale)
+    val emb = Scale.spread(T(s, dir, "embeddings"), $"vec_id")
       .withColumn("fv", array_to_vector($"embedding".cast("array<double>")))
-    val corpus = model.transform(emb).select($"vec_id", $"embedding", $"cell")
+    // squared norm hoisted per vector (d05's fix): one dot per
+    // candidate pair instead of three, cosines bit-identical
+    val corpus = model.transform(emb).select($"vec_id", $"embedding",
+      expr("vec_dot(embedding, embedding)").as("n2"), $"cell")
     val dropped = corpus.as("a")
       .join(corpus.as("b"),
         $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id")
       .withColumn("cos", expr(
-        s"${Similarity.dot("a.embedding", "b.embedding")} / sqrt(${Similarity.dot("a.embedding", "a.embedding")} * ${Similarity.dot("b.embedding", "b.embedding")})"))
+        s"${Similarity.dot("a.embedding", "b.embedding")} / sqrt(a.n2 * b.n2)"))
       .filter($"cos" >= 0.45)
       .select($"b.vec_id".as("vec_id"),
         lit(null).cast("int").as("cell"), lit(true).as("dropped"))
@@ -1070,7 +1117,16 @@ object Dedup {
     */
   def d14(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sig = signatures(s, dir)
+    // Cut the signature frame ONCE: the eval/corpus split puts a
+    // DIFFERENT filter under every reference (eval bands, corpus
+    // bands, the all-docs census, and both confirm-join sides), so —
+    // unlike d02's identical self-join subtrees — no exchange reuse
+    // applies and the signature kernel ran 5× over 6 parquet scans
+    // (measured round 15, plans/r15/d14_*_before.txt). The cut
+    // (doc_id, sig) frame is ~100× narrower than the text.
+    val sig = minhashSignatures(
+        Scale.spread(T(s, dir, "documents"), $"doc_id"))
+      .transform(graft.Lineage.cut)
     val capped = bandBuckets(sig)
     val cand = capped.filter($"doc_id" % 50 === 0).as("e")
       .join(capped.filter($"doc_id" % 50 =!= 0).as("c"),
@@ -1088,8 +1144,9 @@ object Dedup {
         count(when($"est_jaccard" >= D14Tau, 1)).as("n_confirmed"),
         max($"est_jaccard").as("max_est_jaccard"),
         min(when($"est_jaccard" >= D14Tau, $"doc_id")).as("first_match"))
-    T(s, dir, "documents")
-      .filter($"doc_id" % 50 === 0 && size(split($"text", " ")) >= 3)
+    // the eval roster = the sig frame's eval slice (signatures already
+    // carry the ≥3-token filter) — one more parquet scan saved
+    sig.filter($"doc_id" % 50 === 0)
       .select($"doc_id".as("eval_id"))
       .join(agg, Seq("eval_id"), "left")
       .select($"eval_id",
@@ -1774,11 +1831,28 @@ object Dedup {
     d20IndexOf(T(s, dir, "documents").filter($"doc_id" % 2 === 0))
   }
 
-  /** Builds a [[MinhashIndex]] over any (doc_id, text) frame. */
-  def d20IndexOf(base: DataFrame): MinhashIndex = {
+  /** Builds a [[MinhashIndex]] over any (doc_id, text) frame.
+    *
+    * `cutSigs = true` LINEAGE-CUTS the sig frame so the signature
+    * kernel runs once across the three component writes (sigs, band
+    * rows, bucket counts each root at it — a lazy build re-runs the
+    * kernel per write, 3 full corpus passes in
+    * [[graft.CurateDelta.buildIndex]]). The right call for a PERSISTED
+    * index build, where the base is corpus-scale and the cut (doc_id,
+    * sig) frame is ~100× narrower than the text; the caller must
+    * [[graft.Lineage.release]](idx.sigs) once the index is on disk.
+    * Defaults OFF for the probe/query paths: there the index frames
+    * are consumed once each and measured end to end the cut's
+    * materialize-then-rescan round trip only broke even (sf1) or lost
+    * outright (sf0.1, +1.0 s on d20) against Spark's own subtree reuse.
+    */
+  def d20IndexOf(base: DataFrame, cutSigs: Boolean = false): MinhashIndex = {
     val s = base.sparkSession
     import s.implicits._
-    val sigs = minhashSignatures(base)
+    val sigs =
+      if (cutSigs) minhashSignatures(Scale.spread(base, $"doc_id"))
+        .transform(graft.Lineage.cut)
+      else minhashSignatures(base)
     val buckets = bandRows(sigs)
     val counts = buckets.groupBy($"band", $"bh")
       .agg(count(lit(1)).as("base_cnt"))
@@ -2039,11 +2113,22 @@ object Dedup {
     d23IndexOf(T(s, dir, "documents").filter($"doc_id" % 2 === 0))
   }
 
-  /** Builds a [[GramIndex]] over any (doc_id, text) frame. */
-  def d23IndexOf(base: DataFrame): GramIndex = {
+  /** Builds a [[GramIndex]] over any (doc_id, text) frame.
+    * `cutGrams = true` is [[d20IndexOf]]'s cutSigs for the gram stage
+    * (3 component writes otherwise re-run the split+shingle kernel
+    * each) — persisted-build callers only, released after the write.
+    * Note the gram payload is ~2× the text (unlike sigs), so the cut
+    * trades kernel passes for a FAT materialization; defaults OFF, and
+    * the query path measured strictly worse with it (d23 sf0.1 +1.2 s,
+    * sf1 +0.6 s).
+    */
+  def d23IndexOf(base: DataFrame, cutGrams: Boolean = false): GramIndex = {
     val s = base.sparkSession
     import s.implicits._
-    val grams = gramSets(base)
+    val grams =
+      if (cutGrams) gramSets(Scale.spread(base, $"doc_id"))
+        .transform(graft.Lineage.cut)
+      else gramSets(base)
     val rows = grams.select($"doc_id", explode($"gs").as("g"))
     val counts = rows.groupBy($"g").agg(count(lit(1)).as("base_df"))
     GramIndex(grams, rows, counts)

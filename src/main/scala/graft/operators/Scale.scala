@@ -11,6 +11,27 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Rebalances a CPU-bound kernel's input to cluster parallelism WHEN
+    * the scan under-splits it — and is a provable no-op otherwise. A
+    * compact columnar file holding many narrow rows can arrive as ONE
+    * split (parquet splits at row-group granularity, so a single-row-
+    * group file is one task no matter the config), serializing a
+    * compute-dominated stage — the signature/shingle/cosine kernels —
+    * on one core while the cluster idles (measured round 15: s06's
+    * sf1 probe ran 48 s at 8 cores and 41 s at 32 — the kernel was one
+    * task). At 100 TB the same scan has thousands of splits, where an
+    * unconditional repartition would be a pure payload shuffle (guide
+    * §8's cardinal sin) — hence the guard: actual split count vs the
+    * cluster's defaultParallelism, both runtime-derived, never a
+    * constant. Hash-partitions on `key` (a high-cardinality id spreads
+    * evenly) rather than round-robin, which would pay
+    * sortBeforeRepartition on every row.
+    */
+  def spread(df: DataFrame, key: Column): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p, key)
+  }
+
   /** Writes `df` bucketed+sorted by `key` as a catalog table at `path`,
     * so repeated joins/aggregations on `key` skip their Exchange
     * entirely — the pre-partitioning you buy once at ingest and reuse

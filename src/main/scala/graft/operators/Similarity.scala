@@ -61,12 +61,16 @@ object Similarity {
   def s01(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
+    // squared norms hoisted per side: the scan ran three vec_dots per
+    // (corpus row × query) — n2/qn2 are per-row constants, so one dot
+    // per scored row remains. sqrt(n2 * qn2) keeps the multiplication
+    // order, every cosine bit-identical.
     val emb = T(s, dir, "embeddings")
+      .withColumn("n2", expr("vec_dot(embedding, embedding)"))
     val queries = emb.filter($"vec_id" < 5)
-      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"n2".as("qn2"))
     val scored = emb.crossJoin(broadcast(queries))
-      .withColumn("cos", expr(
-        s"${dot("embedding", "q_emb")} / sqrt(${dot("embedding", "embedding")} * ${dot("q_emb", "q_emb")})"))
+      .withColumn("cos", expr(s"${dot("embedding", "q_emb")} / sqrt(n2 * qn2)"))
     val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
     scored
       .withColumn("rn", row_number().over(w))
@@ -229,14 +233,16 @@ object Similarity {
   def s12(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
+    // squared norms hoisted per side (s01's fix) — the label-gated scan
+    // still scores corpus-scale row counts, cosines bit-identical
     val emb = T(s, dir, "embeddings")
+      .withColumn("n2", expr("vec_dot(embedding, embedding)"))
     val queries = emb.filter($"vec_id" < 5)
       .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
-        $"label".as("q_label"))
+        $"n2".as("qn2"), $"label".as("q_label"))
     val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
     emb.join(broadcast(queries), $"label" === $"q_label")
-      .withColumn("cos", expr(
-        s"${dot("embedding", "q_emb")} / sqrt(${dot("embedding", "embedding")} * ${dot("q_emb", "q_emb")})"))
+      .withColumn("cos", expr(s"${dot("embedding", "q_emb")} / sqrt(n2 * qn2)"))
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= K)
       .select($"q_id", $"label", $"vec_id", expr("round(cos, 6)").as("cos"), $"rn")
@@ -424,7 +430,11 @@ object Similarity {
     val nProbe = 2
     val emb = T(s, dir, "embeddings")
       .withColumn("fv", array_to_vector($"embedding".cast("array<double>")))
-    val corpus = model.transform(emb).select($"vec_id", $"embedding", $"cell")
+    // squared norms hoisted per side (s01's fix): the probe touches
+    // nProbe/k of the corpus — still corpus-scale — so one dot per
+    // candidate row instead of three; cosines bit-identical
+    val corpus = model.transform(emb).select($"vec_id", $"embedding",
+      expr("vec_dot(embedding, embedding)").as("n2"), $"cell")
     val centers = model.clusterCenters.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toArray) }
       .toDF("c_cell", "c_vec")
@@ -437,10 +447,10 @@ object Similarity {
       .withColumn("cr", row_number().over(
         Window.partitionBy($"q_id").orderBy($"dist".asc, $"c_cell".asc)))
       .filter($"cr" <= nProbe)
-      .select($"q_id", $"q_emb", $"c_cell".as("cell"))
+      .select($"q_id", $"q_emb",
+        expr("vec_dot(q_emb, q_emb)").as("qn2"), $"c_cell".as("cell"))
     val cand = corpus.join(broadcast(qCells), "cell")
-      .withColumn("cos", expr(
-        s"${dot("embedding", "q_emb")} / sqrt(${dot("embedding", "embedding")} * ${dot("q_emb", "q_emb")})"))
+      .withColumn("cos", expr(s"${dot("embedding", "q_emb")} / sqrt(n2 * qn2)"))
     val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
     cand
       .withColumn("rn", row_number().over(w))
@@ -504,21 +514,44 @@ object Similarity {
       // guide §2.6) — and determinism is untouched: same seed, same
       // cached sample, same per-fit task structure ⇒ the identical
       // models the sequential loop produced.
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(M)
+      // DAEMON threads + a bounded wait: a hung fit must not pin the
+      // JVM alive (non-daemon pool) or block the caller forever
+      // (Duration.Inf). On any fit failure the in-flight siblings are
+      // cancelled through their job group — pool.shutdownNow() alone
+      // would leave their Spark jobs running under a soon-unpersisted
+      // cache.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(M,
+        (r: Runnable) => { val t = new Thread(r, "s04-fit")
+          t.setDaemon(true); t })
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val group = "graft-s04-fit"
       try {
         val fits = (0 until M).map { m =>
           scala.concurrent.Future {
-            new KMeans().setK(16).setSeed(42L + m)
+            // job groups are thread-local: set inside each fit thread
+            s.sparkContext.setJobGroup(group, "s04 codebook fit",
+              interruptOnCancel = true)
+            try new KMeans().setK(16).setSeed(42L + m)
               .setFeaturesCol(s"sv_$m").setPredictionCol(s"code_$m")
               .fit(fitDf)
+            finally s.sparkContext.clearJobGroup()
           }
         }
-        scala.concurrent.Await.result(
+        try scala.concurrent.Await.result(
           scala.concurrent.Future.sequence(fits),
-          scala.concurrent.duration.Duration.Inf)
-      } finally pool.shutdown()
+          scala.concurrent.duration.Duration(1, "hour"))
+        catch { case e: Throwable =>
+          s.sparkContext.cancelJobGroup(group)
+          pool.shutdownNow()
+          throw e
+        }
+      } finally {
+        pool.shutdown()
+        // don't unpersist fitDf under still-running fit jobs (they
+        // would silently fall back to recomputing the sample)
+        pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+      }
     } finally fitDf.unpersist(blocking = false)
   }
 
@@ -588,13 +621,15 @@ object Similarity {
   def s05(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
+    // squared norms hoisted per side (s01's fix) — one dot per scored
+    // row on the full corpus scan, cosines bit-identical
     val emb = T(s, dir, "embeddings")
+      .withColumn("n2", expr("vec_dot(embedding, embedding)"))
     val queries = emb.filter($"vec_id" < 5)
-      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"n2".as("qn2"))
     emb.crossJoin(broadcast(queries))
       .filter($"vec_id" =!= $"q_id")
-      .withColumn("cos", expr(
-        s"${dot("embedding", "q_emb")} / sqrt(${dot("embedding", "embedding")} * ${dot("q_emb", "q_emb")})"))
+      .withColumn("cos", expr(s"${dot("embedding", "q_emb")} / sqrt(n2 * qn2)"))
       .filter($"cos" >= RangeTau)
       .select($"q_id", $"vec_id", expr("round(cos, 6)").as("cos"))
       .orderBy($"q_id", $"vec_id")
@@ -1261,19 +1296,26 @@ object Similarity {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
     val np = nPlanesOf(s, dir)
-    val emb = T(s, dir, "embeddings")
-    val corpus = emb.select($"vec_id", $"embedding", bucketCol("embedding", np).as("bucket"))
+    // spread the under-split scan so the bucket/cosine kernels run at
+    // cluster parallelism (no-op at scale — see Scale.spread; round-15
+    // sf1 probe: the whole corpus-vs-corpus kernel was ONE task)
+    val emb = Scale.spread(T(s, dir, "embeddings"), $"vec_id")
+    // squared norm hoisted per vector (s01's fix): one dot per
+    // candidate pair in the bucket join instead of three — bit-identical
+    val corpus = emb.select($"vec_id", $"embedding",
+      expr("vec_dot(embedding, embedding)").as("n2"),
+      bucketCol("embedding", np).as("bucket"))
     val probes = (0 to np).map(i => if (i == 0) 0 else 1 << (i - 1))
     val sources = corpus
       .select($"vec_id".as("src_id"), $"embedding".as("src_emb"),
-        $"bucket".as("src_bucket"))
+        $"n2".as("src_n2"), $"bucket".as("src_bucket"))
       .withColumn("probe", explode(typedLit(probes)))
       .withColumn("bucket", expr("src_bucket ^ probe"))
-      .select($"src_id", $"src_emb", $"bucket")
+      .select($"src_id", $"src_emb", $"src_n2", $"bucket")
     val cand = corpus.join(sources, "bucket")
       .filter($"vec_id" =!= $"src_id")
       .withColumn("cos", expr(
-        s"${dot("embedding", "src_emb")} / sqrt(${dot("embedding", "embedding")} * ${dot("src_emb", "src_emb")})"))
+        s"${dot("embedding", "src_emb")} / sqrt(n2 * src_n2)"))
     val w = Window.partitionBy($"src_id").orderBy($"cos".desc, $"vec_id".asc)
     cand.withColumn("rn", row_number().over(w))
       .filter($"rn" <= KnnK)
@@ -1309,8 +1351,12 @@ object Similarity {
   def s07(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
+    // squared norms hoisted (s01's fix): the vector's per-row, the
+    // cell sum's per-bucket on the broadcast side — one dot per scored
+    // row instead of three, centrality bit-identical
     val emb = T(s, dir, "embeddings")
       .select($"vec_id", $"embedding",
+        expr("vec_dot(embedding, embedding)").as("n2"),
         bucketCol("embedding", nPlanesOf(s, dir)).as("bucket"))
     val sums = emb
       .select($"bucket", posexplode($"embedding".cast("array<double>")))
@@ -1319,10 +1365,11 @@ object Similarity {
       .groupBy($"bucket")
       .agg(transform(array_sort(collect_list(struct($"pos", $"sx"))),
         p => p.getField("sx").cast("double")).as("cell_sum"))
+      .withColumn("cs_n2", expr("vec_dot(cell_sum, cell_sum)"))
     val w = Window.partitionBy($"bucket").orderBy($"cen".desc, $"vec_id".asc)
     emb.join(broadcast(sums), "bucket")
       .withColumn("cen", expr(
-        s"round(${dot("embedding", "cell_sum")} / sqrt(${dot("embedding", "embedding")} * ${dot("cell_sum", "cell_sum")}), 6)"))
+        s"round(${dot("embedding", "cell_sum")} / sqrt(n2 * cs_n2), 6)"))
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= DivQuota)
       .select($"bucket", $"vec_id", $"cen", $"rn")
@@ -1354,23 +1401,26 @@ object Similarity {
   def s08(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
+    // squared norms hoisted per vector (s01's fix): one dot per scored
+    // row / candidate pair instead of three — bit-identical micro-cosines
     val emb = T(s, dir, "embeddings")
+      .withColumn("n2", expr("vec_dot(embedding, embedding)"))
     val queries = emb.filter($"vec_id" < 3)
-      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"n2".as("qn2"))
     val wRel = Window.partitionBy($"q_id").orderBy($"rel6".desc, $"vec_id".asc)
     val cand = emb.crossJoin(broadcast(queries))
       .filter($"vec_id" =!= $"q_id")
       .withColumn("rel6", expr(s"CAST(round(1000000 * ${dot("embedding", "q_emb")} " +
-        s"/ sqrt(${dot("embedding", "embedding")} * ${dot("q_emb", "q_emb")})) AS BIGINT)"))
+        s"/ sqrt(n2 * qn2)) AS BIGINT)"))
       .withColumn("rn", row_number().over(wRel))
       .filter($"rn" <= MmrPoolC)
-      .select($"q_id", $"vec_id", $"rel6", $"embedding")
+      .select($"q_id", $"vec_id", $"rel6", $"embedding", $"n2")
       .transform(graft.Lineage.cut)
-    val pair = cand.select($"q_id", $"vec_id".as("a"), $"embedding".as("ea"))
-      .join(cand.select($"q_id", $"vec_id".as("b"), $"embedding".as("eb")), Seq("q_id"))
+    val pair = cand.select($"q_id", $"vec_id".as("a"), $"embedding".as("ea"), $"n2".as("na2"))
+      .join(cand.select($"q_id", $"vec_id".as("b"), $"embedding".as("eb"), $"n2".as("nb2")), Seq("q_id"))
       .filter($"a" =!= $"b")
       .withColumn("sim6", expr(s"CAST(round(1000000 * ${dot("ea", "eb")} " +
-        s"/ sqrt(${dot("ea", "ea")} * ${dot("eb", "eb")})) AS BIGINT)"))
+        s"/ sqrt(na2 * nb2)) AS BIGINT)"))
       .select($"q_id", $"a", $"b", $"sim6")
       .transform(graft.Lineage.cut)
     val first = cand

@@ -62,6 +62,9 @@ object NearDupStream {
         val b = batch.toDF().persist()
         Dedup.d20ProbeIncr(base, seen, b)
           .write.mode("append").parquet(outDir)
+        // no cutSigs: the batch is micro-batch-sized, so the kernel
+        // re-runs the builders pay are batch-bounded, and a per-batch
+        // cut would leave blocks to release on every batch
         val bIdx = Dedup.d20IndexOf(b)
         seen.map(_.merge(bIdx)).getOrElse(bIdx)
           .write(s"$stateDir/v${batchId + 1}")

@@ -71,6 +71,28 @@ class CurateCorpusSpec extends SparkSpec {
       bench.select(split(col("text"), " ").as("toks")), 4).isEmpty)
   }
 
+  test("cached footprint is bounded: stage blocks are released as stages retire") {
+    // Round-15 pin (r14 verdict ask #1): every stage boundary is a
+    // lineage cut whose blocks are EXPLICITLY released once the next
+    // stage materializes. After run() the only resident blocks may be
+    // connectedComponents' internals (its canonical edge frame + final
+    // edge round — 2 frames, released only by GC since the returned
+    // label frame roots at them) and the pair engines' internal cut
+    // kernel frames (the minhash sig cut + the containment stage's
+    // gram cut — bounded, not stage-sized); every stage frame (exact,
+    // lineD, near, contained, …) and every persist (input, scored,
+    // heuristic) must be gone. A regression re-pins all ~6
+    // near-corpus-size stages at once at 100 TB.
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val out = Files.createTempDirectory("curate_mem").resolve("out").toString
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    CurateCorpus.run(docs, out, containment = Some(0.6))
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.size <= 4,
+      s"curation left ${added.size} persistent RDD(s) resident (expected ≤4: " +
+        "connectedComponents internals + the sig/gram kernel cuts): stage releases regressed")
+  }
+
   test("near-dup parity: minhash default and exact opt-in agree on this corpus") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     val outM = Files.createTempDirectory("curateM").resolve("out").toString

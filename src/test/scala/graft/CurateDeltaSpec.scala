@@ -42,6 +42,20 @@ class CurateDeltaSpec extends SparkSpec {
       "survivor ids diverge from the registered d15/d20 kept set")
   }
 
+  test("cached footprint is bounded: every stage's blocks released by run()") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("curate_delta_mem").toString
+    val base = docs.filter($"doc_id" % 2 === 0).select($"doc_id", $"text")
+    CurateDelta.buildIndex(base, s"$tmp/idx", withGrams = true)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    CurateDelta.run(docs.filter($"doc_id" % 2 === 1), s"$tmp/idx",
+      s"$tmp/out", containment = Some(0.6))
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.isEmpty,
+      s"delta run left persistent RDD(s) resident: ${added.size} " +
+        "(every stage cut and persist must be released before returning)")
+  }
+
   test("exact base and within-delta dups drop; novel docs ship") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("curate_delta_inj").toString

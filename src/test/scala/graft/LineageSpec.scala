@@ -36,6 +36,7 @@ class LineageSpec extends SparkSpec {
       assert(planOf(df).contains("LogicalRDD"),
         s"plan not truncated:\n${planOf(df)}")
       assert(df.count() > 0) // lazy cut materializes here
+      Lineage.release(df) // drop the pre-cut cache this suite pins
       val sc = spark.sparkContext
       assert(sc.getCheckpointDir.exists(_.contains(
         new java.io.File(ckpt).getName)),
@@ -59,12 +60,67 @@ class LineageSpec extends SparkSpec {
     spark.conf.set(Lineage.ConfKey, sib.toString)
     try {
       val base = Tables(spark, dir, "documents").groupBy($"source").count()
-      Lineage.cut(base).count()
+      val c1 = Lineage.cut(base); c1.count(); Lineage.release(c1)
       spark.conf.set(Lineage.ConfKey, want.toString)
-      Lineage.cut(base).count()
+      val c2 = Lineage.cut(base); c2.count(); Lineage.release(c2)
       val cur = spark.sparkContext.getCheckpointDir.getOrElse("")
       assert(cur.stripPrefix("file:").startsWith(want.toString),
         s"checkpoint root not re-installed past the prefix sibling: $cur")
+    } finally spark.conf.unset(Lineage.ConfKey)
+  }
+
+  test("release drops a cut frame's blocks (local mode)") {
+    import spark.implicits._
+    spark.conf.unset(Lineage.ConfKey)
+    val df = Lineage.cut(
+      Tables(spark, dir, "documents").groupBy($"source").count())
+    assert(df.count() > 0) // materialize the localCheckpoint blocks
+    val id = Lineage.backingRdd(df).map(_.id)
+      .getOrElse(fail("cut frame has no backing RDD"))
+    assert(spark.sparkContext.getPersistentRDDs.contains(id),
+      "cut frame's blocks not registered as persistent")
+    Lineage.release(df)
+    assert(!spark.sparkContext.getPersistentRDDs.contains(id),
+      "release did not drop the cut frame's blocks")
+  }
+
+  test("release is a no-op on frames that are not cut frames") {
+    import spark.implicits._
+    spark.conf.unset(Lineage.ConfKey)
+    val cutF = Lineage.cut(
+      Tables(spark, dir, "documents").groupBy($"source").count())
+    assert(cutF.count() > 0)
+    val id = Lineage.backingRdd(cutF).map(_.id).get
+    // a DERIVED frame must not release its parent's blocks
+    Lineage.release(cutF.filter($"count" > 0))
+    assert(spark.sparkContext.getPersistentRDDs.contains(id),
+      "release of a derived frame dropped the parent cut's blocks")
+    Lineage.release(cutF)
+  }
+
+  test("reliable mode caches the pre-cut frame and release drops it") {
+    import spark.implicits._
+    val ckpt = Files.createTempDirectory("graft_ckpt_rel").toString
+    spark.conf.set(Lineage.ConfKey, ckpt)
+    try {
+      // a plan STRUCTURALLY unique to this test: CacheManager dedups
+      // persists by canonicalized plan (aliases normalized away), so
+      // reusing the other tests' shape would make this cut's persist a
+      // no-op ("already cached") and add no RDD
+      val base = Tables(spark, dir, "documents")
+        .filter($"source".isNotNull).groupBy($"source").count()
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val df = Lineage.cut(base)
+      assert(df.count() > 0)
+      // the pre-cut persist exists (so the checkpoint-write job read
+      // the cache instead of recomputing the stage lineage)...
+      val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(added.nonEmpty, "reliable cut did not cache the pre-cut frame")
+      // ...and release drops every block the cut pinned
+      Lineage.release(df)
+      val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(after.isEmpty,
+        s"release left reliable-cut blocks resident: $after")
     } finally spark.conf.unset(Lineage.ConfKey)
   }
 

@@ -167,6 +167,25 @@ class PlanInvariantSpec extends SparkSpec {
     }
   }
 
+  test("d07/d09 label step reads only cut RDDs — no duplicated parquet DAG") {
+    // Round-14 fix pinned: connectedComponents' node roster and edge
+    // loop share ONE cut frame, so the final label plan must root at
+    // materialized RDDs, not re-run the candidate-pair machinery (d07
+    // had 16 parquet scans before the fix). d09 keeps exactly its
+    // survivor-scoring scans of `documents` (3 in the printed tree);
+    // growth beyond that means the duplicated DAG crept back.
+    val d07 = SparkEntry.queries("d07_dedup_clusters")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!d07.contains("Scan parquet"),
+      "d07's label step re-reads parquet — the cut edge frame is not being reused")
+    assert(d07.contains("Scan ExistingRDD"), "d07 lost its lineage cuts")
+    val d09 = SparkEntry.queries("d09_dedup_survivor")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val d09Scans = "Scan parquet".r.findAllIn(d09).size
+    assert(d09Scans <= 3,
+      s"d09 grew parquet scans beyond its scoring reads ($d09Scans > 3)")
+  }
+
   test("q03 top-k is a per-partition heap, not a global sort") {
     val plan = SparkEntry.queries("q03_topk_orders")(spark, dir)
       .queryExecution.executedPlan.toString

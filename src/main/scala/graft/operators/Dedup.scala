@@ -1071,7 +1071,11 @@ object Dedup {
   def d13(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     GraftFunctions.register(s)
-    val sg = T(s, dir, "documents")
+    // spread the under-split scan before the shingle explode: the
+    // (source, gh) partial agg's ENTIRE map side (explode + md5 + 79 MB
+    // of shuffle write at the sf1 probe) ran as one task (no-op at
+    // scale — see Scale.spread)
+    val sg = Scale.spread(T(s, dir, "documents"), $"doc_id")
       .select($"source", split($"text", " ").as("toks"))
       .select($"source", explode(expr("shingles(toks, 3)")).as("g"))
       .groupBy($"source", md5($"g").as("gh")).agg(count(lit(1)).as("_n"))

@@ -376,7 +376,10 @@ object Text {
     */
   def t08(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    T(s, dir, "documents")
+    // spread the under-split scan before the regex kernel (no-op at
+    // scale — see Scale.spread; the sf1 probe ran this 13.5 s query
+    // no faster on 32 cores than 8: one task)
+    Scale.spread(T(s, dir, "documents"), $"doc_id")
       .withColumn("t", concat($"text",
         lit(" contact user"), $"doc_id".cast("string"),
         lit("@example.com via 10.0."),
@@ -1284,7 +1287,9 @@ object Text {
     */
   def t32(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = T(s, dir, "documents")
+    // spread the under-split scan before the per-term token filters
+    // (20 array scans per doc — no-op at scale, see Scale.spread)
+    val docs = Scale.spread(T(s, dir, "documents"), $"doc_id")
       .select($"doc_id", split($"text", " ").as("toks"))
       .withColumn("dl", size($"toks"))
     val post = docs
